@@ -1,0 +1,72 @@
+"""Run configuration for the replay engine.
+
+Mirrors the reference's run-level knobs (reference ``processor.py:191-203``):
+the fuzzy threshold (``fuzzy_match_ratio``, default 50), the
+``require_perfect_match`` flag, and the substitution *strategy*
+(``replace_and_add`` vs ``replace_only`` — reference
+``record_update.py:843-887``). Strategy is run-level, exactly as in the
+reference (it is a CLI argument there, not per-record state).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+#: Columns of the base lake table (the ``input_hint`` shape).
+BASE_COLUMNS = ("doc_id", "tokens", "n_tok", "source")
+
+#: Payload columns an update event may overwrite (analog of the 55-tag
+#: substitution whitelist in reference ``replace_configuration.py:3-59``).
+PAYLOAD_COLUMNS = ("tokens", "n_tok", "source")
+
+#: op values a binlog event may carry.
+OPS = ("insert", "update", "delete", "schema_change")
+
+#: route values assigned by the gate / fold.
+ROUTES = ("applied", "fuzzy", "rejected", "local", "deadletter", "noop")
+
+
+@dataclass(frozen=True)
+class ReplayConfig:
+    """All run-level knobs of a replay."""
+
+    #: number of hash partitions; ``part_id = hash64(doc_id) % num_partitions``.
+    #: At 100 TB this is the unit of shuffle + commit granularity; size so a
+    #: partition's events fit one worker's heap (e.g. 4-16k partitions).
+    num_partitions: int = 32
+
+    #: fuzzy gate threshold 0-100 (reference default 50, ``processor.py:202``).
+    fuzzy_threshold: int = 50
+
+    #: if True, only match_score == 100 updates are applied
+    #: (reference ``--perfect-match``; M14 truth table).
+    require_perfect: bool = False
+
+    #: 'replace_and_add' (update may set columns currently null) or
+    #: 'replace_only' (update only overwrites columns already non-null in the
+    #: anchor row) — reference U1 semantics.
+    strategy: str = "replace_and_add"
+
+    #: prefix for deterministically allocated local ids for keyless inserts
+    #: (analog of reference ``set_local_id``, pnca_policy.py:174-223).
+    local_id_prefix: str = "LOCAL"
+
+    #: local-id counter starts here per partition (reference starts at 100 →
+    #: first assigned id 101).
+    local_id_start: int = 100
+
+    #: dotted path(s) of policy plugins applied to folded rows
+    #: (analog of the UpdatePolicy plugin surface, reference P13).
+    policy_plugins: tuple = field(default_factory=tuple)
+
+    #: rows per Arrow batch in stateless map stages. Token arrays dominate
+    #: bytes: at p50 ≈ 256 tokens × 4 B ≈ 1 KiB/row, 8192 rows ≈ 8 MiB/batch.
+    batch_size: int = 8192
+
+    def __post_init__(self):
+        if self.strategy not in ("replace_and_add", "replace_only"):
+            raise ValueError(f"unknown strategy {self.strategy!r}")
+        if not (0 <= self.fuzzy_threshold <= 100):
+            raise ValueError("fuzzy_threshold must be in [0, 100]")
+        if self.num_partitions < 1:
+            raise ValueError("num_partitions must be >= 1")

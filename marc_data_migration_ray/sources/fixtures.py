@@ -1,0 +1,248 @@
+"""Deterministic synthetic fixtures: base table + binlog (FIXTURES.md).
+
+Everything is seeded numpy — no wall clock, no external data. Shapes follow
+``BASELINE.json`` ``input_hint`` exactly. Key noise exercises the reference
+normalization quirks (M1–M3); hot keys exercise skew handling; malformed
+rows exercise the dead-letter route (S7/M11).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SOURCES = np.array(["web", "books", "code", "wiki"], dtype=object)
+
+#: raw-key noise forms; every form normalizes back to the canonical digits.
+_NOISE_FORMS = (
+    "{k}",
+    "(OCoLC){k}",
+    "(ocolc)ocm{k}",
+    "ocn{k}",
+    "ON{k}",
+    "{k} 99",
+    "  (OCoLC)on{k}  ",
+)
+
+
+def _noisy_keys(rng: np.random.Generator, canon: np.ndarray, noise_frac: float) -> np.ndarray:
+    """Wrap a fraction of canonical digit-string keys in reference-style noise."""
+    out = canon.astype(object).copy()
+    noisy = rng.random(len(canon)) < noise_frac
+    forms = rng.integers(1, len(_NOISE_FORMS), size=len(canon))
+    for i in np.nonzero(noisy)[0]:
+        out[i] = _NOISE_FORMS[forms[i]].format(k=canon[i])
+    return out
+
+
+def _token_arrays(rng: np.random.Generator, n: int, mean_len: int = 64) -> tuple[list, np.ndarray]:
+    """Skewed-length int32 token arrays (p50 ≈ mean_len, long tail)."""
+    lens = np.minimum(
+        (rng.lognormal(mean=np.log(mean_len), sigma=0.8, size=n)).astype(np.int64) + 1,
+        16 * mean_len,
+    )
+    flat = rng.integers(0, 50257, size=int(lens.sum()), dtype=np.int32)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    tokens = [flat[offsets[i] : offsets[i + 1]] for i in range(n)]
+    return tokens, lens.astype(np.int32)
+
+
+def make_base_table(
+    n_rows: int = 1000,
+    seed: int = 7,
+    noise_frac: float = 0.15,
+    dup_frac: float = 0.02,
+    mean_tokens: int = 64,
+) -> pa.Table:
+    """Base lake table (input_hint shape). A ``dup_frac`` of rows repeat an
+    earlier normalized key (exercises base dedup, reference R1/J2)."""
+    rng = np.random.default_rng(seed)
+    canon = np.array([str(1_000_000 + i) for i in range(n_rows)], dtype=object)
+    ndup = int(n_rows * dup_frac)
+    if ndup:
+        dup_pos = rng.choice(n_rows, size=ndup, replace=False)
+        dup_src = rng.integers(0, n_rows, size=ndup)
+        canon[dup_pos] = canon[dup_src]
+    raw = _noisy_keys(rng, canon, noise_frac)
+    tokens, n_tok = _token_arrays(rng, n_rows, mean_tokens)
+    source = SOURCES[rng.integers(0, len(SOURCES), size=n_rows)]
+    return pa.table(
+        {
+            "doc_id": pa.array(raw, pa.string()),
+            "tokens": pa.array(tokens, pa.list_(pa.int32())),
+            "n_tok": pa.array(n_tok, pa.int32()),
+            "source": pa.array(source, pa.string()),
+        }
+    )
+
+
+def make_binlog(
+    n_events: int = 5000,
+    n_base_rows: int = 1000,
+    seed: int = 11,
+    n_epochs: int = 4,
+    noise_frac: float = 0.15,
+    hot_keys: int = 5,
+    hot_frac: float = 0.2,
+    malformed_frac: float = 0.005,
+    invalid_key_frac: float = 0.02,
+    schema_change_frac: float = 0.004,
+    mean_tokens: int = 64,
+) -> pa.Table:
+    """Synthetic change-event binlog over a ``make_base_table`` key space.
+
+    Op mix ≈ 20% insert / 60% update / 10% delete + rare schema changes;
+    ``hot_keys`` canonical keys receive ``hot_frac`` of all key-addressed
+    events (skew); ``malformed_frac`` rows are dead-letter bait;
+    ``invalid_key_frac`` rows carry non-normalizable keys.
+    """
+    rng = np.random.default_rng(seed)
+    n = n_events
+    lsn = np.arange(1, n + 1, dtype=np.int64)
+    epoch = (np.arange(n) * n_epochs // n).astype(np.int32)
+
+    r = rng.random(n)
+    op = np.where(
+        r < schema_change_frac,
+        "schema_change",
+        np.where(r < schema_change_frac + 0.2, "insert",
+                 np.where(r < schema_change_frac + 0.8, "update", "delete")),
+    ).astype(object)
+
+    # key targeting: existing base keys (80%) vs new keys (20%); hot-key overlay
+    existing = rng.random(n) < 0.8
+    base_ids = rng.integers(0, n_base_rows, size=n)
+    new_ids = rng.integers(n_base_rows, n_base_rows * 2, size=n)
+    kid = np.where(existing, base_ids, new_ids)
+    hot = rng.random(n) < hot_frac
+    kid[hot] = rng.integers(0, max(hot_keys, 1), size=int(hot.sum()))
+    canon = np.array([str(1_000_000 + k) for k in kid], dtype=object)
+    raw = _noisy_keys(rng, canon, noise_frac)
+
+    # invalid (non-normalizable) keys
+    invalid = rng.random(n) < invalid_key_frac
+    for i in np.nonzero(invalid)[0]:
+        raw[i] = f"badkey{kid[i]}x"
+
+    tokens, n_tok = _token_arrays(rng, n, mean_tokens)
+    tokens = [t for t in tokens]  # list of np arrays
+    n_tok = n_tok.astype(object)
+    source = SOURCES[rng.integers(0, len(SOURCES), size=n)].astype(object)
+
+    # payload applicability: deletes/schema carry no payload
+    mask_choice = rng.random(n)
+    masks: list = []
+    for i in range(n):
+        if op[i] == "update":
+            if mask_choice[i] < 0.6:
+                masks.append(["tokens", "n_tok"])
+            elif mask_choice[i] < 0.8:
+                masks.append(["source"])
+            else:
+                masks.append([])  # full row
+        else:
+            masks.append([])
+    tokens_col: list = []
+    for i in range(n):
+        if op[i] in ("delete", "schema_change"):
+            tokens_col.append(None)
+            n_tok[i] = None
+            source[i] = None
+        elif op[i] == "update" and masks[i] == ["source"]:
+            tokens_col.append(None)
+            n_tok[i] = None
+        else:
+            tokens_col.append(tokens[i])
+
+    # match scores: updates only; ~30% perfect, rest uniform
+    score = np.where(
+        rng.random(n) < 0.3, 100, rng.integers(0, 101, size=n)
+    ).astype(np.int32)
+    score = np.where(op == "update", score, 0).astype(np.int32)
+
+    # schema ops
+    schema_kind = np.full(n, None, dtype=object)
+    schema_name = np.full(n, None, dtype=object)
+    schema_new = np.full(n, None, dtype=object)
+    sc_idx = np.nonzero(op == "schema_change")[0]
+    for j, i in enumerate(sc_idx):
+        if j % 2 == 0:
+            schema_kind[i] = "add_column"
+            schema_name[i] = f"extra_{j // 2}"
+        else:
+            schema_kind[i] = "rename_column"
+            schema_name[i] = "source" if j % 4 == 1 else f"extra_{j // 2 - (j // 2 and 1)}"
+            schema_new[i] = f"renamed_{j // 2}"
+        raw[i] = None  # DDL carries no key
+
+    # malformed bait: null doc_id / negative n_tok / inconsistent n_tok
+    bad = np.nonzero((rng.random(n) < malformed_frac) & (op != "schema_change"))[0]
+    for j, i in enumerate(bad):
+        kind = j % 3
+        if kind == 0:
+            raw[i] = None
+        elif kind == 1:
+            n_tok[i] = -1
+        else:
+            if tokens_col[i] is not None:
+                n_tok[i] = int(len(tokens_col[i])) + 1
+            else:
+                raw[i] = None
+
+    return pa.table(
+        {
+            "lsn": pa.array(lsn, pa.int64()),
+            "epoch": pa.array(epoch, pa.int32()),
+            "op": pa.array(op, pa.string()),
+            "doc_id": pa.array(raw, pa.string()),
+            "tokens": pa.array(tokens_col, pa.list_(pa.int32())),
+            "n_tok": pa.array(list(n_tok), pa.int32()),
+            "source": pa.array(list(source), pa.string()),
+            "column_mask": pa.array(masks, pa.list_(pa.string())),
+            "match_score": pa.array(score, pa.int32()),
+            "schema_kind": pa.array(schema_kind, pa.string()),
+            "schema_name": pa.array(schema_name, pa.string()),
+            "schema_new_name": pa.array(schema_new, pa.string()),
+        }
+    )
+
+
+def write_fixture(
+    root: str,
+    n_rows: int = 1000,
+    n_events: int = 5000,
+    n_epochs: int = 4,
+    seed: int = 7,
+    rows_per_file: int = 100_000,
+    **binlog_kw,
+) -> dict:
+    """Write ``root/base/*.parquet`` + ``root/binlog/epoch=<e>/*.parquet``.
+
+    Returns a small manifest dict of what was written. Layout is one
+    directory per epoch so replay can tail epochs independently (resumable
+    input sharding, SURVEY §4.2).
+    """
+    base = make_base_table(n_rows=n_rows, seed=seed)
+    binlog = make_binlog(
+        n_events=n_events, n_base_rows=n_rows, seed=seed + 4, n_epochs=n_epochs,
+        **binlog_kw,
+    )
+    base_dir = os.path.join(root, "base")
+    os.makedirs(base_dir, exist_ok=True)
+    for i in range(0, base.num_rows, rows_per_file):
+        pq.write_table(base.slice(i, rows_per_file), os.path.join(base_dir, f"part-{i // rows_per_file:05d}.parquet"))
+    epochs = []
+    import pyarrow.compute as pc
+
+    for e in range(n_epochs):
+        t = binlog.filter(pc.equal(binlog["epoch"], e))
+        d = os.path.join(root, "binlog", f"epoch={e}")
+        os.makedirs(d, exist_ok=True)
+        for i in range(0, t.num_rows, rows_per_file):
+            pq.write_table(t.slice(i, rows_per_file), os.path.join(d, f"part-{i // rows_per_file:05d}.parquet"))
+        epochs.append({"epoch": e, "rows": t.num_rows, "dir": d})
+    return {"base_rows": base.num_rows, "binlog_rows": binlog.num_rows, "epochs": epochs}

@@ -1,0 +1,227 @@
+"""Per-partition LWW fold (the merge-apply core).
+
+Implements SEMANTICS.md §"Fold" fully vectorized with polars over one hash
+partition's rows (base ∪ binlog deltas), called from
+``groupby("part_id").map_groups(..., batch_format="pyarrow")``. All
+operations are columnar sorts / group-by-last / joins — no per-key Python.
+
+This is the analog of the reference's field-replacement core
+(``record_update.py:843-887`` U1-U7) + unmodified-record path
+(``record_update.py:479-504``) + local-id assignment
+(``pnca_policy.py:174-223`` P6), recast as a deterministic keyed fold.
+
+Output is a union-schema table: ``_kind='row'`` final rows,
+``_kind='noop'`` rerouted update lsns (audit refinement), one
+``_kind='metrics'`` JSON row per bucket (reference A1/A2 counters).
+"""
+
+from __future__ import annotations
+
+import json
+
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from marc_data_migration_ray.config import PAYLOAD_COLUMNS, ReplayConfig
+
+FOLD_FIELDS = [
+    ("_kind", pa.string()),
+    ("doc_id", pa.string()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+    ("last_lsn", pa.int64()),
+    ("status", pa.string()),
+    ("candidate_key", pa.string()),
+    ("lsn", pa.int64()),
+    ("metrics_json", pa.string()),
+]
+FOLD_SCHEMA = pa.schema(FOLD_FIELDS)
+
+_ROW_COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
+
+
+def _to_arrow(df: pl.DataFrame) -> pa.Table:
+    """polars → arrow with the exact FOLD_SCHEMA types."""
+    t = df.to_arrow()
+    arrays = []
+    for name, typ in FOLD_FIELDS:
+        if name in t.column_names:
+            col = t.column(name)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            arrays.append(pc.cast(col, typ))
+        else:
+            arrays.append(pa.nulls(t.num_rows, typ))
+    return pa.Table.from_arrays(arrays, schema=FOLD_SCHEMA)
+
+
+def fold_bucket(
+    tbl: pa.Table,
+    cfg: ReplayConfig,
+    local_id_offsets: dict[int, int] | None = None,
+) -> pa.Table:
+    """Fold one partition's base+delta rows into final rows + audit + metrics."""
+    df = pl.from_arrow(tbl)
+    base = df.filter(pl.col("is_base"))
+    if base.height:
+        # base dedup: greatest raw doc_id, then greatest n_tok (SEMANTICS)
+        base = base.sort(["key", "doc_id_raw", "n_tok"]).unique(
+            subset=["key"], keep="last", maintain_order=True
+        )
+    ev = df.filter(~pl.col("is_base"))
+    # duplicate-delivery absorption: lsn is globally unique by contract, so a
+    # re-delivered event is bit-identical — keep one (SEMANTICS §exactly-once)
+    ev = ev.unique(subset=["lsn"], keep="first", maintain_order=True)
+    applied = ev.filter(pl.col("route").is_in(["applied", "fuzzy"]))
+    local = ev.filter(pl.col("route") == "local")
+
+    anchors = pl.concat(
+        [base, applied.filter(pl.col("op").is_in(["insert", "delete"]))],
+        how="vertical",
+    )
+    anchor = anchors.sort(["key", "lsn"]).unique(
+        subset=["key"], keep="last", maintain_order=True
+    )
+    anchor_j = anchor.select(
+        "key",
+        pl.col("lsn").alias("_alsn"),
+        pl.col("op").alias("_aop"),
+        pl.col("tokens").alias("_a_tokens"),
+        pl.col("n_tok").alias("_a_n_tok"),
+        pl.col("source").alias("_a_source"),
+    )
+    updates = applied.filter(pl.col("op") == "update").join(
+        anchor_j, on="key", how="left"
+    )
+    applies = (
+        pl.col("_alsn").is_not_null()
+        & (pl.col("lsn") > pl.col("_alsn"))
+        & (pl.col("_aop") != "delete")
+    ).fill_null(False)
+    noops = updates.filter(~applies)
+    upd = updates.filter(applies)
+
+    # per-column winners (group-by-last over lsn)
+    col_repl: dict[str, int] = {}
+    final = anchor.filter(pl.col("op") != "delete")
+    tombstoned = anchor.filter(pl.col("op") == "delete").height
+    mask_allows = lambda c: (  # noqa: E731
+        (pl.col("column_mask").list.len().fill_null(0) == 0)
+        | pl.col("column_mask").list.contains(c).fill_null(False)
+    )
+    for c in PAYLOAD_COLUMNS:
+        wc = upd.filter(mask_allows(c))
+        if cfg.strategy == "replace_only":
+            wc = wc.filter(pl.col(f"_a_{c}").is_not_null())
+        col_repl[c] = wc.height
+        winner = (
+            wc.sort(["key", "lsn"])
+            .unique(subset=["key"], keep="last", maintain_order=True)
+            .select("key", pl.col(c).alias(f"_w_{c}"), pl.lit(True).alias(f"_has_{c}"))
+        )
+        final = final.join(winner, on="key", how="left")
+        final = final.with_columns(
+            pl.when(pl.col(f"_has_{c}").fill_null(False))
+            .then(pl.col(f"_w_{c}"))
+            .otherwise(pl.col(c))
+            .alias(c)
+        ).drop([f"_w_{c}", f"_has_{c}"])
+
+    # row lineage: last contributing event (applied updates ∪ insert anchors)
+    contrib = pl.concat(
+        [
+            upd.select("key", "lsn", "status"),
+            anchor.filter(pl.col("op") == "insert").select("key", "lsn", "status"),
+        ],
+        how="vertical",
+    )
+    last = (
+        contrib.sort(["key", "lsn"])
+        .unique(subset=["key"], keep="last", maintain_order=True)
+        .select("key", pl.col("lsn").alias("_llsn"), pl.col("status").alias("_lstatus"))
+    )
+    final = final.join(last, on="key", how="left").with_columns(
+        pl.coalesce([pl.col("_llsn"), pl.col("lsn")]).alias("last_lsn"),
+        pl.coalesce([pl.col("_lstatus"), pl.col("status")]).alias("status"),
+    )
+    rows = final.select(
+        pl.lit("row").alias("_kind"),
+        pl.col("key").alias("doc_id"),
+        "tokens",
+        "n_tok",
+        "source",
+        "last_lsn",
+        "status",
+        "candidate_key",
+    )
+
+    # local-id allocation: per-partition rank in lsn order (reference P6)
+    if local.height:
+        local = local.sort(["part_id", "lsn"]).with_columns(
+            pl.col("lsn").cum_count().over("part_id").alias("_rank")
+        )
+        offsets = local_id_offsets or {}
+        if offsets:
+            off_df = pl.DataFrame(
+                {"part_id": list(offsets.keys()), "_off": list(offsets.values())},
+                schema={"part_id": pl.Int32, "_off": pl.Int64},
+            )
+            local = local.join(off_df, on="part_id", how="left").with_columns(
+                pl.col("_off").fill_null(0)
+            )
+        else:
+            local = local.with_columns(pl.lit(0, pl.Int64).alias("_off"))
+        local_rows = local.select(
+            pl.lit("row").alias("_kind"),
+            (
+                pl.lit(cfg.local_id_prefix + "-")
+                + pl.col("part_id").cast(pl.String).str.zfill(4)
+                + pl.lit("-")
+                + (pl.lit(cfg.local_id_start, pl.Int64) + pl.col("_off") + pl.col("_rank")).cast(pl.String)
+            ).alias("doc_id"),
+            "tokens",
+            "n_tok",
+            "source",
+            pl.col("lsn").alias("last_lsn"),
+            pl.lit("local").alias("status"),
+            pl.col("doc_id_raw").alias("candidate_key"),
+        )
+    else:
+        local_rows = None
+
+    out = [_to_arrow(rows)]
+    if local_rows is not None:
+        out.append(_to_arrow(local_rows))
+    if noops.height:
+        out.append(_to_arrow(noops.select(pl.lit("noop").alias("_kind"), "lsn")))
+
+    part_ids = df["part_id"].unique().to_list() if df.height else []
+    metrics = {
+        "part_ids": sorted(p for p in part_ids if p is not None),
+        "noop": noops.height,
+        "tombstoned": tombstoned,
+        "col_replacements": col_repl,
+        "local": local.height if local.height else 0,
+        "rows": rows.height + (local_rows.height if local_rows is not None else 0),
+    }
+    mrow = pa.Table.from_arrays(
+        [
+            pa.array(["metrics"], pa.string()),
+            *[pa.nulls(1, typ) for name, typ in FOLD_FIELDS[1:-1]],
+            pa.array([json.dumps(metrics)], pa.string()),
+        ],
+        schema=FOLD_SCHEMA,
+    )
+    out.append(mrow)
+    return pa.concat_tables(out)
+
+
+def make_fold_fn(cfg: ReplayConfig, local_id_offsets: dict[int, int] | None = None):
+    """Build the map_groups callable (captures config once)."""
+
+    def _fold(tbl: pa.Table) -> pa.Table:
+        return fold_bucket(tbl, cfg, local_id_offsets)
+
+    return _fold

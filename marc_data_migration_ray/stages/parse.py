@@ -1,0 +1,193 @@
+"""Parse + gate + route stage (reference M1-M4, M9-M11, M13-M14).
+
+``ParseRoute`` is a callable class → Ray runs it as an **actor pool**
+(`map_batches(ParseRoute, concurrency=..., batch_format="pyarrow")`): regex
+setup and config binding happen once per actor in ``__init__``, per-batch
+work is pure vectorized Arrow/numpy (no per-row Python).
+
+Each binlog event gets, in one pass:
+- ``key``: normalized doc_id (reference M1-M3 kernels),
+- ``part_id``: fnv1a64(key or raw) % num_partitions (the shuffle key),
+- ``route``/``status``: the M14 gate truth table + dead-letter / local /
+  schema routing per SEMANTICS.md (fold refines applied→noop later).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.functions.keys import hash_partition, normalize_keys
+
+#: unified schema emitted by ParseRoute and PrepBase (fold input).
+PARSED_FIELDS = [
+    ("is_base", pa.bool_()),
+    ("lsn", pa.int64()),
+    ("epoch", pa.int32()),
+    ("op", pa.string()),
+    ("doc_id_raw", pa.string()),
+    ("key", pa.string()),
+    ("part_id", pa.int32()),
+    ("tokens", pa.list_(pa.int32())),
+    ("n_tok", pa.int32()),
+    ("source", pa.string()),
+    ("column_mask", pa.list_(pa.string())),
+    ("match_score", pa.int32()),
+    ("candidate_key", pa.string()),
+    ("schema_kind", pa.string()),
+    ("schema_name", pa.string()),
+    ("schema_new_name", pa.string()),
+    ("route", pa.string()),
+    ("status", pa.string()),
+]
+PARSED_SCHEMA = pa.schema(PARSED_FIELDS)
+
+
+def _as_parsed(cols: dict) -> pa.Table:
+    arrays = []
+    for name, typ in PARSED_FIELDS:
+        a = cols[name]
+        if not isinstance(a, (pa.Array, pa.ChunkedArray)):
+            a = pa.array(a, typ)
+        elif a.type != typ:
+            a = pc.cast(a, typ)
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        arrays.append(a)
+    return pa.Table.from_arrays(arrays, schema=PARSED_SCHEMA)
+
+
+class ParseRoute:
+    """Binlog batch → parsed/routed batch (PARSED_SCHEMA)."""
+
+    def __init__(self, cfg: ReplayConfig):
+        self.cfg = cfg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        n = batch.num_rows
+        raw = batch["doc_id"].combine_chunks() if isinstance(batch["doc_id"], pa.ChunkedArray) else batch["doc_id"]
+        key = normalize_keys(raw)
+        part_key = pc.if_else(pc.is_valid(key), key, raw)
+        part_id = hash_partition(part_key, cfg.num_partitions)
+
+        op = batch["op"].to_numpy(zero_copy_only=False)
+        key_null = pc.is_null(key).to_numpy(zero_copy_only=False)
+        doc_null = pc.is_null(raw).to_numpy(zero_copy_only=False)
+        n_tok = batch["n_tok"]
+        n_tok_valid = pc.is_valid(n_tok).to_numpy(zero_copy_only=False)
+        n_tok_np = pc.fill_null(n_tok, 0).to_numpy(zero_copy_only=False)
+        tokens_valid = pc.is_valid(batch["tokens"]).to_numpy(zero_copy_only=False)
+        tok_len = pc.fill_null(pc.list_value_length(batch["tokens"]), 0).to_numpy(zero_copy_only=False)
+        score = pc.fill_null(batch["match_score"], 0).to_numpy(zero_copy_only=False)
+
+        is_schema = op == "schema_change"
+        malformed = (~is_schema) & (
+            doc_null
+            | (n_tok_valid & (n_tok_np < 0))
+            | (tokens_valid & n_tok_valid & (n_tok_np != tok_len))
+            | ((op == "insert") & ~tokens_valid)
+        )
+        is_update = op == "update"
+        conds = [
+            malformed,
+            is_schema,
+            key_null & (op == "insert"),
+            key_null,
+            op == "delete",
+            op == "insert",
+            is_update & (score == 100),
+            is_update & np.full(n, cfg.require_perfect),
+            is_update & (score >= cfg.fuzzy_threshold),
+        ]
+        routes = ["deadletter", "schema", "local", "rejected", "applied",
+                  "applied", "applied", "rejected", "fuzzy"]
+        statuses = ["malformed", "schema", "local", "no-key", "tombstone",
+                    "inserted", "perfect", "fuzzy-match-failed", "fuzzy-match-passed"]
+        route = np.select(conds, routes, default="rejected").astype(object)
+        status = np.select(conds, statuses, default="fuzzy-match-failed").astype(object)
+
+        return _as_parsed(
+            {
+                "is_base": pa.array(np.zeros(n, bool)),
+                "lsn": batch["lsn"],
+                "epoch": batch["epoch"],
+                "op": batch["op"],
+                "doc_id_raw": raw,
+                "key": key,
+                "part_id": part_id,
+                "tokens": batch["tokens"],
+                "n_tok": batch["n_tok"],
+                "source": batch["source"],
+                "column_mask": batch["column_mask"],
+                "match_score": batch["match_score"],
+                "candidate_key": pa.nulls(n, pa.string()),
+                "schema_kind": batch["schema_kind"] if "schema_kind" in batch.column_names else pa.nulls(n, pa.string()),
+                "schema_name": batch["schema_name"] if "schema_name" in batch.column_names else pa.nulls(n, pa.string()),
+                "schema_new_name": batch["schema_new_name"] if "schema_new_name" in batch.column_names else pa.nulls(n, pa.string()),
+                "route": pa.array(route, pa.string()),
+                "status": pa.array(status, pa.string()),
+            }
+        )
+
+
+class PrepBase:
+    """Base-table batch → parsed schema (is_base=True).
+
+    ``assume_normalized=False`` (raw fixture base): keys are normalized;
+    rows whose key does not normalize are dropped (unaddressable — SEMANTICS).
+    ``assume_normalized=True`` (compacted snapshot): ``doc_id`` is already
+    canonical (possibly a LOCAL- id); lineage columns (``last_lsn``,
+    ``status``, ``candidate_key``) pass through.
+    """
+
+    def __init__(self, cfg: ReplayConfig, assume_normalized: bool = False):
+        self.cfg = cfg
+        self.assume_normalized = assume_normalized
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        raw = batch["doc_id"]
+        if self.assume_normalized:
+            key = pc.cast(raw, pa.string())
+            lsn = (
+                pc.fill_null(batch["last_lsn"], -1)
+                if "last_lsn" in batch.column_names
+                else pa.array(np.full(batch.num_rows, -1, np.int64))
+            )
+            status = batch["status"] if "status" in batch.column_names else None
+            cand = batch["candidate_key"] if "candidate_key" in batch.column_names else None
+        else:
+            key = normalize_keys(raw)
+            batch = batch.filter(pc.is_valid(key))
+            key = normalize_keys(batch["doc_id"])
+            raw = batch["doc_id"]
+            lsn = None
+            status = None
+            cand = None
+        n = batch.num_rows
+        part_id = hash_partition(key, cfg.num_partitions)
+        return _as_parsed(
+            {
+                "is_base": pa.array(np.ones(n, bool)),
+                "lsn": lsn if lsn is not None else pa.array(np.full(n, -1, np.int64)),
+                "epoch": pa.array(np.full(n, -1, np.int32)),
+                "op": pa.array(np.full(n, "base", object), pa.string()),
+                "doc_id_raw": raw,
+                "key": key,
+                "part_id": part_id,
+                "tokens": batch["tokens"],
+                "n_tok": batch["n_tok"],
+                "source": batch["source"],
+                "column_mask": pa.nulls(n, pa.list_(pa.string())),
+                "match_score": pa.nulls(n, pa.int32()),
+                "candidate_key": cand if cand is not None else pa.nulls(n, pa.string()),
+                "schema_kind": pa.nulls(n, pa.string()),
+                "schema_name": pa.nulls(n, pa.string()),
+                "schema_new_name": pa.nulls(n, pa.string()),
+                "route": pa.array(np.full(n, "base", object), pa.string()),
+                "status": status if status is not None else pa.array(np.full(n, "base", object), pa.string()),
+            }
+        )

@@ -1,0 +1,111 @@
+"""Fold (vectorized, no Ray) vs pure-Python oracle across configurations.
+
+The invariant per BASELINE.json input_hint: exact per-row token-array
+equality between engine and oracle final states.
+"""
+
+import json
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from marc_data_migration_ray import oracle
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.sources import fixtures
+from marc_data_migration_ray.stages.fold import fold_bucket
+from marc_data_migration_ray.stages.parse import ParseRoute, PrepBase
+
+
+def run_engine(base: pa.Table, binlog: pa.Table, cfg: ReplayConfig):
+    parsed = pa.concat_tables([PrepBase(cfg)(base), ParseRoute(cfg)(binlog)])
+    out = fold_bucket(parsed, cfg)
+    rows = out.filter(pc.equal(out["_kind"], "row")).select(
+        ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
+    )
+    metrics = [
+        json.loads(s)
+        for s in out.filter(pc.equal(out["_kind"], "metrics"))["metrics_json"].to_pylist()
+    ]
+    return rows, metrics
+
+
+def assert_equal_states(rows: pa.Table, ofinal: list[dict]):
+    eng = sorted(rows.to_pylist(), key=lambda r: r["doc_id"])
+    assert len(eng) == len(ofinal)
+    for a, b in zip(eng, ofinal):
+        assert a["doc_id"] == b["doc_id"]
+        ta = list(a["tokens"]) if a["tokens"] is not None else None
+        tb = list(b["tokens"]) if b["tokens"] is not None else None
+        assert ta == tb, a["doc_id"]  # the token-equality invariant
+        for k in ("n_tok", "source", "last_lsn", "status", "candidate_key"):
+            assert a[k] == b[k], (a["doc_id"], k)
+
+
+CONFIGS = [
+    ReplayConfig(num_partitions=8),
+    ReplayConfig(num_partitions=8, require_perfect=True),
+    ReplayConfig(num_partitions=8, strategy="replace_only"),
+    ReplayConfig(num_partitions=8, fuzzy_threshold=80),
+    ReplayConfig(num_partitions=1),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: f"p{c.num_partitions}-{c.strategy}-perf{c.require_perfect}-t{c.fuzzy_threshold}")
+def test_fold_matches_oracle(cfg):
+    base = fixtures.make_base_table(n_rows=250, seed=3)
+    binlog = fixtures.make_binlog(
+        n_events=1500, n_base_rows=250, seed=5, schema_change_frac=0.0
+    )
+    o = oracle.replay(base.to_pylist(), binlog.to_pylist(), cfg)
+    rows, metrics = run_engine(base, binlog, cfg)
+    assert_equal_states(rows, o["final"])
+    agg = {
+        "noop": sum(m["noop"] for m in metrics),
+        "tombstoned": sum(m["tombstoned"] for m in metrics),
+        "local": sum(m["local"] for m in metrics),
+    }
+    assert agg["noop"] == o["metrics"].get("noop", 0)
+    assert agg["tombstoned"] == o["metrics"]["tombstoned"]
+    assert agg["local"] == o["metrics"].get("local", 0)
+    col = {}
+    for m in metrics:
+        for c, v in m["col_replacements"].items():
+            col[c] = col.get(c, 0) + v
+    assert col == dict(o["metrics"]["col_replacements"])
+
+
+def test_fold_with_heavy_skew_and_dups():
+    """Hot keys + duplicate base keys (reference R1/J2 exact-dedup analog)."""
+    cfg = ReplayConfig(num_partitions=4)
+    base = fixtures.make_base_table(n_rows=100, seed=9, dup_frac=0.2)
+    binlog = fixtures.make_binlog(
+        n_events=2000, n_base_rows=100, seed=13, hot_keys=2, hot_frac=0.6,
+        schema_change_frac=0.0,
+    )
+    o = oracle.replay(base.to_pylist(), binlog.to_pylist(), cfg)
+    rows, _ = run_engine(base, binlog, cfg)
+    assert_equal_states(rows, o["final"])
+
+
+def test_fold_empty_binlog():
+    cfg = ReplayConfig(num_partitions=4)
+    base = fixtures.make_base_table(n_rows=50, seed=1, dup_frac=0.0, noise_frac=0.0)
+    binlog = fixtures.make_binlog(n_events=0, n_base_rows=50, seed=2)
+    rows, _ = run_engine(base, binlog, cfg)
+    assert rows.num_rows == 50
+    assert set(rows["status"].to_pylist()) == {"base"}
+
+
+def test_processed_invariant():
+    """processed == sum of all route counts (reference record_update.py:262-268)."""
+    cfg = ReplayConfig(num_partitions=8)
+    base = fixtures.make_base_table(n_rows=250, seed=3)
+    binlog = fixtures.make_binlog(n_events=1500, n_base_rows=250, seed=5)
+    o = oracle.replay(base.to_pylist(), binlog.to_pylist(), cfg)
+    m = o["metrics"]
+    routes = [
+        m.get(r, 0)
+        for r in ("applied", "fuzzy", "rejected", "local", "noop", "deadletter", "schema")
+    ]
+    assert m["processed"] == sum(routes) == 1500

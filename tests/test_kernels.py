@@ -1,0 +1,95 @@
+"""Unit tests for the vectorized kernels (SURVEY §5 plan items 2)."""
+
+import numpy as np
+import pyarrow as pa
+
+from marc_data_migration_ray import oracle
+from marc_data_migration_ray.functions import fuzzy, keys, text
+
+
+class TestNormalizeKeys:
+    CASES = [
+        ("12345", "12345"),
+        ("(OCoLC)12345", "12345"),
+        ("(ocolc)ocm12345", "12345"),
+        ("(OCOLC)OCN12345", "12345"),
+        ("ocn12345", "12345"),
+        ("ocm777", "777"),
+        ("ON888", "888"),
+        ("  (OCoLC)on999  ", "999"),
+        ("12345 99", "12345"),          # trailing \W+\d+ junk stripped (M3)
+        ("12345-67", "12345"),
+        ("badkey42x", None),            # not a digit string
+        ("", None),
+        ("ocnx12", None),               # prefix strip leaves non-digits
+        (None, None),
+    ]
+
+    def test_vectorized_matches_spec(self):
+        raw = pa.array([c[0] for c in self.CASES], pa.string())
+        out = keys.normalize_keys(raw).to_pylist()
+        assert out == [c[1] for c in self.CASES]
+
+    def test_oracle_scalar_twin_agrees(self):
+        for raw, want in self.CASES:
+            assert oracle.normalize_key(raw) == want, raw
+
+
+class TestHashPartition:
+    def test_matches_pure_python_fnv(self):
+        vals = ["1000001", "999", "LOCAL-0003-101", "x" * 50, ""]
+        arr = pa.array(vals, pa.string())
+        got = keys.hash_partition(arr, 32).to_pylist()
+        want = [oracle.fnv1a64(v) % 32 for v in vals]
+        assert got == want
+
+    def test_null_goes_to_partition_zero(self):
+        arr = pa.array([None, "abc"], pa.string())
+        assert keys.hash_partition(arr, 8)[0].as_py() == 0
+
+    def test_spread(self):
+        arr = pa.array([str(i) for i in range(10_000)], pa.string())
+        parts = np.array(keys.hash_partition(arr, 32).to_pylist())
+        counts = np.bincount(parts, minlength=32)
+        assert counts.min() > 200  # roughly uniform
+
+
+class TestTextKernels:
+    def test_normalize_titles(self):
+        arr = pa.array(["A.,title-with_punct!  and   spaces ", "plain"], pa.string())
+        out = text.normalize_titles(arr).to_pylist()
+        assert out == ["A title with punct and spaces", "plain"]
+
+    def test_token_and_stopword_counts(self):
+        arr = pa.array(["the cat of a hat", "", "one two"], pa.string())
+        assert text.token_counts(arr).to_pylist() == [5, 0, 2]
+        assert text.stopword_counts(arr).to_pylist() == [3, 0, 0]
+
+    def test_quality_columns(self):
+        cols = text.quality_columns(pa.array(["the of a an p n", "good long document text here"]))
+        assert cols["is_quality"].to_pylist() == [False, True]
+
+    def test_lang_id(self):
+        arr = pa.array(["the cat and the dog", "el que de los", "xyz qqq", "der und das ist"])
+        assert text.lang_id(arr).to_pylist() == ["en", "es", "und", "de"]
+
+    def test_fingerprints_match_scalar_fnv(self):
+        vals = ["doc one", "doc two", ""]
+        got = text.fingerprints(pa.array(vals)).to_pylist()
+        want = [np.uint64(oracle.fnv1a64(v)).astype(np.int64) for v in vals]
+        assert got == [int(w) for w in want]
+
+
+class TestFuzzy:
+    def test_token_sort_ratio_perfect(self):
+        assert fuzzy.token_sort_ratio("The Great Title", "great the title") == 100
+
+    def test_token_sort_ratio_orders(self):
+        a = fuzzy.token_sort_ratio("alpha beta", "alpha beta gamma")
+        b = fuzzy.token_sort_ratio("alpha beta", "completely different")
+        assert 0 <= b < a < 100
+
+    def test_jaccard(self):
+        assert fuzzy.jaccard("the cat hat", "cat hat") == 1.0  # 'the' is a stop word
+        assert fuzzy.jaccard("cat", "dog") == 0.0
+        assert fuzzy.jaccard("", "") == 0.0

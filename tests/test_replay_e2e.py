@@ -1,0 +1,169 @@
+"""End-to-end Ray pipeline tests: replay vs oracle, exactly-once fencing,
+crash-resume, duplicate delivery, compaction equivalence, schema evolution.
+(FIXTURES.md §3-§4.)
+"""
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from marc_data_migration_ray import oracle
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.pipelines.replay import Replayer
+from marc_data_migration_ray.sources import fixtures
+
+N_EPOCHS = 3
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("cdc_fixture"))
+    fixtures.write_fixture(root, n_rows=200, n_events=1200, n_epochs=N_EPOCHS, seed=21)
+    return root
+
+
+def oracle_final(fixture_dir, cfg, n_epochs=N_EPOCHS):
+    base = pq.read_table(os.path.join(fixture_dir, "base")).to_pylist()
+    events = []
+    for e in range(n_epochs):
+        d = os.path.join(fixture_dir, "binlog", f"epoch={e}")
+        for f in sorted(os.listdir(d)):
+            events += pq.read_table(os.path.join(d, f)).to_pylist()
+    return oracle.replay(base, events, cfg)
+
+
+def rows_equal(eng_rows, oracle_rows):
+    eng = sorted(eng_rows, key=lambda r: r["doc_id"])
+    assert len(eng) == len(oracle_rows)
+    for a, b in zip(eng, oracle_rows):
+        keys = set(a) | set(b)
+        for k in keys:
+            va, vb = a.get(k), b.get(k)
+            if k == "tokens":
+                va = list(va) if va is not None else None
+                vb = list(vb) if vb is not None else None
+            assert va == vb, (a.get("doc_id"), k)
+
+
+def replay_all(root, fixture_dir, cfg):
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    for e in range(N_EPOCHS):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    return rp
+
+
+def test_full_replay_matches_oracle(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+    o = oracle_final(fixture_dir, cfg)
+    rows_equal(rp.read_state().take_all(), o["final"])
+
+
+def test_epoch_fencing_is_idempotent(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+    before = rp.manifest.state["epochs"].copy()
+    v = rp.manifest.state["version"]
+    entry = rp.apply_epoch(1, os.path.join(fixture_dir, "binlog", "epoch=1"))
+    assert entry == before["1"]
+    assert rp.manifest.state["version"] == v  # no manifest churn on re-commit
+
+
+def test_crash_resume(ray_session, fixture_dir, tmp_path):
+    """Kill after epoch 0; a fresh Replayer resumes and reaches the same state."""
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "t")
+    rp1 = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp1.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    del rp1  # 'crash'
+
+    rp2 = Replayer(root, cfg)  # resumes from manifest (base_path persisted)
+    assert rp2.manifest.committed_epochs() == [0]
+    for e in range(N_EPOCHS):
+        rp2.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    o = oracle_final(fixture_dir, cfg)
+    rows_equal(rp2.read_state().take_all(), o["final"])
+
+
+def test_partial_write_then_retry(ray_session, fixture_dir, tmp_path):
+    """Data dir published but manifest commit lost → re-apply heals (commit
+    from files), state identical."""
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "t")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    # simulate losing the manifest entry after data publish
+    saved = rp.manifest.state["epochs"].pop("0")
+    rp.manifest.save()
+    assert not rp.manifest.is_committed(0)
+    entry = rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    assert rp.manifest.is_committed(0)
+    assert entry["routes"] == saved["routes"]
+
+
+def test_duplicate_delivery_is_idempotent(ray_session, fixture_dir, tmp_path):
+    """Feeding epoch 1's files twice (as two epochs) must not change state:
+    LWW by (doc_id, lsn) absorbs duplicates."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "a"), fixture_dir, cfg)
+    want = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+
+    rp2 = Replayer(str(tmp_path / "b"), cfg, base_path=os.path.join(fixture_dir, "base"))
+    for e in range(N_EPOCHS):
+        rp2.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    rp2.apply_epoch(99, os.path.join(fixture_dir, "binlog", "epoch=1"))  # dup delivery
+    got = sorted(rp2.read_state().take_all(), key=lambda r: r["doc_id"])
+    rows_equal(got, [dict(r) for r in want])
+
+
+def test_compaction_equivalence(ray_session, fixture_dir, tmp_path):
+    """compact after epoch 0 + replay rest == full replay (incl. local-id
+    allocator continuity via manifest offsets)."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp_full = replay_all(str(tmp_path / "full"), fixture_dir, cfg)
+    want = sorted(rp_full.read_state().take_all(), key=lambda r: r["doc_id"])
+
+    root = str(tmp_path / "c")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    rp.compact()
+    for e in range(1, N_EPOCHS):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    got = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    rows_equal(got, [dict(r) for r in want])
+
+
+def test_schema_evolution_applied(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+    o = oracle_final(fixture_dir, cfg)
+    eng_schema = rp.read_state().schema().names
+    assert eng_schema == o["schema"]
+
+
+def test_deadletter_and_audit_sinks(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+    o = oracle_final(fixture_dir, cfg)
+    dead = 0
+    for e in range(N_EPOCHS):
+        ds = rp.deadletter_dataset(e)
+        if ds is not None:
+            dead += ds.count()
+    assert dead == o["metrics"].get("deadletter", 0)
+    audit = rp.audit_dataset(0)
+    assert audit.count() == rp.manifest.epoch_entry(0)["processed"]
+    assert set(audit.schema().names) >= {"lsn", "route", "status", "op"}
+
+
+def test_fold_metrics_invariant(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+    o = oracle_final(fixture_dir, cfg)
+    fm = rp.fold_metrics()
+    assert fm["noop"] == o["metrics"].get("noop", 0)
+    assert fm["tombstoned"] == o["metrics"]["tombstoned"]
+    assert fm["col_replacements"] == dict(o["metrics"]["col_replacements"])
+    assert fm["rows"] == len(o["final"])

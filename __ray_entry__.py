@@ -1,44 +1,302 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship CDC replay (real engine: ParseRoute actor
+pool → hash-partitioned vectorized LWW fold → manifest-committed deltas)
+on sf0.001-derived inputs. ``queries()`` exposes each implemented operator
+from SURVEY.md §2 + the training-data ops; ``oracle_sql()`` gives the
+DuckDB-equivalent SQL where expressible (column names match exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
 from collections.abc import Callable
 from typing import Any
 
+# ---------------------------------------------------------------- entry --
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: epoch-fenced manifest replay of the sf0.001-derived binlog
+    onto the sf0.001-derived base table; returns the final table state."""
+    from marc_data_migration_ray.config import ReplayConfig
+    from marc_data_migration_ray.pipelines import derived
+    from marc_data_migration_ray.pipelines.replay import Replayer
+
+    sf_dir = "/root/testdata/sf0.001"
+    root = os.path.join(tempfile.gettempdir(), "ray_entry_table")
+    shutil.rmtree(root, ignore_errors=True)
+    cfg = ReplayConfig(num_partitions=8)
+
+    base_dir = os.path.join(root, "base_in")
+    binlog_dir = os.path.join(root, "binlog_in")
+    derived.build_base_ds(sf_dir).write_parquet(base_dir)
+    derived.build_binlog_ds(sf_dir).write_parquet(binlog_dir)
+
+    rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
+    rp.apply_epoch(0, binlog_dir)
+    return rp.read_state()
+
+
+# -------------------------------------------------------------- queries --
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from marc_data_migration_ray.config import ReplayConfig
+    from marc_data_migration_ray.pipelines import (
+        dedup,
+        derived,
+        reports,
+        similarity,
+        text_analysis,
+        tpch,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # CDC core (SURVEY §2.2-§2.6 recast; SEMANTICS.md)
+        "cdc_lww_state": lambda sf: derived.cdc_lww_state(sf),
+        "cdc_routing_counts": lambda sf: derived.cdc_routing_counts(sf),
+        "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
+        # key/title kernels (M1-M3, M7, M15)
+        "key_normalize": reports.key_normalize,
+        "title_normalize": reports.title_normalize,
+        "title_jaccard": reports.title_jaccard,
+        # relational coverage (A1-A3, J1-J4 analogs)
+        "pricing_summary": tpch.pricing_summary,
+        "nation_revenue": tpch.nation_revenue,
+        "top_docs": tpch.top_docs,
+        "customer_order_join": tpch.customer_order_join,
+        # text analysis (training-data ops)
+        "token_count": text_analysis.token_count,
+        "quality_score": text_analysis.quality_score,
+        "lang_id": text_analysis.lang_id,
+        "doc_fingerprint": text_analysis.fingerprint,
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "dedup_minhash": dedup.dedup_minhash,
+        "dedup_simhash": dedup.dedup_simhash,
+        "embedding_near_dup": dedup.embedding_near_dup,
+        # similarity search
+        "ann_topk": lambda sf: similarity.ann_topk(sf),
+        "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
+    }
+
+
+# ----------------------------------------------------------- oracle SQL --
+
+# shared SQL fragments — regexes identical to functions/keys.py and
+# functions/text.py (both RE2)
+_NORM_KEY = (
+    "regexp_replace(regexp_replace(regexp_replace(trim({col}), "
+    "'\\(OCoLC\\)', '', 'ig'), '^(ocn|ocm|on)', '', 'i'), '\\W+\\d+$', '')"
+)
+
+_BINLOG = """
+binlog AS (
+  SELECT event_id AS lsn,
+         CAST(user_id % (SELECT count(*) FROM documents) AS VARCHAR) AS doc_id,
+         CASE event_type WHEN 'signup' THEN 'insert'
+                         WHEN 'error' THEN 'delete'
+                         ELSE 'update' END AS op,
+         CAST(length(props) AS BIGINT) AS n_tok_new,
+         event_type AS source_new,
+         CAST(event_id % 101 AS INTEGER) AS score
+  FROM events
+)"""
+
+_CDC_STATE = f"""
+WITH {_BINLOG},
+base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok,
+         source
+  FROM documents
+),
+gated AS (
+  SELECT * FROM binlog
+  WHERE op IN ('insert', 'delete')
+     OR (op = 'update' AND (score = 100 OR score >= 50))
+),
+anchor AS (
+  SELECT doc_id, lsn AS anchor_lsn, op AS anchor_op, n_tok_new, source_new
+  FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY lsn DESC) rn
+        FROM gated WHERE op IN ('insert', 'delete'))
+  WHERE rn = 1
+),
+winner AS (
+  SELECT u.doc_id, u.lsn, u.n_tok_new, u.source_new, u.score
+  FROM (SELECT g.*,
+               row_number() OVER (PARTITION BY g.doc_id ORDER BY g.lsn DESC) rn
+        FROM gated g
+        LEFT JOIN anchor a ON g.doc_id = a.doc_id
+        WHERE g.op = 'update'
+          AND (a.doc_id IS NULL OR (g.lsn > a.anchor_lsn AND a.anchor_op <> 'delete'))) u
+  WHERE u.rn = 1
+)
+SELECT b.doc_id,
+       COALESCE(w.n_tok_new, CASE WHEN a.anchor_op = 'insert' THEN a.n_tok_new END, b.n_tok) AS n_tok,
+       COALESCE(w.source_new, CASE WHEN a.anchor_op = 'insert' THEN a.source_new END, b.source) AS source,
+       COALESCE(w.lsn, CASE WHEN a.anchor_op = 'insert' THEN a.anchor_lsn END, -1) AS last_lsn,
+       COALESCE(CASE WHEN w.lsn IS NOT NULL THEN
+                  CASE WHEN w.score = 100 THEN 'perfect' ELSE 'fuzzy-match-passed' END END,
+                CASE WHEN a.anchor_op = 'insert' THEN 'inserted' END,
+                'base') AS status
+FROM base b
+LEFT JOIN anchor a ON b.doc_id = a.doc_id
+LEFT JOIN winner w ON b.doc_id = w.doc_id
+WHERE a.anchor_op IS NULL OR a.anchor_op <> 'delete'
+"""
+
+_ROUTING = f"""
+WITH {_BINLOG},
+routed AS (
+  SELECT op,
+         CASE WHEN op IN ('insert', 'delete') THEN 'applied'
+              WHEN score = 100 THEN 'applied'
+              WHEN score >= 50 THEN 'fuzzy'
+              ELSE 'rejected' END AS route,
+         CASE WHEN op = 'insert' THEN 'inserted'
+              WHEN op = 'delete' THEN 'tombstone'
+              WHEN score = 100 THEN 'perfect'
+              WHEN score >= 50 THEN 'fuzzy-match-passed'
+              ELSE 'fuzzy-match-failed' END AS status
+  FROM binlog
+)
+SELECT op, route, status, CAST(count(*) AS BIGINT) AS n
+FROM routed GROUP BY op, route, status
+ORDER BY op, route, status
+"""
+
+_QUALITY = """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_extract_all(text, '\\b(the|of|a|an|p|n)\\b')) AS BIGINT) AS n_stop,
+       CAST(length(regexp_extract_all(text, '\\b(the|of|a|an|p|n)\\b')) AS DOUBLE)
+         / greatest(length(regexp_extract_all(text, '\\S+')), 1) AS stop_ratio,
+       length(regexp_extract_all(text, '\\S+')) >= 5
+         AND CAST(length(regexp_extract_all(text, '\\b(the|of|a|an|p|n)\\b')) AS DOUBLE)
+             / greatest(length(regexp_extract_all(text, '\\S+')), 1) < 0.5 AS is_quality
+FROM documents
+"""
+
+_LANG_ID = """
+WITH c AS (
+  SELECT doc_id,
+         length(regexp_extract_all(text, '\\b(the|and|of|to|in|is)\\b')) AS en,
+         length(regexp_extract_all(text, '\\b(el|los|las|una|que|de)\\b')) AS es,
+         length(regexp_extract_all(text, '\\b(le|les|des|une|est|et)\\b')) AS fr,
+         length(regexp_extract_all(text, '\\b(der|die|das|und|ist|ein)\\b')) AS de
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN greatest(en, es, fr, de) = 0 THEN 'und'
+            WHEN en >= es AND en >= fr AND en >= de THEN 'en'
+            WHEN es >= fr AND es >= de THEN 'es'
+            WHEN fr >= de THEN 'fr'
+            ELSE 'de' END AS lang_pred
+FROM c
+"""
+
+_TITLE_JACCARD = """
+WITH w AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_extract_all(text, '\\S+'),
+           x -> x NOT IN ('the', 'of', 'a', 'an', 'p', 'n'))) AS ws
+  FROM documents
+)
+SELECT a.doc_id,
+       CASE WHEN length(list_distinct(list_concat(a.ws, b.ws))) = 0 THEN 0.0
+            ELSE CAST(length(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                 / length(list_distinct(list_concat(a.ws, b.ws))) END AS jaccard
+FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+"""
+
+_ANN_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn
+      FROM sims)
+WHERE rn <= 5
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB equivalents. Omitted keys (dedup_minhash, dedup_simhash,
+    embedding_near_dup, ann_topk_lsh, doc_fingerprint) are approximate /
+    byte-hash ops not expressible in SQL → driver does rows-only checks."""
+    return {
+        "cdc_lww_state": _CDC_STATE,
+        "cdc_routing_counts": _ROUTING,
+        "cdc_dup_keys": f"WITH {_BINLOG} SELECT doc_id, CAST(count(*) AS BIGINT) AS n_events "
+                        "FROM binlog GROUP BY doc_id HAVING count(*) > 1",
+        "key_normalize": (
+            "WITH k AS (SELECT doc_id, CASE doc_id % 6 "
+            "WHEN 0 THEN '(OCoLC)ocm' || CAST(doc_id AS VARCHAR) "
+            "WHEN 1 THEN 'ocn' || CAST(doc_id AS VARCHAR) "
+            "WHEN 2 THEN 'ON' || CAST(doc_id AS VARCHAR) "
+            "WHEN 3 THEN CAST(doc_id AS VARCHAR) || ' 99' "
+            "WHEN 4 THEN CAST(doc_id AS VARCHAR) "
+            "ELSE 'bad' || CAST(doc_id AS VARCHAR) || 'x' END AS raw_key FROM documents) "
+            f"SELECT doc_id, raw_key, "
+            f"CASE WHEN regexp_matches({_NORM_KEY.format(col='raw_key')}, '^\\d+$') "
+            f"THEN {_NORM_KEY.format(col='raw_key')} END AS norm_key, "
+            f"regexp_matches({_NORM_KEY.format(col='raw_key')}, '^\\d+$') AS is_valid FROM k"
+        ),
+        "title_normalize": (
+            "SELECT doc_id, trim(regexp_replace(regexp_replace("
+            "text || ' ' || '-- tail..!  (x) ', "
+            "'[.,/#!$%^&*;:{}\\[\\]=\\-_`~()]', ' ', 'g'), '\\s+', ' ', 'g')) AS norm_title "
+            "FROM documents"
+        ),
+        "title_jaccard": _TITLE_JACCARD,
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2"
+        ),
+        "nation_revenue": (
+            "SELECT n.n_name, "
+            "CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(count(*) AS BIGINT) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "GROUP BY n.n_name ORDER BY n.n_name"
+        ),
+        "top_docs": (
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 10"
+        ),
+        "customer_order_join": (
+            "SELECT o.o_orderkey, c.c_name, "
+            "CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+        ),
+        "token_count": (
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "quality_score": _QUALITY,
+        "lang_id": _LANG_ID,
+        "dedup_exact": (
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
+            "CAST(count(*) AS BIGINT) AS group_size FROM documents GROUP BY text"
+        ),
+        "ann_topk": _ANN_TOPK,
+    }

@@ -1,0 +1,209 @@
+"""CDC pipeline derived deterministically from the driver's sf tables.
+
+The driver's correctness gate runs ``queries()[name](sf_dir)`` against DuckDB
+SQL over the same parquet views, so this module derives a base table and a
+binlog from ``documents`` + ``events`` with arithmetic that is expressible
+identically in SQL (see ``__ray_entry__.oracle_sql``):
+
+    base:   doc_id = CAST(documents.doc_id AS VARCHAR)
+            n_tok  = count of ``\\S+`` tokens in text
+            source = documents.source
+    binlog: lsn    = event_id
+            doc_id = CAST(user_id % D AS VARCHAR)      (D = count(documents))
+            op     = signup→insert, error→delete, else update
+            n_tok' = length(props), source' = event_type
+            score  = event_id % 101                     (drives the M14 gate)
+
+All events are full-row (empty column mask), so the fold is pure gated LWW
+with tombstones — exactly the anchor model of SEMANTICS.md, which the SQL
+oracle mirrors with window functions.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.functions.text import TOKEN_RE
+from marc_data_migration_ray.stages.fold import make_fold_fn
+from marc_data_migration_ray.stages.parse import ParseRoute, PrepBase
+
+_ROW_COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
+
+
+def _doc_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def build_base_ds(sf_dir: str) -> ray.data.Dataset:
+    """documents → input_hint-shaped base table (tokens column left empty —
+    the derived pipeline's payload is scalar; token-payload replay is
+    exercised by the synthetic fixtures)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+
+    def _mk(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        n_tok = pc.cast(pc.count_substring_regex(t["text"], TOKEN_RE), pa.int32())
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.string()),
+                "tokens": pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n + 1, np.int32)), pa.array([], pa.int32())
+                ),
+                "n_tok": n_tok,
+                "source": t["source"],
+            }
+        )
+
+    return ds.map_batches(_mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def build_binlog_ds(sf_dir: str) -> ray.data.Dataset:
+    """events → binlog events (full-row updates, deterministic gate scores)."""
+    D = _doc_count(sf_dir)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "user_id", "event_type", "props"],
+    )
+
+    def _mk(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ev = t["event_type"].to_numpy(zero_copy_only=False)
+        op = np.where(ev == "signup", "insert", np.where(ev == "error", "delete", "update")).astype(object)
+        lsn = pc.cast(t["event_id"], pa.int64())
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        doc = pa.array((uid % D).astype("int64").astype(str), pa.string())
+        n_tok_new = pc.cast(pc.utf8_length(t["props"]), pa.int32())
+        score = pa.array((lsn.to_numpy(zero_copy_only=False) % 101).astype("int32"), pa.int32())
+        is_del = op == "delete"
+        n_tok_np = n_tok_new.to_numpy(zero_copy_only=False).astype(np.int64)
+        n_tok_col = pa.array(np.where(is_del, None, n_tok_np.astype(object)), pa.int32())
+        src_col = pa.array(np.where(is_del, None, ev.astype(object)), pa.string())
+        # zero-filled token arrays of length n_tok (consistency invariant
+        # n_tok == len(tokens)); null for deletes. Built via offsets, no loop.
+        lens = np.where(is_del, 0, n_tok_np)
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum(lens, out=offsets[1:])
+        tokens = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()),
+            pa.array(np.zeros(int(lens.sum()), np.int32), pa.int32()),
+        )
+        if is_del.any():
+            tokens = pc.if_else(
+                pa.array(is_del), pa.nulls(n, pa.list_(pa.int32())), tokens
+            )
+        return pa.table(
+            {
+                "lsn": lsn,
+                "epoch": pa.array(np.zeros(n, np.int32)),
+                "op": pa.array(op, pa.string()),
+                "doc_id": doc,
+                "tokens": tokens,
+                "n_tok": n_tok_col,
+                "source": src_col,
+                "column_mask": pa.array([[] for _ in range(n)], pa.list_(pa.string())),
+                "match_score": score,
+                "schema_kind": pa.nulls(n, pa.string()),
+                "schema_name": pa.nulls(n, pa.string()),
+                "schema_new_name": pa.nulls(n, pa.string()),
+            }
+        )
+
+    return ds.map_batches(_mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def replay_datasets(
+    base_ds: ray.data.Dataset, binlog_ds: ray.data.Dataset, cfg: ReplayConfig
+) -> ray.data.Dataset:
+    """In-memory replay (no manifest): prep → union → partitioned fold → rows.
+
+    The same stages the manifest pipeline uses; for ad-hoc / driver queries.
+    """
+    base = base_ds.map_batches(
+        PrepBase, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+    )
+    ev = binlog_ds.map_batches(
+        ParseRoute, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+    )
+    fold = make_fold_fn(cfg)
+    out = base.union(ev).groupby("part_id", num_partitions=cfg.num_partitions).map_groups(fold, batch_format="pyarrow")
+    rows = out.filter(expr="_kind == 'row'")
+    return rows.map_batches(
+        lambda t: t.select(_ROW_COLS), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def cdc_lww_state(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Dataset:
+    """Flagship derived query: gated LWW replay of events onto documents.
+
+    Returns (doc_id, n_tok, source, last_lsn, status) — scalar columns only
+    so the DuckDB oracle can hash-match (token payloads are checked by the
+    fixture/oracle tests instead).
+    """
+    cfg = cfg or ReplayConfig(num_partitions=16)
+    rows = replay_datasets(build_base_ds(sf_dir), build_binlog_ds(sf_dir), cfg)
+    return rows.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "source": t["source"],
+                "last_lsn": t["last_lsn"],
+                "status": t["status"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def cdc_routing_counts(sf_dir: str, cfg: ReplayConfig | None = None) -> "pa.Table":
+    """Gate/route audit counts by (op, route, status) — reference A1/A3."""
+    cfg = cfg or ReplayConfig(num_partitions=16)
+    ev = build_binlog_ds(sf_dir).map_batches(
+        ParseRoute, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+    )
+    # per-batch partial counts → tiny global aggregate (no full shuffle)
+    def _partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["op", "route", "status"]).aggregate([("lsn", "count")])
+
+    partials = ev.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(b for b in partials.iter_batches(batch_format="pyarrow"))
+    final = tbl.group_by(["op", "route", "status"]).aggregate([("lsn_count", "sum")])
+    out = pa.table(
+        {
+            "op": final["op"],
+            "route": final["route"],
+            "status": final["status"],
+            "n": pc.cast(final["lsn_count_sum"], pa.int64()),
+        }
+    )
+    return out.sort_by(
+        [("op", "ascending"), ("route", "ascending"), ("status", "ascending")]
+    )
+
+
+def cdc_dup_keys(sf_dir: str) -> ray.data.Dataset:
+    """Keys receiving >1 event (reference R1/J2 duplicate-key report)."""
+    ds = build_binlog_ds(sf_dir)
+    agg = ds.groupby("doc_id").count()
+    renamed = agg.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_events": pc.cast(t[t.column_names[-1]], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return renamed.filter(expr="n_events > 1")

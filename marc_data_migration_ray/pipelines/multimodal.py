@@ -1,0 +1,141 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Binary payloads are opaque ``binary`` columns + typed metadata columns;
+decode / feature-extract / resize / frame-sample run as **actor-pool**
+``map_batches`` stages (model/codec loaded once per actor in ``__init__``).
+The image/audio codec libraries are not available in this container, so the
+decode kernel is STUBBED: ``decoder="fake"`` produces a deterministic fake
+decode (seeded by content hash) so the Ray-side plumbing — schema, batch
+sizing, actor signature, output layout — is real and tested;
+``decoder="real"`` raises ``NotImplementedError`` at actor construction.
+
+Batch sizing: binary payloads dominate bytes, so stages take small
+``batch_size`` (payload bytes × batch_size × concurrency must fit worker
+heaps — ray_guide §Memory-aware).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+
+def synthesize_media_table(n_rows: int = 256, seed: int = 99) -> pa.Table:
+    """Deterministic fake media table: (media_id, kind, payload:binary,
+    width, height, duration_ms). Stands in for a real object-store scan."""
+    rng = np.random.default_rng(seed)
+    kinds = np.array(["image", "audio", "video"], dtype=object)
+    kind = kinds[rng.integers(0, 3, size=n_rows)]
+    sizes = rng.integers(256, 4096, size=n_rows)
+    payloads = [rng.integers(0, 256, size=int(s), dtype=np.uint8).tobytes() for s in sizes]
+    return pa.table(
+        {
+            "media_id": pa.array(np.arange(n_rows), pa.int64()),
+            "kind": pa.array(kind, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(rng.integers(16, 1920, size=n_rows).astype(np.int32), pa.int32()),
+            "height": pa.array(rng.integers(16, 1080, size=n_rows).astype(np.int32), pa.int32()),
+            "duration_ms": pa.array(rng.integers(0, 60000, size=n_rows).astype(np.int32), pa.int32()),
+        }
+    )
+
+
+class MediaDecoder:
+    """Actor-pool decode stage: payload binary → fixed-size feature vector.
+
+    ``__init__`` is where a real codec/model would load (once per actor);
+    ``__call__`` is per batch. The fake decoder derives a deterministic
+    8-float feature vector from the payload bytes (content-hash seeded), so
+    downstream stages and tests have stable values.
+    """
+
+    FEATURE_DIM = 8
+
+    def __init__(self, decoder: str = "fake"):
+        if decoder == "real":
+            raise NotImplementedError(
+                "real image/audio decoding needs PIL/torchaudio/ffmpeg, which "
+                "are not available in this container — use decoder='fake'"
+            )
+        if decoder != "fake":
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self.decoder = decoder
+
+    def _features(self, payload: bytes) -> np.ndarray:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        # deterministic content-derived features: chunked byte statistics
+        chunks = np.array_split(arr.astype(np.float64), self.FEATURE_DIM)
+        return np.array([c.mean() if len(c) else 0.0 for c in chunks])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = np.stack([self._features(p) for p in batch["payload"].to_pylist()])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "kind": batch["kind"],
+                "width": batch["width"],
+                "height": batch["height"],
+                "features": pa.array(list(feats.astype(np.float32)), pa.list_(pa.float32())),
+                "payload_bytes": pc.cast(pc.binary_length(batch["payload"]), pa.int64()),
+            }
+        )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage for 'video' rows: emits one row per
+    sampled frame index (flat-map shape: N input rows → ≥N output rows)."""
+
+    def __init__(self, fps_divisor: int = 10):
+        self.fps_divisor = fps_divisor
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, kinds, frames = [], [], []
+        for mid, kind, dur in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["duration_ms"].to_pylist(),
+        ):
+            if kind == "video":
+                n = max(1, (dur or 0) // (1000 * self.fps_divisor))
+                for i in range(n):
+                    ids.append(mid)
+                    kinds.append(kind)
+                    frames.append(i * self.fps_divisor * 1000)
+            else:
+                ids.append(mid)
+                kinds.append(kind)
+                frames.append(0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds, pa.string()),
+                "frame_ms": pa.array(frames, pa.int64()),
+            }
+        )
+
+
+def decode_pipeline(n_rows: int = 256, seed: int = 99) -> ray.data.Dataset:
+    """read (synthesized) media → actor-pool decode → features dataset."""
+    ds = ray.data.from_arrow(synthesize_media_table(n_rows, seed))
+    return ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=64,  # binary payloads: keep batches small (memory-aware)
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+
+
+def frame_sample_pipeline(n_rows: int = 256, seed: int = 99) -> ray.data.Dataset:
+    ds = ray.data.from_arrow(synthesize_media_table(n_rows, seed))
+    return ds.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )

@@ -1,29 +1,39 @@
 """End-to-end CDC replay pipeline (the flagship).
 
-Physical plan (SURVEY §4.2), all Ray Data, streaming, zero-copy Arrow:
+Physical plan (SURVEY §4.2) — co-partitioned, shuffle-free merge-on-read:
 
-    binlog epoch  ──read_parquet──►  ParseRoute (actor pool, map_batches,
-                                     pyarrow batches: normalize keys M1-M3,
-                                     gate M13-M14, route, part_id)
-                  ──write_parquet(partition_cols=[route, part])──►
-                     deltas/epoch=N/...      (single pass; the parquet IS
-                                              the audit + dead-letter sink)
-                  ──manifest.commit_epoch──►  exactly-once, epoch-fenced
+    binlog epoch ──read_parquet──► ParseRoute (actor pool, map_batches,
+                                   zero-copy Arrow: key normalize M1-M3,
+                                   gate M13-M14, route, part_id)
+                 ──write_parquet(partition_cols=[part_p])──►
+                    deltas/epoch=N/part_p=P/...   (hash-partitioned ON DISK;
+                                                   the parquet IS the audit +
+                                                   dead-letter sink too)
+                 ──manifest.commit_epoch──►  exactly-once, epoch-fenced
 
-    state = fold( base ∪ committed deltas )
-          = union ──groupby(part_id).map_groups(fold_bucket)──► final rows
-            (vectorized polars LWW fold per hash partition; SEMANTICS.md)
-          ──schema-op projection (manifest renames/adds)──► current table
+    state: base is bucketized once into the same part_p layout; thereafter
+    every read_state/compact is P INDEPENDENT per-bucket fold tasks
+    (vectorized polars LWW fold, SEMANTICS.md) — no all-to-all exchange,
+    ever. The partitioning key is chosen once (fnv1a64(doc_id) %
+    num_partitions) and reused by every stage (ray_guide: "pick ONE
+    partitioning key and reuse it across stages").
 
-    compact() materializes the fold into a new base snapshot and advances
-    the local-id allocator offsets — an LSM merge of the sorted runs.
+    compact() materializes the fold into a new bucketized base snapshot
+    (LSM merge of the sorted runs) and advances local-id allocator offsets.
 
-Scale notes (100 TB design): the only all-to-all exchange is the
-``groupby(part_id)`` fold; everything upstream is embarrassingly parallel
-map+write. ``num_partitions`` is the commit/fold granularity — size it so a
-partition's live rows fit a worker (thousands at cluster scale). Hot *keys*
-are collapsed inside their bucket vectorized (no per-key Python), so skew
-cost is bounded by bucket imbalance, which the fnv1a hash keeps small.
+Scale notes (100 TB): the per-bucket fold is the unit of memory — size
+``num_partitions`` so one bucket's live rows fit a worker (thousands of
+partitions at cluster scale). Epoch ingest is embarrassingly parallel
+map+write; fold is embarrassingly parallel per bucket; the only global
+coordination is the manifest append. Hot *keys* are folded vectorized
+inside their bucket (no per-key Python), so skew cost is bounded by bucket
+imbalance, which the fnv1a hash keeps small. Raw ``@ray.remote`` tasks are
+used for the per-bucket fold because the Dataset API cannot express
+"coalesce pre-partitioned files into per-partition groups without a
+shuffle" (a bare ``groupby(part_id).map_groups`` re-shuffles data that is
+already partitioned on disk — measured 4-10× slower); everything else is
+Dataset-native, and the fold results re-enter the Dataset world via
+``ray.data.from_arrow_refs``.
 """
 
 from __future__ import annotations
@@ -38,15 +48,68 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
+import ray
 import ray.data
 
 from marc_data_migration_ray.config import ReplayConfig
-from marc_data_migration_ray.stages.fold import make_fold_fn
+from marc_data_migration_ray.stages.fold import FOLD_SCHEMA, fold_bucket
 from marc_data_migration_ray.stages.parse import PARSED_SCHEMA, ParseRoute, PrepBase
 from marc_data_migration_ray.state.manifest import Manifest
 
 _ROW_COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
 DELTA_ROUTES = ("applied", "fuzzy", "local")
+
+
+@ray.remote(num_cpus=1)
+def _part_stats_task(files: list[str]) -> tuple:
+    """Route counts + max lsn + schema rows for one partition's files."""
+    route_counts: dict[str, int] = {}
+    max_lsn = -1
+    schema_tables = []
+    for f in files:
+        t = pq.read_table(f, columns=["lsn", "route"])
+        for item in pc.value_counts(t["route"]).to_pylist():
+            route_counts[item["values"]] = route_counts.get(item["values"], 0) + item["counts"]
+        if t.num_rows:
+            m = pc.max(t["lsn"]).as_py()
+            if m is not None:
+                max_lsn = max(max_lsn, m)
+        if route_counts.get("schema"):
+            st = pq.read_table(
+                f, columns=["lsn", "route", "schema_kind", "schema_name", "schema_new_name"]
+            )
+            st = st.filter(pc.equal(st["route"], "schema"))
+            if st.num_rows:
+                schema_tables.append(st)
+    srows = pa.concat_tables(schema_tables) if schema_tables else None
+    return route_counts, max_lsn, srows
+
+
+@ray.remote(num_cpus=1)
+def _fold_bucket_task(
+    base_files: list[str],
+    delta_files: list[str],
+    cfg: ReplayConfig,
+    local_id_offsets: dict[int, int],
+    base_is_final_schema: bool,
+) -> pa.Table:
+    """Fold one hash partition: read its co-partitioned base + delta files,
+    run the vectorized LWW fold, return the FOLD_SCHEMA table."""
+    tables = []
+    for f in base_files:
+        t = pq.read_table(f)
+        if base_is_final_schema:
+            t = PrepBase(cfg, assume_normalized=True)(t)
+        tables.append(t.select(PARSED_SCHEMA.names))
+    for f in delta_files:
+        t = pq.read_table(f, columns=list(PARSED_SCHEMA.names))
+        tables.append(t)
+    if not tables:
+        return pa.Table.from_arrays(
+            [pa.nulls(0, f.type) for f in FOLD_SCHEMA], schema=FOLD_SCHEMA
+        )
+    allr = pa.concat_tables(tables, promote_options="default")
+    return fold_bucket(allr, cfg, local_id_offsets)
 
 
 class Replayer:
@@ -56,9 +119,17 @@ class Replayer:
         self.root = root
         self.cfg = cfg or ReplayConfig()
         self.manifest = Manifest(root)
-        if base_path is not None and self.manifest.state["base_path"] is None:
-            self.manifest.state["base_path"] = base_path
+        st = self.manifest.state
+        if st.get("num_partitions") is None:
+            st["num_partitions"] = self.cfg.num_partitions
+            if base_path is not None and st["base_path"] is None:
+                st["base_path"] = base_path
             self.manifest.save()
+        elif st["num_partitions"] != self.cfg.num_partitions:
+            raise ValueError(
+                f"table was created with num_partitions={st['num_partitions']}, "
+                f"config says {self.cfg.num_partitions} — partition layout is immutable"
+            )
 
     # ------------------------------------------------------------------ #
     # ingest
@@ -73,23 +144,21 @@ class Replayer:
         if not os.path.exists(final_dir):
             tmp_dir = os.path.join(self.root, "_tmp", f"epoch-{epoch}-{uuid.uuid4().hex[:8]}")
             ds = ray.data.read_parquet(binlog_path)
+            # ParseRoute passed as an INSTANCE → stateless task pool (elastic,
+            # no actor cold-start; the stage holds no real per-actor state)
             parsed = ds.map_batches(
-                ParseRoute,
-                fn_constructor_args=(self.cfg,),
+                ParseRoute(self.cfg),
                 batch_format="pyarrow",
-                batch_size=self.cfg.batch_size,
                 zero_copy_batch=True,
-                concurrency=(1, 8),
             )
-            # duplicate routing cols so data files stay self-contained
+            # hash-partitioned on disk: one dir per part_p — the layout every
+            # later fold reuses (co-partitioning instead of shuffling)
             parsed = parsed.map_batches(
-                lambda t: t.append_column("route_p", t["route"]).append_column(
-                    "part_p", t["part_id"]
-                ),
+                lambda t: t.append_column("part_p", t["part_id"]),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            parsed.write_parquet(tmp_dir, partition_cols=["route_p", "part_p"])
+            parsed.write_parquet(tmp_dir, partition_cols=["part_p"])
             os.makedirs(os.path.dirname(final_dir), exist_ok=True)
             os.rename(tmp_dir, final_dir)  # atomic publish of the epoch's data
 
@@ -99,27 +168,28 @@ class Replayer:
         return entry
 
     def _epoch_entry_from_files(self, epoch: int, final_dir: str) -> dict:
-        """Build the manifest entry (metrics + lineage) from committed files —
-        driver-side, metadata-only except the tiny schema route."""
+        """Manifest entry (route counts, max lsn, schema ops) from committed
+        files — one parallel stats task per partition dir, columnar reads of
+        the tiny route/lsn/schema columns only."""
+        part_files = self._files_by_part(final_dir)
+        refs = [_part_stats_task.remote(fs) for fs in part_files.values()]
         route_counts: dict[str, int] = {}
         max_lsn = -1
-        files = sorted(glob.glob(os.path.join(final_dir, "route_p=*", "**", "*.parquet"), recursive=True))
-        for f in files:
-            route = f.split("route_p=")[1].split(os.sep)[0]
-            md = pq.read_metadata(f)
-            route_counts[route] = route_counts.get(route, 0) + md.num_rows
-            lsn_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}.get("lsn")
-            if lsn_idx is None:
-                continue
-            for rg in range(md.num_row_groups):
-                col = md.row_group(rg).column(lsn_idx)
-                if col.statistics and col.statistics.has_min_max:
-                    max_lsn = max(max_lsn, col.statistics.max)
+        schema_rows = []
+        for rc, ml, srows in ray.get(refs):
+            for k, v in rc.items():
+                route_counts[k] = route_counts.get(k, 0) + v
+            max_lsn = max(max_lsn, ml)
+            if srows is not None:
+                schema_rows.append(srows)
         schema_ops = []
-        sfiles = [f for f in files if f"route_p=schema{os.sep}" in f]
-        if sfiles:
-            t = pa.concat_tables([pq.read_table(f) for f in sfiles])
+        if schema_rows:
+            t = pa.concat_tables(schema_rows)
+            seen = set()
             for r in t.sort_by("lsn").to_pylist():
+                if r["lsn"] in seen:
+                    continue
+                seen.add(r["lsn"])
                 schema_ops.append(
                     {
                         "lsn": r["lsn"],
@@ -139,54 +209,82 @@ class Replayer:
         }
 
     # ------------------------------------------------------------------ #
-    # state (merge-on-read fold)
+    # base bucketization (one-time layout alignment)
     # ------------------------------------------------------------------ #
-    def _base_dataset(self):
-        base_path = self.manifest.state["base_path"]
-        if base_path is None:
+    def _ensure_bucketized_base(self) -> str | None:
+        """Bucketize the initial base snapshot into the part_p layout
+        (parse once, write once — paid a single time per table)."""
+        st = self.manifest.state
+        if st.get("base_bucketized_path"):
+            return st["base_bucketized_path"]
+        if st["base_path"] is None:
             return None
-        ds = ray.data.read_parquet(base_path)
-        return ds.map_batches(
-            PrepBase,
-            fn_constructor_args=(self.cfg, self.manifest.state["base_normalized"]),
-            batch_format="pyarrow",
-            batch_size=self.cfg.batch_size,
-            zero_copy_batch=True,
-            concurrency=(1, 8),
-        )
+        final_dir = os.path.join(self.root, "base_bucketized")
+        if not os.path.exists(final_dir):
+            tmp = final_dir + ".tmp-" + uuid.uuid4().hex[:8]
+            ds = ray.data.read_parquet(st["base_path"])
+            prepped = ds.map_batches(
+                PrepBase(self.cfg, st["base_normalized"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).map_batches(
+                lambda t: t.append_column("part_p", t["part_id"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            prepped.write_parquet(tmp, partition_cols=["part_p"])
+            os.rename(tmp, final_dir)
+        st["base_bucketized_path"] = final_dir
+        self.manifest.save()
+        return final_dir
 
-    def _delta_dataset(self, up_to_epoch: int | None = None):
-        files = []
+    def _files_by_part(self, root_dir: str) -> dict[int, list[str]]:
+        out: dict[int, list[str]] = {}
+        for d in glob.glob(os.path.join(root_dir, "part_p=*")):
+            p = int(d.rsplit("part_p=", 1)[1])
+            fs = sorted(glob.glob(os.path.join(d, "*.parquet")))
+            if fs:
+                out.setdefault(p, []).extend(fs)
+        return out
+
+    # ------------------------------------------------------------------ #
+    # state (merge-on-read fold — per-bucket tasks, no shuffle)
+    # ------------------------------------------------------------------ #
+    def fold_output(self, up_to_epoch: int | None = None):
+        """Raw fold dataset: _kind ∈ {row, noop, metrics} (FOLD_SCHEMA).
+
+        One Ray task per hash partition, each reading only its own
+        co-partitioned base + delta files."""
+        st = self.manifest.state
+        base_is_final = bool(st.get("base_is_final_schema"))
+        base_dir = self._ensure_bucketized_base()
+        base_by_part = self._files_by_part(base_dir) if base_dir else {}
+        delta_by_part: dict[int, list[str]] = {}
         for e in self.manifest.active_epochs():
             if up_to_epoch is not None and e > up_to_epoch:
                 continue
-            for route in DELTA_ROUTES:
-                d = os.path.join(self.root, "deltas", f"epoch={e}", f"route_p={route}")
-                if os.path.isdir(d):
-                    files.extend(
-                        sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
-                    )
-        if not files:
-            return None
-        cols = [n for n in PARSED_SCHEMA.names]
-        return ray.data.read_parquet(files, columns=cols)
-
-    def fold_output(self, up_to_epoch: int | None = None):
-        """Raw fold dataset: _kind ∈ {row, noop, metrics} (FOLD_SCHEMA)."""
-        parts = [d for d in (self._base_dataset(), self._delta_dataset(up_to_epoch)) if d is not None]
+            d = os.path.join(self.root, "deltas", f"epoch={e}")
+            for p, fs in self._files_by_part(d).items():
+                delta_by_part.setdefault(p, []).extend(fs)
+        parts = sorted(set(base_by_part) | set(delta_by_part))
         if not parts:
             raise ValueError("nothing to fold: no base and no committed deltas")
-        ds = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
-        fold = make_fold_fn(self.cfg, self.manifest.local_id_offsets())
-        return ds.groupby("part_id").map_groups(
-            fold, batch_format="pyarrow", num_cpus=1
-        )
+        offsets = self.manifest.local_id_offsets()
+        refs = [
+            _fold_bucket_task.remote(
+                base_by_part.get(p, []),
+                delta_by_part.get(p, []),
+                self.cfg,
+                offsets,
+                base_is_final,
+            )
+            for p in parts
+        ]
+        return ray.data.from_arrow_refs(refs)
 
     def read_state(self, up_to_epoch: int | None = None):
         """Current table state as a Ray Dataset (schema ops applied)."""
-        rows = self.fold_output(up_to_epoch).filter(
-            expr="_kind == 'row'"
-        )
+        rows = self.fold_output(up_to_epoch).filter(expr="_kind == 'row'")
         rows = rows.map_batches(
             lambda t: t.select(_ROW_COLS), batch_format="pyarrow", zero_copy_batch=True
         )
@@ -200,6 +298,10 @@ class Replayer:
                 return t.rename_columns(list(names))
 
             rows = rows.map_batches(_evolve, batch_format="pyarrow", zero_copy_batch=True)
+        if self.cfg.policy_plugins:
+            from marc_data_migration_ray.stages.policy import apply_policies
+
+            rows = apply_policies(rows, self.cfg)
         return rows
 
     def fold_metrics(self, up_to_epoch: int | None = None) -> dict:
@@ -218,20 +320,16 @@ class Replayer:
                 agg["rows"] += m["rows"]
                 for c, v in m["col_replacements"].items():
                     agg["col_replacements"][c] = agg["col_replacements"].get(c, 0) + v
-                if m["local"] and m["part_ids"]:
-                    for p in m["part_ids"]:
-                        agg["local_by_part"][p] = agg["local_by_part"].get(p, 0) + m["local"]
+                for p, c in m.get("local_by_part", {}).items():
+                    agg["local_by_part"][int(p)] = agg["local_by_part"].get(int(p), 0) + c
         routes = {}
         for e in self.manifest.active_epochs():
             if up_to_epoch is not None and e > up_to_epoch:
                 continue
             for r, c in self.manifest.epoch_entry(e)["routes"].items():
                 routes[r] = routes.get(r, 0) + c
-        # fold refines applied/fuzzy → noop
         refined = dict(routes)
         if agg["noop"]:
-            # noops come out of applied+fuzzy; exact split not tracked — report
-            # combined per SEMANTICS invariant
             refined["noop"] = agg["noop"]
         agg["routes_prefold"] = routes
         agg["routes"] = refined
@@ -241,7 +339,8 @@ class Replayer:
     # compaction (LSM merge)
     # ------------------------------------------------------------------ #
     def compact(self, up_to_epoch: int | None = None) -> str:
-        """Fold base ∪ deltas into a new base snapshot; advance allocator."""
+        """Fold base ∪ deltas into a new bucketized base snapshot; advance
+        the per-partition local-id allocator offsets."""
         up_to = up_to_epoch if up_to_epoch is not None else (
             self.manifest.committed_epochs()[-1] if self.manifest.committed_epochs() else -1
         )
@@ -249,18 +348,21 @@ class Replayer:
         new_base = os.path.join(self.root, f"base-compact-{uuid.uuid4().hex[:8]}")
         tmp = new_base + ".tmp"
         rows = out.filter(expr="_kind == 'row'").map_batches(
-            lambda t: t.select(_ROW_COLS), batch_format="pyarrow", zero_copy_batch=True
+            lambda t: t.select(_ROW_COLS + ["part_id"]).append_column("part_p", t["part_id"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
         )
-        rows.write_parquet(tmp)
-        # gather local-id allocations per partition before swapping state
+        rows.write_parquet(tmp, partition_cols=["part_p"])
         local_counts: dict[int, int] = {}
         for b in out.filter(expr="_kind == 'metrics'").iter_batches(batch_format="pyarrow"):
             for s in b["metrics_json"].to_pylist():
                 m = json.loads(s)
-                if m["local"]:
-                    for p in m["part_ids"]:
-                        local_counts[p] = local_counts.get(p, 0) + m["local"]
+                for p, c in m.get("local_by_part", {}).items():
+                    local_counts[int(p)] = local_counts.get(int(p), 0) + c
         os.rename(tmp, new_base)
+        st = self.manifest.state
+        st["base_is_final_schema"] = True
+        st["base_bucketized_path"] = new_base
         self.manifest.record_compaction(up_to, new_base, local_counts)
         return new_base
 
@@ -275,11 +377,11 @@ class Replayer:
 
     def deadletter_dataset(self, epoch: int):
         """Dead-letter rows for an epoch (reference S7 bad-records sink)."""
-        d = os.path.join(self.root, "deltas", f"epoch={epoch}", "route_p=deadletter")
+        d = os.path.join(self.root, "deltas", f"epoch={epoch}")
         files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
         if not files:
             return None
-        return ray.data.read_parquet(files)
+        return ray.data.read_parquet(files).filter(expr="route == 'deadletter'")
 
     def cleanup_tmp(self) -> None:
         t = os.path.join(self.root, "_tmp")

@@ -1,0 +1,167 @@
+"""General relational coverage: grouped aggregates, joins, sort/top-k.
+
+Money sums are computed in integer cents (round(x*100) → int64) in BOTH the
+Ray pipeline and the DuckDB oracle, so results are exact and summation-order
+independent — float accumulation order would otherwise differ between
+engines and break the driver's value-hash comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+
+def pricing_summary(sf_dir: str) -> pa.Table:
+    """TPC-H Q1-style pricing summary over lineitem.
+
+    Per (l_returnflag, l_linestatus): sum_qty, sum_base_cents,
+    sum_disc_cents (extendedprice*(1-discount) in cents), n. Pre-aggregated
+    per batch inside map_batches, final reduce over the tiny partials
+    (ray_guide §Aggregation at scale).
+    """
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        base_c = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0), round_mode="half_towards_infinity"), pa.int64())
+        disc_c = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 100.0
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        qty = pc.cast(pc.round(t["l_quantity"], round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "base_c": base_c,
+                "disc_c": disc_c,
+            }
+        )
+        return g.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("base_c", "sum"), ("disc_c", "sum"), ("qty", "count")]
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    final = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("qty_sum", "sum"), ("base_c_sum", "sum"), ("disc_c_sum", "sum"), ("qty_count", "sum")]
+    )
+    return pa.table(
+        {
+            "l_returnflag": final["l_returnflag"],
+            "l_linestatus": final["l_linestatus"],
+            "sum_qty": pc.cast(final["qty_sum_sum"], pa.int64()),
+            "sum_base_cents": pc.cast(final["base_c_sum_sum"], pa.int64()),
+            "sum_disc_cents": pc.cast(final["disc_c_sum_sum"], pa.int64()),
+            "n": pc.cast(final["qty_count_sum"], pa.int64()),
+        }
+    ).sort_by([("l_returnflag", "ascending"), ("l_linestatus", "ascending")])
+
+
+def nation_revenue(sf_dir: str) -> pa.Table:
+    """Revenue (order totalprice cents) per nation name.
+
+    Broadcast join: the customer→nation and nation→name maps are tiny, so
+    they are ``ray.put`` once and looked up vectorized inside map_batches
+    over orders (no shuffle at all — SURVEY J4 broadcast-lookup pattern).
+    """
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    )
+    nkeys = np.asarray(cust["c_nationkey"].to_pylist(), dtype=np.int64)
+    ckeys = np.asarray(cust["c_custkey"].to_pylist(), dtype=np.int64)
+    cust_map = np.full(int(ckeys.max()) + 2, -1, dtype=np.int64)
+    cust_map[ckeys] = nkeys
+    names = {int(k): v for k, v in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())}
+    ref = ray.put((cust_map, names))
+
+    class JoinAgg:
+        def __init__(self, ref):
+            self.cust_map, self.names = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+            nk = self.cust_map[ck]
+            cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), round_mode="half_towards_infinity"), pa.int64()).to_numpy(zero_copy_only=False)
+            g = pa.table(
+                {"nationkey": pa.array(nk, pa.int64()), "cents": pa.array(cents, pa.int64())}
+            )
+            return g.group_by("nationkey").aggregate([("cents", "sum"), ("cents", "count")])
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    partials = ds.map_batches(
+        JoinAgg, fn_constructor_args=(ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=(1, 4),
+    )
+    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    final = tbl.group_by("nationkey").aggregate([("cents_sum", "sum"), ("cents_count", "sum")])
+    nk = final["nationkey"].to_pylist()
+    cust_map2, names2 = ray.get(ref)
+    return pa.table(
+        {
+            "n_name": pa.array([names2[int(k)] for k in nk], pa.string()),
+            "revenue_cents": pc.cast(final["cents_sum_sum"], pa.int64()),
+            "n_orders": pc.cast(final["cents_count_sum"], pa.int64()),
+        }
+    ).sort_by([("n_name", "ascending")])
+
+
+def top_docs(sf_dir: str, k: int = 10) -> pa.Table:
+    """Top-k documents by n_chars (desc), doc_id (asc) — sort/limit path."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(k)
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow"))
+    return pa.table(
+        {"doc_id": pc.cast(t["doc_id"], pa.int64()), "n_chars": pc.cast(t["n_chars"], pa.int64())}
+    )
+
+
+def customer_order_join(sf_dir: str) -> ray.data.Dataset:
+    """Distributed hash join via ``Dataset.join`` (both sides large path):
+    orders ⋈ customer on custkey → (o_orderkey, c_name, cents)."""
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "cents": pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), round_mode="half_towards_infinity"), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+    joined = orders.join(
+        cust, join_type="inner", num_partitions=8,
+        on=("o_custkey",), right_on=("c_custkey",),
+    )
+    return joined.map_batches(
+        lambda t: t.select(["o_orderkey", "c_name", "cents"]), batch_format="pyarrow"
+    )

@@ -18,6 +18,12 @@ Output is a union-schema table: ``_kind='row'`` final rows,
 from __future__ import annotations
 
 import json
+import os
+
+# Each fold task runs under num_cpus=1; without this, every Ray worker
+# process spawns a full polars thread pool and 32 tasks × 32 threads
+# oversubscribe the node (measured: kills 8→32 CPU scaling).
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
 
 import polars as pl
 import pyarrow as pa
@@ -34,6 +40,7 @@ FOLD_FIELDS = [
     ("last_lsn", pa.int64()),
     ("status", pa.string()),
     ("candidate_key", pa.string()),
+    ("part_id", pa.int32()),
     ("lsn", pa.int64()),
     ("metrics_json", pa.string()),
 ]
@@ -155,6 +162,7 @@ def fold_bucket(
         "last_lsn",
         "status",
         "candidate_key",
+        "part_id",
     )
 
     # local-id allocation: per-partition rank in lsn order (reference P6)
@@ -187,6 +195,7 @@ def fold_bucket(
             pl.col("lsn").alias("last_lsn"),
             pl.lit("local").alias("status"),
             pl.col("doc_id_raw").alias("candidate_key"),
+            "part_id",
         )
     else:
         local_rows = None
@@ -198,12 +207,21 @@ def fold_bucket(
         out.append(_to_arrow(noops.select(pl.lit("noop").alias("_kind"), "lsn")))
 
     part_ids = df["part_id"].unique().to_list() if df.height else []
+    # exact per-part local-insert counts (drives the allocator offsets on
+    # compaction; local events' part = hash(raw key) % P, so within a bucket
+    # several parts can allocate independently)
+    local_by_part = (
+        {int(r[0]): int(r[1]) for r in local.group_by("part_id").len().iter_rows()}
+        if local.height
+        else {}
+    )
     metrics = {
         "part_ids": sorted(p for p in part_ids if p is not None),
         "noop": noops.height,
         "tombstoned": tombstoned,
         "col_replacements": col_repl,
         "local": local.height if local.height else 0,
+        "local_by_part": local_by_part,
         "rows": rows.height + (local_rows.height if local_rows is not None else 0),
     }
     mrow = pa.Table.from_arrays(

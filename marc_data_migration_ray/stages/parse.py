@@ -149,8 +149,9 @@ class PrepBase:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
-        raw = batch["doc_id"]
+        stored_part = None
         if self.assume_normalized:
+            raw = batch["doc_id"]
             key = pc.cast(raw, pa.string())
             lsn = (
                 pc.fill_null(batch["last_lsn"], -1)
@@ -159,8 +160,12 @@ class PrepBase:
             )
             status = batch["status"] if "status" in batch.column_names else None
             cand = batch["candidate_key"] if "candidate_key" in batch.column_names else None
+            if "part_id" in batch.column_names:
+                # compacted snapshots store their placement; preserve it so
+                # LOCAL- rows stay in the partition that allocated them
+                stored_part = pc.cast(batch["part_id"], pa.int32())
         else:
-            key = normalize_keys(raw)
+            key = normalize_keys(batch["doc_id"])
             batch = batch.filter(pc.is_valid(key))
             key = normalize_keys(batch["doc_id"])
             raw = batch["doc_id"]
@@ -168,7 +173,7 @@ class PrepBase:
             status = None
             cand = None
         n = batch.num_rows
-        part_id = hash_partition(key, cfg.num_partitions)
+        part_id = stored_part if stored_part is not None else hash_partition(key, cfg.num_partitions)
         return _as_parsed(
             {
                 "is_base": pa.array(np.ones(n, bool)),

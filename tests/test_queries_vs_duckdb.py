@@ -1,0 +1,84 @@
+"""Mirror of the driver's correctness gate: run each ``queries()`` entry at
+sf0.001 and compare row-count + schema + order-insensitive values against
+its ``oracle_sql()`` DuckDB result.
+"""
+
+import math
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entry_mod
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return c
+
+
+def to_pandas(res) -> pd.DataFrame:
+    if hasattr(res, "to_pandas"):
+        return res.to_pandas()
+    return pd.DataFrame(res)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(list(df.columns), ignore_index=True)
+    return df
+
+
+ORACLE_KEYS = sorted(entry_mod.oracle_sql())
+
+
+@pytest.mark.parametrize("name", ORACLE_KEYS)
+def test_query_matches_oracle(ray_session, con, name):
+    q = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = canon(to_pandas(q(SF_DIR)))
+    want = canon(con.execute(sql).fetchdf())
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), f"{name}: {len(got)} vs {len(want)} rows"
+    for c in got.columns:
+        a, b = got[c].tolist(), want[c].tolist()
+        for i, (x, y) in enumerate(zip(a, b)):
+            if isinstance(x, float) and isinstance(y, float):
+                if math.isnan(x) and math.isnan(y):
+                    continue
+                assert x == pytest.approx(y, abs=1e-12), (name, c, i, x, y)
+            else:
+                xn = x is None or (isinstance(x, float) and math.isnan(x))
+                yn = y is None or (isinstance(y, float) and math.isnan(y))
+                if xn or yn:
+                    assert xn and yn, (name, c, i, x, y)
+                else:
+                    assert x == y, (name, c, i, x, y)
+
+
+def test_rows_only_queries_run(ray_session):
+    """Queries without SQL oracles must still run and return sane shapes."""
+    qs = entry_mod.queries()
+    no_oracle = sorted(set(qs) - set(entry_mod.oracle_sql()))
+    assert no_oracle  # minhash/simhash/near-dup/lsh/fingerprint expected here
+    for name in no_oracle:
+        df = to_pandas(qs[name](SF_DIR))
+        if len(df):  # empty results may lose schema through to_pandas
+            assert len(df.columns) >= 2, name
+
+
+def test_entry_smoke(ray_session):
+    res = entry_mod.entry()
+    n = res.count() if hasattr(res, "count") else len(res)
+    assert n > 0
+    names = res.schema().names if hasattr(res, "schema") else list(res.columns)
+    assert "doc_id" in names and "n_tok" in names

@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from marc_data_migration_ray.pipelines import (
         dedup,
         derived,
+        events,
         reports,
         similarity,
         text_analysis,
@@ -84,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": lambda sf: similarity.ann_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
+        # stream-shaped ops over events (windows / sessions / distincts)
+        "user_daily_value": events.user_daily_value,
+        "session_count": events.session_count,
+        "event_type_users": events.event_type_users,
+        "key_diff_report": events.key_diff_report,
     }
 
 
@@ -299,4 +305,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS group_size FROM documents GROUP BY text"
         ),
         "ann_topk": _ANN_TOPK,
+        "user_daily_value": (
+            "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, "
+            "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "session_count": (
+            "WITH d AS (SELECT user_id, ts, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts FROM events) "
+            "SELECT user_id, CAST(sum(CASE WHEN pts IS NULL "
+            "OR ts > pts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
+            "FROM d GROUP BY user_id"
+        ),
+        "event_type_users": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "key_diff_report": (
+            "WITH k AS (SELECT doc_id, CASE doc_id % 6 "
+            "WHEN 0 THEN '(OCoLC)ocm' || CAST(doc_id AS VARCHAR) "
+            "WHEN 1 THEN 'ocn' || CAST(doc_id AS VARCHAR) "
+            "WHEN 2 THEN 'ON' || CAST(doc_id AS VARCHAR) "
+            "WHEN 3 THEN CAST(doc_id AS VARCHAR) || ' 99' "
+            "WHEN 4 THEN CAST(doc_id AS VARCHAR) "
+            "ELSE 'bad' || CAST(doc_id AS VARCHAR) || 'x' END AS raw_key FROM documents), "
+            f"n AS (SELECT doc_id, raw_key, "
+            f"CASE WHEN regexp_matches({_NORM_KEY.format(col='raw_key')}, '^\\d+$') "
+            f"THEN {_NORM_KEY.format(col='raw_key')} END AS norm_key, "
+            f"regexp_matches({_NORM_KEY.format(col='raw_key')}, '^\\d+$') AS is_valid FROM k) "
+            "SELECT * FROM n WHERE raw_key <> norm_key OR NOT is_valid"
+        ),
     }

@@ -105,7 +105,8 @@ def run_queries(sf_dir: str) -> dict:
         "cdc_lww_state", "cdc_dup_keys", "key_normalize", "pricing_summary",
         "nation_revenue", "token_count", "quality_score", "lang_id",
         "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_topk",
-        "customer_order_join", "title_jaccard",
+        "customer_order_join", "title_jaccard", "user_daily_value",
+        "session_count", "event_type_users",
     ]
     qs = entry_mod.queries()
     out = {}

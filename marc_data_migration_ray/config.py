@@ -63,6 +63,15 @@ class ReplayConfig:
     #: bytes: at p50 ≈ 256 tokens × 4 B ≈ 1 KiB/row, 8192 rows ≈ 8 MiB/batch.
     batch_size: int = 8192
 
+    #: hot-key mitigation: within-batch LWW pre-collapse of gate-passed
+    #: updates sharing (key, column-mask set) — only the max-lsn one can ever
+    #: win a column, so final STATE is provably unchanged while a key with
+    #: millions of epoch events shrinks to ≤ one survivor per batch per mask
+    #: (the salting analog for a co-partitioned layout). Trade-off: dropped
+    #: events disappear from audit rows / per-event route counts, so leave
+    #: False when exact audit parity matters (tests/oracle compare).
+    precollapse_updates: bool = False
+
     #: number of output blocks per epoch ingest (coalesced before the
     #: hive-partitioned write). Files per epoch ≈ this × num_partitions, so
     #: keep it near the worker count — each fold task later reads

@@ -151,6 +151,12 @@ class Replayer:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
+            if self.cfg.precollapse_updates:
+                from marc_data_migration_ray.stages.precollapse import precollapse_batch
+
+                parsed = parsed.map_batches(
+                    precollapse_batch, batch_format="pyarrow", zero_copy_batch=True
+                )
             # hash-partitioned on disk: one dir per part_p — the layout every
             # later fold reuses (co-partitioning instead of shuffling)
             parsed = parsed.map_batches(

@@ -1,0 +1,91 @@
+"""Pre-collapse state-equality (skew mitigation) + CLI smoke tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.pipelines.replay import Replayer
+from marc_data_migration_ray.sources import fixtures
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("pc_fixture"))
+    # heavy skew: 2 hot keys receive 60% of events
+    fixtures.write_fixture(
+        root, n_rows=150, n_events=2000, n_epochs=2, seed=55,
+        hot_keys=2, hot_frac=0.6, schema_change_frac=0.0,
+    )
+    return root
+
+
+def _final_state(root, fixture_dir, cfg):
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    for e in range(2):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    rows = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    return [
+        {k: (list(v) if k == "tokens" and v is not None else v) for k, v in r.items()}
+        for r in rows
+    ], rp
+
+
+def test_precollapse_state_identical(ray_session, fixture_dir, tmp_path):
+    """precollapse_updates drops superseded hot-key updates at ingest but the
+    folded STATE must be bit-identical (SEMANTICS pre-collapse argument)."""
+    plain, _ = _final_state(str(tmp_path / "plain"), fixture_dir, ReplayConfig(num_partitions=8))
+    coll, rp = _final_state(
+        str(tmp_path / "coll"), fixture_dir,
+        ReplayConfig(num_partitions=8, precollapse_updates=True),
+    )
+    assert plain == coll
+    # and it actually dropped rows for the hot keys
+    routes = {}
+    for e in range(2):
+        for k, v in rp.manifest.epoch_entry(e)["routes"].items():
+            routes[k] = routes.get(k, 0) + v
+    assert sum(routes.values()) < 2000  # superseded updates were collapsed
+
+
+def test_cli_end_to_end(ray_session, tmp_path):
+    """Drive the CLI as a user would (fresh subprocesses own their Ray)."""
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    root = str(tmp_path / "clifix")
+    table = str(tmp_path / "clitable")
+
+    def run(*args):
+        r = subprocess.run(
+            [sys.executable, "-m", "marc_data_migration_ray", *args],
+            capture_output=True, text=True, env=env, cwd="/root/repo", timeout=240,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return r.stdout
+
+    out = run("gen-fixture", "--root", root, "--rows", "80", "--events", "300",
+              "--epochs", "2", "--seed", "3")
+    assert json.loads(out.splitlines()[-1])["binlog_rows"] == 300
+
+    out = run("apply", "--table", table, "--epoch", "0",
+              "--binlog", os.path.join(root, "binlog", "epoch=0"),
+              "--base", os.path.join(root, "base"), "--num-partitions", "4")
+    entry = json.loads(out.splitlines()[-1])
+    assert entry["processed"] == 150
+
+    out = run("apply", "--table", table, "--epoch", "1",
+              "--binlog", os.path.join(root, "binlog", "epoch=1"),
+              "--num-partitions", "4")
+    out = run("state", "--table", table, "--limit", "3", "--num-partitions", "4")
+    lines = [json.loads(x) for x in out.strip().splitlines()]
+    assert lines[-1]["total_rows"] > 0
+
+    out = run("metrics", "--table", table, "--num-partitions", "4")
+    m = json.loads(out.splitlines()[-1])
+    assert "routes" in m and m["rows"] == lines[-1]["total_rows"]
+
+    out = run("compact", "--table", table, "--num-partitions", "4")
+    assert "compacted_to" in json.loads(out.splitlines()[-1])

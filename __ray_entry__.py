@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": tpch.nation_revenue,
         "top_docs": tpch.top_docs,
         "customer_order_join": tpch.customer_order_join,
+        "parts_by_brand": tpch.parts_by_brand,
+        "supplier_balance": tpch.supplier_balance,
         # text analysis (training-data ops)
         "token_count": text_analysis.token_count,
         "quality_score": text_analysis.quality_score,
@@ -322,6 +324,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "parts_by_brand": (
+            "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
+            "CAST(sum(CAST(p_size AS BIGINT)) * 100 // count(*) AS BIGINT) AS avg_size_x100, "
+            "CAST(max(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS max_retail_cents "
+            "FROM part GROUP BY p_brand ORDER BY p_brand"
+        ),
+        "supplier_balance": (
+            "SELECT s_name, n_name, CAST(round(s_acctbal * 100) AS BIGINT) AS acct_cents "
+            "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
+            "WHERE round(s_acctbal * 100) > 0 ORDER BY s_name"
         ),
         "key_diff_report": (
             "WITH k AS (SELECT doc_id, CASE doc_id % 6 "

@@ -165,3 +165,70 @@ def customer_order_join(sf_dir: str) -> ray.data.Dataset:
     return joined.map_batches(
         lambda t: t.select(["o_orderkey", "c_name", "cents"]), batch_format="pyarrow"
     )
+
+
+def parts_by_brand(sf_dir: str) -> pa.Table:
+    """Per-brand part stats: (p_brand, n_parts, avg_size_x100, max_retail_cents).
+
+    avg is computed as an exact integer ratio ×100 (floor), sidestepping
+    float-division representation differences between engines.
+    """
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_brand", "p_size", "p_retailprice"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["p_retailprice"], 100.0), round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({
+            "p_brand": t["p_brand"],
+            "size": pc.cast(t["p_size"], pa.int64()),
+            "cents": cents,
+        })
+        return g.group_by("p_brand").aggregate(
+            [("size", "sum"), ("size", "count"), ("cents", "max")]
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    final = tbl.group_by("p_brand").aggregate(
+        [("size_sum", "sum"), ("size_count", "sum"), ("cents_max", "max")]
+    )
+    sizes = final["size_sum_sum"].to_numpy(zero_copy_only=False)
+    counts = final["size_count_sum"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "p_brand": final["p_brand"],
+        "n_parts": pc.cast(final["size_count_sum"], pa.int64()),
+        "avg_size_x100": pa.array(sizes * 100 // counts, pa.int64()),
+        "max_retail_cents": pc.cast(final["cents_max_max"], pa.int64()),
+    }).sort_by([("p_brand", "ascending")])
+
+
+def supplier_balance(sf_dir: str) -> pa.Table:
+    """Suppliers with positive balance, joined to nation: (s_name, n_name,
+    acct_cents) — broadcast dimension join + filter."""
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"])
+    names = {int(k): v for k, v in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())}
+    ref = ray.put(names)
+
+    class J:
+        def __init__(self, ref):
+            self.names = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            cents = pc.cast(pc.round(pc.multiply(t["s_acctbal"], 100.0), round_mode="half_towards_infinity"), pa.int64())
+            keep = pc.greater(cents, 0)
+            t2 = pa.table({
+                "s_name": t["s_name"],
+                "n_name": pa.array([self.names[int(k)] for k in t["s_nationkey"].to_pylist()], pa.string()),
+                "acct_cents": cents,
+            }).filter(keep)
+            return t2
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_name", "s_nationkey", "s_acctbal"]
+    )
+    out = ds.map_batches(J, fn_constructor_args=(ref,), batch_format="pyarrow",
+                         zero_copy_batch=True, concurrency=(1, 2))
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow")).sort_by(
+        [("s_name", "ascending")]
+    )

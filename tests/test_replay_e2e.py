@@ -167,3 +167,32 @@ def test_fold_metrics_invariant(ray_session, fixture_dir, tmp_path):
     assert fm["tombstoned"] == o["metrics"]["tombstoned"]
     assert fm["col_replacements"] == dict(o["metrics"]["col_replacements"])
     assert fm["rows"] == len(o["final"])
+
+
+def test_compaction_with_schema_ops_then_more_epochs(ray_session, fixture_dir, tmp_path):
+    """Schema ops recorded before compaction must still project after it,
+    and later epochs' ops stack on top (read-time projection semantics)."""
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "t")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    rp.compact()
+    for e in range(1, N_EPOCHS):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    o = oracle_final(fixture_dir, cfg)
+    assert rp.read_state().schema().names == o["schema"]
+    rows_equal(rp.read_state().take_all(), o["final"])
+
+
+def test_double_compaction(ray_session, fixture_dir, tmp_path):
+    """Compact twice with epochs in between; local-id offsets accumulate."""
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "t")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    rp.compact()
+    rp.apply_epoch(1, os.path.join(fixture_dir, "binlog", "epoch=1"))
+    rp.compact()
+    rp.apply_epoch(2, os.path.join(fixture_dir, "binlog", "epoch=2"))
+    o = oracle_final(fixture_dir, cfg)
+    rows_equal(rp.read_state().take_all(), o["final"])

@@ -134,7 +134,7 @@ def main() -> None:
         for n in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_HEADLINE_ONLY="1")
             best = None
-            for _ in range(2):  # best-of-2: the VM has ±20% run variance
+            for _ in range(3):  # best-of-3: the VM has ±20% run variance
                 out = subprocess.run(
                     [sys.executable, os.path.abspath(__file__)],
                     env=env, capture_output=True, text=True, check=True,

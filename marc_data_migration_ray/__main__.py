@@ -7,6 +7,8 @@ Commands:
   state        — materialize current table state (print sample or write out)
   metrics      — fold metrics + manifest route counts
   compact      — LSM-merge committed deltas into a new base snapshot
+  modify       — plugin-only transform (reference --modify-recs)
+  report       — dup-keys / route reports over a binlog dir (§3.3)
 
 Owns its Ray session (guarded init; the driver's ``__ray_entry__`` path
 never goes through here).
@@ -16,6 +18,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -92,6 +95,24 @@ def main(argv=None) -> int:
     c.add_argument("--table", required=True)
     _add_cfg_args(c)
 
+    mo = sub.add_parser(
+        "modify",
+        help="plugin-only transform of a table snapshot (reference --modify-recs, §3.2): "
+             "read → policy chain → write partitioned by the online route flag",
+    )
+    mo.add_argument("--input", required=True, help="Parquet table to transform")
+    mo.add_argument("--out", required=True)
+    _add_cfg_args(mo)
+
+    rep = sub.add_parser(
+        "report",
+        help="standalone reports over a binlog dir (reference §3.3 utilities)",
+    )
+    rep.add_argument("kind", choices=["dup-keys", "routes"])
+    rep.add_argument("--binlog", required=True)
+    rep.add_argument("--limit", type=int, default=20)
+    _add_cfg_args(rep)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "gen-fixture":
@@ -106,6 +127,74 @@ def main(argv=None) -> int:
 
     ray = _ray_session()
     try:
+        if args.cmd == "modify":
+            import ray.data
+
+            from marc_data_migration_ray.stages.policy import apply_policies
+
+            cfg = _cfg_from_args(args)
+            ds = ray.data.read_parquet(args.input)
+            out = apply_policies(ds, cfg)
+            if "online" in (out.schema().names or []):
+                import pyarrow as pa
+
+                out = out.map_batches(
+                    lambda t: t.append_column(
+                        "online_p", t["online"].combine_chunks()
+                        if isinstance(t["online"], pa.ChunkedArray) else t["online"]
+                    ),
+                    batch_format="pyarrow",
+                )
+                out.write_parquet(args.out, partition_cols=["online_p"])
+            else:
+                out.write_parquet(args.out)
+            print(json.dumps({"rows": out.count(), "out": args.out}))
+            return 0
+        if args.cmd == "report":
+            import glob as _glob
+
+            import ray.data
+
+            from marc_data_migration_ray.stages.parse import ParseRoute
+
+            cfg = _cfg_from_args(args)
+            files = sorted(
+                _glob.glob(os.path.join(args.binlog, "**", "*.parquet"), recursive=True)
+            ) or args.binlog
+            ds = ray.data.read_parquet(files)
+            parsed = ds.map_batches(ParseRoute(cfg), batch_format="pyarrow", zero_copy_batch=True)
+            if args.kind == "dup-keys":
+                import pyarrow.compute as _pc
+
+                keyed = parsed.map_batches(
+                    lambda t: t.filter(_pc.is_valid(t["key"])),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
+                agg = keyed.groupby("key").count()
+                import pyarrow.compute as pc
+                import pyarrow as pa
+
+                renamed = agg.map_batches(
+                    lambda t: pa.table(
+                        {"key": t["key"], "n_events": pc.cast(t[t.column_names[-1]], pa.int64())}
+                    ),
+                    batch_format="pyarrow",
+                )
+                rows = renamed.filter(expr="n_events > 1").take(args.limit)
+                for r in rows:
+                    print(json.dumps(r))
+                print(json.dumps({"dup_keys_shown": len(rows)}))
+            else:  # routes
+                counts: dict = {}
+                for b in parsed.iter_batches(batch_format="pyarrow"):
+                    import pyarrow.compute as pc
+
+                    for item in pc.value_counts(b["route"]).to_pylist():
+                        counts[item["values"]] = counts.get(item["values"], 0) + item["counts"]
+                print(json.dumps({"routes": counts, "processed": sum(counts.values())}))
+            return 0
+
         from marc_data_migration_ray.pipelines.replay import Replayer
 
         rp = Replayer(args.table, _cfg_from_args(args), base_path=getattr(args, "base", None))

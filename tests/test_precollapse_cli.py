@@ -89,3 +89,23 @@ def test_cli_end_to_end(ray_session, tmp_path):
 
     out = run("compact", "--table", table, "--num-partitions", "4")
     assert "compacted_to" in json.loads(out.splitlines()[-1])
+
+    # reference §3.3 report utilities
+    out = run("report", "routes", "--binlog", os.path.join(root, "binlog", "epoch=0"),
+              "--num-partitions", "4")
+    r = json.loads(out.splitlines()[-1])
+    assert r["processed"] == 150
+
+    out = run("report", "dup-keys", "--binlog", os.path.join(root, "binlog", "epoch=0"),
+              "--num-partitions", "4", "--limit", "5")
+    assert json.loads(out.splitlines()[-1])["dup_keys_shown"] >= 1
+
+    # reference §3.2 plugin-only transform (--modify-recs analog)
+    state_dir = str(tmp_path / "state_out")
+    run("state", "--table", table, "--out", state_dir, "--num-partitions", "4")
+    mod_dir = str(tmp_path / "modified")
+    out = run("modify", "--input", state_dir, "--out", mod_dir,
+              "--policy", "marc_data_migration_ray.plugins.sample_policy",
+              "--num-partitions", "4")
+    assert json.loads(out.splitlines()[-1])["rows"] > 0
+    assert any(d.startswith("online_p=") for d in os.listdir(mod_dir))

@@ -72,12 +72,6 @@ class ReplayConfig:
     #: False when exact audit parity matters (tests/oracle compare).
     precollapse_updates: bool = False
 
-    #: number of output blocks per epoch ingest (coalesced before the
-    #: hive-partitioned write). Files per epoch ≈ this × num_partitions, so
-    #: keep it near the worker count — each fold task later reads
-    #: ``ingest_write_blocks`` files per epoch for its partition.
-    ingest_write_blocks: int = 32
-
     def __post_init__(self):
         if self.strategy not in ("replace_and_add", "replace_only"):
             raise ValueError(f"unknown strategy {self.strategy!r}")

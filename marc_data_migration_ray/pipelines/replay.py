@@ -102,6 +102,9 @@ def _fold_bucket_task(
             t = PrepBase(cfg, assume_normalized=True)(t)
         tables.append(t.select(PARSED_SCHEMA.names))
     for f in delta_files:
+        # full-file read beats a scanner-level route filter here (small
+        # files; rejected rows carry no token payload after ParseRoute, so
+        # the extra bytes are tiny) — fold filters routes vectorized
         t = pq.read_table(f, columns=list(PARSED_SCHEMA.names))
         tables.append(t)
     if not tables:

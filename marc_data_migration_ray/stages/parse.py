@@ -1,9 +1,11 @@
 """Parse + gate + route stage (reference M1-M4, M9-M11, M13-M14).
 
-``ParseRoute`` is a callable class → Ray runs it as an **actor pool**
-(`map_batches(ParseRoute, concurrency=..., batch_format="pyarrow")`): regex
-setup and config binding happen once per actor in ``__init__``, per-batch
-work is pure vectorized Arrow/numpy (no per-row Python).
+``ParseRoute`` / ``PrepBase`` are callable classes. The replay pipeline
+passes *instances* to ``map_batches`` → stateless task pools (elastic, no
+actor cold-start; these stages hold no per-actor state beyond the config).
+Passing the *class* with ``fn_constructor_args`` turns them into actor
+pools when a caller needs that. Per-batch work is pure vectorized
+Arrow/numpy (no per-row Python).
 
 Each binlog event gets, in one pass:
 - ``key``: normalized doc_id (reference M1-M3 kernels),
@@ -109,6 +111,18 @@ class ParseRoute:
         route = np.select(conds, routes, default="rejected").astype(object)
         status = np.select(conds, statuses, default="fuzzy-match-failed").astype(object)
 
+        # rejected events never apply: drop their token payload before the
+        # write (the reference likewise never archives refused authority
+        # payloads — only the fuzzy-audit metadata). Dead-letter rows KEEP
+        # the payload (S7 raw archive).
+        tokens_col = batch["tokens"]
+        rejected = route == "rejected"
+        if rejected.any():
+            keep = pa.array(~rejected)
+            tokens_col = pc.if_else(
+                keep, tokens_col, pa.nulls(n, pa.list_(pa.int32()))
+            )
+
         return _as_parsed(
             {
                 "is_base": pa.array(np.zeros(n, bool)),
@@ -118,7 +132,7 @@ class ParseRoute:
                 "doc_id_raw": raw,
                 "key": key,
                 "part_id": part_id,
-                "tokens": batch["tokens"],
+                "tokens": tokens_col,
                 "n_tok": batch["n_tok"],
                 "source": batch["source"],
                 "column_mask": batch["column_mask"],

@@ -145,6 +145,21 @@ class Replayer:
 
         final_dir = os.path.join(self.root, "deltas", f"epoch={epoch}")
         if not os.path.exists(final_dir):
+            # empty epoch (no binlog files) commits an empty entry — real
+            # change streams have quiet periods and the checkpoint must
+            # still advance
+            paths = binlog_path if isinstance(binlog_path, list) else [binlog_path]
+            has_files = any(
+                (os.path.isdir(p) and glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+                or (os.path.isfile(p))
+                for p in paths
+            )
+            if not has_files:
+                entry = {"rows": 0, "processed": 0, "routes": {}, "max_lsn": -1,
+                         "dir": None, "_schema_ops": []}
+                self.manifest.record_schema_ops(entry.pop("_schema_ops"))
+                self.manifest.commit_epoch(epoch, entry)
+                return entry
             tmp_dir = os.path.join(self.root, "_tmp", f"epoch-{epoch}-{uuid.uuid4().hex[:8]}")
             ds = ray.data.read_parquet(binlog_path)
             # ParseRoute passed as an INSTANCE → stateless task pool (elastic,
@@ -169,7 +184,15 @@ class Replayer:
             )
             parsed.write_parquet(tmp_dir, partition_cols=["part_p"])
             os.makedirs(os.path.dirname(final_dir), exist_ok=True)
-            os.rename(tmp_dir, final_dir)  # atomic publish of the epoch's data
+            try:
+                os.rename(tmp_dir, final_dir)  # atomic publish of the epoch's data
+            except OSError:
+                # a concurrent writer published this epoch first — its data
+                # is equivalent (same input, deterministic parse); ours is
+                # discarded and the commit below fences as usual
+                if not os.path.exists(final_dir):
+                    raise
+                shutil.rmtree(tmp_dir, ignore_errors=True)
 
         entry = self._epoch_entry_from_files(epoch, final_dir)
         self.manifest.record_schema_ops(entry.pop("_schema_ops"))
@@ -273,6 +296,8 @@ class Replayer:
             if up_to_epoch is not None and e > up_to_epoch:
                 continue
             d = os.path.join(self.root, "deltas", f"epoch={e}")
+            if not os.path.isdir(d):
+                continue  # empty epoch: committed, no data dir
             for p, fs in self._files_by_part(d).items():
                 delta_by_part.setdefault(p, []).extend(fs)
         parts = sorted(set(base_by_part) | set(delta_by_part))

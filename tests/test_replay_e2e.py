@@ -196,3 +196,30 @@ def test_double_compaction(ray_session, fixture_dir, tmp_path):
     rp.apply_epoch(2, os.path.join(fixture_dir, "binlog", "epoch=2"))
     o = oracle_final(fixture_dir, cfg)
     rows_equal(rp.read_state().take_all(), o["final"])
+
+
+def test_empty_epoch_advances_checkpoint(ray_session, fixture_dir, tmp_path):
+    """Quiet-period epochs (no binlog files) still commit (checkpoint moves)."""
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "t")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    empty = str(tmp_path / "empty_epoch")
+    os.makedirs(empty, exist_ok=True)
+    entry = rp.apply_epoch(1, empty)
+    assert entry["processed"] == 0
+    assert rp.manifest.committed_epochs() == [0, 1]
+    rp.apply_epoch(2, os.path.join(fixture_dir, "binlog", "epoch=2"))
+    assert rp.read_state().count() > 0
+
+
+def test_concurrent_publish_race(ray_session, fixture_dir, tmp_path):
+    """A losing concurrent writer must fence cleanly on the winner's data."""
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "t")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    # second replayer (same root) re-applies the committed epoch → fenced
+    rp2 = Replayer(root, cfg)
+    e1 = rp2.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    assert e1 == rp.manifest.epoch_entry(0)

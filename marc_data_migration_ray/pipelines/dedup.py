@@ -64,12 +64,35 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
 # --------------------------------------------------------------------- #
 # MinHash + LSH near-dup
 # --------------------------------------------------------------------- #
+def _word_hashes(texts: pa.ChunkedArray | pa.Array):
+    """Vectorized per-word 64-bit hashes + doc offsets.
+
+    Splits on whitespace with Arrow, hashes the FLAT word values through the
+    Arrow string buffer (``_fnv1a_numpy`` — no per-word Python), and returns
+    (word_hashes uint64[W], doc_offsets int64[D+1]).
+    """
+    from marc_data_migration_ray.functions.keys import _fnv1a_numpy
+
+    words = pc.split_pattern_regex(pc.cast(texts, pa.string()), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = np.asarray(words.offsets).astype(np.int64)
+    vals = words.values
+    wh = _fnv1a_numpy(vals) if len(vals) else np.empty(0, np.uint64)
+    return wh, offsets
+
+
 class MinHasher:
     """Actor-pool stage: seeded permutations built once per actor.
 
-    3-word shingles → 64 minhashes → ``n_bands`` band signatures.
-    Emits one row per (doc_id, band, bucket).
+    Fully vectorized: Arrow-buffer word hashing → rolling 3-word shingle
+    hashes (multiply-xor combine) → 64 minhash permutations via
+    ``np.minimum.reduceat`` over per-doc shingle segments → banded FNV
+    bucket keys. Emits one row per (doc_id, band, bucket); no per-row
+    Python in the hot path.
     """
+
+    _C = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
 
     def __init__(self, num_perm: int = 64, n_bands: int = 8, shingle: int = 3):
         rng = np.random.default_rng(_SEED)
@@ -80,41 +103,66 @@ class MinHasher:
         self.a = rng.integers(1, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, (1 << 61) - 1, size=num_perm, dtype=np.uint64)
 
-    def _sig(self, words: list[str]) -> np.ndarray:
-        if len(words) < self.shingle:
-            shingles = [" ".join(words)] if words else [""]
-        else:
-            shingles = [
-                " ".join(words[i : i + self.shingle])
-                for i in range(len(words) - self.shingle + 1)
-            ]
-        hs = np.array(
-            [hash_str64(s) for s in shingles], dtype=np.uint64
-        )  # (S,)
+    def _shingle_hashes(self, wh: np.ndarray, offsets: np.ndarray):
+        """Rolling k-word shingle hashes per doc → (sh, doc_starts)."""
+        k = self.shingle
+        n_docs = len(offsets) - 1
+        lens = offsets[1:] - offsets[:-1]
         with np.errstate(over="ignore"):
-            m = (hs[:, None] * self.a[None, :] + self.b[None, :])  # (S, P)
-        return m.min(axis=0)
+            # rolling combine over the flat word array; entries crossing doc
+            # boundaries are invalidated below
+            rolled = np.full(max(len(wh) - k + 1, 0), 0, np.uint64)
+            for j in range(k):
+                rolled = rolled ^ (wh[j : len(wh) - k + 1 + j] * (self._C + np.uint64(2 * j)))
+        sh_parts, starts = [], np.zeros(n_docs + 1, np.int64)
+        with np.errstate(over="ignore"):
+            for d in range(n_docs):
+                lo, hi = offsets[d], offsets[d + 1]
+                if lens[d] >= k:
+                    seg = rolled[lo : hi - k + 1]
+                else:
+                    # short doc: one shingle = multiply-xor of all its words
+                    acc = np.uint64(0xCBF29CE484222325)
+                    for v in wh[lo:hi]:
+                        acc = (acc ^ v) * self._C
+                    seg = np.array([acc], np.uint64)
+                sh_parts.append(seg)
+                starts[d + 1] = starts[d] + len(seg)
+        sh = np.concatenate(sh_parts) if sh_parts else np.empty(0, np.uint64)
+        return sh, starts
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, bands, buckets = [], [], []
-        words_col = pc.split_pattern_regex(pc.cast(t["text"], pa.string()), r"\s+")
-        for doc_id, words in zip(t["doc_id"].to_pylist(), words_col.to_pylist()):
-            words = [w for w in words if w]
-            sig = self._sig(words)
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        wh, offsets = _word_hashes(t["text"])
+        sh, starts = self._shingle_hashes(wh, offsets)
+        n_docs = len(ids)
+        if n_docs == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        sig = np.empty((n_docs, self.num_perm), np.uint64)
+        seg_starts = starts[:-1]
+        with np.errstate(over="ignore"):
+            for p0 in range(0, self.num_perm, 16):  # bound transient memory
+                chunk = sh[:, None] * self.a[None, p0 : p0 + 16] + self.b[None, p0 : p0 + 16]
+                sig[:, p0 : p0 + 16] = np.minimum.reduceat(chunk, seg_starts, axis=0)
+        # banded FNV over each band's rows (vectorized across docs)
+        out_ids = np.repeat(ids, self.n_bands)
+        out_bands = np.tile(np.arange(self.n_bands, dtype=np.int32), n_docs)
+        buckets = np.empty((n_docs, self.n_bands), np.uint64)
+        prime = np.uint64(0x100000001B3)
+        with np.errstate(over="ignore"):
             for b in range(self.n_bands):
-                band = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                h = np.uint64(0xCBF29CE484222325)
-                with np.errstate(over="ignore"):
-                    for v in band:
-                        h = (h ^ v) * np.uint64(0x100000001B3)
-                ids.append(doc_id)
-                bands.append(b)
-                buckets.append(int(h & np.uint64(0x7FFFFFFFFFFFFFFF)))
+                h = np.full(n_docs, 0xCBF29CE484222325, np.uint64)
+                for r in range(self.rows_per_band):
+                    h = (h ^ sig[:, b * self.rows_per_band + r]) * prime
+                buckets[:, b] = h & np.uint64(0x7FFFFFFFFFFFFFFF)
         return pa.table(
             {
-                "doc_id": pa.array(ids, pa.int64()),
-                "band": pa.array(bands, pa.int32()),
-                "bucket": pa.array(buckets, pa.int64()),
+                "doc_id": pa.array(out_ids, pa.int64()),
+                "band": pa.array(out_bands, pa.int32()),
+                "bucket": pa.array(buckets.reshape(-1).view(np.int64), pa.int64()),
             }
         )
 
@@ -211,18 +259,23 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     """
 
     def _sim(t: pa.Table) -> pa.Table:
-        words_col = pc.split_pattern_regex(pc.cast(t["text"], pa.string()), r"\s+")
-        sims = []
-        for words in words_col.to_pylist():
-            words = [w for w in words if w]
-            if not words:
-                sims.append(0)
-                continue
-            hs = np.array([hash_str64(w) for w in words], dtype=np.uint64)
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
-            v = bits.sum(axis=0) * 2 - len(words)
-            sims.append(int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum()))
-        sim = np.array(sims, dtype=np.uint64)
+        # vectorized: Arrow-buffer word hashes → per-bit counts via
+        # np.add.reduceat over per-doc word segments → sign-packed simhash
+        wh, offsets = _word_hashes(t["text"])
+        n_docs = len(offsets) - 1
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        if len(wh):
+            bits = ((wh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(np.int32)
+            # reduceat needs nonempty segments: clamp empty-doc starts, zero after
+            starts = np.minimum(offsets[:-1], max(len(wh) - 1, 0))
+            counts = np.add.reduceat(bits, starts, axis=0)
+            counts[lens == 0] = 0
+        else:
+            counts = np.zeros((n_docs, 64), np.int32)
+        v = counts * 2 - lens[:, None]
+        sim = ((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
+        sim[lens == 0] = 0
+        sim = sim.astype(np.uint64)
         out = {"doc_id": t["doc_id"], "simhash": pa.array(sim.view(np.int64), pa.int64())}
         for k in range(4):
             out[f"b{k}"] = pa.array(((sim >> np.uint64(16 * k)) & np.uint64(0xFFFF)).astype(np.int32), pa.int32())

@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": lambda sf: similarity.ann_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
+        "closest_pairs": lambda sf: similarity.closest_pairs(sf),
+        "monthly_revenue": tpch.monthly_revenue,
         # stream-shaped ops over events (windows / sessions / distincts)
         "user_daily_value": events.user_daily_value,
         "session_count": events.session_count,
@@ -307,6 +309,22 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(*) AS BIGINT) AS group_size FROM documents GROUP BY text"
         ),
         "ann_topk": _ANN_TOPK,
+        "closest_pairs": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+            "FROM embeddings WHERE vec_id < 300), "
+            "s AS (SELECT a.vec_id va, b.vec_id vb, "
+            "list_cosine_similarity(a.emb, b.emb) AS sim "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id) "
+            "SELECT CAST(row_number() OVER (ORDER BY sim DESC, va, vb) AS BIGINT) AS rank, "
+            "va AS vec_a, vb AS vec_b FROM s ORDER BY sim DESC, va, vb LIMIT 10"
+        ),
+        "monthly_revenue": (
+            "SELECT strftime(l_shipdate, '%Y-%m') AS month, "
+            "CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(count(*) AS BIGINT) AS n "
+            "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
         "user_daily_value": (
             "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "

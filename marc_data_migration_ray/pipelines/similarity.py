@@ -188,3 +188,72 @@ def ann_topk_lsh(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5
         {"query_id": pa.array(qs, pa.int64()), "rank": pa.array(rs, pa.int64()),
          "vec_id": pa.array(vs, pa.int64())}
     )
+
+
+def closest_pairs(sf_dir: str, max_id: int = 300, k: int = 10) -> pa.Table:
+    """Top-k most-similar vector pairs among vec_id < max_id:
+    (rank, vec_a, vec_b). Broadcast the candidate matrix once (ray.put),
+    score per batch, heap-merge the tiny local top-k partials on the driver.
+    Ids-only output so the DuckDB oracle hash-matches exactly."""
+    import heapq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    keep = np.asarray(t["vec_id"].to_pylist()) < max_id
+    ids_all = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)[keep]
+    emb_all = np.stack(
+        [np.asarray(e, dtype=np.float64) for f, e in zip(keep, t["embedding"].to_pylist()) if f]
+    )
+    norms = np.linalg.norm(emb_all, axis=1)
+    norms[norms == 0] = 1.0
+    emb_n = emb_all / norms[:, None]
+    ref = ray.put((ids_all, emb_n))
+
+    class PairTopK:
+        def __init__(self, ref, max_id, k):
+            self.ids_all, self.emb_n = ray.get(ref)
+            self.max_id = max_id
+            self.k = k
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+            keep = ids < self.max_id
+            ids = ids[keep]
+            if len(ids) == 0:
+                return pa.table({"vec_a": pa.array([], pa.int64()),
+                                 "vec_b": pa.array([], pa.int64()),
+                                 "sim": pa.array([], pa.float64())})
+            emb = np.stack([np.asarray(e, dtype=np.float64)
+                            for f, e in zip(keep, batch["embedding"].to_pylist()) if f])
+            n = np.linalg.norm(emb, axis=1)
+            n[n == 0] = 1.0
+            sims = (emb / n[:, None]) @ self.emb_n.T  # (b, A)
+            # pairs with batch id < broadcast id only (dedupe a<b globally)
+            mask = ids[:, None] < self.ids_all[None, :]
+            flat = sims[mask]
+            ai = np.repeat(ids, mask.sum(axis=1))
+            bi = np.broadcast_to(self.ids_all, mask.shape)[mask]
+            if len(flat) > self.k:
+                part = np.argpartition(-flat, self.k)[: self.k]
+                flat, ai, bi = flat[part], ai[part], bi[part]
+            return pa.table({"vec_a": pa.array(ai, pa.int64()),
+                             "vec_b": pa.array(bi, pa.int64()),
+                             "sim": pa.array(flat, pa.float64())})
+
+    partials = _emb_ds(sf_dir).map_batches(
+        PairTopK, fn_constructor_args=(ref, max_id, k),
+        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+    )
+    best: list = []
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for a_, b_, s_ in zip(b["vec_a"].to_pylist(), b["vec_b"].to_pylist(), b["sim"].to_pylist()):
+            heapq.heappush(best, (s_, -a_, -b_))
+            if len(best) > k:
+                heapq.heappop(best)
+    ranked = sorted(best, key=lambda x: (-x[0], -x[1], -x[2]))
+    return pa.table({
+        "rank": pa.array(range(1, len(ranked) + 1), pa.int64()),
+        "vec_a": pa.array([-a for _, a, _ in ranked], pa.int64()),
+        "vec_b": pa.array([-b for _, _, b in ranked], pa.int64()),
+    })

@@ -232,3 +232,47 @@ def supplier_balance(sf_dir: str) -> pa.Table:
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow")).sort_by(
         [("s_name", "ascending")]
     )
+
+
+def monthly_revenue(sf_dir: str, cutoff: str = "1998-01-01") -> pa.Table:
+    """Monthly disc-revenue for shipments before ``cutoff`` — demonstrates
+    predicate pushdown at the read (`filter=` row-group pruning) + partial
+    per-batch aggregation. Output (month, revenue_cents, n)."""
+    import datetime as _dt
+
+    import pyarrow.dataset as pads
+
+    cut = _dt.datetime.fromisoformat(cutoff)
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") < pads.scalar(cut),
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        month = pc.strftime(t["l_shipdate"], format="%Y-%m")
+        cents = pc.cast(
+            pc.round(
+                pc.multiply(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 100.0
+                ),
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        g = pa.table({"month": month, "cents": cents})
+        return g.group_by("month").aggregate([("cents", "sum"), ("cents", "count")])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    batches = list(partials.iter_batches(batch_format="pyarrow"))
+    if not batches:  # filter may prune everything
+        return pa.table({"month": pa.array([], pa.string()),
+                         "revenue_cents": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    tbl = pa.concat_tables(batches)
+    final = tbl.group_by("month").aggregate([("cents_sum", "sum"), ("cents_count", "sum")])
+    return pa.table({
+        "month": final["month"],
+        "revenue_cents": pc.cast(final["cents_sum_sum"], pa.int64()),
+        "n": pc.cast(final["cents_count_sum"], pa.int64()),
+    }).sort_by([("month", "ascending")])

@@ -223,3 +223,18 @@ def test_concurrent_publish_race(ray_session, fixture_dir, tmp_path):
     rp2 = Replayer(root, cfg)
     e1 = rp2.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
     assert e1 == rp.manifest.epoch_entry(0)
+
+
+def test_bootstrap_from_empty_table(ray_session, fixture_dir, tmp_path):
+    """A table with NO initial base builds purely from the insert stream."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp = Replayer(str(tmp_path / "t"), cfg)  # no base_path
+    for e in range(N_EPOCHS):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    events = []
+    for e in range(N_EPOCHS):
+        d = os.path.join(fixture_dir, "binlog", f"epoch={e}")
+        for f in sorted(os.listdir(d)):
+            events += pq.read_table(os.path.join(d, f)).to_pylist()
+    o = oracle.replay([], events, cfg)
+    rows_equal(rp.read_state().take_all(), o["final"])

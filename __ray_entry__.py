@@ -76,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance": tpch.supplier_balance,
         # text analysis (training-data ops)
         "token_count": text_analysis.token_count,
+        "bpe_token_count": text_analysis.bpe_token_count,
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "doc_fingerprint": text_analysis.fingerprint,
@@ -301,6 +302,11 @@ def oracle_sql() -> dict[str, str]:
         "token_count": (
             "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
+        ),
+        "bpe_token_count": (
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, "
+            "$$'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+$$)) AS BIGINT) "
+            "AS n_bpe_tokens FROM documents"
         ),
         "quality_score": _QUALITY,
         "lang_id": _LANG_ID,

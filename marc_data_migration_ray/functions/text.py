@@ -20,6 +20,10 @@ import pyarrow.compute as pc
 PUNCT_RE = r"[.,/#!$%^&*;:{}\[\]=\-_`~()]"
 #: whitespace-token pattern for token counting.
 TOKEN_RE = r"\S+"
+#: GPT-2-style BPE pre-tokenization pattern (contractions, letter runs,
+#: number runs, punctuation runs) — RE2-compatible, shared with the DuckDB
+#: oracle verbatim.
+BPE_TOKEN_RE = r"'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+"
 #: reference stop-word list for Jaccard (``utils.py:176-178``).
 STOPWORDS = ("the", "of", "a", "an", "p", "n")
 STOPWORD_RE = r"\b(the|of|a|an|p|n)\b"
@@ -45,6 +49,11 @@ def normalize_titles(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
 def token_counts(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
     """Whitespace token count per string (int64)."""
     return pc.count_substring_regex(pc.cast(texts, pa.string()), TOKEN_RE)
+
+
+def bpe_token_counts(texts: pa.ChunkedArray | pa.Array) -> pa.Array:
+    """BPE-ish pre-tokenizer token count per string (int64)."""
+    return pc.count_substring_regex(pc.cast(texts, pa.string()), BPE_TOKEN_RE)
 
 
 def stopword_counts(texts: pa.ChunkedArray | pa.Array) -> pa.Array:

@@ -34,6 +34,17 @@ def token_count(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def bpe_token_count(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_bpe_tokens): GPT-2-style BPE pre-tokenizer count."""
+    return _docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_bpe_tokens": T.bpe_token_counts(t["text"])}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def quality_score(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, n_chars, n_tokens, n_stop, stop_ratio, is_quality)."""
 

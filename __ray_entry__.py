@@ -304,9 +304,9 @@ def oracle_sql() -> dict[str, str]:
             "AS n_tokens FROM documents"
         ),
         "bpe_token_count": (
-            "SELECT doc_id, CAST(length(regexp_extract_all(text, "
-            "$$'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+$$)) AS BIGINT) "
-            "AS n_bpe_tokens FROM documents"
+            r"SELECT doc_id, CAST(length(regexp_extract_all(text, "
+            r"$$'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+$$)) AS BIGINT) "
+            r"AS n_bpe_tokens FROM documents"
         ),
         "quality_score": _QUALITY,
         "lang_id": _LANG_ID,

@@ -45,6 +45,8 @@ def partition_of(key, raw, num_partitions: int) -> int:
 
 
 def _is_malformed(ev: dict) -> bool:
+    if ev["op"] not in ("insert", "update", "delete", "schema_change"):
+        return True  # unknown op → deadletter (aligned with ParseRoute)
     if ev["op"] == "schema_change":
         return False
     if ev["doc_id"] is None:

@@ -128,11 +128,24 @@ class Replayer:
             if base_path is not None and st["base_path"] is None:
                 st["base_path"] = base_path
             self.manifest.save()
-        elif st["num_partitions"] != self.cfg.num_partitions:
-            raise ValueError(
-                f"table was created with num_partitions={st['num_partitions']}, "
-                f"config says {self.cfg.num_partitions} — partition layout is immutable"
-            )
+        else:
+            if st["num_partitions"] != self.cfg.num_partitions:
+                raise ValueError(
+                    f"table was created with num_partitions={st['num_partitions']}, "
+                    f"config says {self.cfg.num_partitions} — partition layout is immutable"
+                )
+            if base_path is not None:
+                # an existing manifest owns the base: adopt a late-supplied
+                # base_path if none was recorded, refuse a conflicting one
+                # (silently dropping it would replay base-less, ADVICE r1)
+                if st["base_path"] is None and not st.get("compactions"):
+                    st["base_path"] = base_path
+                    self.manifest.save()
+                elif st["base_path"] != base_path:
+                    raise ValueError(
+                        f"table already has base_path={st['base_path']!r}; "
+                        f"conflicting base_path={base_path!r} refused"
+                    )
 
     # ------------------------------------------------------------------ #
     # ingest
@@ -265,7 +278,15 @@ class Replayer:
                 zero_copy_batch=True,
             )
             prepped.write_parquet(tmp, partition_cols=["part_p"])
-            os.rename(tmp, final_dir)
+            try:
+                os.rename(tmp, final_dir)
+            except OSError:
+                # concurrent bucketizer won the rename; its output is
+                # equivalent (deterministic prep of the same base) — discard
+                # ours (mirrors apply_epoch's publish race handling)
+                if not os.path.exists(final_dir):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
         st["base_bucketized_path"] = final_dir
         self.manifest.save()
         return final_dir
@@ -288,6 +309,13 @@ class Replayer:
         One Ray task per hash partition, each reading only its own
         co-partitioned base + delta files."""
         st = self.manifest.state
+        floor = self.manifest.last_compacted_epoch()
+        if up_to_epoch is not None and up_to_epoch < floor:
+            raise ValueError(
+                f"up_to_epoch={up_to_epoch} is below the compaction floor "
+                f"({floor}): epochs <= {floor} were folded into the compacted "
+                "base and cannot be rolled back"
+            )
         base_is_final = bool(st.get("base_is_final_schema"))
         base_dir = self._ensure_bucketized_base()
         base_by_part = self._files_by_part(base_dir) if base_dir else {}
@@ -344,7 +372,7 @@ class Replayer:
         manifest. Invariant: processed == sum(all routes)."""
         mrows = self.fold_output(up_to_epoch).filter(expr="_kind == 'metrics'")
         agg = {"noop": 0, "tombstoned": 0, "local": 0, "rows": 0,
-               "col_replacements": {}, "local_by_part": {}}
+               "col_replacements": {}, "local_by_part": {}, "noop_by_route": {}}
         for b in mrows.iter_batches(batch_format="pyarrow"):
             for s in b["metrics_json"].to_pylist():
                 m = json.loads(s)
@@ -356,15 +384,24 @@ class Replayer:
                     agg["col_replacements"][c] = agg["col_replacements"].get(c, 0) + v
                 for p, c in m.get("local_by_part", {}).items():
                     agg["local_by_part"][int(p)] = agg["local_by_part"].get(int(p), 0) + c
+                for r, c in m.get("noop_by_route", {}).items():
+                    agg["noop_by_route"][r] = agg["noop_by_route"].get(r, 0) + c
         routes = {}
         for e in self.manifest.active_epochs():
             if up_to_epoch is not None and e > up_to_epoch:
                 continue
             for r, c in self.manifest.epoch_entry(e)["routes"].items():
                 routes[r] = routes.get(r, 0) + c
+        # fold refinement moves events BETWEEN routes: a gate-passed update
+        # that missed a live anchor is subtracted from its pre-fold route and
+        # counted under noop, preserving processed == sum(all routes)
         refined = dict(routes)
+        for r, c in agg["noop_by_route"].items():
+            refined[r] = refined.get(r, 0) - c
+            if refined[r] == 0:
+                del refined[r]
         if agg["noop"]:
-            refined["noop"] = agg["noop"]
+            refined["noop"] = refined.get("noop", 0) + agg["noop"]
         agg["routes_prefold"] = routes
         agg["routes"] = refined
         return agg

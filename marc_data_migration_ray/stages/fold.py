@@ -215,9 +215,18 @@ def fold_bucket(
         if local.height
         else {}
     )
+    # noop counts grouped by the noop'd event's ORIGINAL route, so
+    # fold_metrics can subtract them from the pre-fold applied/fuzzy counts
+    # (invariant: processed == sum(all routes), ADVICE r1)
+    noop_by_route = (
+        {str(r[0]): int(r[1]) for r in noops.group_by("route").len().iter_rows()}
+        if noops.height
+        else {}
+    )
     metrics = {
         "part_ids": sorted(p for p in part_ids if p is not None),
         "noop": noops.height,
+        "noop_by_route": noop_by_route,
         "tombstoned": tombstoned,
         "col_replacements": col_repl,
         "local": local.height if local.height else 0,

@@ -86,11 +86,15 @@ class ParseRoute:
         score = pc.fill_null(batch["match_score"], 0).to_numpy(zero_copy_only=False)
 
         is_schema = op == "schema_change"
-        malformed = (~is_schema) & (
-            doc_null
-            | (n_tok_valid & (n_tok_np < 0))
-            | (tokens_valid & n_tok_valid & (n_tok_np != tok_len))
-            | ((op == "insert") & ~tokens_valid)
+        known_op = np.isin(op, ("insert", "update", "delete", "schema_change"))
+        malformed = ~known_op | (
+            (~is_schema)
+            & (
+                doc_null
+                | (n_tok_valid & (n_tok_np < 0))
+                | (tokens_valid & n_tok_valid & (n_tok_np != tok_len))
+                | ((op == "insert") & ~tokens_valid)
+            )
         )
         is_update = op == "update"
         conds = [

@@ -167,6 +167,73 @@ def test_fold_metrics_invariant(ray_session, fixture_dir, tmp_path):
     assert fm["tombstoned"] == o["metrics"]["tombstoned"]
     assert fm["col_replacements"] == dict(o["metrics"]["col_replacements"])
     assert fm["rows"] == len(o["final"])
+    # refined routes match the oracle's post-fold counters exactly and the
+    # reference A1 invariant holds: processed == sum(all routes)
+    oracle_routes = {r: c for r, c in o["metrics"].items()
+                     if r in ("applied", "fuzzy", "rejected", "local",
+                              "deadletter", "schema", "noop") and c}
+    assert fm["routes"] == oracle_routes
+    processed = sum(e["processed"] for e in
+                    (rp.manifest.epoch_entry(i) for i in rp.manifest.committed_epochs()))
+    assert processed == sum(fm["routes"].values())
+
+
+def test_base_path_conflict_and_late_adoption(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "t")
+    base = os.path.join(fixture_dir, "base")
+    Replayer(root, cfg)  # created without a base
+    rp2 = Replayer(root, cfg, base_path=base)  # late adoption persists
+    assert rp2.manifest.state["base_path"] == base
+    with pytest.raises(ValueError, match="conflicting base_path"):
+        Replayer(root, cfg, base_path=str(tmp_path / "other"))
+
+
+def test_fold_below_compaction_floor_raises(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "t")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    rp.apply_epoch(1, os.path.join(fixture_dir, "binlog", "epoch=1"))
+    rp.compact(up_to_epoch=1)
+    rp.apply_epoch(2, os.path.join(fixture_dir, "binlog", "epoch=2"))
+    with pytest.raises(ValueError, match="compaction floor"):
+        rp.fold_output(up_to_epoch=0)
+    assert rp.read_state(up_to_epoch=2).count() > 0  # at/above floor is fine
+
+
+def test_unknown_op_routes_to_deadletter(ray_session, tmp_path):
+    """An op outside the whitelist deadletters identically in engine+oracle."""
+    import pyarrow as pa
+
+    from marc_data_migration_ray.stages.parse import ParseRoute
+
+    cfg = ReplayConfig(num_partitions=4)
+    batch = pa.table(
+        {
+            "lsn": pa.array([1, 2], pa.int64()),
+            "epoch": pa.array([0, 0], pa.int32()),
+            "op": pa.array(["upsert", "insert"], pa.string()),
+            "doc_id": pa.array(["123", "124"], pa.string()),
+            "tokens": pa.array([[1], [2]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, 1], pa.int32()),
+            "source": pa.array(["s", "s"], pa.string()),
+            "column_mask": pa.array([[], []], pa.list_(pa.string())),
+            "match_score": pa.array([100, None], pa.int32()),
+        }
+    )
+    out = ParseRoute(cfg)(batch)
+    assert out["route"].to_pylist() == ["deadletter", "applied"]
+    assert out["status"].to_pylist() == ["malformed", "inserted"]
+    evs = [
+        {"lsn": 1, "op": "upsert", "doc_id": "123", "tokens": [1], "n_tok": 1,
+         "source": "s", "column_mask": [], "match_score": 100},
+        {"lsn": 2, "op": "insert", "doc_id": "124", "tokens": [2], "n_tok": 1,
+         "source": "s", "column_mask": [], "match_score": None},
+    ]
+    o = oracle.replay([], evs, cfg)
+    assert o["metrics"]["deadletter"] == 1
+    assert [r["doc_id"] for r in o["final"]] == ["124"]
 
 
 def test_compaction_with_schema_ops_then_more_epochs(ray_session, fixture_dir, tmp_path):

@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         derived,
         events,
+        policy_queries,
         reports,
         similarity,
         text_analysis,
@@ -59,6 +60,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     )
 
     return {
+        # site-policy plugin chain (reference P1-P5, P7, P9-P12)
+        "policy_location_map": policy_queries.policy_location_map,
+        "policy_chain": policy_queries.policy_chain,
+        "policy_mat_type": policy_queries.policy_mat_type,
+        "online_counts": policy_queries.online_counts,
         # CDC core (SURVEY §2.2-§2.6 recast; SEMANTICS.md)
         "cdc_lww_state": lambda sf: derived.cdc_lww_state(sf),
         "cdc_routing_counts": lambda sf: derived.cdc_routing_counts(sf),
@@ -245,11 +251,57 @@ WHERE rn <= 5
 """
 
 
+def _policy_sql() -> dict[str, str]:
+    """Site-policy oracles, built from the same constants the kernels use
+    (``pipelines/policy_queries`` SQL-fragment builders)."""
+    from marc_data_migration_ray.pipelines import policy_queries as pqs
+
+    cn = pqs.cn_case_sql("doc_id")
+    loc_map = (
+        f"SELECT doc_id, {cn} AS call_number, "
+        f"{pqs.location_case_sql(cn)} AS location FROM documents"
+    )
+    note = pqs.note_sql("doc_id")
+    fr = pqs.chain_sql_fragments("note")
+    chain = (
+        f"WITH n AS (SELECT doc_id, {note} AS note FROM documents) "
+        f"SELECT doc_id, {fr['location']} AS location, "
+        f"{fr['inventory_date']} AS inventory_date, {fr['fund']} AS fund, "
+        f"{fr['item_policy']} AS item_policy, {fr['online_type']} AS online_type, "
+        f"({fr['online_type']}) IS NOT NULL AS online, "
+        f"CAST(({fr['location']} IS NOT NULL)::INT + ({fr['inventory_date']} IS NOT NULL)::INT "
+        f"+ ({fr['fund']} IS NOT NULL)::INT + ({fr['item_policy']} IS NOT NULL)::INT AS BIGINT) "
+        f"AS n_local_fields FROM n"
+    )
+    mat_cn = pqs.cn_case_sql("doc_id", pqs.MAT_CN_TEMPLATES)
+    mat_pd = pqs.cn_case_sql("doc_id", pqs.MAT_PD_TEMPLATES)
+    mats = pqs.mat_conflict_sql("call_number", "phys_desc")
+    mat_cols = ", ".join(f"{expr} AS {name}" for name, expr in mats.items())
+    any_c = " OR ".join(mats.values())
+    mat = (
+        f"WITH m AS (SELECT doc_id, {mat_cn} AS call_number, {mat_pd} AS phys_desc "
+        f"FROM documents) "
+        f"SELECT doc_id, call_number, phys_desc, {mat_cols} FROM m WHERE {any_c}"
+    )
+    online = (
+        f"WITH n AS (SELECT doc_id, {note} AS note FROM documents) "
+        f"SELECT COALESCE({fr['online_type']}, 'offline') AS online_type, "
+        f"CAST(count(*) AS BIGINT) AS n FROM n GROUP BY 1 ORDER BY 1"
+    )
+    return {
+        "policy_location_map": loc_map,
+        "policy_chain": chain,
+        "policy_mat_type": mat,
+        "online_counts": online,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents. Omitted keys (dedup_minhash, dedup_simhash,
     embedding_near_dup, ann_topk_lsh, doc_fingerprint) are approximate /
     byte-hash ops not expressible in SQL → driver does rows-only checks."""
     return {
+        **_policy_sql(),
         "cdc_lww_state": _CDC_STATE,
         "cdc_routing_counts": _ROUTING,
         "cdc_dup_keys": f"WITH {_BINLOG} SELECT doc_id, CAST(count(*) AS BIGINT) AS n_events "

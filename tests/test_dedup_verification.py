@@ -1,0 +1,194 @@
+"""Independent verification for the approximate dedup / ANN operators
+(VERDICT r1 item #2: no query may be oracle-blind AND unverified).
+
+Planted-near-dup fixtures with known ground truth, brute-force Python
+oracles, and recall/precision assertions for every approximate path:
+minhash, simhash, embedding LSH, ANN LSH/IVF, plus a scalar FNV check for
+the fingerprint kernel.
+"""
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from marc_data_migration_ray.pipelines import dedup, similarity
+from marc_data_migration_ray.pipelines.dedup import exact_jaccard, hash_str64
+
+SEED = 1234
+
+
+# ------------------------------------------------------------ fixtures --
+@pytest.fixture(scope="module")
+def planted_docs(tmp_path_factory):
+    """documents.parquet with known near-dup structure:
+    ids 0..59 random 60-word docs; 100+i = near-dup of i (1 word changed,
+    j ≈ 0.9) for i < 5; 200+i = exact dup of i for i < 3."""
+    rng = np.random.default_rng(SEED)
+    vocab = [f"w{j}" for j in range(800)]
+    texts, ids = [], []
+    base = []
+    for i in range(60):
+        words = [vocab[k] for k in rng.integers(0, len(vocab), 60)]
+        base.append(words)
+        ids.append(i)
+        texts.append(" ".join(words))
+    for i in range(5):
+        words = list(base[i])
+        words[30] = "CHANGED"
+        ids.append(100 + i)
+        texts.append(" ".join(words))
+    for i in range(3):
+        ids.append(200 + i)
+        texts.append(" ".join(base[i]))
+    root = str(tmp_path_factory.mktemp("planted_docs"))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)}),
+        os.path.join(root, "documents.parquet"),
+    )
+    return root, dict(zip(ids, texts))
+
+
+@pytest.fixture(scope="module")
+def planted_embeddings(tmp_path_factory):
+    """embeddings.parquet: 100 random unit vectors (dim 16) + 8 planted
+    near-dups (cos ≈ 0.99) with ids 1000+i."""
+    rng = np.random.default_rng(SEED)
+    emb = rng.standard_normal((100, 16))
+    emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+    ids = list(range(100))
+    rows = [emb]
+    for i in range(8):
+        v = emb[i] + 0.05 * rng.standard_normal(16)
+        rows.append((v / np.linalg.norm(v))[None, :])
+        ids.append(1000 + i)
+    allv = np.concatenate(rows).astype(np.float32)
+    root = str(tmp_path_factory.mktemp("planted_emb"))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array([list(map(float, r)) for r in allv],
+                                      pa.list_(pa.float32())),
+            }
+        ),
+        os.path.join(root, "embeddings.parquet"),
+    )
+    return root, np.array(ids), allv.astype(np.float64)
+
+
+def _brute_jaccard_pairs(texts: dict, threshold: float) -> set:
+    ids = sorted(texts)
+    out = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            if exact_jaccard(texts[a], texts[b]) >= threshold:
+                out.add((a, b))
+    return out
+
+
+# ---------------------------------------------------------------- tests --
+def test_minhash_recall_and_precision(ray_session, planted_docs):
+    root, texts = planted_docs
+    want = _brute_jaccard_pairs(texts, 0.8)
+    assert len(want) >= 8  # 5 near-dups + 3 exact dups planted
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_minhash(root, 0.8).take_all()
+    }
+    assert got == want  # exact verify stage ⇒ precision 1; banding ⇒ recall 1 here
+
+
+def test_minhash_bucket_cap_reports_drops(ray_session, planted_docs, caplog):
+    root, _ = planted_docs
+    with caplog.at_level("WARNING", logger="marc_data_migration_ray.pipelines.dedup"):
+        dedup.candidate_pairs_minhash(root, bucket_cap=2).materialize()
+    assert any("skipped by bucket_cap" in r.message for r in caplog.records)
+
+
+def _scalar_simhash(text: str) -> int:
+    words = re.split(r"\s+", text)
+    if not words:
+        return 0
+    counts = np.zeros(64, np.int64)
+    for w in words:
+        h = hash_str64(w)
+        for b in range(64):
+            counts[b] += (h >> b) & 1
+    v = counts * 2 - len(words)
+    sim = 0
+    for b in range(64):
+        if v[b] > 0:
+            sim |= 1 << b
+    return sim
+
+
+def test_simhash_finds_planted_and_verifies_hamming(ray_session, planted_docs):
+    root, texts = planted_docs
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"]
+           for r in dedup.dedup_simhash(root).take_all()}
+    # exact dups must be found at hamming 0
+    for i in range(3):
+        assert got.get((i, 200 + i)) == 0, (i, got)
+    # every reported pair's hamming verified against the scalar mirror
+    for (a, b), h in got.items():
+        hs = bin(_scalar_simhash(texts[a]) ^ _scalar_simhash(texts[b])).count("1")
+        assert hs == h and h <= 3, (a, b, h, hs)
+
+
+def test_embedding_near_dup_exact_vs_brute(ray_session, planted_embeddings):
+    root, ids, emb = planted_embeddings
+    n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = n @ n.T
+    want = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if ids[i] < ids[j] and sims[i, j] >= 0.9:
+                want.add((ids[i], ids[j]))
+    assert len(want) >= 8
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup(root, threshold=0.9).take_all()
+    }
+    assert got == want
+
+
+def test_embedding_lsh_recall(ray_session, planted_embeddings):
+    root, ids, emb = planted_embeddings
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup(root, threshold=0.9).take_all()
+    }
+    approx = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup_lsh(root, threshold=0.9).take_all()
+    }
+    assert approx <= exact  # within-bucket check is exact ⇒ precision 1
+    assert len(approx & exact) / len(exact) >= 0.8  # multi-table recall
+
+
+@pytest.mark.parametrize("variant", ["lsh", "ivf"])
+def test_ann_approximate_recall(ray_session, variant):
+    sf = "/root/testdata/sf0.001"
+    exact = similarity.ann_topk(sf)
+    approx = (similarity.ann_topk_lsh if variant == "lsh" else similarity.ann_topk_ivf)(sf)
+
+    def to_set(t):
+        return set(zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist()))
+
+    se, sa = to_set(exact), to_set(approx)
+    recall = len(se & sa) / len(se)
+    assert recall >= 0.6, recall  # measured ≈0.8 for both variants
+
+
+def test_fingerprint_matches_scalar_fnv(ray_session):
+    from marc_data_migration_ray.functions.text import fingerprints
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["text"])
+    texts = t["text"].to_pylist()[:50]
+    got = fingerprints(pa.array(texts)).to_pylist()
+    want = [np.uint64(hash_str64(s)).astype(np.int64).item() for s in texts]
+    assert got == want

@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # CDC core (SURVEY §2.2-§2.6 recast; SEMANTICS.md)
         "cdc_lww_state": lambda sf: derived.cdc_lww_state(sf),
         "cdc_routing_counts": lambda sf: derived.cdc_routing_counts(sf),
+        "cdc_routing_counts_f001": lambda sf: derived.cdc_routing_counts_f001(sf),
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
         # key/title kernels (M1-M3, M7, M15)
         "key_normalize": reports.key_normalize,
@@ -299,13 +300,43 @@ def _policy_sql() -> dict[str, str]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB equivalents. Omitted keys (dedup_minhash, dedup_simhash,
-    embedding_near_dup, ann_topk_lsh, doc_fingerprint) are approximate /
-    byte-hash ops not expressible in SQL → driver does rows-only checks."""
+    """DuckDB equivalents. Omitted keys (dedup_simhash,
+    embedding_near_dup_lsh, ann_topk_lsh, ann_topk_ivf, doc_fingerprint)
+    are approximate / engine-hash ops not expressible in SQL → driver does
+    rows-only checks; each is independently verified in pytest
+    (tests/test_dedup_verification.py)."""
     return {
         **_policy_sql(),
         "cdc_lww_state": _CDC_STATE,
         "cdc_routing_counts": _ROUTING,
+        # the fuzzy_001_test gate over noisy-prefixed keys: doc % 3 picks
+        # the raw form (0 → 'ocm'+k, 1 → '(OCoLC)'+k, 2 → bare), so
+        # prefixed ⇔ doc % 3 IN (0, 1) — identical arithmetic engine-side
+        "cdc_routing_counts_f001": f"""
+WITH {_BINLOG},
+noisy AS (
+  SELECT lsn, op, score,
+         (CAST(doc_id AS BIGINT) % 3) IN (0, 1) AS prefixed
+  FROM binlog
+),
+routed AS (
+  SELECT op,
+         CASE WHEN op IN ('insert', 'delete') THEN 'applied'
+              WHEN score = 100 THEN 'applied'
+              WHEN NOT prefixed AND score < 50 THEN 'rejected'
+              ELSE 'fuzzy' END AS route,
+         CASE WHEN op = 'insert' THEN 'inserted'
+              WHEN op = 'delete' THEN 'tombstone'
+              WHEN score = 100 THEN 'perfect'
+              WHEN NOT prefixed AND score < 50 THEN 'fuzzy-match-failed'
+              WHEN score >= 50 THEN 'fuzzy-match-passed'
+              ELSE 'fuzzy-match-failed' END AS status
+  FROM noisy
+)
+SELECT op, route, status, CAST(count(*) AS BIGINT) AS n
+FROM routed GROUP BY op, route, status
+ORDER BY op, route, status
+""",
         "cdc_dup_keys": f"WITH {_BINLOG} SELECT doc_id, CAST(count(*) AS BIGINT) AS n_events "
                         "FROM binlog GROUP BY doc_id HAVING count(*) > 1",
         "key_normalize": (

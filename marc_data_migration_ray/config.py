@@ -42,6 +42,16 @@ class ReplayConfig:
     #: (reference ``--perfect-match``; M14 truth table).
     require_perfect: bool = False
 
+    #: reference ``do_fuzzy_001_test`` (record_update.py:340-443 +
+    #: utils.py:70-76): compensate for untrustworthy key provenance. When
+    #: True, a sub-perfect update whose RAW key carries no OCLC-ish prefix
+    #: and whose score is below the threshold is rejected; every other
+    #: sub-perfect update routes to fuzzy — applied even below the
+    #: threshold when the key IS prefixed (the reference substitutes those
+    #: and labels the 962 'fuzzy-match-failed' for review). Takes
+    #: precedence over ``require_perfect``.
+    fuzzy_001_test: bool = False
+
     #: 'replace_and_add' (update may set columns currently null) or
     #: 'replace_only' (update only overwrites columns already non-null in the
     #: anchor row) — reference U1 semantics.

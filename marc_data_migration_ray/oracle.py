@@ -30,6 +30,14 @@ def normalize_key(raw):
     return s if _VALID.match(s) else None
 
 
+def is_key_prefixed(raw) -> bool:
+    """Mirror of functions.keys.is_key_prefixed (reference M4)."""
+    if raw is None:
+        return False
+    s = raw.strip()
+    return bool(_LABEL.search(s) or _PREFIX.match(s))
+
+
 def fnv1a64(s: str) -> int:
     h = 0xCBF29CE484222325
     for b in s.encode("utf-8"):
@@ -127,6 +135,15 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
             if score == 100:
                 route_ev(ev, "applied", "perfect")
                 applied_events[ev["_key"]].append(ev)
+            elif cfg.fuzzy_001_test:
+                # reference do_fuzzy_001_test (record_update.py:395-410)
+                if not is_key_prefixed(ev.get("doc_id")) and score < cfg.fuzzy_threshold:
+                    route_ev(ev, "rejected", "fuzzy-match-failed")
+                else:
+                    status = ("fuzzy-match-passed" if score >= cfg.fuzzy_threshold
+                              else "fuzzy-match-failed")
+                    route_ev(ev, "fuzzy", status)
+                    applied_events[ev["_key"]].append(ev)
             elif cfg.require_perfect:
                 route_ev(ev, "rejected", "fuzzy-match-failed")
             elif score >= cfg.fuzzy_threshold:

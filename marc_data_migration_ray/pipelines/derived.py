@@ -122,6 +122,58 @@ def build_binlog_ds(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(_mk, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def build_binlog_noisy_ds(sf_dir: str) -> ray.data.Dataset:
+    """Binlog variant with noisy raw keys (user_id % 3 picks the form:
+    0 → 'ocm'+k, 1 → '(OCoLC)'+k, 2 → bare digits) — every form normalizes
+    to the same key, but only forms 0/1 are OCLC-prefixed, which is what
+    the ``fuzzy_001_test`` gate discriminates on (reference M4/M14)."""
+    ds = build_binlog_ds(sf_dir)
+
+    def _noise(t: pa.Table) -> pa.Table:
+        # lsn == event_id and doc_id == str(user_id % D); recover user_id
+        # parity from the doc string is impossible, so derive the form from
+        # the numeric doc value itself (doc % 3) — SQL mirrors this exactly
+        doc = t["doc_id"]
+        v = pc.cast(doc, pa.int64())
+        form = pc.subtract(v, pc.multiply(pc.divide(v, 3), 3))
+        ocm = pc.binary_join_element_wise(pa.scalar("ocm", pa.string()), doc, pa.scalar("", pa.string()))
+        lab = pc.binary_join_element_wise(pa.scalar("(OCoLC)", pa.string()), doc, pa.scalar("", pa.string()))
+        noisy = pc.if_else(pc.equal(form, 0), ocm, pc.if_else(pc.equal(form, 1), lab, doc))
+        noisy = pc.if_else(pc.is_valid(doc), noisy, doc)
+        idx = t.column_names.index("doc_id")
+        return t.set_column(idx, "doc_id", noisy)
+
+    return ds.map_batches(_noise, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cdc_routing_counts_f001(sf_dir: str, cfg: ReplayConfig | None = None) -> "pa.Table":
+    """Routing counts under the ``fuzzy_001_test`` gate over noisy-prefixed
+    keys (reference do_fuzzy_001_test branch, M14)."""
+    cfg = cfg or ReplayConfig(num_partitions=16, fuzzy_001_test=True)
+    ev = build_binlog_noisy_ds(sf_dir).map_batches(
+        ParseRoute, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return t.group_by(["op", "route", "status"]).aggregate([("lsn", "count")])
+
+    partials = ev.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(b for b in partials.iter_batches(batch_format="pyarrow"))
+    final = tbl.group_by(["op", "route", "status"]).aggregate([("lsn_count", "sum")])
+    out = pa.table(
+        {
+            "op": final["op"],
+            "route": final["route"],
+            "status": final["status"],
+            "n": pc.cast(final["lsn_count_sum"], pa.int64()),
+        }
+    )
+    return out.sort_by(
+        [("op", "ascending"), ("route", "ascending"), ("status", "ascending")]
+    )
+
+
 def replay_datasets(
     base_ds: ray.data.Dataset, binlog_ds: ray.data.Dataset, cfg: ReplayConfig
 ) -> ray.data.Dataset:

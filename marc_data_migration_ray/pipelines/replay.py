@@ -439,12 +439,37 @@ class Replayer:
 
     # ------------------------------------------------------------------ #
     def audit_dataset(self, epoch: int):
-        """Full routed-event audit for an epoch (reference S11 audit logs)."""
+        """Full routed-event audit for an epoch (reference S11 audit logs),
+        with M16 fuzzy-audit parity: ratio, Jaccard and both titles
+        (reference ``log_fuzzy_match``, utils.py:301-344).
+
+        Jaccard is computed here in the audit READ path (per-row over the
+        audit artifact only — the reference likewise computes it per logged
+        record), keeping the ingest hot path fully vectorized."""
+        from marc_data_migration_ray.functions.fuzzy import jaccard as _jac
+
         d = os.path.join(self.root, "deltas", f"epoch={epoch}")
         files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
-        return ray.data.read_parquet(
-            files, columns=["lsn", "doc_id_raw", "key", "op", "route", "status", "match_score"]
+        ds = ray.data.read_parquet(
+            files,
+            columns=["lsn", "doc_id_raw", "key", "op", "route", "status",
+                     "match_score", "title", "match_title"],
         )
+
+        def _with_metrics(t: pa.Table) -> pa.Table:
+            titles = t["title"].to_pylist()
+            matches = t["match_title"].to_pylist()
+            ja = [
+                _jac(a, b) if (a is not None and b is not None) else None
+                for a, b in zip(titles, matches)
+            ]
+            out = t.rename_columns(
+                ["lsn", "doc_id_raw", "key", "op", "route", "status",
+                 "ratio", "title", "match_title"]
+            )
+            return out.append_column("jaccard", pa.array(ja, pa.float64()))
+
+        return ds.map_batches(_with_metrics, batch_format="pyarrow", zero_copy_batch=True)
 
     def deadletter_dataset(self, epoch: int):
         """Dead-letter rows for an epoch (reference S7 bad-records sink)."""

@@ -16,6 +16,43 @@ import pyarrow.parquet as pq
 
 SOURCES = np.array(["web", "books", "code", "wiki"], dtype=object)
 
+_TITLE_WORDS = (
+    "annual report history of modern art library science data journal "
+    "studies early western color maps atlas field guide music theory"
+).split()
+
+
+def _title_pool(seed: int, size: int = 64):
+    """Precomputed (title, match_title, ratio) pool: ratios are DERIVED from
+    the title pair via token_sort_ratio once per pool entry (content-driven
+    reference M13), then assigned to events vectorized — no per-event
+    SequenceMatcher in the generator hot loop."""
+    from marc_data_migration_ray.functions.fuzzy import token_sort_ratio
+
+    rng = np.random.default_rng(seed ^ 0x7175E)
+    pool = []
+    for _ in range(size):
+        k = rng.integers(3, 7)
+        words = [_TITLE_WORDS[j] for j in rng.integers(0, len(_TITLE_WORDS), k)]
+        title = " ".join(words)
+        kind = rng.integers(0, 5)
+        if kind == 0:  # identical
+            match = title
+        elif kind == 1:  # shuffled (token_sort_ratio == 100)
+            match = " ".join(rng.permutation(words))
+        elif kind == 2:  # one word changed
+            w2 = list(words)
+            w2[int(rng.integers(0, len(w2)))] = "variant"
+            match = " ".join(w2)
+        elif kind == 3:  # truncated
+            match = " ".join(words[: max(1, k // 2)])
+        else:  # unrelated
+            match = " ".join(
+                [_TITLE_WORDS[j] for j in rng.integers(0, len(_TITLE_WORDS), k)][::-1]
+            ) + " unrelated entirely"
+        pool.append((title, match, token_sort_ratio(title, match)))
+    return pool
+
 #: raw-key noise forms; every form normalizes back to the canonical digits.
 _NOISE_FORMS = (
     "{k}",
@@ -158,11 +195,19 @@ def make_binlog(
         else:
             tokens_col.append(tokens[i])
 
-    # match scores: updates only; ~30% perfect, rest uniform
-    score = np.where(
-        rng.random(n) < 0.3, 100, rng.integers(0, 101, size=n)
-    ).astype(np.int32)
-    score = np.where(op == "update", score, 0).astype(np.int32)
+    # titles + match scores (reference M5/M6/M13): updates draw a
+    # (title, match_title, ratio) triple from the precomputed pool, so the
+    # score is content-derived (ratio == token_sort_ratio(title, match))
+    # while assignment stays vectorized; other ops carry no titles.
+    pool = _title_pool(seed)
+    pidx = rng.integers(0, len(pool), size=n)
+    pool_t = np.array([p[0] for p in pool], dtype=object)
+    pool_m = np.array([p[1] for p in pool], dtype=object)
+    pool_r = np.array([p[2] for p in pool], dtype=np.int32)
+    is_upd = op == "update"
+    title = np.where(is_upd, pool_t[pidx], None)
+    match_title = np.where(is_upd, pool_m[pidx], None)
+    score = np.where(is_upd, pool_r[pidx], 0).astype(np.int32)
 
     # schema ops
     schema_kind = np.full(n, None, dtype=object)
@@ -204,6 +249,8 @@ def make_binlog(
             "source": pa.array(list(source), pa.string()),
             "column_mask": pa.array(masks, pa.list_(pa.string())),
             "match_score": pa.array(score, pa.int32()),
+            "title": pa.array(list(title), pa.string()),
+            "match_title": pa.array(list(match_title), pa.string()),
             "schema_kind": pa.array(schema_kind, pa.string()),
             "schema_name": pa.array(schema_name, pa.string()),
             "schema_new_name": pa.array(schema_new, pa.string()),

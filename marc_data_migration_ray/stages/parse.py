@@ -37,6 +37,8 @@ PARSED_FIELDS = [
     ("source", pa.string()),
     ("column_mask", pa.list_(pa.string())),
     ("match_score", pa.int32()),
+    ("title", pa.string()),
+    ("match_title", pa.string()),
     ("candidate_key", pa.string()),
     ("schema_kind", pa.string()),
     ("schema_name", pa.string()),
@@ -97,6 +99,16 @@ class ParseRoute:
             )
         )
         is_update = op == "update"
+        f001 = cfg.fuzzy_001_test
+        if f001:
+            from marc_data_migration_ray.functions.keys import is_key_prefixed
+
+            prefixed = pc.fill_null(is_key_prefixed(raw), False).to_numpy(
+                zero_copy_only=False
+            )
+        else:
+            prefixed = np.zeros(n, bool)
+        below = score < cfg.fuzzy_threshold
         conds = [
             malformed,
             is_schema,
@@ -105,13 +117,22 @@ class ParseRoute:
             op == "delete",
             op == "insert",
             is_update & (score == 100),
+            # reference do_fuzzy_001_test branch (record_update.py:395-410):
+            # unprefixed raw key + sub-threshold score → unmodified; every
+            # other sub-perfect update is applied as fuzzy (pass/fail label)
+            is_update & np.full(n, f001) & ~prefixed & below,
+            is_update & np.full(n, f001) & ~below,
+            is_update & np.full(n, f001),
             is_update & np.full(n, cfg.require_perfect),
             is_update & (score >= cfg.fuzzy_threshold),
         ]
         routes = ["deadletter", "schema", "local", "rejected", "applied",
-                  "applied", "applied", "rejected", "fuzzy"]
+                  "applied", "applied", "rejected", "fuzzy", "fuzzy",
+                  "rejected", "fuzzy"]
         statuses = ["malformed", "schema", "local", "no-key", "tombstone",
-                    "inserted", "perfect", "fuzzy-match-failed", "fuzzy-match-passed"]
+                    "inserted", "perfect", "fuzzy-match-failed",
+                    "fuzzy-match-passed", "fuzzy-match-failed",
+                    "fuzzy-match-failed", "fuzzy-match-passed"]
         route = np.select(conds, routes, default="rejected").astype(object)
         status = np.select(conds, statuses, default="fuzzy-match-failed").astype(object)
 
@@ -141,6 +162,8 @@ class ParseRoute:
                 "source": batch["source"],
                 "column_mask": batch["column_mask"],
                 "match_score": batch["match_score"],
+                "title": batch["title"] if "title" in batch.column_names else pa.nulls(n, pa.string()),
+                "match_title": batch["match_title"] if "match_title" in batch.column_names else pa.nulls(n, pa.string()),
                 "candidate_key": pa.nulls(n, pa.string()),
                 "schema_kind": batch["schema_kind"] if "schema_kind" in batch.column_names else pa.nulls(n, pa.string()),
                 "schema_name": batch["schema_name"] if "schema_name" in batch.column_names else pa.nulls(n, pa.string()),
@@ -206,6 +229,8 @@ class PrepBase:
                 "source": batch["source"],
                 "column_mask": pa.nulls(n, pa.list_(pa.string())),
                 "match_score": pa.nulls(n, pa.int32()),
+                "title": pa.nulls(n, pa.string()),
+                "match_title": pa.nulls(n, pa.string()),
                 "candidate_key": cand if cand is not None else pa.nulls(n, pa.string()),
                 "schema_kind": pa.nulls(n, pa.string()),
                 "schema_name": pa.nulls(n, pa.string()),

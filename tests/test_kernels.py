@@ -93,3 +93,37 @@ class TestFuzzy:
         assert fuzzy.jaccard("the cat hat", "cat hat") == 1.0  # 'the' is a stop word
         assert fuzzy.jaccard("cat", "dog") == 0.0
         assert fuzzy.jaccard("", "") == 0.0
+
+
+def test_fuzzy_001_gate_truth_table():
+    """Reference do_fuzzy_001_test branch (record_update.py:395-410):
+    unprefixed+below-threshold rejected; prefixed applied even below."""
+    import numpy as np
+    import pyarrow as pa
+
+    from marc_data_migration_ray.config import ReplayConfig
+    from marc_data_migration_ray.stages.parse import ParseRoute
+
+    cfg = ReplayConfig(num_partitions=4, fuzzy_threshold=50, fuzzy_001_test=True)
+    n = 5
+    batch = pa.table(
+        {
+            "lsn": pa.array(range(1, n + 1), pa.int64()),
+            "epoch": pa.array([0] * n, pa.int32()),
+            "op": pa.array(["update"] * n, pa.string()),
+            # prefixed: ocm/label forms; unprefixed: bare digits
+            "doc_id": pa.array(["ocm11", "(OCoLC)12", "13", "14", "ocn15"]),
+            "tokens": pa.array([[1]] * n, pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * n, pa.int32()),
+            "source": pa.array(["s"] * n, pa.string()),
+            "column_mask": pa.array([[]] * n, pa.list_(pa.string())),
+            #           prefixed-low  prefixed-high  bare-low  bare-high  prefixed-perfect
+            "match_score": pa.array([30, 80, 30, 80, 100], pa.int32()),
+        }
+    )
+    out = ParseRoute(cfg)(batch)
+    assert out["route"].to_pylist() == ["fuzzy", "fuzzy", "rejected", "fuzzy", "applied"]
+    assert out["status"].to_pylist() == [
+        "fuzzy-match-failed", "fuzzy-match-passed", "fuzzy-match-failed",
+        "fuzzy-match-passed", "perfect",
+    ]

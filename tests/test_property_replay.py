@@ -44,6 +44,7 @@ def test_random_seed_replay(seed):
         num_partitions=1 + seed % 16,
         fuzzy_threshold=(seed * 7) % 101,
         require_perfect=bool(seed % 3 == 0),
+        fuzzy_001_test=bool(seed % 4 == 0),
         strategy="replace_only" if seed % 2 else "replace_and_add",
     )
     base = fixtures.make_base_table(

@@ -155,7 +155,19 @@ def test_deadletter_and_audit_sinks(ray_session, fixture_dir, tmp_path):
     assert dead == o["metrics"].get("deadletter", 0)
     audit = rp.audit_dataset(0)
     assert audit.count() == rp.manifest.epoch_entry(0)["processed"]
-    assert set(audit.schema().names) >= {"lsn", "route", "status", "op"}
+    # M16 fuzzy-audit parity: ratio + jaccard + both titles present
+    assert set(audit.schema().names) >= {
+        "lsn", "route", "status", "op", "ratio", "jaccard", "title", "match_title"
+    }
+    from marc_data_migration_ray.functions import fuzzy
+
+    rows = [r for r in audit.take_all() if r["route"] == "fuzzy"]
+    assert rows, "fixture must produce fuzzy-routed events"
+    for r in rows:
+        # content-driven fixture: the logged ratio IS the title ratio, and
+        # jaccard matches the scalar reference kernel (M13/M15/M16)
+        assert r["ratio"] == fuzzy.token_sort_ratio(r["title"], r["match_title"])
+        assert r["jaccard"] == fuzzy.jaccard(r["title"], r["match_title"])
 
 
 def test_fold_metrics_invariant(ray_session, fixture_dir, tmp_path):

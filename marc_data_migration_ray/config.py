@@ -73,6 +73,17 @@ class ReplayConfig:
     #: bytes: at p50 ≈ 256 tokens × 4 B ≈ 1 KiB/row, 8192 rows ≈ 8 MiB/batch.
     batch_size: int = 8192
 
+    #: cross-partition hot-key salting (north-star "salted sub-partitions"):
+    #: when > 1, events land in ``num_partitions × num_salts`` physical
+    #: sub-buckets (``part_p = part_id * S + lsn % S``) and the fold runs in
+    #: two stages — a per-sub-bucket summary fold (anchor candidate +
+    #: per-column winner candidates + payload-stripped update metadata),
+    #: then one merge per logical partition. The payload-heavy work for a
+    #: single pathological key is thereby spread over S tasks; the merge
+    #: touches only compact summaries. Immutable per table (like
+    #: num_partitions).
+    num_salts: int = 1
+
     #: hot-key mitigation: within-batch LWW pre-collapse of gate-passed
     #: updates sharing (key, column-mask set) — only the max-lsn one can ever
     #: win a column, so final STATE is provably unchanged while a key with
@@ -89,3 +100,5 @@ class ReplayConfig:
             raise ValueError("fuzzy_threshold must be in [0, 100]")
         if self.num_partitions < 1:
             raise ValueError("num_partitions must be >= 1")
+        if self.num_salts < 1:
+            raise ValueError("num_salts must be >= 1")

@@ -85,16 +85,7 @@ def _part_stats_task(files: list[str]) -> tuple:
     return route_counts, max_lsn, srows
 
 
-@ray.remote(num_cpus=1)
-def _fold_bucket_task(
-    base_files: list[str],
-    delta_files: list[str],
-    cfg: ReplayConfig,
-    local_id_offsets: dict[int, int],
-    base_is_final_schema: bool,
-) -> pa.Table:
-    """Fold one hash partition: read its co-partitioned base + delta files,
-    run the vectorized LWW fold, return the FOLD_SCHEMA table."""
+def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema):
     tables = []
     for f in base_files:
         t = pq.read_table(f)
@@ -108,11 +99,64 @@ def _fold_bucket_task(
         t = pq.read_table(f, columns=list(PARSED_SCHEMA.names))
         tables.append(t)
     if not tables:
-        return pa.Table.from_arrays(
-            [pa.nulls(0, f.type) for f in FOLD_SCHEMA], schema=FOLD_SCHEMA
-        )
-    allr = pa.concat_tables(tables, promote_options="default")
+        return None
+    return pa.concat_tables(tables, promote_options="default")
+
+
+_EMPTY_FOLD = None
+
+
+def _empty_fold() -> pa.Table:
+    return pa.Table.from_arrays(
+        [pa.nulls(0, f.type) for f in FOLD_SCHEMA], schema=FOLD_SCHEMA
+    )
+
+
+@ray.remote(num_cpus=1)
+def _fold_bucket_task(
+    base_files: list[str],
+    delta_files: list[str],
+    cfg: ReplayConfig,
+    local_id_offsets: dict[int, int],
+    base_is_final_schema: bool,
+) -> pa.Table:
+    """Fold one hash partition: read its co-partitioned base + delta files,
+    run the vectorized LWW fold, return the FOLD_SCHEMA table."""
+    allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema)
+    if allr is None:
+        return _empty_fold()
     return fold_bucket(allr, cfg, local_id_offsets)
+
+
+@ray.remote(num_cpus=1)
+def _fold_salted_stage1_task(
+    base_files: list[str],
+    delta_files: list[str],
+    cfg: ReplayConfig,
+    base_is_final_schema: bool,
+) -> pa.Table | None:
+    """Stage 1 of the salted fold: one physical SUB-bucket → summary."""
+    from marc_data_migration_ray.stages.fold import fold_salted_stage1
+
+    allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema)
+    if allr is None:
+        return None
+    return fold_salted_stage1(allr, cfg)
+
+
+@ray.remote(num_cpus=1)
+def _fold_salted_merge_task(
+    cfg: ReplayConfig,
+    local_id_offsets: dict[int, int],
+    *summaries: pa.Table | None,
+) -> pa.Table:
+    """Stage 2: merge one logical partition's sub-bucket summaries."""
+    from marc_data_migration_ray.stages.fold import fold_salted_merge
+
+    parts = [s for s in summaries if s is not None and s.num_rows]
+    if not parts:
+        return _empty_fold()
+    return fold_salted_merge(pa.concat_tables(parts), cfg, local_id_offsets)
 
 
 class Replayer:
@@ -125,6 +169,7 @@ class Replayer:
         st = self.manifest.state
         if st.get("num_partitions") is None:
             st["num_partitions"] = self.cfg.num_partitions
+            st["num_salts"] = self.cfg.num_salts
             if base_path is not None and st["base_path"] is None:
                 st["base_path"] = base_path
             self.manifest.save()
@@ -133,6 +178,11 @@ class Replayer:
                 raise ValueError(
                     f"table was created with num_partitions={st['num_partitions']}, "
                     f"config says {self.cfg.num_partitions} — partition layout is immutable"
+                )
+            if st.get("num_salts", 1) != self.cfg.num_salts:
+                raise ValueError(
+                    f"table was created with num_salts={st.get('num_salts', 1)}, "
+                    f"config says {self.cfg.num_salts} — salt layout is immutable"
                 )
             if base_path is not None:
                 # an existing manifest owns the base: adopt a late-supplied
@@ -189,12 +239,25 @@ class Replayer:
                     precollapse_batch, batch_format="pyarrow", zero_copy_batch=True
                 )
             # hash-partitioned on disk: one dir per part_p — the layout every
-            # later fold reuses (co-partitioning instead of shuffling)
-            parsed = parsed.map_batches(
-                lambda t: t.append_column("part_p", t["part_id"]),
-                batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
+            # later fold reuses (co-partitioning instead of shuffling). With
+            # num_salts > 1 the physical key is part_id*S + lsn%S: a hot
+            # key's events spread over S sub-buckets (salted sub-partitions)
+            S = self.cfg.num_salts
+            if S > 1:
+                def _phys(t: pa.Table, S=S) -> pa.Table:
+                    pid = pc.cast(t["part_id"], pa.int64())
+                    lsn = t["lsn"]
+                    salt = pc.subtract(lsn, pc.multiply(pc.divide(lsn, S), S))
+                    part_p = pc.cast(pc.add(pc.multiply(pid, S), salt), pa.int32())
+                    return t.append_column("part_p", part_p)
+
+                parsed = parsed.map_batches(_phys, batch_format="pyarrow", zero_copy_batch=True)
+            else:
+                parsed = parsed.map_batches(
+                    lambda t: t.append_column("part_p", t["part_id"]),
+                    batch_format="pyarrow",
+                    zero_copy_batch=True,
+                )
             parsed.write_parquet(tmp_dir, partition_cols=["part_p"])
             os.makedirs(os.path.dirname(final_dir), exist_ok=True)
             try:
@@ -268,12 +331,16 @@ class Replayer:
         if not os.path.exists(final_dir):
             tmp = final_dir + ".tmp-" + uuid.uuid4().hex[:8]
             ds = ray.data.read_parquet(st["base_path"])
+            S = self.cfg.num_salts
             prepped = ds.map_batches(
                 PrepBase(self.cfg, st["base_normalized"]),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             ).map_batches(
-                lambda t: t.append_column("part_p", t["part_id"]),
+                # base rows always land in salt 0 of their logical partition
+                lambda t, S=S: t.append_column(
+                    "part_p", pc.cast(pc.multiply(pc.cast(t["part_id"], pa.int64()), S), pa.int32())
+                ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
@@ -332,17 +399,40 @@ class Replayer:
         if not parts:
             raise ValueError("nothing to fold: no base and no committed deltas")
         offsets = self.manifest.local_id_offsets()
-        refs = [
-            _fold_bucket_task.remote(
-                base_by_part.get(p, []),
-                delta_by_part.get(p, []),
-                self.cfg,
-                offsets,
-                base_is_final,
+        S = self.cfg.num_salts
+        if S == 1:
+            refs = [
+                _fold_bucket_task.remote(
+                    base_by_part.get(p, []),
+                    delta_by_part.get(p, []),
+                    self.cfg,
+                    offsets,
+                    base_is_final,
+                )
+                for p in parts
+            ]
+            return ray.data.from_arrow_refs(refs)
+        # salted two-stage fold: `parts` here are PHYSICAL sub-buckets;
+        # group them by logical partition (phys // S), run one stage-1
+        # summary task per sub-bucket, one merge task per logical partition
+        logical: dict[int, list[int]] = {}
+        for p in parts:
+            logical.setdefault(p // S, []).append(p)
+        merge_refs = []
+        for lp, phys in sorted(logical.items()):
+            s1 = [
+                _fold_salted_stage1_task.remote(
+                    base_by_part.get(p, []),
+                    delta_by_part.get(p, []),
+                    self.cfg,
+                    base_is_final,
+                )
+                for p in phys
+            ]
+            merge_refs.append(
+                _fold_salted_merge_task.remote(self.cfg, offsets, *s1)
             )
-            for p in parts
-        ]
-        return ray.data.from_arrow_refs(refs)
+        return ray.data.from_arrow_refs(merge_refs)
 
     def read_state(self, up_to_epoch: int | None = None):
         """Current table state as a Ray Dataset (schema ops applied)."""
@@ -418,8 +508,12 @@ class Replayer:
         out = self.fold_output(up_to)
         new_base = os.path.join(self.root, f"base-compact-{uuid.uuid4().hex[:8]}")
         tmp = new_base + ".tmp"
+        S = self.cfg.num_salts
         rows = out.filter(expr="_kind == 'row'").map_batches(
-            lambda t: t.select(_ROW_COLS + ["part_id"]).append_column("part_p", t["part_id"]),
+            # compacted rows land in salt 0 of their logical partition
+            lambda t, S=S: t.select(_ROW_COLS + ["part_id"]).append_column(
+                "part_p", pc.cast(pc.multiply(pc.cast(t["part_id"], pa.int64()), S), pa.int32())
+            ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

@@ -245,6 +245,179 @@ def fold_bucket(
     return pa.concat_tables(out)
 
 
+# --------------------------------------------------------------------- #
+# salted two-stage fold (cross-partition hot-key mitigation)
+# --------------------------------------------------------------------- #
+# Associativity argument (each stage-1 summary is mergeable):
+# - anchor: the global max-lsn row among base ∪ applied inserts/deletes is
+#   the max over per-sub-bucket maxima (base rows all land in salt 0, so
+#   the base-dedup tie rule runs exactly once);
+# - per-column value: the global winner (max-lsn gate-passed update whose
+#   mask allows c) is the max over per-sub-bucket winners — a sub-bucket's
+#   non-winner can never beat its own winner's lsn;
+# - lineage: the global max-lsn APPLIER allows ≥1 column (empty mask = all),
+#   and for every column it allows it is that column's global winner (any
+#   later mask-allower would itself be a later applier) — so it is always
+#   forwarded in the winner section;
+# - noop / col-replacement metrics need every gate-passed update's
+#   (key, lsn, route, mask) — forwarded payload-STRIPPED (the `u` section),
+#   so the merge touches bytes proportional to event COUNT, not payload.
+
+_SEC_FIELD = ("_sec", pa.string())
+_PARSED_NAMES: list[str] | None = None  # resolved lazily (import cycle)
+
+
+def _parsed_names() -> list[str]:
+    global _PARSED_NAMES
+    if _PARSED_NAMES is None:
+        from marc_data_migration_ray.stages.parse import PARSED_SCHEMA
+
+        _PARSED_NAMES = list(PARSED_SCHEMA.names)
+    return _PARSED_NAMES
+
+
+def _mask_allows(c: str):
+    return (
+        (pl.col("column_mask").list.len().fill_null(0) == 0)
+        | pl.col("column_mask").list.contains(c).fill_null(False)
+    )
+
+
+def fold_salted_stage1(tbl: pa.Table, cfg: ReplayConfig) -> pa.Table:
+    """Stage 1: one physical sub-bucket → mergeable summary table
+    (PARSED columns + ``_sec`` ∈ {a: anchor candidate, w: per-column winner
+    candidates, u: payload-stripped update metadata, l: local inserts})."""
+    df = pl.from_arrow(tbl)
+    base = df.filter(pl.col("is_base"))
+    if base.height:
+        base = base.sort(["key", "doc_id_raw", "n_tok"]).unique(
+            subset=["key"], keep="last", maintain_order=True
+        )
+    ev = df.filter(~pl.col("is_base")).unique(
+        subset=["lsn"], keep="first", maintain_order=True
+    )
+    applied = ev.filter(pl.col("route").is_in(["applied", "fuzzy"]))
+    anchors = pl.concat(
+        [base, applied.filter(pl.col("op").is_in(["insert", "delete"]))],
+        how="vertical",
+    )
+    anchor = anchors.sort(["key", "lsn"]).unique(
+        subset=["key"], keep="last", maintain_order=True
+    )
+    upd = applied.filter(pl.col("op") == "update")
+    winner_lsns: set[int] = set()
+    for c in PAYLOAD_COLUMNS:
+        wc = upd.filter(_mask_allows(c))
+        if wc.height:
+            w = wc.sort(["key", "lsn"]).unique(subset=["key"], keep="last")
+            winner_lsns.update(w["lsn"].to_list())
+    winners = upd.filter(pl.col("lsn").is_in(sorted(winner_lsns))) if winner_lsns else upd.head(0)
+    meta = upd.with_columns(
+        pl.lit(None, pl.List(pl.Int32)).alias("tokens"),
+        pl.lit(None, pl.Int32).alias("n_tok"),
+        pl.lit(None, pl.String).alias("source"),
+        pl.lit(None, pl.String).alias("title"),
+        pl.lit(None, pl.String).alias("match_title"),
+    )
+    local = ev.filter(pl.col("route") == "local")
+    secs = [
+        anchor.with_columns(pl.lit("a").alias("_sec")),
+        winners.with_columns(pl.lit("w").alias("_sec")),
+        meta.with_columns(pl.lit("u").alias("_sec")),
+        local.with_columns(pl.lit("l").alias("_sec")),
+    ]
+    out = pl.concat(secs, how="vertical").to_arrow()
+    # normalize to PARSED schema + _sec (polars may widen types)
+    from marc_data_migration_ray.stages.parse import PARSED_SCHEMA
+
+    cols = []
+    names = list(PARSED_SCHEMA.names) + ["_sec"]
+    types = list(PARSED_SCHEMA.types) + [pa.string()]
+    for name, typ in zip(names, types):
+        c = out.column(name)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cols.append(pc.cast(c, typ))
+    return pa.Table.from_arrays(cols, schema=pa.schema(list(zip(names, types))))
+
+
+def fold_salted_merge(
+    tbl: pa.Table,
+    cfg: ReplayConfig,
+    local_id_offsets: dict[int, int] | None = None,
+) -> pa.Table:
+    """Stage 2: concat of a logical partition's stage-1 summaries →
+    FOLD_SCHEMA output. State comes from fold_bucket over the anchor /
+    winner / local sections; noop + col-replacement metrics are recomputed
+    exactly from the complete update-metadata section."""
+    df = pl.from_arrow(tbl)
+    meta = df.filter(pl.col("_sec") == "u").drop("_sec")
+    fold_in = df.filter(pl.col("_sec") != "u").drop("_sec")
+    folded = fold_bucket(fold_in.to_arrow(), cfg, local_id_offsets)
+    rows = folded.filter(pc.equal(folded["_kind"], "row"))
+
+    # recompute the global anchor over the candidate section (same rule as
+    # fold_bucket) to judge every update in `meta`
+    base = fold_in.filter(pl.col("is_base"))
+    if base.height:
+        base = base.sort(["key", "doc_id_raw", "n_tok"]).unique(
+            subset=["key"], keep="last", maintain_order=True
+        )
+    ev = fold_in.filter(~pl.col("is_base")).unique(subset=["lsn"], keep="first")
+    anchors = pl.concat(
+        [base, ev.filter(pl.col("route").is_in(["applied", "fuzzy"])
+                         & pl.col("op").is_in(["insert", "delete"]))],
+        how="vertical",
+    )
+    anchor = anchors.sort(["key", "lsn"]).unique(subset=["key"], keep="last")
+    anchor_j = anchor.select(
+        "key",
+        pl.col("lsn").alias("_alsn"),
+        pl.col("op").alias("_aop"),
+        pl.col("tokens").alias("_a_tokens"),
+        pl.col("n_tok").alias("_a_n_tok"),
+        pl.col("source").alias("_a_source"),
+    )
+    meta = meta.unique(subset=["lsn"], keep="first").join(anchor_j, on="key", how="left")
+    applies = (
+        pl.col("_alsn").is_not_null()
+        & (pl.col("lsn") > pl.col("_alsn"))
+        & (pl.col("_aop") != "delete")
+    ).fill_null(False)
+    noops = meta.filter(~applies)
+    applied_meta = meta.filter(applies)
+    col_repl = {}
+    for c in PAYLOAD_COLUMNS:
+        wc = applied_meta.filter(_mask_allows(c))
+        if cfg.strategy == "replace_only":
+            wc = wc.filter(pl.col(f"_a_{c}").is_not_null())
+        col_repl[c] = wc.height
+
+    # rebuild the metrics row: state-side numbers from the fold, update-side
+    # numbers (noop / col_replacements) from the complete metadata
+    mrow_tbl = folded.filter(pc.equal(folded["_kind"], "metrics"))
+    m = json.loads(mrow_tbl["metrics_json"][0].as_py())
+    m["noop"] = noops.height
+    m["noop_by_route"] = (
+        {str(r[0]): int(r[1]) for r in noops.group_by("route").len().iter_rows()}
+        if noops.height else {}
+    )
+    m["col_replacements"] = col_repl
+    out = [rows]
+    if noops.height:
+        out.append(_to_arrow(noops.select(pl.lit("noop").alias("_kind"), "lsn")))
+    mrow = pa.Table.from_arrays(
+        [
+            pa.array(["metrics"], pa.string()),
+            *[pa.nulls(1, typ) for name, typ in FOLD_FIELDS[1:-1]],
+            pa.array([json.dumps(m)], pa.string()),
+        ],
+        schema=FOLD_SCHEMA,
+    )
+    out.append(mrow)
+    return pa.concat_tables(out)
+
+
 def make_fold_fn(cfg: ReplayConfig, local_id_offsets: dict[int, int] | None = None):
     """Build the map_groups callable (captures config once)."""
 

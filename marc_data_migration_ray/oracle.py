@@ -116,7 +116,10 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
         if _is_malformed(ev):
             route_ev(ev, "deadletter", "malformed")
         elif ev["op"] == "schema_change":
-            schema_ops.append((ev.get("schema_kind"), ev.get("schema_name"), ev.get("schema_new_name")))
+            schema_ops.append(
+                {"lsn": ev["lsn"], "kind": ev.get("schema_kind"),
+                 "name": ev.get("schema_name"), "new_name": ev.get("schema_new_name")}
+            )
             route_ev(ev, "schema", "schema")
         elif ev["_key"] is None:
             if ev["op"] == "insert":
@@ -153,6 +156,28 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
                 route_ev(ev, "rejected", "fuzzy-match-failed")
 
     # --- fold per key (anchor model) ---
+    from marc_data_migration_ray.state.schema_timeline import Timeline
+
+    tl = Timeline(schema_ops)
+
+    def _ev_extra(ev: dict) -> dict:
+        """Event/row extra payload → canonical-keyed dict (event payloads
+        key by then-visible name; rows by canonical name)."""
+        import json as _json
+
+        raw = ev.get("extra_json")
+        if raw is None:
+            return {}
+        d = _json.loads(raw)
+        out = {}
+        for c in tl.added:
+            name = tl.name_at(c, ev.get("lsn", -1) if ev.get("lsn") is not None else -1)
+            if name is not None and name in d:
+                out[c] = d[name]
+            elif c in d:
+                out[c] = d[c]
+        return out
+
     final = []
     col_replacements = defaultdict(int)
     tombstoned = 0
@@ -186,10 +211,20 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
         row = {c: anchor_row.get(c) for c in PAYLOAD_COLUMNS}
         for c in PAYLOAD_COLUMNS:
             for e in applied_updates:  # lsn order; later wins
-                mask = e.get("column_mask") or []
-                writes = (not mask) or (c in mask)
+                writes = tl.writes(c, e["lsn"], e.get("column_mask"))
                 if writes and (cfg.strategy == "replace_and_add" or anchor_row.get(c) is not None):
                     row[c] = e.get(c)
+                    col_replacements[c] += 1
+        # DDL-added columns: anchor-carried value, overwritten by masked
+        # updates carrying the value in extra_json (as-of-lsn names)
+        anchor_extra = _ev_extra(anchor_row)
+        row_extra = {c: anchor_extra.get(c) for c in tl.added}
+        for c in tl.added:
+            for e in applied_updates:
+                if tl.writes(c, e["lsn"], e.get("column_mask")):
+                    if cfg.strategy == "replace_only" and anchor_extra.get(c) is None:
+                        continue
+                    row_extra[c] = _ev_extra(e).get(c)
                     col_replacements[c] += 1
         lineage = [e for e in applied_updates]
         if anchor_op == "insert":
@@ -209,6 +244,7 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
                 "last_lsn": last_lsn,
                 "status": status,
                 "candidate_key": None,
+                "_extra": row_extra,
             }
         )
 
@@ -227,22 +263,26 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
                     "last_lsn": e["lsn"],
                     "status": "local",
                     "candidate_key": e["doc_id"],
+                    "_extra": {c: _ev_extra(e).get(c) for c in tl.added},
                 }
             )
 
-    # --- schema evolution on final schema ---
+    # --- schema evolution on final schema (added columns carry VALUES) ---
     schema = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
     renames = {}
-    for kind, name, new_name in schema_ops:
+    for op in schema_ops:
+        kind, name, new_name = op["kind"], op["name"], op.get("new_name")
         if kind == "add_column" and name not in schema:
             schema.append(name)
             for r in final:
-                r[name] = None
+                r[name] = r["_extra"].get(name)
         elif kind == "rename_column" and name in schema and new_name not in schema:
             schema[schema.index(name)] = new_name
             renames[name] = new_name
             for r in final:
                 r[new_name] = r.pop(name)
+    for r in final:
+        r.pop("_extra", None)
 
     metrics = dict(routes)
     metrics["processed"] = len(events)

@@ -56,7 +56,10 @@ from marc_data_migration_ray.stages.fold import FOLD_SCHEMA, fold_bucket
 from marc_data_migration_ray.stages.parse import PARSED_SCHEMA, ParseRoute, PrepBase
 from marc_data_migration_ray.state.manifest import Manifest
 
-_ROW_COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
+#: display columns of the final table (pre-DDL); extra_json is the internal
+#: carrier for DDL-added column values, materialized at read time.
+_DISPLAY_COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
+_ROW_COLS = _DISPLAY_COLS + ["extra_json"]
 DELTA_ROUTES = ("applied", "fuzzy", "local")
 
 
@@ -119,13 +122,14 @@ def _fold_bucket_task(
     cfg: ReplayConfig,
     local_id_offsets: dict[int, int],
     base_is_final_schema: bool,
+    schema_ops: list[dict] | None = None,
 ) -> pa.Table:
     """Fold one hash partition: read its co-partitioned base + delta files,
     run the vectorized LWW fold, return the FOLD_SCHEMA table."""
     allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema)
     if allr is None:
         return _empty_fold()
-    return fold_bucket(allr, cfg, local_id_offsets)
+    return fold_bucket(allr, cfg, local_id_offsets, schema_ops)
 
 
 @ray.remote(num_cpus=1)
@@ -134,6 +138,7 @@ def _fold_salted_stage1_task(
     delta_files: list[str],
     cfg: ReplayConfig,
     base_is_final_schema: bool,
+    schema_ops: list[dict] | None = None,
 ) -> pa.Table | None:
     """Stage 1 of the salted fold: one physical SUB-bucket → summary."""
     from marc_data_migration_ray.stages.fold import fold_salted_stage1
@@ -141,13 +146,14 @@ def _fold_salted_stage1_task(
     allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema)
     if allr is None:
         return None
-    return fold_salted_stage1(allr, cfg)
+    return fold_salted_stage1(allr, cfg, schema_ops)
 
 
 @ray.remote(num_cpus=1)
 def _fold_salted_merge_task(
     cfg: ReplayConfig,
     local_id_offsets: dict[int, int],
+    schema_ops: list[dict] | None,
     *summaries: pa.Table | None,
 ) -> pa.Table:
     """Stage 2: merge one logical partition's sub-bucket summaries."""
@@ -156,7 +162,7 @@ def _fold_salted_merge_task(
     parts = [s for s in summaries if s is not None and s.num_rows]
     if not parts:
         return _empty_fold()
-    return fold_salted_merge(pa.concat_tables(parts), cfg, local_id_offsets)
+    return fold_salted_merge(pa.concat_tables(parts), cfg, local_id_offsets, schema_ops)
 
 
 class Replayer:
@@ -399,6 +405,7 @@ class Replayer:
         if not parts:
             raise ValueError("nothing to fold: no base and no committed deltas")
         offsets = self.manifest.local_id_offsets()
+        schema_ops = self._schema_ops_up_to(up_to_epoch)
         S = self.cfg.num_salts
         if S == 1:
             refs = [
@@ -408,6 +415,7 @@ class Replayer:
                     self.cfg,
                     offsets,
                     base_is_final,
+                    schema_ops,
                 )
                 for p in parts
             ]
@@ -426,30 +434,59 @@ class Replayer:
                     delta_by_part.get(p, []),
                     self.cfg,
                     base_is_final,
+                    schema_ops,
                 )
                 for p in phys
             ]
             merge_refs.append(
-                _fold_salted_merge_task.remote(self.cfg, offsets, *s1)
+                _fold_salted_merge_task.remote(self.cfg, offsets, schema_ops, *s1)
             )
         return ray.data.from_arrow_refs(merge_refs)
 
+    def _schema_ops_up_to(self, up_to_epoch: int | None) -> list[dict]:
+        """Manifest DDL ops limited to the lsn range of the folded epochs."""
+        ops = list(self.manifest.state["schema_ops"])
+        if up_to_epoch is None:
+            return ops
+        cutoff = -1
+        for e in self.manifest.committed_epochs():
+            if e <= up_to_epoch:
+                cutoff = max(cutoff, self.manifest.epoch_entry(e).get("max_lsn", -1))
+        return [o for o in ops if o["lsn"] <= cutoff]
+
     def read_state(self, up_to_epoch: int | None = None):
-        """Current table state as a Ray Dataset (schema ops applied)."""
+        """Current table state as a Ray Dataset (schema ops applied:
+        renames as display names, DDL-added columns MATERIALIZED from the
+        rows' canonical ``extra_json`` carrier)."""
         rows = self.fold_output(up_to_epoch).filter(expr="_kind == 'row'")
         rows = rows.map_batches(
             lambda t: t.select(_ROW_COLS), batch_format="pyarrow", zero_copy_batch=True
         )
-        final_schema, _renames, added = self.manifest.resolve_schema(_ROW_COLS)
+        ops = self._schema_ops_up_to(up_to_epoch)
+        final_schema, _renames, added = self.manifest.resolve_schema(_DISPLAY_COLS, ops)
         if added or _renames:
-            # canonical order = _ROW_COLS + added (resolve_schema appends adds
-            # and renames in place) → rename positionally to the final schema.
+            # canonical order = _DISPLAY_COLS + added (resolve_schema appends
+            # adds, renames in place) → rename positionally to final schema.
             def _evolve(t: pa.Table, added=tuple(added), names=tuple(final_schema)) -> pa.Table:
+                import polars as pl
+
+                ex = pl.from_arrow(t.select(["extra_json"]))
+                t = t.drop_columns(["extra_json"])
                 for name in added:
-                    t = t.append_column(name, pa.nulls(t.num_rows, pa.string()))
+                    vals = ex.select(
+                        pl.col("extra_json").str.json_path_match(f"$.{name}").alias(name)
+                    ).to_arrow()[name]
+                    if isinstance(vals, pa.ChunkedArray):
+                        vals = vals.combine_chunks()
+                    t = t.append_column(name, pc.cast(vals, pa.string()))
                 return t.rename_columns(list(names))
 
             rows = rows.map_batches(_evolve, batch_format="pyarrow", zero_copy_batch=True)
+        else:
+            rows = rows.map_batches(
+                lambda t: t.select(_DISPLAY_COLS), batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         if self.cfg.policy_plugins:
             from marc_data_migration_ray.stages.policy import apply_policies
 

@@ -170,26 +170,68 @@ def make_binlog(
     n_tok = n_tok.astype(object)
     source = SOURCES[rng.integers(0, len(SOURCES), size=n)].astype(object)
 
-    # payload applicability: deletes/schema carry no payload
+    # schema ops assigned FIRST (masks must reference as-of-lsn names)
+    schema_kind = np.full(n, None, dtype=object)
+    schema_name = np.full(n, None, dtype=object)
+    schema_new = np.full(n, None, dtype=object)
+    sc_idx = np.nonzero(op == "schema_change")[0]
+    for j, i in enumerate(sc_idx):
+        if j % 2 == 0:
+            schema_kind[i] = "add_column"
+            schema_name[i] = f"extra_{j // 2}"
+        else:
+            schema_kind[i] = "rename_column"
+            schema_name[i] = "source" if j % 4 == 1 else f"extra_{j // 2 - (j // 2 and 1)}"
+            schema_new[i] = f"renamed_{j // 2}"
+
+    from marc_data_migration_ray.state.schema_timeline import Timeline
+
+    tl = Timeline(
+        [
+            {"lsn": int(lsn[i]), "kind": schema_kind[i], "name": schema_name[i],
+             "new_name": schema_new[i]}
+            for i in sc_idx
+        ]
+    )
+
+    # payload applicability: deletes/schema carry no payload; update masks
+    # use the column names VISIBLE at the event's lsn (mid-stream DDL), and
+    # a fraction of updates write a DDL-added column via extra_json
     mask_choice = rng.random(n)
     masks: list = []
+    extra_json: list = []
     for i in range(n):
+        ex = None
         if op[i] == "update":
-            if mask_choice[i] < 0.6:
-                masks.append(["tokens", "n_tok"])
-            elif mask_choice[i] < 0.8:
-                masks.append(["source"])
+            L = int(lsn[i])
+            live_added = [c for c in tl.added if tl.name_at(c, L) is not None]
+            if mask_choice[i] < 0.55:
+                masks.append([tl.name_at("tokens", L), tl.name_at("n_tok", L)])
+            elif mask_choice[i] < 0.72:
+                masks.append([tl.name_at("source", L)])
+            elif mask_choice[i] < 0.85 and live_added:
+                c = live_added[i % len(live_added)]
+                name = tl.name_at(c, L)
+                masks.append([name])
+                ex = '{"%s":"v%d"}' % (name, L)
             else:
                 masks.append([])  # full row
         else:
             masks.append([])
+        extra_json.append(ex)
     tokens_col: list = []
     for i in range(n):
         if op[i] in ("delete", "schema_change"):
             tokens_col.append(None)
             n_tok[i] = None
             source[i] = None
-        elif op[i] == "update" and masks[i] == ["source"]:
+        elif op[i] == "update" and extra_json[i] is not None:
+            # added-column-only update: no base payload
+            tokens_col.append(None)
+            n_tok[i] = None
+            source[i] = None
+        elif op[i] == "update" and len(masks[i]) == 1 and masks[i][0] is not None \
+                and tl.name_at("source", int(lsn[i])) == masks[i][0]:
             tokens_col.append(None)
             n_tok[i] = None
         else:
@@ -209,20 +251,9 @@ def make_binlog(
     match_title = np.where(is_upd, pool_m[pidx], None)
     score = np.where(is_upd, pool_r[pidx], 0).astype(np.int32)
 
-    # schema ops
-    schema_kind = np.full(n, None, dtype=object)
-    schema_name = np.full(n, None, dtype=object)
-    schema_new = np.full(n, None, dtype=object)
-    sc_idx = np.nonzero(op == "schema_change")[0]
-    for j, i in enumerate(sc_idx):
-        if j % 2 == 0:
-            schema_kind[i] = "add_column"
-            schema_name[i] = f"extra_{j // 2}"
-        else:
-            schema_kind[i] = "rename_column"
-            schema_name[i] = "source" if j % 4 == 1 else f"extra_{j // 2 - (j // 2 and 1)}"
-            schema_new[i] = f"renamed_{j // 2}"
-        raw[i] = None  # DDL carries no key
+    # DDL events carry no key
+    for i in sc_idx:
+        raw[i] = None
 
     # malformed bait: null doc_id / negative n_tok / inconsistent n_tok
     bad = np.nonzero((rng.random(n) < malformed_frac) & (op != "schema_change"))[0]
@@ -251,6 +282,7 @@ def make_binlog(
             "match_score": pa.array(score, pa.int32()),
             "title": pa.array(list(title), pa.string()),
             "match_title": pa.array(list(match_title), pa.string()),
+            "extra_json": pa.array(extra_json, pa.string()),
             "schema_kind": pa.array(schema_kind, pa.string()),
             "schema_name": pa.array(schema_name, pa.string()),
             "schema_new_name": pa.array(schema_new, pa.string()),

@@ -40,13 +40,57 @@ FOLD_FIELDS = [
     ("last_lsn", pa.int64()),
     ("status", pa.string()),
     ("candidate_key", pa.string()),
+    ("extra_json", pa.string()),
     ("part_id", pa.int32()),
     ("lsn", pa.int64()),
     ("metrics_json", pa.string()),
 ]
 FOLD_SCHEMA = pa.schema(FOLD_FIELDS)
 
-_ROW_COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
+_ROW_COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status",
+             "candidate_key", "extra_json"]
+
+
+# ------------------------------------------------------------------ DDL --
+def _writes_expr(tl, c: str):
+    """polars predicate: does this update's mask write canonical ``c`` as
+    of the update's lsn? (Timeline.writes, vectorized: empty mask ⇒ base
+    payload columns; else the mask must contain the column's then-visible
+    name.)"""
+    exprs = []
+    if c in PAYLOAD_COLUMNS:
+        exprs.append(pl.col("column_mask").list.len().fill_null(0) == 0)
+    for start, end, name in tl.segments[c]:
+        e = pl.col("column_mask").list.contains(name).fill_null(False)
+        if start is not None:
+            e = e & (pl.col("lsn") >= start)
+        if end is not None:
+            e = e & (pl.col("lsn") < end)
+        exprs.append(e)
+    out = exprs[0]
+    for e in exprs[1:]:
+        out = out | e
+    return out
+
+
+def _extra_value_expr(tl, c: str):
+    """polars expr: the value an event/row carries for added column ``c``.
+
+    Event payloads key ``extra_json`` by the column's then-visible name;
+    folded/compacted rows key it by the canonical name — extract by the
+    lsn's segment name first, canonical key as fallback."""
+    expr = pl.col("extra_json").str.json_path_match(f"$.{c}")
+    for start, end, name in tl.segments[c]:
+        if name == c:
+            continue
+        seg = pl.col("extra_json").str.json_path_match(f"$.{name}")
+        cond = pl.lit(True)
+        if start is not None:
+            cond = pl.col("lsn") >= start
+        if end is not None:
+            cond = cond & (pl.col("lsn") < end)
+        expr = pl.when(cond & seg.is_not_null()).then(seg).otherwise(expr)
+    return expr
 
 
 def _to_arrow(df: pl.DataFrame) -> pa.Table:
@@ -68,8 +112,17 @@ def fold_bucket(
     tbl: pa.Table,
     cfg: ReplayConfig,
     local_id_offsets: dict[int, int] | None = None,
+    schema_ops: list[dict] | None = None,
 ) -> pa.Table:
-    """Fold one partition's base+delta rows into final rows + audit + metrics."""
+    """Fold one partition's base+delta rows into final rows + audit + metrics.
+
+    ``schema_ops`` (lsn-ordered DDL) drives mid-stream mask resolution: a
+    column mask refers to the schema AS OF the event's lsn (post-rename
+    names), and DDL-added columns are writable by later masked updates via
+    the ``extra_json`` payload (SEMANTICS §schema)."""
+    from marc_data_migration_ray.state.schema_timeline import Timeline
+
+    tl = Timeline(schema_ops)
     df = pl.from_arrow(tbl)
     base = df.filter(pl.col("is_base"))
     if base.height:
@@ -91,6 +144,11 @@ def fold_bucket(
     anchor = anchors.sort(["key", "lsn"]).unique(
         subset=["key"], keep="last", maintain_order=True
     )
+    # anchor-side values for added columns (canonical-keyed on rows,
+    # segment-keyed on insert events)
+    anchor = anchor.with_columns(
+        *[_extra_value_expr(tl, c).alias(f"_aex_{c}") for c in tl.added]
+    )
     anchor_j = anchor.select(
         "key",
         pl.col("lsn").alias("_alsn"),
@@ -98,6 +156,7 @@ def fold_bucket(
         pl.col("tokens").alias("_a_tokens"),
         pl.col("n_tok").alias("_a_n_tok"),
         pl.col("source").alias("_a_source"),
+        *[pl.col(f"_aex_{c}") for c in tl.added],
     )
     updates = applied.filter(pl.col("op") == "update").join(
         anchor_j, on="key", how="left"
@@ -110,16 +169,12 @@ def fold_bucket(
     noops = updates.filter(~applies)
     upd = updates.filter(applies)
 
-    # per-column winners (group-by-last over lsn)
+    # per-column winners (group-by-last over lsn); masks resolve as-of-lsn
     col_repl: dict[str, int] = {}
     final = anchor.filter(pl.col("op") != "delete")
     tombstoned = anchor.filter(pl.col("op") == "delete").height
-    mask_allows = lambda c: (  # noqa: E731
-        (pl.col("column_mask").list.len().fill_null(0) == 0)
-        | pl.col("column_mask").list.contains(c).fill_null(False)
-    )
     for c in PAYLOAD_COLUMNS:
-        wc = upd.filter(mask_allows(c))
+        wc = upd.filter(_writes_expr(tl, c))
         if cfg.strategy == "replace_only":
             wc = wc.filter(pl.col(f"_a_{c}").is_not_null())
         col_repl[c] = wc.height
@@ -135,6 +190,35 @@ def fold_bucket(
             .otherwise(pl.col(c))
             .alias(c)
         ).drop([f"_w_{c}", f"_has_{c}"])
+    # DDL-added columns: winner value from the event's extra_json payload,
+    # anchor's stored value as fallback; final rows re-key canonically
+    for c in tl.added:
+        wc = upd.filter(_writes_expr(tl, c))
+        if cfg.strategy == "replace_only":
+            wc = wc.filter(pl.col(f"_aex_{c}").is_not_null())
+        col_repl[c] = wc.height
+        winner = (
+            wc.sort(["key", "lsn"])
+            .unique(subset=["key"], keep="last", maintain_order=True)
+            .select(
+                "key",
+                _extra_value_expr(tl, c).alias(f"_w_{c}"),
+                pl.lit(True).alias(f"_has_{c}"),
+            )
+        )
+        final = final.join(winner, on="key", how="left")
+        final = final.with_columns(
+            pl.when(pl.col(f"_has_{c}").fill_null(False))
+            .then(pl.col(f"_w_{c}"))
+            .otherwise(pl.col(f"_aex_{c}"))
+            .alias(f"_fx_{c}")
+        ).drop([f"_w_{c}", f"_has_{c}"])
+    if tl.added:
+        final = final.with_columns(
+            pl.struct(
+                **{c: pl.col(f"_fx_{c}") for c in tl.added}
+            ).struct.json_encode().alias("extra_json")
+        ).drop([f"_fx_{c}" for c in tl.added])
 
     # row lineage: last contributing event (applied updates ∪ insert anchors)
     contrib = pl.concat(
@@ -162,11 +246,20 @@ def fold_bucket(
         "last_lsn",
         "status",
         "candidate_key",
+        "extra_json",
         "part_id",
     )
 
     # local-id allocation: per-partition rank in lsn order (reference P6)
     if local.height:
+        if tl.added:
+            # re-key local rows' extra payload canonically (event payloads
+            # are keyed by then-visible names)
+            local = local.with_columns(
+                pl.struct(
+                    **{c: _extra_value_expr(tl, c) for c in tl.added}
+                ).struct.json_encode().alias("extra_json")
+            )
         local = local.sort(["part_id", "lsn"]).with_columns(
             pl.col("lsn").cum_count().over("part_id").alias("_rank")
         )
@@ -195,6 +288,7 @@ def fold_bucket(
             pl.col("lsn").alias("last_lsn"),
             pl.lit("local").alias("status"),
             pl.col("doc_id_raw").alias("candidate_key"),
+            "extra_json",
             "part_id",
         )
     else:
@@ -276,17 +370,15 @@ def _parsed_names() -> list[str]:
     return _PARSED_NAMES
 
 
-def _mask_allows(c: str):
-    return (
-        (pl.col("column_mask").list.len().fill_null(0) == 0)
-        | pl.col("column_mask").list.contains(c).fill_null(False)
-    )
-
-
-def fold_salted_stage1(tbl: pa.Table, cfg: ReplayConfig) -> pa.Table:
+def fold_salted_stage1(
+    tbl: pa.Table, cfg: ReplayConfig, schema_ops: list[dict] | None = None
+) -> pa.Table:
     """Stage 1: one physical sub-bucket → mergeable summary table
     (PARSED columns + ``_sec`` ∈ {a: anchor candidate, w: per-column winner
     candidates, u: payload-stripped update metadata, l: local inserts})."""
+    from marc_data_migration_ray.state.schema_timeline import Timeline
+
+    tl = Timeline(schema_ops)
     df = pl.from_arrow(tbl)
     base = df.filter(pl.col("is_base"))
     if base.height:
@@ -306,8 +398,8 @@ def fold_salted_stage1(tbl: pa.Table, cfg: ReplayConfig) -> pa.Table:
     )
     upd = applied.filter(pl.col("op") == "update")
     winner_lsns: set[int] = set()
-    for c in PAYLOAD_COLUMNS:
-        wc = upd.filter(_mask_allows(c))
+    for c in list(PAYLOAD_COLUMNS) + tl.added:
+        wc = upd.filter(_writes_expr(tl, c))
         if wc.height:
             w = wc.sort(["key", "lsn"]).unique(subset=["key"], keep="last")
             winner_lsns.update(w["lsn"].to_list())
@@ -318,6 +410,7 @@ def fold_salted_stage1(tbl: pa.Table, cfg: ReplayConfig) -> pa.Table:
         pl.lit(None, pl.String).alias("source"),
         pl.lit(None, pl.String).alias("title"),
         pl.lit(None, pl.String).alias("match_title"),
+        pl.lit(None, pl.String).alias("extra_json"),
     )
     local = ev.filter(pl.col("route") == "local")
     secs = [
@@ -345,15 +438,19 @@ def fold_salted_merge(
     tbl: pa.Table,
     cfg: ReplayConfig,
     local_id_offsets: dict[int, int] | None = None,
+    schema_ops: list[dict] | None = None,
 ) -> pa.Table:
     """Stage 2: concat of a logical partition's stage-1 summaries →
     FOLD_SCHEMA output. State comes from fold_bucket over the anchor /
     winner / local sections; noop + col-replacement metrics are recomputed
     exactly from the complete update-metadata section."""
+    from marc_data_migration_ray.state.schema_timeline import Timeline
+
+    tl = Timeline(schema_ops)
     df = pl.from_arrow(tbl)
     meta = df.filter(pl.col("_sec") == "u").drop("_sec")
     fold_in = df.filter(pl.col("_sec") != "u").drop("_sec")
-    folded = fold_bucket(fold_in.to_arrow(), cfg, local_id_offsets)
+    folded = fold_bucket(fold_in.to_arrow(), cfg, local_id_offsets, schema_ops)
     rows = folded.filter(pc.equal(folded["_kind"], "row"))
 
     # recompute the global anchor over the candidate section (same rule as
@@ -370,6 +467,9 @@ def fold_salted_merge(
         how="vertical",
     )
     anchor = anchors.sort(["key", "lsn"]).unique(subset=["key"], keep="last")
+    anchor = anchor.with_columns(
+        *[_extra_value_expr(tl, c).alias(f"_aex_{c}") for c in tl.added]
+    )
     anchor_j = anchor.select(
         "key",
         pl.col("lsn").alias("_alsn"),
@@ -377,6 +477,7 @@ def fold_salted_merge(
         pl.col("tokens").alias("_a_tokens"),
         pl.col("n_tok").alias("_a_n_tok"),
         pl.col("source").alias("_a_source"),
+        *[pl.col(f"_aex_{c}") for c in tl.added],
     )
     meta = meta.unique(subset=["lsn"], keep="first").join(anchor_j, on="key", how="left")
     applies = (
@@ -388,9 +489,14 @@ def fold_salted_merge(
     applied_meta = meta.filter(applies)
     col_repl = {}
     for c in PAYLOAD_COLUMNS:
-        wc = applied_meta.filter(_mask_allows(c))
+        wc = applied_meta.filter(_writes_expr(tl, c))
         if cfg.strategy == "replace_only":
             wc = wc.filter(pl.col(f"_a_{c}").is_not_null())
+        col_repl[c] = wc.height
+    for c in tl.added:
+        wc = applied_meta.filter(_writes_expr(tl, c))
+        if cfg.strategy == "replace_only":
+            wc = wc.filter(pl.col(f"_aex_{c}").is_not_null())
         col_repl[c] = wc.height
 
     # rebuild the metrics row: state-side numbers from the fold, update-side

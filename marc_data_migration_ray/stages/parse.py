@@ -39,6 +39,7 @@ PARSED_FIELDS = [
     ("match_score", pa.int32()),
     ("title", pa.string()),
     ("match_title", pa.string()),
+    ("extra_json", pa.string()),
     ("candidate_key", pa.string()),
     ("schema_kind", pa.string()),
     ("schema_name", pa.string()),
@@ -164,6 +165,7 @@ class ParseRoute:
                 "match_score": batch["match_score"],
                 "title": batch["title"] if "title" in batch.column_names else pa.nulls(n, pa.string()),
                 "match_title": batch["match_title"] if "match_title" in batch.column_names else pa.nulls(n, pa.string()),
+                "extra_json": batch["extra_json"] if "extra_json" in batch.column_names else pa.nulls(n, pa.string()),
                 "candidate_key": pa.nulls(n, pa.string()),
                 "schema_kind": batch["schema_kind"] if "schema_kind" in batch.column_names else pa.nulls(n, pa.string()),
                 "schema_name": batch["schema_name"] if "schema_name" in batch.column_names else pa.nulls(n, pa.string()),
@@ -231,6 +233,11 @@ class PrepBase:
                 "match_score": pa.nulls(n, pa.int32()),
                 "title": pa.nulls(n, pa.string()),
                 "match_title": pa.nulls(n, pa.string()),
+                "extra_json": (
+                    batch["extra_json"]
+                    if self.assume_normalized and "extra_json" in batch.column_names
+                    else pa.nulls(n, pa.string())
+                ),
                 "candidate_key": cand if cand is not None else pa.nulls(n, pa.string()),
                 "schema_kind": pa.nulls(n, pa.string()),
                 "schema_name": pa.nulls(n, pa.string()),

@@ -85,15 +85,18 @@ class Manifest:
                 self.state["schema_ops"] + new, key=lambda o: o["lsn"]
             )
 
-    def resolve_schema(self, base_columns: list[str]) -> tuple[list[str], dict[str, str], list[str]]:
+    def resolve_schema(
+        self, base_columns: list[str], ops: list[dict] | None = None
+    ) -> tuple[list[str], dict[str, str], list[str]]:
         """Simulate schema ops over ``base_columns`` (SEMANTICS §schema).
 
         Returns (final_schema, rename_map canonical→final, added_columns).
+        ``ops`` overrides the manifest's full op list (epoch-ranged reads).
         """
         schema = list(base_columns)
         renames: dict[str, str] = {}
         added: list[str] = []
-        for op in self.state["schema_ops"]:
+        for op in (self.state["schema_ops"] if ops is None else ops):
             kind, name, new = op["kind"], op["name"], op.get("new_name")
             if kind == "add_column" and name not in schema:
                 schema.append(name)

@@ -1,0 +1,87 @@
+"""Schema-op timeline: as-of-lsn column-name resolution (mid-stream DDL).
+
+The binlog's ``schema_change`` events form a total order by lsn. A column
+mask inside an update event refers to the schema AS OF THAT EVENT'S LSN —
+an update emitted after ``rename_column(n_tok, tok_count)`` masks
+``tok_count``, and one emitted before the rename masks ``n_tok``; a mask
+naming a column before it was added is a no-op. ``add_column`` columns
+become WRITABLE by later updates (values carried in the event's
+``extra_json`` payload keyed by the column's then-visible name).
+
+This module builds, from the DDL list, a per-canonical-column segment
+timeline ``[(start_lsn, end_lsn, visible_name)]`` consumed by BOTH the
+vectorized fold (polars expressions) and the pure-Python oracle — one
+definition, no drift. Canonical id of a base payload column is its
+original name; of an added column, its add-time name.
+"""
+
+from __future__ import annotations
+
+from marc_data_migration_ray.config import PAYLOAD_COLUMNS
+
+
+class Timeline:
+    """Per-canonical-column visible-name segments.
+
+    ``segments[c]`` = list of ``(start_lsn, end_lsn, name)`` with
+    ``start_lsn is None`` ⇒ since always, ``end_lsn is None`` ⇒ open.
+    ``added`` = canonical names of DDL-added columns, in add order.
+    """
+
+    #: display columns of the final table — occupied names: an add naming
+    #: one is a no-op, a rename targeting one is a no-op (mirrors
+    #: Manifest.resolve_schema / the oracle's schema section exactly).
+    RESERVED = ("doc_id", "tokens", "n_tok", "source", "last_lsn", "status",
+                "candidate_key")
+
+    def __init__(self, schema_ops: list[dict] | None):
+        self.segments: dict[str, list[tuple[int | None, int | None, str]]] = {
+            c: [(None, None, c)] for c in PAYLOAD_COLUMNS
+        }
+        self.added: list[str] = []
+        visible: dict[str, str] = {c: c for c in PAYLOAD_COLUMNS}  # canonical→name
+        occupied = set(self.RESERVED)
+        for op in sorted(schema_ops or [], key=lambda o: o["lsn"]):
+            kind, name, new = op.get("kind"), op.get("name"), op.get("new_name")
+            lsn = op["lsn"]
+            if kind == "add_column":
+                if name in visible.values() or name in self.segments or name in occupied:
+                    continue  # adding an existing/occupied name is a no-op
+                self.segments[name] = [(lsn, None, name)]
+                self.added.append(name)
+                visible[name] = name
+                occupied.add(name)
+            elif kind == "rename_column":
+                canon = next((c for c, v in visible.items() if v == name), None)
+                if canon is None or new in visible.values() or (
+                    new in occupied and new not in visible.values()
+                    and new in self.RESERVED
+                ):
+                    continue  # unknown source / colliding target: no-op
+                s, _, nm = self.segments[canon][-1]
+                self.segments[canon][-1] = (s, lsn, nm)
+                self.segments[canon].append((lsn, None, new))
+                visible[canon] = new
+                occupied.add(new)
+
+    def has_renames_or_adds(self) -> bool:
+        return bool(self.added) or any(
+            len(segs) > 1 for segs in self.segments.values()
+        )
+
+    def name_at(self, canonical: str, lsn: int) -> str | None:
+        """Visible name of ``canonical`` as of ``lsn`` (None ⇒ not visible)."""
+        for start, end, name in self.segments.get(canonical, ()):
+            if (start is None or lsn >= start) and (end is None or lsn < end):
+                return name
+        return None
+
+    def writes(self, canonical: str, lsn: int, mask: list[str] | None) -> bool:
+        """Does an update at ``lsn`` with ``mask`` write ``canonical``?
+
+        Empty/None mask ⇒ all BASE payload columns (added columns are only
+        written when explicitly masked)."""
+        if not mask:
+            return canonical in PAYLOAD_COLUMNS
+        name = self.name_at(canonical, lsn)
+        return name is not None and name in mask

@@ -43,8 +43,10 @@ def _cfg_from_args(args) -> "ReplayConfig":
 
     return ReplayConfig(
         num_partitions=args.num_partitions,
+        num_salts=args.num_salts,
         fuzzy_threshold=args.fuzzy_threshold,
         require_perfect=args.require_perfect,
+        fuzzy_001_test=args.fuzzy_001_test,
         strategy=args.strategy,
         precollapse_updates=args.precollapse,
         policy_plugins=tuple(args.policy or ()),
@@ -53,8 +55,12 @@ def _cfg_from_args(args) -> "ReplayConfig":
 
 def _add_cfg_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num-partitions", type=int, default=32, dest="num_partitions")
+    p.add_argument("--num-salts", type=int, default=1, dest="num_salts",
+                   help="salted sub-partitions per partition (hot-key skew)")
     p.add_argument("--fuzzy-threshold", type=int, default=50, dest="fuzzy_threshold")
     p.add_argument("--require-perfect", action="store_true", dest="require_perfect")
+    p.add_argument("--fuzzy-001-test", action="store_true", dest="fuzzy_001_test",
+                   help="reference do_fuzzy_001_test gate branch")
     p.add_argument("--strategy", choices=["replace_and_add", "replace_only"],
                    default="replace_and_add")
     p.add_argument("--precollapse", action="store_true",

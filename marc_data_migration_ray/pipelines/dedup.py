@@ -208,26 +208,39 @@ def hash_str64(s: str) -> int:
     return h
 
 
-def _bucket_pairs_fn(cap: int):
-    """Per-(band,bucket) pair emitter with EXPLICIT drop accounting: when a
-    bucket exceeds ``cap`` ids, pairs beyond the cap are skipped and one
-    marker row (doc_a = -1, n_dropped = skipped count) is emitted."""
+def _bucket_pairs_fn(cap: int, keys: tuple[str, ...]):
+    """COARSE-group pair emitter: each shuffle group holds MANY logical
+    buckets (the fine bucket key is high-cardinality with mostly-singleton
+    groups, and Ray's map_groups costs a Python call per group — the
+    coarse-group + polars-inside pattern turns ~100k tiny calls into a few
+    thousand vectorized ones). Inside, polars collapses to one row per
+    logical bucket, singleton buckets drop vectorized, and only real
+    collision buckets reach the Python pair loop. Buckets over ``cap`` ids
+    emit pairs for the first ``cap`` plus one marker row
+    (doc_a = -1, n_dropped = skipped count) — no silent drops."""
+    import polars as pl
 
     def _pairs(g: pa.Table) -> pa.Table:
-        ids = sorted(set(ids_array(g["doc_id"]).tolist()))
-        n = len(ids)
-        out_a, out_b = [], []
-        take = min(n, cap)
-        for i in range(take):
-            for j in range(i + 1, take):
-                out_a.append(ids[i])
-                out_b.append(ids[j])
-        dropped = n * (n - 1) // 2 - take * (take - 1) // 2
-        nd = [0] * len(out_a)
-        if dropped:
-            out_a.append(-1)
-            out_b.append(-1)
-            nd.append(dropped)
+        df = pl.from_arrow(g)
+        grp = (
+            df.group_by(list(keys))
+            .agg(pl.col("doc_id").unique().sort().alias("ids"))
+            .filter(pl.col("ids").list.len() > 1)
+        )
+        out_a, out_b, nd = [], [], []
+        for ids in grp["ids"].to_list():
+            n = len(ids)
+            take = min(n, cap)
+            for i in range(take):
+                for j in range(i + 1, take):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+                    nd.append(0)
+            dropped = n * (n - 1) // 2 - take * (take - 1) // 2
+            if dropped:
+                out_a.append(-1)
+                out_b.append(-1)
+                nd.append(dropped)
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
@@ -263,8 +276,16 @@ def candidate_pairs_minhash(sf_dir: str, bucket_cap: int = 256) -> ray.data.Data
     sigs = _docs(sf_dir).map_batches(
         MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
     )
-    raw = sigs.groupby(["band", "bucket"]).map_groups(
-        _bucket_pairs_fn(bucket_cap), batch_format="pyarrow"
+    # coarse shuffle key: many (band,bucket) logical buckets per group
+    coarse = sigs.map_batches(
+        lambda t: t.append_column(
+            "cg", pc.cast(pc.bit_wise_and(t["bucket"], 0x3FF), pa.int32())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    raw = coarse.groupby("cg").map_groups(
+        _bucket_pairs_fn(bucket_cap, ("band", "bucket")), batch_format="pyarrow"
     ).materialize()  # candidate pairs are tiny relative to the corpus
     dropped = raw.sum("n_dropped")
     if dropped:
@@ -370,33 +391,43 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3,
 
     exploded = sigs.map_batches(_explode, batch_format="pyarrow")
 
-    def _pairs(g: pa.Table) -> pa.Table:
-        ids = ids_array(g["doc_id"])
-        sh = g["simhash"].to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
-        order = np.argsort(ids)
-        ids, sh = ids[order], sh[order]
-        n = len(ids)
-        take = min(n, bucket_cap)
+    def _pairs_coarse(g: pa.Table) -> pa.Table:
+        """Coarse group (many (block,bkey) buckets): polars collapses to
+        collision buckets, then per-bucket vectorized Hamming verify."""
+        import polars as pl
+
+        df = pl.from_arrow(g)
+        grp = (
+            df.group_by(["block", "bkey"])
+            .agg(pl.col("doc_id").alias("ids"), pl.col("simhash").alias("shs"))
+            .filter(pl.col("ids").list.len() > 1)
+        )
         out_a, out_b, ham, nd = [], [], [], []
-        if take > 1:
-            # vectorized Hamming over the capped bucket: XOR matrix + popcount
-            x = sh[:take, None] ^ sh[None, :take]
-            pop = np.zeros_like(x, dtype=np.int64)
-            while x.any():
-                pop += (x & np.uint64(1)).astype(np.int64)
-                x = x >> np.uint64(1)
-            iu = np.triu_indices(take, k=1)
-            keep = (pop[iu] <= max_hamming) & (ids[iu[0]] != ids[iu[1]])
-            out_a = ids[iu[0][keep]].tolist()
-            out_b = ids[iu[1][keep]].tolist()
-            ham = pop[iu][keep].tolist()
-            nd = [0] * len(out_a)
-        dropped = n * (n - 1) // 2 - take * (take - 1) // 2
-        if dropped:
-            out_a.append(-1)
-            out_b.append(-1)
-            ham.append(0)
-            nd.append(dropped)
+        for ids_l, shs in zip(grp["ids"].to_list(), grp["shs"].to_list()):
+            ids = np.asarray(ids_l, np.int64)
+            sh = np.asarray(shs, np.int64).view(np.uint64)
+            order = np.argsort(ids)
+            ids, sh = ids[order], sh[order]
+            n = len(ids)
+            take = min(n, bucket_cap)
+            if take > 1:
+                x = sh[:take, None] ^ sh[None, :take]
+                pop = np.zeros_like(x, dtype=np.int64)
+                while x.any():
+                    pop += (x & np.uint64(1)).astype(np.int64)
+                    x = x >> np.uint64(1)
+                iu = np.triu_indices(take, k=1)
+                keep = (pop[iu] <= max_hamming) & (ids[iu[0]] != ids[iu[1]])
+                out_a += ids[iu[0][keep]].tolist()
+                out_b += ids[iu[1][keep]].tolist()
+                ham += pop[iu][keep].tolist()
+                nd += [0] * int(keep.sum())
+            dropped = n * (n - 1) // 2 - take * (take - 1) // 2
+            if dropped:
+                out_a.append(-1)
+                out_b.append(-1)
+                ham.append(0)
+                nd.append(dropped)
         return pa.table(
             {
                 "doc_a": pa.array(out_a, pa.int64()),
@@ -406,8 +437,15 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3,
             }
         )
 
-    raw = exploded.groupby(["block", "bkey"]).map_groups(
-        _pairs, batch_format="pyarrow"
+    coarse = exploded.map_batches(
+        lambda t: t.append_column(
+            "cg", pc.cast(pc.bit_wise_and(t["bkey"], 0x1FF), pa.int32())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    raw = coarse.groupby("cg").map_groups(
+        _pairs_coarse, batch_format="pyarrow"
     ).materialize()
     dropped = raw.sum("n_dropped")
     if dropped:

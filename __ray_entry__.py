@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_normalize": reports.key_normalize,
         "title_normalize": reports.title_normalize,
         "title_jaccard": reports.title_jaccard,
+        "intra_record_dups": reports.intra_record_dups,
         # relational coverage (A1-A3, J1-J4 analogs)
         "pricing_summary": tpch.pricing_summary,
         "nation_revenue": tpch.nation_revenue,
@@ -359,6 +360,18 @@ ORDER BY op, route, status
             "FROM documents"
         ),
         "title_jaccard": _TITLE_JACCARD,
+        # R2/R3 intra-record dup report: masks synthesized by lsn % 9
+        "intra_record_dups": (
+            f"WITH {_BINLOG}, masked AS ("
+            "SELECT lsn, doc_id, CASE WHEN op = 'update' THEN "
+            "CASE lsn % 9 WHEN 0 THEN ['n_tok', 'n_tok'] "
+            "WHEN 1 THEN ['tokens', 'source', 'tokens'] "
+            "WHEN 2 THEN ['source'] ELSE [] END "
+            "ELSE CAST([] AS VARCHAR[]) END AS mask FROM binlog) "
+            "SELECT lsn, doc_id, CAST(len(mask) AS BIGINT) AS n_mask, "
+            "CAST(len(list_distinct(mask)) AS BIGINT) AS n_distinct "
+            "FROM masked WHERE len(mask) > len(list_distinct(mask))"
+        ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "

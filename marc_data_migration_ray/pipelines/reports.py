@@ -73,6 +73,55 @@ def title_normalize(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def intra_record_dups(sf_dir: str) -> ray.data.Dataset:
+    """Reference R2/R3 analog (``reports.py:116-169``): records carrying a
+    repeated single-valued field. Recast: binlog events whose column mask
+    lists the same column more than once — a malformed-but-parseable shape
+    the reference reports for human review rather than rejecting.
+
+    Masks are synthesized deterministically (lsn % 9 picks the form, update
+    events only) so the DuckDB oracle mirrors the arithmetic exactly.
+    Output: (lsn, doc_id, n_mask, n_distinct) for offending events.
+    """
+    import polars as pl
+
+    from marc_data_migration_ray.pipelines.derived import build_binlog_ds
+
+    ds = build_binlog_ds(sf_dir)
+
+    def _mk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["lsn", "doc_id", "op"]))
+        form = pl.col("lsn") % 9
+        empty = pl.lit([], dtype=pl.List(pl.String))
+        mask = (
+            pl.when(pl.col("op") != "update").then(empty)
+            .when(form == 0).then(pl.lit(["n_tok", "n_tok"]))
+            .when(form == 1).then(pl.lit(["tokens", "source", "tokens"]))
+            .when(form == 2).then(pl.lit(["source"]))
+            .otherwise(empty)
+        )
+        out = (
+            df.with_columns(mask.alias("mask"))
+            .with_columns(
+                pl.col("mask").list.len().cast(pl.Int64).alias("n_mask"),
+                pl.col("mask").list.n_unique().cast(pl.Int64).alias("n_distinct"),
+            )
+            .filter(pl.col("n_mask") > pl.col("n_distinct"))
+            .select("lsn", "doc_id", "n_mask", "n_distinct")
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "lsn": pc.cast(a["lsn"], pa.int64()),
+                "doc_id": pc.cast(a["doc_id"], pa.string()),
+                "n_mask": pc.cast(a["n_mask"], pa.int64()),
+                "n_distinct": pc.cast(a["n_distinct"], pa.int64()),
+            }
+        )
+
+    return ds.map_batches(_mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def title_jaccard(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, jaccard): stop-word-stripped word-set Jaccard between doc i
     and doc i+1 (reference M15 audit metric), via Dataset.join on doc_id+1.

@@ -357,19 +357,6 @@ def fold_bucket(
 #   (key, lsn, route, mask) — forwarded payload-STRIPPED (the `u` section),
 #   so the merge touches bytes proportional to event COUNT, not payload.
 
-_SEC_FIELD = ("_sec", pa.string())
-_PARSED_NAMES: list[str] | None = None  # resolved lazily (import cycle)
-
-
-def _parsed_names() -> list[str]:
-    global _PARSED_NAMES
-    if _PARSED_NAMES is None:
-        from marc_data_migration_ray.stages.parse import PARSED_SCHEMA
-
-        _PARSED_NAMES = list(PARSED_SCHEMA.names)
-    return _PARSED_NAMES
-
-
 def fold_salted_stage1(
     tbl: pa.Table, cfg: ReplayConfig, schema_ops: list[dict] | None = None
 ) -> pa.Table:

@@ -104,6 +104,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_value": events.user_daily_value,
         "session_count": events.session_count,
         "event_type_users": events.event_type_users,
+        "sliding_window_value": events.sliding_window_value,
+        "top_orders_per_customer": events.top_orders_per_customer,
         "key_diff_report": events.key_diff_report,
     }
 
@@ -474,6 +476,26 @@ ORDER BY op, route, status
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        # sliding 60-min window, 30-min slide: each event lands in 2 windows
+        "sliding_window_value": (
+            "WITH w AS (SELECT event_type, "
+            "CAST(round(value * 100) AS BIGINT) AS cents, "
+            "epoch_us(ts) AS us FROM events), "
+            "a AS (SELECT event_type, (us // 1800000000) * 1800 AS window_start, cents FROM w "
+            "UNION ALL "
+            "SELECT event_type, ((us // 1800000000) - 1) * 1800, cents FROM w) "
+            "SELECT event_type, window_start, "
+            "CAST(sum(cents) AS BIGINT) AS value_cents, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM a GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "top_orders_per_customer": (
+            "SELECT o_custkey, CAST(rn AS BIGINT) AS rnk, o_orderkey FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER ("
+            "PARTITION BY o_custkey "
+            "ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rn "
+            "FROM orders) WHERE rn <= 3"
         ),
         "parts_by_brand": (
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "

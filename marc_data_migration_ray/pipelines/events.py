@@ -163,6 +163,114 @@ def event_type_users(sf_dir: str) -> pa.Table:
     ).sort_by([("event_type", "ascending")])
 
 
+def sliding_window_value(sf_dir: str) -> ray.data.Dataset:
+    """Sliding event-time window (60-min window, 30-min slide) per event
+    type: (event_type, window_start, value_cents, n_events).
+
+    Each event belongs to exactly 2 overlapping windows → the window
+    assignment is a vectorized 2-way duplication inside ``map_batches``
+    (the flat-map form of sliding windows), partially aggregated per batch,
+    finished with a distributed groupby — the standard windowed-aggregate
+    shape when the engine has no native event-time windows."""
+    ds = _events(sf_dir, ["event_type", "ts", "value"])
+
+    def _assign(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["value"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        # epoch seconds → the two 30-min-aligned window starts covering ts
+        secs = pc.cast(pc.cast(t["ts"], pa.int64()), pa.int64())  # µs since epoch
+        half_hours = pc.divide(secs, 1_800_000_000)
+        w1 = pc.multiply(pc.subtract(half_hours, 1), 1_800_000_000)
+        w0 = pc.multiply(half_hours, 1_800_000_000)
+        parts = []
+        for w in (w0, w1):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": t["event_type"],
+                        "window_start": pc.cast(w, pa.int64()),
+                        "cents": cents,
+                    }
+                )
+            )
+        both = pa.concat_tables(parts)
+        return both.group_by(["event_type", "window_start"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+
+    partials = ds.map_batches(_assign, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("cents_sum", alias_name="value_cents"),
+        Sum("cents_count", alias_name="n_events"),
+    )
+    return final.map_batches(
+        lambda t: pa.table(
+            {
+                "event_type": t["event_type"],
+                "window_start": pc.cast(
+                    pc.divide(t["window_start"], 1_000_000), pa.int64()
+                ),  # epoch seconds for the oracle
+                "value_cents": pc.cast(t["value_cents"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def top_orders_per_customer(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """Per-key window rank: each customer's top-k orders by totalprice
+    (cents desc, orderkey asc): (o_custkey, rnk, o_orderkey).
+
+    Coarse-bucket shuffle (custkey % 64) + ONE vectorized polars window per
+    bucket — the per-group-Python-free form of ``row_number() OVER
+    (PARTITION BY custkey ORDER BY ...)``."""
+    import polars as pl
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0), round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        b = pc.cast(
+            pc.subtract(t["o_custkey"], pc.multiply(pc.divide(t["o_custkey"], 64), 64)),
+            pa.int32(),
+        )
+        return pa.table(
+            {"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"],
+             "cents": cents, "bucket": b}
+        )
+
+    def _rank(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["bucket"]))
+        out = (
+            df.sort(["o_custkey", "cents", "o_orderkey"],
+                    descending=[False, True, False])
+            .with_columns(
+                pl.col("cents").cum_count().over("o_custkey").alias("rnk")
+            )
+            .filter(pl.col("rnk") <= k)
+        )
+        t = out.to_arrow()
+        return pa.table(
+            {
+                "o_custkey": pc.cast(t["o_custkey"], pa.int64()),
+                "rnk": pc.cast(t["rnk"], pa.int64()),
+                "o_orderkey": pc.cast(t["o_orderkey"], pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("bucket").map_groups(_rank, batch_format="pyarrow")
+
+
 def key_diff_report(sf_dir: str) -> ray.data.Dataset:
     """Reference J3 analog: rows whose raw key ≠ normalized key (the
     'compare_oclc_numbers' diff report), over the synthesized noisy keys."""

@@ -116,6 +116,30 @@ def _empty_fold() -> pa.Table:
 
 
 @ray.remote(num_cpus=1)
+def _merge_delta_files_task(files: list[str], out_file: str) -> int:
+    """LSM level-1 file merge for one physical partition: concat → sort by
+    lsn → drop duplicate lsns (bit-identical redeliveries) → one file.
+    Events are preserved exactly; only the FILE layout changes."""
+    import polars as pl
+
+    tables = [pq.read_table(f, columns=list(PARSED_SCHEMA.names)) for f in files]
+    t = pa.concat_tables(tables, promote_options="default")
+    df = pl.from_arrow(t).sort("lsn").unique(subset=["lsn"], keep="first",
+                                             maintain_order=True)
+    out = df.to_arrow()
+    cols = []
+    for name, typ in zip(PARSED_SCHEMA.names, PARSED_SCHEMA.types):
+        c = out.column(name)
+        if isinstance(c, pa.ChunkedArray):
+            c = c.combine_chunks()
+        cols.append(pc.cast(c, typ))
+    merged = pa.Table.from_arrays(cols, schema=PARSED_SCHEMA)
+    os.makedirs(os.path.dirname(out_file), exist_ok=True)
+    pq.write_table(merged, out_file)
+    return merged.num_rows
+
+
+@ray.remote(num_cpus=1)
 def _fold_bucket_task(
     base_files: list[str],
     delta_files: list[str],
@@ -393,11 +417,27 @@ class Replayer:
         base_dir = self._ensure_bucketized_base()
         base_by_part = self._files_by_part(base_dir) if base_dir else {}
         delta_by_part: dict[int, list[str]] = {}
+        segs_added: set[str] = set()
         for e in self.manifest.active_epochs():
             if up_to_epoch is not None and e > up_to_epoch:
                 continue
+            # prefer a level-1 merged segment when it fully fits the read
+            # range (a segment reaching past up_to would leak newer events)
+            seg = self.manifest.segment_covering(e)
+            if seg and (up_to_epoch is None or seg["to"] <= up_to_epoch):
+                if seg["dir"] not in segs_added:
+                    segs_added.add(seg["dir"])
+                    for p, fs in self._files_by_part(seg["dir"]).items():
+                        delta_by_part.setdefault(p, []).extend(fs)
+                continue
             d = os.path.join(self.root, "deltas", f"epoch={e}")
             if not os.path.isdir(d):
+                if seg:
+                    raise ValueError(
+                        f"epoch {e} was vacuumed into segment "
+                        f"[{seg['from']},{seg['to']}]; read with "
+                        f"up_to_epoch >= {seg['to']} (or None)"
+                    )
                 continue  # empty epoch: committed, no data dir
             for p, fs in self._files_by_part(d).items():
                 delta_by_part.setdefault(p, []).extend(fs)
@@ -569,6 +609,86 @@ class Replayer:
         return new_base
 
     # ------------------------------------------------------------------ #
+    # level-1 delta compaction (bounds merge-on-read read amplification)
+    # ------------------------------------------------------------------ #
+    def compact_deltas(self, from_epoch: int, to_epoch: int) -> str:
+        """Merge the delta FILES of committed epochs [from..to] into ONE
+        sorted run per physical partition (LSM level-1). Events are
+        preserved bit-for-bit (sorted by lsn, duplicate lsns dropped), so
+        semantics are untouched — this bounds the file-count read
+        amplification that grows with epoch count between full ``compact``
+        calls. Idempotent: an existing covering segment is returned."""
+        for seg in self.manifest.delta_segments():
+            if seg["from"] == from_epoch and seg["to"] == to_epoch:
+                return seg["dir"]
+            if not (to_epoch < seg["from"] or from_epoch > seg["to"]):
+                raise ValueError(f"range [{from_epoch},{to_epoch}] overlaps segment {seg}")
+        floor = self.manifest.last_compacted_epoch()
+        if from_epoch <= floor:
+            raise ValueError(f"epochs <= {floor} are already base-compacted")
+        epochs = [e for e in self.manifest.committed_epochs()
+                  if from_epoch <= e <= to_epoch]
+        if epochs != list(range(from_epoch, to_epoch + 1)):
+            raise ValueError(
+                f"range [{from_epoch},{to_epoch}] is not a contiguous committed run"
+            )
+        by_part: dict[int, list[str]] = {}
+        for e in epochs:
+            d = os.path.join(self.root, "deltas", f"epoch={e}")
+            if os.path.isdir(d):
+                for p, fs in self._files_by_part(d).items():
+                    by_part.setdefault(p, []).extend(fs)
+        final_dir = os.path.join(
+            self.root, "delta_segments", f"seg={from_epoch}-{to_epoch}"
+        )
+        if not os.path.exists(final_dir):
+            tmp = final_dir + ".tmp-" + uuid.uuid4().hex[:8]
+            refs = [
+                _merge_delta_files_task.remote(
+                    fs, os.path.join(tmp, f"part_p={p}", "merged.parquet")
+                )
+                for p, fs in sorted(by_part.items())
+            ]
+            ray.get(refs)
+            os.makedirs(os.path.dirname(final_dir), exist_ok=True)
+            try:
+                os.rename(tmp, final_dir)
+            except OSError:
+                if not os.path.exists(final_dir):
+                    raise
+                shutil.rmtree(tmp, ignore_errors=True)
+        self.manifest.record_delta_segment(from_epoch, to_epoch, final_dir)
+        return final_dir
+
+    def vacuum_deltas(self) -> list[str]:
+        """Remove per-epoch delta dirs fully covered by merged segments.
+        After vacuuming, ``up_to_epoch`` reads that cut a segment mid-range
+        raise (the guard in ``fold_output``); audit/deadletter reads fall
+        back to the segment filtered by epoch."""
+        removed = []
+        for seg in self.manifest.delta_segments():
+            for e in range(seg["from"], seg["to"] + 1):
+                d = os.path.join(self.root, "deltas", f"epoch={e}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed.append(d)
+        return removed
+
+    def _epoch_files(self, epoch: int) -> tuple[list[str], bool]:
+        """Files holding an epoch's events + whether a segment filter by
+        epoch is needed (vacuumed epoch served from its merged segment)."""
+        d = os.path.join(self.root, "deltas", f"epoch={epoch}")
+        files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+        if files:
+            return files, False
+        seg = self.manifest.segment_covering(epoch)
+        if seg:
+            return sorted(
+                glob.glob(os.path.join(seg["dir"], "**", "*.parquet"), recursive=True)
+            ), True
+        return [], False
+
+    # ------------------------------------------------------------------ #
     def audit_dataset(self, epoch: int):
         """Full routed-event audit for an epoch (reference S11 audit logs),
         with M16 fuzzy-audit parity: ratio, Jaccard and both titles
@@ -579,12 +699,17 @@ class Replayer:
         record), keeping the ingest hot path fully vectorized."""
         from marc_data_migration_ray.functions.fuzzy import jaccard as _jac
 
-        d = os.path.join(self.root, "deltas", f"epoch={epoch}")
-        files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+        files, need_filter = self._epoch_files(epoch)
         ds = ray.data.read_parquet(
             files,
-            columns=["lsn", "doc_id_raw", "key", "op", "route", "status",
+            columns=["lsn", "epoch", "doc_id_raw", "key", "op", "route", "status",
                      "match_score", "title", "match_title"],
+        )
+        if need_filter:
+            ds = ds.filter(expr=f"epoch == {epoch}")
+        ds = ds.map_batches(
+            lambda t: t.drop_columns(["epoch"]), batch_format="pyarrow",
+            zero_copy_batch=True,
         )
 
         def _with_metrics(t: pa.Table) -> pa.Table:
@@ -604,11 +729,13 @@ class Replayer:
 
     def deadletter_dataset(self, epoch: int):
         """Dead-letter rows for an epoch (reference S7 bad-records sink)."""
-        d = os.path.join(self.root, "deltas", f"epoch={epoch}")
-        files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True))
+        files, need_filter = self._epoch_files(epoch)
         if not files:
             return None
-        return ray.data.read_parquet(files).filter(expr="route == 'deadletter'")
+        ds = ray.data.read_parquet(files)
+        if need_filter:
+            ds = ds.filter(expr=f"epoch == {epoch}")
+        return ds.filter(expr="route == 'deadletter'")
 
     def cleanup_tmp(self) -> None:
         t = os.path.join(self.root, "_tmp")

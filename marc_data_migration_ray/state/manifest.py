@@ -36,6 +36,7 @@ class Manifest:
             "schema_ops": [],
             "local_id_offsets": {},
             "compactions": [],
+            "delta_segments": [],
         }
         if os.path.exists(self.path):
             with open(self.path) as f:
@@ -132,3 +133,19 @@ class Manifest:
 
     def local_id_offsets(self) -> dict[int, int]:
         return {int(k): v for k, v in self.state["local_id_offsets"].items()}
+
+    # -- delta segments (LSM level-1 file compaction) ----------------------
+    def record_delta_segment(self, from_epoch: int, to_epoch: int, dir_: str) -> None:
+        self.state.setdefault("delta_segments", []).append(
+            {"from": from_epoch, "to": to_epoch, "dir": dir_}
+        )
+        self.save()
+
+    def delta_segments(self) -> list[dict]:
+        return list(self.state.get("delta_segments", []))
+
+    def segment_covering(self, epoch: int) -> dict | None:
+        for seg in self.state.get("delta_segments", []):
+            if seg["from"] <= epoch <= seg["to"]:
+                return seg
+        return None

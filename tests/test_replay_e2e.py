@@ -317,3 +317,42 @@ def test_bootstrap_from_empty_table(ray_session, fixture_dir, tmp_path):
             events += pq.read_table(os.path.join(d, f)).to_pylist()
     o = oracle.replay([], events, cfg)
     rows_equal(rp.read_state().take_all(), o["final"])
+
+
+def test_delta_segment_compaction(ray_session, fixture_dir, tmp_path):
+    """LSM level-1: merging epoch delta FILES into per-partition sorted
+    runs preserves state exactly, bounds file count, and survives vacuum
+    (audit reads fall back to the segment)."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+    want = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    audit_before = rp.audit_dataset(1).count()
+
+    import glob as _glob
+
+    files_before = len(_glob.glob(os.path.join(rp.root, "deltas", "**", "*.parquet"),
+                                  recursive=True))
+    seg_dir = rp.compact_deltas(0, 1)
+    assert rp.compact_deltas(0, 1) == seg_dir  # idempotent
+    seg_files = len(_glob.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True))
+    assert seg_files <= cfg.num_partitions  # one sorted run per partition
+    assert seg_files < files_before
+
+    got = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    rows_equal(got, [dict(r) for r in want])
+
+    # overlapping range refused
+    with pytest.raises(ValueError, match="overlaps"):
+        rp.compact_deltas(1, 2)
+
+    # vacuum: epoch dirs go away, state + audit still served via segment
+    rp.vacuum_deltas()
+    assert not os.path.isdir(os.path.join(rp.root, "deltas", "epoch=0"))
+    got2 = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    rows_equal(got2, [dict(r) for r in want])
+    assert rp.audit_dataset(1).count() == audit_before
+    # mid-segment epoch-ranged read now raises instead of silently lying
+    with pytest.raises(ValueError, match="vacuumed"):
+        rp.read_state(up_to_epoch=0).count()
+    # at/above the segment end is fine
+    assert rp.read_state(up_to_epoch=1).count() > 0

@@ -197,35 +197,47 @@ class Replayer:
         self.cfg = cfg or ReplayConfig()
         self.manifest = Manifest(root)
         st = self.manifest.state
+        cfg = self.cfg
         if st.get("num_partitions") is None:
-            st["num_partitions"] = self.cfg.num_partitions
-            st["num_salts"] = self.cfg.num_salts
-            if base_path is not None and st["base_path"] is None:
-                st["base_path"] = base_path
-            self.manifest.save()
-        else:
-            if st["num_partitions"] != self.cfg.num_partitions:
-                raise ValueError(
-                    f"table was created with num_partitions={st['num_partitions']}, "
-                    f"config says {self.cfg.num_partitions} — partition layout is immutable"
-                )
-            if st.get("num_salts", 1) != self.cfg.num_salts:
-                raise ValueError(
-                    f"table was created with num_salts={st.get('num_salts', 1)}, "
-                    f"config says {self.cfg.num_salts} — salt layout is immutable"
-                )
-            if base_path is not None:
-                # an existing manifest owns the base: adopt a late-supplied
-                # base_path if none was recorded, refuse a conflicting one
-                # (silently dropping it would replay base-less, ADVICE r1)
-                if st["base_path"] is None and not st.get("compactions"):
-                    st["base_path"] = base_path
-                    self.manifest.save()
-                elif st["base_path"] != base_path:
+            def _create(s: dict) -> None:
+                if s.get("num_partitions") is None:
+                    s["num_partitions"] = cfg.num_partitions
+                    s["num_salts"] = cfg.num_salts
+                    if base_path is not None and s["base_path"] is None:
+                        s["base_path"] = base_path
+
+            self.manifest._cas_update(_create)
+            st = self.manifest.state
+        if st["num_partitions"] != self.cfg.num_partitions:
+            raise ValueError(
+                f"table was created with num_partitions={st['num_partitions']}, "
+                f"config says {self.cfg.num_partitions} — partition layout is immutable"
+            )
+        if st.get("num_salts", 1) != self.cfg.num_salts:
+            raise ValueError(
+                f"table was created with num_salts={st.get('num_salts', 1)}, "
+                f"config says {self.cfg.num_salts} — salt layout is immutable"
+            )
+        if base_path is not None and st["base_path"] != base_path:
+            # an existing manifest owns the base: adopt a late-supplied
+            # base_path if none was recorded, refuse a conflicting one
+            # (silently dropping it would replay base-less, ADVICE r1)
+            if st["base_path"] is None and not st.get("compactions"):
+                def _adopt(s: dict) -> None:
+                    if s["base_path"] is None and not s.get("compactions"):
+                        s["base_path"] = base_path
+
+                self.manifest._cas_update(_adopt)
+                if self.manifest.state["base_path"] != base_path:
                     raise ValueError(
-                        f"table already has base_path={st['base_path']!r}; "
+                        f"table already has base_path={self.manifest.state['base_path']!r}; "
                         f"conflicting base_path={base_path!r} refused"
                     )
+            else:
+                raise ValueError(
+                    f"table already has base_path={st['base_path']!r}; "
+                    f"conflicting base_path={base_path!r} refused"
+                )
 
     # ------------------------------------------------------------------ #
     # ingest
@@ -250,8 +262,9 @@ class Replayer:
             if not has_files:
                 entry = {"rows": 0, "processed": 0, "routes": {}, "max_lsn": -1,
                          "dir": None, "_schema_ops": []}
-                self.manifest.record_schema_ops(entry.pop("_schema_ops"))
-                self.manifest.commit_epoch(epoch, entry)
+                self.manifest.commit_epoch(
+                    epoch, entry, schema_ops=entry.pop("_schema_ops")
+                )
                 return entry
             tmp_dir = os.path.join(self.root, "_tmp", f"epoch-{epoch}-{uuid.uuid4().hex[:8]}")
             ds = ray.data.read_parquet(binlog_path)
@@ -301,8 +314,7 @@ class Replayer:
                 shutil.rmtree(tmp_dir, ignore_errors=True)
 
         entry = self._epoch_entry_from_files(epoch, final_dir)
-        self.manifest.record_schema_ops(entry.pop("_schema_ops"))
-        self.manifest.commit_epoch(epoch, entry)
+        self.manifest.commit_epoch(epoch, entry, schema_ops=entry.pop("_schema_ops"))
         return entry
 
     def _epoch_entry_from_files(self, epoch: int, final_dir: str) -> dict:
@@ -384,8 +396,11 @@ class Replayer:
                 if not os.path.exists(final_dir):
                     raise
                 shutil.rmtree(tmp, ignore_errors=True)
-        st["base_bucketized_path"] = final_dir
-        self.manifest.save()
+        def _record(s: dict) -> None:
+            if not s.get("base_bucketized_path"):
+                s["base_bucketized_path"] = final_dir
+
+        self.manifest._cas_update(_record)
         return final_dir
 
     def _files_by_part(self, root_dir: str) -> dict[int, list[str]]:
@@ -602,9 +617,8 @@ class Replayer:
                 for p, c in m.get("local_by_part", {}).items():
                     local_counts[int(p)] = local_counts.get(int(p), 0) + c
         os.rename(tmp, new_base)
-        st = self.manifest.state
-        st["base_is_final_schema"] = True
-        st["base_bucketized_path"] = new_base
+        # record_compaction (CAS-retried) also flips base_is_final_schema
+        # and points base_bucketized_path at the new snapshot
         self.manifest.record_compaction(up_to, new_base, local_counts)
         return new_base
 

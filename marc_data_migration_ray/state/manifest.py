@@ -4,21 +4,31 @@ Replaces the reference's purge-then-reload Postgres cache
 (``record_update.py:170-173``, per-row commits ``reports.py:104-107``) with a
 Delta-Lake-style manifest (PAPERS.md: Delta Lake, VLDB 2020): data files are
 written to a temp dir, atomically renamed into place, then the manifest is
-swapped via write-temp + ``os.replace`` (atomic on POSIX). Re-committing a
-committed epoch is a no-op (fencing); a crash between data rename and
-manifest swap is healed by recommitting the manifest entry from the data
-files (idempotent).
+committed via a **versioned CAS**: each save hard-links a new
+``versions/v<N>.json`` (``os.link`` is atomic-exclusive — exactly one
+writer can create version N; on object storage this maps to a conditional
+put) and then swaps the ``manifest.json`` convenience pointer. A losing
+concurrent writer gets :class:`ManifestConflict`, reloads the winner's
+state, re-applies its idempotent mutation and retries — so multiple
+drivers can commit concurrently without lost updates. Re-committing a
+committed epoch is a no-op (fencing); a crash between the version link and
+the pointer swap is healed at load time (the highest version wins).
 
 The manifest is the single source of truth for: committed epochs (the
 checkpoint), schema-evolution ops, per-partition local-id allocator offsets,
-compactions, and per-epoch metrics/lineage.
+compactions, delta segments, and per-epoch metrics/lineage.
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import tempfile
+
+
+class ManifestConflict(RuntimeError):
+    """Another writer committed this manifest version first (CAS loss)."""
 
 
 class Manifest:
@@ -28,7 +38,13 @@ class Manifest:
         self.root = root
         self.dir = os.path.join(root, "_manifest")
         self.path = os.path.join(self.dir, self.FILENAME)
-        self.state: dict = {
+        self.versions_dir = os.path.join(self.dir, "versions")
+        self.state: dict = self._empty_state()
+        self.reload()
+
+    @staticmethod
+    def _empty_state() -> dict:
+        return {
             "version": 0,
             "base_path": None,
             "base_normalized": False,
@@ -38,24 +54,66 @@ class Manifest:
             "compactions": [],
             "delta_segments": [],
         }
-        if os.path.exists(self.path):
-            with open(self.path) as f:
-                self.state = json.load(f)
 
     # -- persistence -------------------------------------------------------
+    def _latest_version_file(self) -> tuple[int, str | None]:
+        best_v, best_f = -1, None
+        for f in glob.glob(os.path.join(self.versions_dir, "v*.json")):
+            try:
+                v = int(os.path.basename(f)[1:-5])
+            except ValueError:
+                continue
+            if v > best_v:
+                best_v, best_f = v, f
+        return best_v, best_f
+
+    def reload(self) -> None:
+        """Load the newest committed state (version files beat the pointer:
+        a crash between CAS-link and pointer swap must not lose a commit)."""
+        state = None
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                state = json.load(f)
+        v, vf = self._latest_version_file()
+        if vf is not None and (state is None or v > state.get("version", -1)):
+            with open(vf) as f:
+                state = json.load(f)
+        self.state = state if state is not None else self._empty_state()
+
     def save(self) -> None:
-        os.makedirs(self.dir, exist_ok=True)
-        self.state["version"] += 1
+        """CAS commit of ``self.state`` as version current+1.
+
+        Raises :class:`ManifestConflict` if another writer created that
+        version first; the caller must ``reload()`` and re-apply."""
+        os.makedirs(self.versions_dir, exist_ok=True)
+        next_v = self.state["version"] + 1
+        self.state["version"] = next_v
         fd, tmp = tempfile.mkstemp(dir=self.dir, prefix=".manifest-")
         try:
             with os.fdopen(fd, "w") as f:
                 json.dump(self.state, f, indent=1, sort_keys=True)
                 f.flush()
                 os.fsync(f.fileno())
-            os.replace(tmp, self.path)  # atomic swap
+            target = os.path.join(self.versions_dir, f"v{next_v:012d}.json")
+            try:
+                os.link(tmp, target)  # atomic-exclusive: the CAS
+            except FileExistsError:
+                self.state["version"] = next_v - 1
+                raise ManifestConflict(f"manifest version {next_v} already committed")
+            os.replace(tmp, self.path)  # convenience pointer (best-effort)
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+    def _cas_update(self, mutate) -> None:
+        """Apply an IDEMPOTENT mutation under CAS-retry."""
+        while True:
+            mutate(self.state)
+            try:
+                self.save()
+                return
+            except ManifestConflict:
+                self.reload()
 
     # -- epochs ------------------------------------------------------------
     def is_committed(self, epoch: int) -> bool:
@@ -64,13 +122,22 @@ class Manifest:
     def committed_epochs(self) -> list[int]:
         return sorted(int(e) for e in self.state["epochs"])
 
-    def commit_epoch(self, epoch: int, entry: dict) -> bool:
-        """Returns False (no-op) if already committed — the epoch fence."""
-        if self.is_committed(epoch):
-            return False
-        self.state["epochs"][str(epoch)] = entry
-        self.save()
-        return True
+    def commit_epoch(self, epoch: int, entry: dict,
+                     schema_ops: list[dict] | None = None) -> bool:
+        """Returns False (no-op) if already committed — the epoch fence.
+        ``schema_ops`` are recorded atomically WITH the epoch entry (a CAS
+        retry re-applies both; record_schema_ops dedupes on lsn)."""
+        while True:
+            if self.is_committed(epoch):
+                return False
+            if schema_ops:
+                self.record_schema_ops(schema_ops)
+            self.state["epochs"][str(epoch)] = entry
+            try:
+                self.save()
+                return True
+            except ManifestConflict:
+                self.reload()
 
     def epoch_entry(self, epoch: int) -> dict:
         return self.state["epochs"][str(epoch)]
@@ -123,23 +190,32 @@ class Manifest:
         return [e for e in self.committed_epochs() if e > floor]
 
     def record_compaction(self, up_to: int, base_path: str, local_counts: dict[int, int]) -> None:
-        for p, c in local_counts.items():
-            k = str(p)
-            self.state["local_id_offsets"][k] = self.state["local_id_offsets"].get(k, 0) + c
-        self.state["compactions"].append({"up_to": up_to, "base_path": base_path})
-        self.state["base_path"] = base_path
-        self.state["base_normalized"] = True
-        self.save()
+        def _mut(st: dict) -> None:
+            if any(c["base_path"] == base_path for c in st["compactions"]):
+                return  # retry after our own landed commit: idempotent
+            for p, c in local_counts.items():
+                k = str(p)
+                st["local_id_offsets"][k] = st["local_id_offsets"].get(k, 0) + c
+            st["compactions"].append({"up_to": up_to, "base_path": base_path})
+            st["base_path"] = base_path
+            st["base_normalized"] = True
+            st["base_is_final_schema"] = True
+            st["base_bucketized_path"] = base_path
+
+        self._cas_update(_mut)
 
     def local_id_offsets(self) -> dict[int, int]:
         return {int(k): v for k, v in self.state["local_id_offsets"].items()}
 
     # -- delta segments (LSM level-1 file compaction) ----------------------
     def record_delta_segment(self, from_epoch: int, to_epoch: int, dir_: str) -> None:
-        self.state.setdefault("delta_segments", []).append(
-            {"from": from_epoch, "to": to_epoch, "dir": dir_}
-        )
-        self.save()
+        def _mut(st: dict) -> None:
+            segs = st.setdefault("delta_segments", [])
+            if any(s["dir"] == dir_ for s in segs):
+                return
+            segs.append({"from": from_epoch, "to": to_epoch, "dir": dir_})
+
+        self._cas_update(_mut)
 
     def delta_segments(self) -> list[dict]:
         return list(self.state.get("delta_segments", []))

@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         derived,
         events,
+        multimodal,
         policy_queries,
         reports,
         similarity,
@@ -107,6 +108,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_value": events.sliding_window_value,
         "top_orders_per_customer": events.top_orders_per_customer,
         "key_diff_report": events.key_diff_report,
+        # multimodal plumbing over real binary columns (actor-pool decode)
+        "media_decode": multimodal.media_decode,
+        "media_frame_sample": multimodal.media_frame_sample,
     }
 
 
@@ -496,6 +500,28 @@ ORDER BY op, route, status
             "PARTITION BY o_custkey "
             "ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rn "
             "FROM orders) WHERE rn <= 3"
+        ),
+        # texts are ASCII ⇒ utf-8 bytes ≡ codepoints, so the decode stage's
+        # byte statistics are SQL-expressible over ascii(char)
+        "media_decode": (
+            "SELECT doc_id AS media_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, "
+            "CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes, "
+            "CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+            "CAST(list_avg([ascii(text[i]) for i in range(1, length(text) + 1)]) "
+            "AS DOUBLE) END AS mean_byte "
+            "FROM documents"
+        ),
+        "media_frame_sample": (
+            "WITH m AS (SELECT doc_id AS media_id, "
+            "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+            "ELSE 'video' END AS kind, "
+            "(doc_id * 7919) % 60000 AS dur FROM documents) "
+            "SELECT media_id, kind, "
+            "CAST(UNNEST(range(0, greatest(1, dur // 10000))) * 10000 AS BIGINT) AS frame_ms "
+            "FROM m WHERE kind = 'video' "
+            "UNION ALL SELECT media_id, kind, 0 FROM m WHERE kind <> 'video'"
         ),
         "parts_by_brand": (
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "

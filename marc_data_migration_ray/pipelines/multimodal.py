@@ -71,17 +71,25 @@ class MediaDecoder:
         return np.array([c.mean() if len(c) else 0.0 for c in chunks])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = np.stack([self._features(p) for p in batch["payload"].to_pylist()])
-        return pa.table(
-            {
-                "media_id": batch["media_id"],
-                "kind": batch["kind"],
-                "width": batch["width"],
-                "height": batch["height"],
-                "features": pa.array(list(feats.astype(np.float32)), pa.list_(pa.float32())),
-                "payload_bytes": pc.cast(pc.binary_length(batch["payload"]), pa.int64()),
-            }
+        payloads = batch["payload"].to_pylist()
+        feats = np.stack([self._features(p) for p in payloads])
+        mean_byte = np.array(
+            [
+                np.frombuffer(p, dtype=np.uint8).astype(np.float64).mean() if p else 0.0
+                for p in payloads
+            ]
         )
+        out = {
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "features": pa.array(list(feats.astype(np.float32)), pa.list_(pa.float32())),
+            "payload_bytes": pc.cast(pc.binary_length(batch["payload"]), pa.int64()),
+            "mean_byte": pa.array(mean_byte, pa.float64()),
+        }
+        for extra in ("width", "height", "duration_ms"):
+            if extra in batch.column_names:
+                out[extra] = batch[extra]
+        return pa.table(out)
 
 
 class FrameSampler:
@@ -115,6 +123,75 @@ class FrameSampler:
                 "frame_ms": pa.array(frames, pa.int64()),
             }
         )
+
+
+def media_from_documents(sf_dir: str) -> ray.data.Dataset:
+    """Driver-table-derived media table: the documents' text bytes stand in
+    for opaque binary payloads (a REAL binary column through the Arrow
+    plumbing), with kind/duration synthesized by doc_id arithmetic the
+    DuckDB oracle mirrors exactly."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t["doc_id"], pa.int64())
+        form = pc.subtract(ids, pc.multiply(pc.divide(ids, 3), 3))
+        kind = pc.if_else(
+            pc.equal(form, 0), pa.scalar("image", pa.string()),
+            pc.if_else(pc.equal(form, 1), pa.scalar("audio", pa.string()),
+                       pa.scalar("video", pa.string())),
+        )
+        dur7919 = pc.multiply(ids, 7919)
+        dur = pc.cast(
+            pc.subtract(dur7919, pc.multiply(pc.divide(dur7919, 60000), 60000)),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "media_id": ids,
+                "kind": kind,
+                "payload": pc.cast(t["text"], pa.binary()),
+                "duration_ms": dur,
+            }
+        )
+
+    return ds.map_batches(_mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def media_decode(sf_dir: str) -> ray.data.Dataset:
+    """Actor-pool decode over document-derived binary payloads:
+    (media_id, kind, payload_bytes, mean_byte). The fake decoder's byte
+    statistics are SQL-expressible (texts are ASCII ⇒ bytes ≡ codepoints),
+    so the driver hash-checks the REAL actor-pool decode path."""
+    ds = media_from_documents(sf_dir)
+    out = ds.map_batches(
+        MediaDecoder,
+        fn_constructor_kwargs={"decoder": "fake"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+    return out.map_batches(
+        lambda t: t.select(["media_id", "kind", "payload_bytes", "mean_byte"]),
+        batch_format="pyarrow",
+    )
+
+
+def media_frame_sample(sf_dir: str) -> ray.data.Dataset:
+    """Frame sampling (flat-map) over the document-derived media table:
+    (media_id, kind, frame_ms) — one row per sampled frame for videos."""
+    ds = media_from_documents(sf_dir)
+    return ds.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
 
 
 def decode_pipeline(n_rows: int = 256, seed: int = 99) -> ray.data.Dataset:

@@ -84,6 +84,12 @@ class ReplayConfig:
     #: num_partitions).
     num_salts: int = 1
 
+    #: when > 0, apply_epoch auto-triggers level-1 delta-segment compaction
+    #: (compact_deltas) whenever this many contiguous unsegmented epochs
+    #: have accumulated — bounds merge-on-read file-count amplification
+    #: between full compact() calls without any semantic change.
+    auto_segment_epochs: int = 0
+
     #: hot-key mitigation: within-batch LWW pre-collapse of gate-passed
     #: updates sharing (key, column-mask set) — only the max-lsn one can ever
     #: win a column, so final STATE is provably unchanged while a key with

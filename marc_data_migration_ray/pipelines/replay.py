@@ -315,7 +315,28 @@ class Replayer:
 
         entry = self._epoch_entry_from_files(epoch, final_dir)
         self.manifest.commit_epoch(epoch, entry, schema_ops=entry.pop("_schema_ops"))
+        if self.cfg.auto_segment_epochs > 0:
+            self._maybe_auto_segment()
         return entry
+
+    def _maybe_auto_segment(self) -> None:
+        """Level-1 auto-compaction: merge the oldest K contiguous
+        unsegmented epochs whenever K have accumulated."""
+        K = self.cfg.auto_segment_epochs
+        floor = self.manifest.last_compacted_epoch()
+        segged: set[int] = set()
+        for seg in self.manifest.delta_segments():
+            segged.update(range(seg["from"], seg["to"] + 1))
+        pending = [e for e in self.manifest.committed_epochs()
+                   if e > floor and e not in segged]
+        run: list[int] = []
+        for e in pending:
+            if run and e != run[-1] + 1:
+                break  # only the oldest contiguous run
+            run.append(e)
+            if len(run) == K:
+                self.compact_deltas(run[0], run[-1])
+                return
 
     def _epoch_entry_from_files(self, epoch: int, final_dir: str) -> dict:
         """Manifest entry (route counts, max lsn, schema ops) from committed

@@ -356,3 +356,14 @@ def test_delta_segment_compaction(ray_session, fixture_dir, tmp_path):
         rp.read_state(up_to_epoch=0).count()
     # at/above the segment end is fine
     assert rp.read_state(up_to_epoch=1).count() > 0
+
+
+def test_auto_segmentation(ray_session, fixture_dir, tmp_path):
+    """auto_segment_epochs=2: the oldest 2 epochs merge into a level-1
+    segment during ingest; state still equals the oracle."""
+    cfg = ReplayConfig(num_partitions=8, auto_segment_epochs=2)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+    segs = rp.manifest.delta_segments()
+    assert segs and segs[0]["from"] == 0 and segs[0]["to"] == 1
+    o = oracle_final(fixture_dir, cfg)
+    rows_equal(rp.read_state().take_all(), o["final"])

@@ -339,18 +339,24 @@ class Replayer:
                 return
 
     def _epoch_entry_from_files(self, epoch: int, final_dir: str) -> dict:
-        """Manifest entry (route counts, max lsn, schema ops) from committed
-        files — one parallel stats task per partition dir, columnar reads of
-        the tiny route/lsn/schema columns only."""
+        """Manifest entry (route counts, max lsn, schema ops, PER-PARTITION
+        applied-lsn lineage) from committed files — one parallel stats task
+        per partition dir, columnar reads of the tiny route/lsn/schema
+        columns only."""
         part_files = self._files_by_part(final_dir)
-        refs = [_part_stats_task.remote(fs) for fs in part_files.values()]
+        parts = sorted(part_files)
+        refs = [_part_stats_task.remote(part_files[p]) for p in parts]
         route_counts: dict[str, int] = {}
         max_lsn = -1
         schema_rows = []
-        for rc, ml, srows in ray.get(refs):
+        part_lineage: dict[str, dict] = {}
+        for p, (rc, ml, srows) in zip(parts, ray.get(refs)):
             for k, v in rc.items():
                 route_counts[k] = route_counts.get(k, 0) + v
             max_lsn = max(max_lsn, ml)
+            # per-partition checkpoint: rows + highest applied lsn (the
+            # north-star "per-partition lineage + applied-LSN metrics")
+            part_lineage[str(p)] = {"rows": sum(rc.values()), "max_lsn": ml}
             if srows is not None:
                 schema_rows.append(srows)
         schema_ops = []
@@ -375,6 +381,7 @@ class Replayer:
             "processed": processed,
             "routes": route_counts,
             "max_lsn": max_lsn,
+            "parts": part_lineage,
             "dir": final_dir,
             "_schema_ops": schema_ops,
         }

@@ -367,3 +367,13 @@ def test_auto_segmentation(ray_session, fixture_dir, tmp_path):
     assert segs and segs[0]["from"] == 0 and segs[0]["to"] == 1
     o = oracle_final(fixture_dir, cfg)
     rows_equal(rp.read_state().take_all(), o["final"])
+
+
+def test_per_partition_lineage_in_manifest(ray_session, fixture_dir, tmp_path):
+    """Epoch entries carry per-partition (rows, applied-lsn) checkpoints."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+    e0 = rp.manifest.epoch_entry(0)
+    assert e0["parts"], "per-partition lineage missing"
+    assert sum(p["rows"] for p in e0["parts"].values()) == e0["processed"]
+    assert max(p["max_lsn"] for p in e0["parts"].values()) == e0["max_lsn"]

@@ -89,17 +89,20 @@ def _part_stats_task(files: list[str]) -> tuple:
 
 
 def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema):
+    from marc_data_migration_ray.stages.fold import fold_input_columns
+
+    fold_cols = fold_input_columns()  # PARSED minus the audit-only titles
     tables = []
     for f in base_files:
         t = pq.read_table(f)
         if base_is_final_schema:
             t = PrepBase(cfg, assume_normalized=True)(t)
-        tables.append(t.select(PARSED_SCHEMA.names))
+        tables.append(t.select(fold_cols))
     for f in delta_files:
-        # full-file read beats a scanner-level route filter here (small
-        # files; rejected rows carry no token payload after ParseRoute, so
-        # the extra bytes are tiny) — fold filters routes vectorized
-        t = pq.read_table(f, columns=list(PARSED_SCHEMA.names))
+        # column-pruned read: the titles stay on disk for audit_dataset;
+        # full-row (vs route-filtered) read is still right — rejected rows
+        # carry no token payload after ParseRoute, so extra bytes are tiny
+        t = pq.read_table(f, columns=fold_cols)
         tables.append(t)
     if not tables:
         return None

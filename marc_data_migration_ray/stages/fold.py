@@ -51,6 +51,16 @@ _ROW_COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status",
              "candidate_key", "extra_json"]
 
 
+def fold_input_columns() -> list[str]:
+    """PARSED columns the fold actually consumes: everything except the
+    audit-only title pair (those stay in the delta files for
+    ``audit_dataset`` but never enter a fold task — ~title bytes × events
+    of read+concat saved per fold)."""
+    from marc_data_migration_ray.stages.parse import PARSED_SCHEMA
+
+    return [c for c in PARSED_SCHEMA.names if c not in ("title", "match_title")]
+
+
 # ------------------------------------------------------------------ DDL --
 def _writes_expr(tl, c: str):
     """polars predicate: does this update's mask write canonical ``c`` as
@@ -391,14 +401,16 @@ def fold_salted_stage1(
             w = wc.sort(["key", "lsn"]).unique(subset=["key"], keep="last")
             winner_lsns.update(w["lsn"].to_list())
     winners = upd.filter(pl.col("lsn").is_in(sorted(winner_lsns))) if winner_lsns else upd.head(0)
-    meta = upd.with_columns(
+    strip = [
         pl.lit(None, pl.List(pl.Int32)).alias("tokens"),
         pl.lit(None, pl.Int32).alias("n_tok"),
         pl.lit(None, pl.String).alias("source"),
-        pl.lit(None, pl.String).alias("title"),
-        pl.lit(None, pl.String).alias("match_title"),
         pl.lit(None, pl.String).alias("extra_json"),
-    )
+    ]
+    for c in ("title", "match_title"):  # present only if the caller kept them
+        if c in upd.columns:
+            strip.append(pl.lit(None, pl.String).alias(c))
+    meta = upd.with_columns(strip)
     local = ev.filter(pl.col("route") == "local")
     secs = [
         anchor.with_columns(pl.lit("a").alias("_sec")),
@@ -407,12 +419,17 @@ def fold_salted_stage1(
         local.with_columns(pl.lit("l").alias("_sec")),
     ]
     out = pl.concat(secs, how="vertical").to_arrow()
-    # normalize to PARSED schema + _sec (polars may widen types)
+    # normalize to the input's PARSED subset + _sec (polars may widen types;
+    # fold inputs usually exclude the audit-only title columns)
     from marc_data_migration_ray.stages.parse import PARSED_SCHEMA
 
-    cols = []
-    names = list(PARSED_SCHEMA.names) + ["_sec"]
-    types = list(PARSED_SCHEMA.types) + [pa.string()]
+    cols, names, types = [], [], []
+    for name, typ in zip(PARSED_SCHEMA.names, PARSED_SCHEMA.types):
+        if name in out.column_names:
+            names.append(name)
+            types.append(typ)
+    names.append("_sec")
+    types.append(pa.string())
     for name, typ in zip(names, types):
         c = out.column(name)
         if isinstance(c, pa.ChunkedArray):

@@ -377,3 +377,18 @@ def test_per_partition_lineage_in_manifest(ray_session, fixture_dir, tmp_path):
     assert e0["parts"], "per-partition lineage missing"
     assert sum(p["rows"] for p in e0["parts"].values()) == e0["processed"]
     assert max(p["max_lsn"] for p in e0["parts"].values()) == e0["max_lsn"]
+
+
+def test_duplicate_delta_file_absorbed(ray_session, fixture_dir, tmp_path):
+    """A retried Ray write task can leave a duplicate data file behind; the
+    fold's lsn-dedup absorbs bit-identical duplicates, so state is
+    unchanged (exactly-once under task re-execution)."""
+    import glob as _glob
+
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+    want = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    f = _glob.glob(os.path.join(rp.root, "deltas", "epoch=0", "part_p=*", "*.parquet"))[0]
+    shutil.copy(f, f.replace(".parquet", "-retry-dup.parquet"))
+    got = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    rows_equal(got, [dict(r) for r in want])

@@ -468,9 +468,14 @@ class Replayer:
             if up_to_epoch is not None and e > up_to_epoch:
                 continue
             # prefer a level-1 merged segment when it fully fits the read
-            # range (a segment reaching past up_to would leak newer events)
+            # range: a segment reaching past up_to would leak newer events,
+            # and one reaching below the compaction floor would RE-APPLY
+            # events already folded into the base (duplicate local-id
+            # allocation) — both fall back to per-epoch dirs
             seg = self.manifest.segment_covering(e)
-            if seg and (up_to_epoch is None or seg["to"] <= up_to_epoch):
+            if seg and seg["from"] > floor and (
+                up_to_epoch is None or seg["to"] <= up_to_epoch
+            ):
                 if seg["dir"] not in segs_added:
                     segs_added.add(seg["dir"])
                     for p, fs in self._files_by_part(seg["dir"]).items():

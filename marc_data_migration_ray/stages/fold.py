@@ -400,6 +400,12 @@ def fold_salted_stage1(
         if wc.height:
             w = wc.sort(["key", "lsn"]).unique(subset=["key"], keep="last")
             winner_lsns.update(w["lsn"].to_list())
+    # lineage candidate: the per-key max-lsn update contributes last_lsn /
+    # status even when its (stale, post-DDL) mask writes NO column — it
+    # must be forwarded or the merge's row lineage could miss it
+    if upd.height:
+        lin = upd.sort(["key", "lsn"]).unique(subset=["key"], keep="last")
+        winner_lsns.update(lin["lsn"].to_list())
     winners = upd.filter(pl.col("lsn").is_in(sorted(winner_lsns))) if winner_lsns else upd.head(0)
     strip = [
         pl.lit(None, pl.List(pl.Int32)).alias("tokens"),

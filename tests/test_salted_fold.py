@@ -113,3 +113,78 @@ def test_salted_compaction_and_resume(ray_session, skew_fixture, tmp_path):
     # salt layout is immutable per table
     with pytest.raises(ValueError, match="salt layout"):
         Replayer(root, ReplayConfig(num_partitions=4, num_salts=2))
+
+
+def test_salted_lineage_with_stale_mask_update():
+    """A gate-passed update whose post-rename STALE mask writes no column
+    still carries row lineage (last_lsn/status); the salted stage-1 must
+    forward it even though it is no column's winner."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from marc_data_migration_ray.stages.fold import (
+        fold_bucket,
+        fold_salted_merge,
+        fold_salted_stage1,
+    )
+    from marc_data_migration_ray.stages.parse import ParseRoute
+
+    cfg = ReplayConfig(num_partitions=1)
+    n = 4
+    binlog = pa.table(
+        {
+            "lsn": pa.array([1, 2, 3, 4], pa.int64()),
+            "epoch": pa.array([0] * n, pa.int32()),
+            "op": pa.array(["insert", "schema_change", "update", "update"]),
+            "doc_id": pa.array(["100", None, "100", "100"]),
+            "tokens": pa.array([[1], None, [2], [3]], pa.list_(pa.int32())),
+            "n_tok": pa.array([1, None, 1, 1], pa.int32()),
+            "source": pa.array(["a", None, "b", "c"]),
+            "column_mask": pa.array(
+                [[], [], ["tok_count"], ["n_tok"]], pa.list_(pa.string())
+            ),
+            "match_score": pa.array([0, 0, 100, 100], pa.int32()),
+            "schema_kind": pa.array([None, "rename_column", None, None]),
+            "schema_name": pa.array([None, "n_tok", None, None]),
+            "schema_new_name": pa.array([None, "tok_count", None, None]),
+        }
+    )
+    parsed = ParseRoute(cfg)(binlog)
+    ops = [{"lsn": 2, "kind": "rename_column", "name": "n_tok", "new_name": "tok_count"}]
+    # direct fold (reference behavior)
+    direct = fold_bucket(parsed, cfg, schema_ops=ops)
+    drow = direct.filter(pc.equal(direct["_kind"], "row")).to_pylist()[0]
+    # lsn 3 wrote n_tok (via post-rename name); lsn 4's stale mask wrote
+    # nothing but IS the lineage event
+    assert drow["n_tok"] == 1 and drow["last_lsn"] == 4
+
+    # salted: split events across 2 sub-buckets by lsn parity
+    even = parsed.filter(pc.equal(pc.bit_wise_and(parsed["lsn"], 1), 0))
+    odd = parsed.filter(pc.equal(pc.bit_wise_and(parsed["lsn"], 1), 1))
+    summaries = [
+        fold_salted_stage1(even, cfg, ops),
+        fold_salted_stage1(odd, cfg, ops),
+    ]
+    merged = fold_salted_merge(pa.concat_tables(summaries), cfg, schema_ops=ops)
+    srow = merged.filter(pc.equal(merged["_kind"], "row")).to_pylist()[0]
+    for k in ("doc_id", "tokens", "n_tok", "source", "last_lsn", "status"):
+        assert srow[k] == drow[k], (k, srow[k], drow[k])
+
+
+def test_segment_straddling_compaction_floor(ray_session, skew_fixture, tmp_path):
+    """A delta segment covering epochs below AND above the compaction floor
+    must NOT be used for reads (its below-floor events are already folded
+    into the base); reads fall back to the per-epoch dirs."""
+    cfg = ReplayConfig(num_partitions=4)
+    root = str(tmp_path / "t")
+    rp = Replayer(root, cfg, base_path=os.path.join(skew_fixture, "base"))
+    for e in range(N_EPOCHS):
+        rp.apply_epoch(e, os.path.join(skew_fixture, "binlog", f"epoch={e}"))
+    want = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+
+    rp.compact_deltas(0, 1)      # segment [0,1]
+    rp.compact(up_to_epoch=0)    # floor = 0 → segment straddles it
+    got = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
+    for a, b in zip(got, want):
+        assert a["last_lsn"] == b["last_lsn"] and a["n_tok"] == b["n_tok"], a["doc_id"]

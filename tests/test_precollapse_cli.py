@@ -109,3 +109,37 @@ def test_cli_end_to_end(ray_session, tmp_path):
               "--num-partitions", "4")
     assert json.loads(out.splitlines()[-1])["rows"] > 0
     assert any(d.startswith("online_p=") for d in os.listdir(mod_dir))
+
+
+def test_cli_salted_fuzzy001_roundtrip(fixture_dir, tmp_path):
+    """CLI flags --num-salts / --fuzzy-001-test round-trip through
+    apply → state → metrics in subprocesses (fresh Ray sessions)."""
+    table = str(tmp_path / "t")
+    env = dict(os.environ)
+    base_args = ["--num-partitions", "4", "--num-salts", "2", "--fuzzy-001-test"]
+    for e in range(2):
+        out = subprocess.run(
+            [sys.executable, "-m", "marc_data_migration_ray", "apply",
+             "--table", table, "--epoch", str(e),
+             "--binlog", os.path.join(fixture_dir, "binlog", f"epoch={e}"),
+             "--base", os.path.join(fixture_dir, "base"), *base_args],
+            capture_output=True, text=True, env=env,
+        )
+        assert out.returncode == 0, out.stderr[-800:]
+        entry = json.loads(out.stdout.strip().splitlines()[-1])
+        assert entry["processed"] > 0
+    out = subprocess.run(
+        [sys.executable, "-m", "marc_data_migration_ray", "metrics",
+         "--table", table, *base_args],
+        capture_output=True, text=True, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-800:]
+    m = json.loads(out.stdout.strip().splitlines()[-1])
+    assert m["rows"] > 0 and sum(m["routes"].values()) > 0
+    # mismatching salt layout via CLI is refused
+    out = subprocess.run(
+        [sys.executable, "-m", "marc_data_migration_ray", "metrics",
+         "--table", table, "--num-partitions", "4", "--num-salts", "3"],
+        capture_output=True, text=True, env=env,
+    )
+    assert out.returncode != 0 and "salt layout" in out.stderr

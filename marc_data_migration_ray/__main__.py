@@ -114,7 +114,7 @@ def main(argv=None) -> int:
         "report",
         help="standalone reports over a binlog dir (reference §3.3 utilities)",
     )
-    rep.add_argument("kind", choices=["dup-keys", "routes"])
+    rep.add_argument("kind", choices=["dup-keys", "routes", "key-diff", "intra-dups"])
     rep.add_argument("--binlog", required=True)
     rep.add_argument("--limit", type=int, default=20)
     _add_cfg_args(rep)
@@ -191,6 +191,55 @@ def main(argv=None) -> int:
                 for r in rows:
                     print(json.dumps(r))
                 print(json.dumps({"dup_keys_shown": len(rows)}))
+            elif args.kind == "key-diff":
+                # reference --compare_oclc_numbers (J3): raw key ≠ normalized
+                import pyarrow.compute as pc
+
+                def _diff(t):
+                    raw, key = t["doc_id_raw"], t["key"]
+                    differs = pc.fill_null(pc.not_equal(raw, key), False)
+                    missing = pc.and_(pc.is_valid(raw), pc.is_null(key))
+                    return t.select(["lsn", "doc_id_raw", "key", "op"]).filter(
+                        pc.or_(differs, missing)
+                    )
+
+                diff = parsed.map_batches(_diff, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+                rows = diff.take(args.limit)
+                for r in rows:
+                    print(json.dumps(r))
+                print(json.dumps({"key_diffs_shown": len(rows),
+                                  "key_diffs_total": diff.count()}))
+            elif args.kind == "intra-dups":
+                # reference R2/R3: a repeated single-valued column in a mask
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                def _dups(t):
+                    import polars as pl
+
+                    df = pl.from_arrow(t.select(["lsn", "doc_id_raw", "column_mask"]))
+                    out = df.with_columns(
+                        pl.col("column_mask").list.len().fill_null(0).alias("n_mask"),
+                        pl.col("column_mask").list.n_unique().fill_null(0).alias("n_distinct"),
+                    ).filter(pl.col("n_mask") > pl.col("n_distinct"))
+                    a = out.to_arrow()
+                    return pa.table(
+                        {
+                            "lsn": pc.cast(a["lsn"], pa.int64()),
+                            "doc_id_raw": pc.cast(a["doc_id_raw"], pa.string()),
+                            "n_mask": pc.cast(a["n_mask"], pa.int64()),
+                            "n_distinct": pc.cast(a["n_distinct"], pa.int64()),
+                        }
+                    )
+
+                dups = parsed.map_batches(_dups, batch_format="pyarrow",
+                                          zero_copy_batch=True)
+                rows = dups.take(args.limit)
+                for r in rows:
+                    print(json.dumps(r))
+                print(json.dumps({"intra_dups_shown": len(rows),
+                                  "intra_dups_total": dups.count()}))
             else:  # routes
                 counts: dict = {}
                 for b in parsed.iter_batches(batch_format="pyarrow"):

@@ -112,6 +112,13 @@ def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema):
 _EMPTY_FOLD = None
 
 
+def _merge_counts(a: dict, b: dict) -> dict:
+    out = dict(a)
+    for k, v in b.items():
+        out[k] = out.get(k, 0) + v
+    return {k: v for k, v in out.items() if v}
+
+
 def _empty_fold() -> pa.Table:
     return pa.Table.from_arrays(
         [pa.nulls(0, f.type) for f in FOLD_SCHEMA], schema=FOLD_SCHEMA
@@ -584,13 +591,17 @@ class Replayer:
             rows = apply_policies(rows, self.cfg)
         return rows
 
-    def fold_metrics(self, up_to_epoch: int | None = None) -> dict:
-        """Fold-time metrics (noop/tombstoned/col_replacements/local/rows),
-        aggregated across buckets, plus pre-fold route counts from the
-        manifest. Invariant: processed == sum(all routes)."""
-        mrows = self.fold_output(up_to_epoch).filter(expr="_kind == 'metrics'")
-        agg = {"noop": 0, "tombstoned": 0, "local": 0, "rows": 0,
-               "col_replacements": {}, "local_by_part": {}, "noop_by_route": {}}
+    def _aggregate_metrics_rows(self, out, seed: dict | None = None) -> dict:
+        """Sum the per-bucket ``_kind == 'metrics'`` rows of a fold output.
+        ``seed`` (a prior compaction's cumulative snapshot) pre-loads every
+        counter except ``rows``, which is current-state, not cumulative."""
+        seed = seed or {}
+        agg = {"noop": seed.get("noop", 0), "tombstoned": seed.get("tombstoned", 0),
+               "local": seed.get("local", 0), "rows": 0,
+               "col_replacements": dict(seed.get("col_replacements", {})),
+               "local_by_part": {int(k): v for k, v in seed.get("local_by_part", {}).items()},
+               "noop_by_route": dict(seed.get("noop_by_route", {}))}
+        mrows = out.filter(expr="_kind == 'metrics'")
         for b in mrows.iter_batches(batch_format="pyarrow"):
             for s in b["metrics_json"].to_pylist():
                 m = json.loads(s)
@@ -604,8 +615,22 @@ class Replayer:
                     agg["local_by_part"][int(p)] = agg["local_by_part"].get(int(p), 0) + c
                 for r, c in m.get("noop_by_route", {}).items():
                     agg["noop_by_route"][r] = agg["noop_by_route"].get(r, 0) + c
+        # DDL-added columns the fold never replaced stay at 0 in the bucket
+        # counters; the run-level view (and the oracle) only reports columns
+        # actually replaced.
+        agg["col_replacements"] = {c: v for c, v in agg["col_replacements"].items() if v}
+        return agg
+
+    def fold_metrics(self, up_to_epoch: int | None = None) -> dict:
+        """WHOLE-RUN fold metrics (noop/tombstoned/col_replacements/local),
+        plus current row count and pre-fold route counts from the manifest.
+        Counters survive compaction via the manifest metrics snapshot.
+        Invariant: processed == sum(all routes)."""
+        agg = self._aggregate_metrics_rows(
+            self.fold_output(up_to_epoch), seed=self.manifest.metrics_snapshot()
+        )
         routes = {}
-        for e in self.manifest.active_epochs():
+        for e in self.manifest.committed_epochs():
             if up_to_epoch is not None and e > up_to_epoch:
                 continue
             for r, c in self.manifest.epoch_entry(e)["routes"].items():
@@ -646,16 +671,28 @@ class Replayer:
             zero_copy_batch=True,
         )
         rows.write_parquet(tmp, partition_cols=["part_p"])
-        local_counts: dict[int, int] = {}
-        for b in out.filter(expr="_kind == 'metrics'").iter_batches(batch_format="pyarrow"):
-            for s in b["metrics_json"].to_pylist():
-                m = json.loads(s)
-                for p, c in m.get("local_by_part", {}).items():
-                    local_counts[int(p)] = local_counts.get(int(p), 0) + c
+        # cumulative run counters (prior snapshot + this fold) ride along in
+        # the compaction record so fold_metrics stays whole-run after the
+        # absorbed epochs' events are gone from the delta files
+        this_fold = self._aggregate_metrics_rows(out)
+        local_counts = dict(this_fold["local_by_part"])  # this fold only: offsets accumulate
+        prev = self.manifest.metrics_snapshot()
+        snap = {
+            "noop": prev["noop"] + this_fold["noop"],
+            "tombstoned": prev["tombstoned"] + this_fold["tombstoned"],
+            "local": prev["local"] + this_fold["local"],
+            "col_replacements": _merge_counts(prev["col_replacements"],
+                                              this_fold["col_replacements"]),
+            "local_by_part": _merge_counts(
+                {int(k): v for k, v in prev["local_by_part"].items()}, local_counts
+            ),
+            "noop_by_route": _merge_counts(prev["noop_by_route"],
+                                           this_fold["noop_by_route"]),
+        }
         os.rename(tmp, new_base)
         # record_compaction (CAS-retried) also flips base_is_final_schema
         # and points base_bucketized_path at the new snapshot
-        self.manifest.record_compaction(up_to, new_base, local_counts)
+        self.manifest.record_compaction(up_to, new_base, local_counts, metrics_snapshot=snap)
         return new_base
 
     # ------------------------------------------------------------------ #

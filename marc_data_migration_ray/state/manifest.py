@@ -189,20 +189,38 @@ class Manifest:
         floor = self.last_compacted_epoch()
         return [e for e in self.committed_epochs() if e > floor]
 
-    def record_compaction(self, up_to: int, base_path: str, local_counts: dict[int, int]) -> None:
+    def record_compaction(self, up_to: int, base_path: str, local_counts: dict[int, int],
+                          metrics_snapshot: dict | None = None) -> None:
         def _mut(st: dict) -> None:
             if any(c["base_path"] == base_path for c in st["compactions"]):
                 return  # retry after our own landed commit: idempotent
             for p, c in local_counts.items():
                 k = str(p)
                 st["local_id_offsets"][k] = st["local_id_offsets"].get(k, 0) + c
-            st["compactions"].append({"up_to": up_to, "base_path": base_path})
+            st["compactions"].append({"up_to": up_to, "base_path": base_path,
+                                      "metrics_snapshot": metrics_snapshot})
             st["base_path"] = base_path
             st["base_normalized"] = True
             st["base_is_final_schema"] = True
             st["base_bucketized_path"] = base_path
 
         self._cas_update(_mut)
+
+    def metrics_snapshot(self) -> dict:
+        """Cumulative fold metrics for epochs <= the compaction floor.
+
+        A compaction absorbs delta events into the base snapshot, so a later
+        refold can no longer observe their noop/tombstone/replacement
+        outcomes; the snapshot (stored with the compaction record) carries
+        the run-level counters across the floor so ``fold_metrics`` stays a
+        whole-run counter (reference A1 semantics, processor.py:129-150).
+        Rows is intentionally absent: row count is current state, not a
+        cumulative counter."""
+        cs = self.state["compactions"]
+        snap = cs[-1].get("metrics_snapshot") if cs else None
+        return snap or {"noop": 0, "tombstoned": 0, "local": 0,
+                        "col_replacements": {}, "local_by_part": {},
+                        "noop_by_route": {}}
 
     def local_id_offsets(self) -> dict[int, int]:
         return {int(k): v for k, v in self.state["local_id_offsets"].items()}

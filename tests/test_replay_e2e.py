@@ -190,6 +190,44 @@ def test_fold_metrics_invariant(ray_session, fixture_dir, tmp_path):
     assert processed == sum(fm["routes"].values())
 
 
+def test_fold_metrics_survive_compaction(ray_session, fixture_dir, tmp_path):
+    """Compaction absorbs delta events into the base snapshot; whole-run
+    counters persist via the manifest metrics snapshot. Semantics are
+    FOLD-TIME (stream-processing) counters, like the reference's as-you-go
+    A1/A2 counters: a compaction freezes the judgments already made for the
+    absorbed epochs (a later re-insert does not retroactively turn an
+    already-counted replacement into a noop). Without compaction this
+    equals the retrospective oracle (test_fold_metrics_invariant)."""
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "t")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    fm0 = rp.fold_metrics()
+    rp.compact()
+    # no new events: compaction must not change any whole-run counter
+    assert rp.fold_metrics() == fm0
+    rp.apply_epoch(1, os.path.join(fixture_dir, "binlog", "epoch=1"))
+    rp.compact()
+    rp.apply_epoch(2, os.path.join(fixture_dir, "binlog", "epoch=2"))
+    fm = rp.fold_metrics()
+    o = oracle_final(fixture_dir, cfg)
+    # state-side numbers are path-independent and match the oracle exactly
+    assert fm["rows"] == len(o["final"])
+    assert fm["local"] == o["metrics"].get("local", 0)
+    # A1 invariant holds across compactions
+    processed = sum(e["processed"] for e in
+                    (rp.manifest.epoch_entry(i) for i in rp.manifest.committed_epochs()))
+    assert processed == sum(fm["routes"].values())
+    # counters accumulate (monotone vs the epoch-0-only view)
+    for k in ("noop", "tombstoned", "local"):
+        assert fm[k] >= fm0[k]
+    for c, v in fm0["col_replacements"].items():
+        assert fm["col_replacements"][c] >= v
+    # a restarted Replayer reads the same snapshot from the manifest
+    rp2 = Replayer(root, cfg)
+    assert rp2.fold_metrics() == fm
+
+
 def test_base_path_conflict_and_late_adoption(ray_session, fixture_dir, tmp_path):
     cfg = ReplayConfig(num_partitions=8)
     root = str(tmp_path / "t")

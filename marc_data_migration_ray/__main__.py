@@ -7,6 +7,7 @@ Commands:
   state        — materialize current table state (print sample or write out)
   metrics      — fold metrics + manifest route counts
   compact      — LSM-merge committed deltas into a new base snapshot
+  vacuum       — reclaim superseded base snapshots / old delta history
   modify       — plugin-only transform (reference --modify-recs)
   report       — dup-keys / route reports over a binlog dir (§3.3)
 
@@ -100,6 +101,15 @@ def main(argv=None) -> int:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     _add_cfg_args(c)
+
+    v = sub.add_parser(
+        "vacuum",
+        help="reclaim superseded base snapshots (and, with --drop-audit, "
+             "below-floor delta history) after compact",
+    )
+    v.add_argument("--table", required=True)
+    v.add_argument("--drop-audit", action="store_true", dest="drop_audit")
+    _add_cfg_args(v)
 
     mo = sub.add_parser(
         "modify",
@@ -274,6 +284,9 @@ def main(argv=None) -> int:
         elif args.cmd == "compact":
             path = rp.compact()
             print(json.dumps({"compacted_to": path}))
+        elif args.cmd == "vacuum":
+            removed = rp.vacuum(retain_audit=not args.drop_audit)
+            print(json.dumps({"removed": removed}))
     finally:
         ray.shutdown()
     return 0

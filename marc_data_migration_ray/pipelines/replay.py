@@ -761,6 +761,49 @@ class Replayer:
                     removed.append(d)
         return removed
 
+    def vacuum(self, retain_audit: bool = True) -> list[str]:
+        """Reclaim storage after compactions (Delta-Lake-style VACUUM).
+
+        Removes base snapshots under the table root superseded by a later
+        ``compact()`` (each compaction writes a full new snapshot — at
+        scale the old ones dominate storage). With ``retain_audit=False``
+        it also drops the below-floor delta epoch dirs and segments whose
+        events are already folded into the base; their per-epoch
+        audit/deadletter history becomes unreadable (``audit_dataset``
+        raises), while state and whole-run metrics stay intact (the
+        compaction's metrics snapshot carries the counters).
+
+        Maintenance op: run only when no concurrent reader predates the
+        latest compaction — a fold that listed its files before the
+        compaction committed may still be reading a superseded base.
+        Never touches the user-supplied ``base_path`` input (only
+        snapshots under the table root)."""
+        removed: list[str] = []
+        current = self.manifest.state.get("base_bucketized_path")
+        if current and self.manifest.state["compactions"]:
+            candidates = [os.path.join(self.root, "base_bucketized")]
+            candidates += glob.glob(os.path.join(self.root, "base-compact-*"))
+            for d in candidates:
+                if ".tmp" in os.path.basename(d):
+                    continue  # a concurrent compactor's unpublished snapshot
+                if os.path.isdir(d) and os.path.realpath(d) != os.path.realpath(current):
+                    shutil.rmtree(d)
+                    removed.append(d)
+        if not retain_audit:
+            floor = self.manifest.last_compacted_epoch()
+            for e in self.manifest.committed_epochs():
+                if e > floor:
+                    continue
+                d = os.path.join(self.root, "deltas", f"epoch={e}")
+                if os.path.isdir(d):
+                    shutil.rmtree(d)
+                    removed.append(d)
+            for seg in self.manifest.delta_segments():
+                if seg["to"] <= floor and os.path.isdir(seg["dir"]):
+                    shutil.rmtree(seg["dir"])
+                    removed.append(seg["dir"])
+        return removed
+
     def _epoch_files(self, epoch: int) -> tuple[list[str], bool]:
         """Files holding an epoch's events + whether a segment filter by
         epoch is needed (vacuumed epoch served from its merged segment)."""
@@ -787,6 +830,12 @@ class Replayer:
         from marc_data_migration_ray.functions.fuzzy import jaccard as _jac
 
         files, need_filter = self._epoch_files(epoch)
+        if not files and self.manifest.is_committed(epoch) \
+                and self.manifest.epoch_entry(epoch)["processed"]:
+            raise ValueError(
+                f"epoch {epoch}: delta events were vacuumed without audit "
+                f"retention (vacuum(retain_audit=False)); audit history is gone"
+            )
         ds = ray.data.read_parquet(
             files,
             columns=["lsn", "epoch", "doc_id_raw", "key", "op", "route", "status",

@@ -228,6 +228,43 @@ def test_fold_metrics_survive_compaction(ray_session, fixture_dir, tmp_path):
     assert rp2.fold_metrics() == fm
 
 
+def test_vacuum_reclaims_superseded_snapshots(ray_session, fixture_dir, tmp_path):
+    """Every compact() writes a full new base snapshot; vacuum removes the
+    superseded ones (and, with retain_audit=False, the below-floor delta
+    history) without changing state or whole-run metrics."""
+    import glob as _glob
+
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "t")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    rp.compact()
+    rp.apply_epoch(1, os.path.join(fixture_dir, "binlog", "epoch=1"))
+    rp.compact()
+    rp.apply_epoch(2, os.path.join(fixture_dir, "binlog", "epoch=2"))
+    want = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    fm = rp.fold_metrics()
+    bases = [d for d in _glob.glob(os.path.join(root, "base*")) if os.path.isdir(d)]
+    assert len(bases) >= 3  # initial bucketized + 2 compaction snapshots
+
+    removed = rp.vacuum()  # retain_audit=True: only superseded bases go
+    assert len(removed) == len(bases) - 1
+    left = [d for d in _glob.glob(os.path.join(root, "base*")) if os.path.isdir(d)]
+    assert left == [rp.manifest.state["base_bucketized_path"]]
+    rows_equal(rp.read_state().take_all(), [dict(r) for r in want])
+    assert rp.fold_metrics() == fm
+    assert rp.audit_dataset(0).count() > 0  # audit history retained
+
+    rp.vacuum(retain_audit=False)  # below-floor (epochs 0-1) history goes
+    assert not os.path.isdir(os.path.join(root, "deltas", "epoch=0"))
+    assert os.path.isdir(os.path.join(root, "deltas", "epoch=2"))  # above floor
+    rows_equal(rp.read_state().take_all(), [dict(r) for r in want])
+    assert rp.fold_metrics() == fm  # metrics snapshot carries the counters
+    with pytest.raises(ValueError, match="vacuumed without audit"):
+        rp.audit_dataset(0)
+    assert rp.audit_dataset(2).count() > 0  # above-floor audit still live
+
+
 def test_base_path_conflict_and_late_adoption(ray_session, fixture_dir, tmp_path):
     cfg = ReplayConfig(num_partitions=8)
     root = str(tmp_path / "t")

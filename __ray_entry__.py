@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "doc_fingerprint": text_analysis.fingerprint,
+        "token_topk": text_analysis.token_topk,
+        "token_topk_sketch": text_analysis.token_topk_sketch,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -242,6 +244,15 @@ SELECT a.doc_id,
             ELSE CAST(length(list_intersect(a.ws, b.ws)) AS DOUBLE)
                  / length(list_distinct(list_concat(a.ws, b.ws))) END AS jaccard
 FROM w a JOIN w b ON b.doc_id = a.doc_id + 1
+"""
+
+_TOKEN_TOPK = r"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(text, '\S+')) AS token FROM documents
+),
+c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY token)
+SELECT CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS rank, token, n
+FROM c ORDER BY n DESC, token LIMIT 20
 """
 
 _ANN_TOPK = """
@@ -412,6 +423,11 @@ ORDER BY op, route, status
             r"$$'(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}']+$$)) AS BIGINT) "
             r"AS n_bpe_tokens FROM documents"
         ),
+        # exact top-k frequent tokens; the sketch variant recounts its
+        # Misra-Gries candidates exactly, so (given the guarantee holds —
+        # kth count ≫ N/1025 here) both match the same oracle
+        "token_topk": _TOKEN_TOPK,
+        "token_topk_sketch": _TOKEN_TOPK,
         "quality_score": _QUALITY,
         "lang_id": _LANG_ID,
         "dedup_exact": (

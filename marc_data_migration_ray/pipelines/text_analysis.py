@@ -64,6 +64,112 @@ def lang_id(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def _batch_token_counts(t: pa.Table, cap: int | None = None) -> pa.Table:
+    """Exact per-batch token counts (polars explode + group_by — vectorized,
+    no Python loop over rows). With ``cap=m``, reduce to a Misra-Gries
+    summary: subtract the (m+1)-th largest count and keep positives — a
+    mergeable heavy-hitters summary with per-summary error ≤ batch_N/(m+1)
+    (Misra & Gries 1982; merge rule per Agarwal et al., "Mergeable
+    Summaries", PODS 2012 — both public)."""
+    import polars as pl
+
+    df = pl.from_arrow(t.select(["text"]))
+    out = (
+        df.select(pl.col("text").str.extract_all(r"\S+").alias("token"))
+        .explode("token")
+        .drop_nulls()
+        .group_by("token")
+        .len(name="n")
+    )
+    if cap is not None and out.height > cap:
+        out = out.sort(["n", "token"], descending=[True, False])
+        thresh = out["n"][cap]  # (cap+1)-th largest
+        out = out.head(cap).with_columns(pl.col("n") - thresh).filter(pl.col("n") > 0)
+    a = out.to_arrow()
+    return pa.table({"token": pc.cast(a["token"], pa.string()),
+                     "n": pc.cast(a["n"], pa.int64())})
+
+
+def _rank_table(pairs: list[tuple[str, int]], k: int) -> pa.Table:
+    pairs = sorted(pairs, key=lambda x: (-x[1], x[0]))[:k]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(pairs) + 1), pa.int64()),
+            "token": pa.array([t for t, _ in pairs], pa.string()),
+            "n": pa.array([n for _, n in pairs], pa.int64()),
+        }
+    )
+
+
+def token_topk(sf_dir: str, k: int = 20) -> pa.Table:
+    """(rank, token, n): exact top-k most frequent whitespace tokens —
+    vocabulary / heavy-hitters over the corpus.
+
+    Canonical distributed wordcount shape: per-batch partial counts inside
+    ``map_batches`` (pre-aggregation — raw tokens never shuffle), then ONE
+    ``groupby(token).sum`` over distinct-token partials, then per-block
+    partial top-k and a ≤ k×blocks driver merge (no full sort). Ties break
+    by token asc for determinism."""
+    partials = _docs(sf_dir, columns=("text",)).map_batches(
+        _batch_token_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = partials.groupby("token").sum("n")
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        t = pa.table({"token": t["token"], "n": pc.cast(t["sum(n)"], pa.int64())})
+        return t.sort_by([("n", "descending"), ("token", "ascending")]).slice(0, k)
+
+    best: list[tuple[str, int]] = []
+    tops = totals.map_batches(_local_topk, batch_format="pyarrow")
+    for b in tops.iter_batches(batch_format="pyarrow"):
+        best.extend(zip(b["token"].to_pylist(), b["n"].to_pylist()))
+    return _rank_table(best, k)
+
+
+def token_topk_sketch(sf_dir: str, k: int = 20, m: int = 1024) -> pa.Table:
+    """(rank, token, n): top-k frequent tokens via a mergeable Misra-Gries
+    sketch + exact recount — the 100-TB path when the vocabulary itself is
+    too wide to shuffle comfortably.
+
+    Pass 1: per-batch MG summaries of capacity ``m`` (error ≤ N/(m+1)
+    after merging) → ``groupby(token).sum`` over ≤ m-entry summaries →
+    driver-side re-cap gives ≤ m candidate tokens containing every token
+    with true count > N/(m+1). Pass 2: exact recount of candidates only
+    (broadcast candidate set; per-batch filtered counts; ≤ m×blocks driver
+    sum). Result is exact whenever the true k-th count exceeds N/(m+1) —
+    guaranteed on any skewed corpus with m ≫ k; verified against
+    ``token_topk`` in pytest and the same SQL oracle."""
+    sketches = _docs(sf_dir, columns=("text",)).map_batches(
+        lambda t: _batch_token_counts(t, cap=m),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    merged = sketches.groupby("token").sum("n")
+    cand: dict[str, int] = {}
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for tok, n in zip(b["token"].to_pylist(), b["sum(n)"].to_pylist()):
+            cand[tok] = cand.get(tok, 0) + n
+    if len(cand) > m:  # re-cap the merged summary (mergeable-summaries rule)
+        thresh = sorted(cand.values(), reverse=True)[m]
+        cand = {t: n - thresh for t, n in cand.items() if n - thresh > 0}
+    cand_ref = ray.put(pa.array(sorted(cand), pa.string()))  # ≤ m tokens, broadcast once
+
+    def _recount(t: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        keep = _ray.get(cand_ref)
+        c = _batch_token_counts(t)
+        return c.filter(pc.is_in(c["token"], value_set=keep))
+
+    exact: dict[str, int] = {}
+    for b in _docs(sf_dir, columns=("text",)).map_batches(
+        _recount, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for tok, n in zip(b["token"].to_pylist(), b["n"].to_pylist()):
+            exact[tok] = exact.get(tok, 0) + n
+    return _rank_table(list(exact.items()), k)
+
+
 def fingerprint(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, fp): 64-bit FNV-1a content fingerprint (rows-only oracle —
     byte-level hashing is not SQL-expressible)."""

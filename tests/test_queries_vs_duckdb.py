@@ -76,6 +76,31 @@ def test_rows_only_queries_run(ray_session):
             assert len(df.columns) >= 2, name
 
 
+def test_token_topk_sketch_guarantee_under_tiny_capacity(ray_session, tmp_path):
+    """Misra-Gries guarantee: with capacity m, every token whose true count
+    exceeds N/(m+1) survives as a candidate, so the exact recount matches
+    the exact top-k. Forced here with m=8 over a 60-word vocabulary with
+    planted heavy hitters — the sketch itself drops most of the tail."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import text_analysis
+
+    docs = []
+    for i in range(200):
+        words = [f"hot{i % 5}"] * 10 + [f"tail{(i * 7 + j) % 60}" for j in range(5)]
+        docs.append(" ".join(words))
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(200), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    exact = text_analysis.token_topk(str(tmp_path), k=5).to_pylist()
+    sk = text_analysis.token_topk_sketch(str(tmp_path), k=5, m=8).to_pylist()
+    assert [r["token"] for r in exact] == [f"hot{i}" for i in range(5)]
+    assert sk == exact
+
+
 def test_entry_smoke(ray_session):
     res = entry_mod.entry()
     n = res.count() if hasattr(res, "count") else len(res)

@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         multimodal,
         policy_queries,
         reports,
+        sampling,
         similarity,
         text_analysis,
         tpch,
@@ -91,6 +92,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text_analysis.fingerprint,
         "token_topk": text_analysis.token_topk,
         "token_topk_sketch": text_analysis.token_topk_sketch,
+        # deterministic corpus plumbing: reproducible split + data mixing
+        "dataset_split": sampling.dataset_split,
+        "source_mix_sample": sampling.source_mix_sample,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -323,8 +327,14 @@ def oracle_sql() -> dict[str, str]:
     are approximate / engine-hash ops not expressible in SQL → driver does
     rows-only checks; each is independently verified in pytest
     (tests/test_dedup_verification.py)."""
+    from marc_data_migration_ray.pipelines import sampling as _sampling
+
     return {
         **_policy_sql(),
+        # integer-threshold multiplicative-hash mirrors, built from the
+        # same constants the kernels use
+        "dataset_split": _sampling.split_sql(),
+        "source_mix_sample": _sampling.mix_sql(),
         "cdc_lww_state": _CDC_STATE,
         "cdc_routing_counts": _ROUTING,
         # the fuzzy_001_test gate over noisy-prefixed keys: doc % 3 picks

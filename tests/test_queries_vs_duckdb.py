@@ -101,6 +101,23 @@ def test_token_topk_sketch_guarantee_under_tiny_capacity(ray_session, tmp_path):
     assert sk == exact
 
 
+def test_dataset_split_is_layout_independent(ray_session):
+    """The hash split must assign identically regardless of block layout
+    (the property RNG-based splits lack): same assignments after an
+    explicit repartition, and fractions near 80/10/10."""
+    from marc_data_migration_ray.pipelines import sampling
+
+    a = {r["doc_id"]: r["split"] for r in sampling.dataset_split(SF_DIR).take_all()}
+    b = {
+        r["doc_id"]: r["split"]
+        for r in sampling.dataset_split(SF_DIR).repartition(7).take_all()
+    }
+    assert a == b
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert abs(train / n - 0.8) < 0.1
+
+
 def test_entry_smoke(ray_session):
     res = entry_mod.entry()
     n = res.count() if hasattr(res, "count") else len(res)

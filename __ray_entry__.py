@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
+        "sequence_pack": text_analysis.sequence_pack,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -321,6 +322,22 @@ def _policy_sql() -> dict[str, str]:
     }
 
 
+def _sequence_pack_sql() -> str:
+    from marc_data_migration_ray.pipelines.text_analysis import PACK_LEN
+
+    return (
+        r"WITH t AS (SELECT doc_id, CAST(length(regexp_extract_all(text, '\S+')) "
+        r"AS BIGINT) AS n_tok FROM documents), "
+        "s AS (SELECT doc_id, n_tok, CAST(sum(n_tok) OVER (ORDER BY doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS BIGINT) "
+        "AS start_tok FROM t) "
+        f"SELECT doc_id, n_tok, start_tok, "
+        f"CAST(start_tok // {PACK_LEN} AS BIGINT) AS first_pack, "
+        f"CAST(greatest(start_tok, start_tok + n_tok - 1) // {PACK_LEN} AS BIGINT) "
+        f"AS last_pack FROM s"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents. Omitted keys (dedup_simhash,
     embedding_near_dup_lsh, ann_topk_lsh, ann_topk_ivf, doc_fingerprint)
@@ -438,6 +455,9 @@ ORDER BY op, route, status
         # kth count ≫ N/1025 here) both match the same oracle
         "token_topk": _TOKEN_TOPK,
         "token_topk_sketch": _TOKEN_TOPK,
+        # GPT-style sequence packing: window cumsum mirrors the engine's
+        # distributed prefix sum (pack_len constant shared)
+        "sequence_pack": _sequence_pack_sql(),
         "quality_score": _QUALITY,
         "lang_id": _LANG_ID,
         "dedup_exact": (

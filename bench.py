@@ -125,7 +125,8 @@ def run_queries(sf_dir: str) -> dict:
     names = [
         "cdc_lww_state", "cdc_dup_keys", "cdc_routing_counts_f001",
         "key_normalize", "pricing_summary",
-        "nation_revenue", "token_count", "token_topk", "quality_score", "lang_id",
+        "nation_revenue", "token_count", "token_topk", "sequence_pack",
+        "quality_score", "lang_id",
         "dedup_exact", "dedup_minhash", "dedup_simhash",
         "embedding_near_dup", "ann_topk", "ann_topk_ivf",
         "customer_order_join", "title_jaccard", "user_daily_value",

@@ -170,6 +170,67 @@ def token_topk_sketch(sf_dir: str, k: int = 20, m: int = 1024) -> pa.Table:
     return _rank_table(list(exact.items()), k)
 
 
+PACK_LEN = 2048  # tokens per training example (shared with the SQL oracle)
+_PACK_BUCKET = 4096  # docs per prefix-sum bucket (driver holds one int per bucket)
+
+
+def sequence_pack(sf_dir: str, pack_len: int = PACK_LEN) -> ray.data.Dataset:
+    """(doc_id, n_tok, start_tok, first_pack, last_pack): GPT-style sequence
+    packing — concatenate every document's tokens in doc_id order and cut
+    the stream into fixed ``pack_len`` training examples; report where
+    each document lands (it may straddle pack boundaries).
+
+    The global token offset is a DISTRIBUTED PREFIX SUM, the shape that
+    scales: (1) per-batch partial sums per doc_id bucket (one
+    ``groupby(bucket).sum`` over ≤ #buckets rows), (2) a driver-side
+    exclusive prefix over the tiny bucket table (one int per ~4k docs),
+    broadcast via ``ray.put``, (3) one shuffle by bucket +
+    ``map_groups`` computing the in-bucket cumulative sum vectorized.
+    No stage ever sees more than a bucket of rows; nothing about the
+    result depends on block layout."""
+    ds = _docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pc.cast(T.token_counts(t["text"]), pa.int64()),
+                "bucket": pc.cast(
+                    pc.divide(t["doc_id"].combine_chunks()
+                              if isinstance(t["doc_id"], pa.ChunkedArray)
+                              else t["doc_id"], _PACK_BUCKET), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    bucket_sums = {}
+    for b in ds.groupby("bucket").sum("n_tok").iter_batches(batch_format="pyarrow"):
+        for k, v in zip(b["bucket"].to_pylist(), b["sum(n_tok)"].to_pylist()):
+            bucket_sums[k] = v
+    offsets, acc = {}, 0
+    for k in sorted(bucket_sums):
+        offsets[k] = acc
+        acc += bucket_sums[k]
+    off_ref = ray.put(offsets)
+
+    def _assign(df):
+        import numpy as np
+        import ray as _ray
+
+        df = df.sort_values("doc_id")
+        base = _ray.get(off_ref)[int(df["bucket"].iloc[0])]
+        n = df["n_tok"].to_numpy()
+        start = base + np.cumsum(n) - n
+        df = df.drop(columns=["bucket"]).assign(
+            start_tok=start,
+            first_pack=start // pack_len,
+            last_pack=np.maximum(start, start + n - 1) // pack_len,
+        )
+        return df
+
+    return ds.groupby("bucket").map_groups(_assign, batch_format="pandas")
+
+
 def fingerprint(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, fp): 64-bit FNV-1a content fingerprint (rows-only oracle —
     byte-level hashing is not SQL-expressible)."""

@@ -109,9 +109,6 @@ def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema):
     return pa.concat_tables(tables, promote_options="default")
 
 
-_EMPTY_FOLD = None
-
-
 def _merge_counts(a: dict, b: dict) -> dict:
     out = dict(a)
     for k, v in b.items():
@@ -312,6 +309,9 @@ class Replayer:
                     zero_copy_batch=True,
                 )
             parsed.write_parquet(tmp_dir, partition_cols=["part_p"])
+            # zero-ROW binlog files: write_parquet creates nothing, but the
+            # epoch must still publish (and later compact) as empty
+            os.makedirs(tmp_dir, exist_ok=True)
             os.makedirs(os.path.dirname(final_dir), exist_ok=True)
             try:
                 os.rename(tmp_dir, final_dir)  # atomic publish of the epoch's data
@@ -730,6 +730,7 @@ class Replayer:
         )
         if not os.path.exists(final_dir):
             tmp = final_dir + ".tmp-" + uuid.uuid4().hex[:8]
+            os.makedirs(tmp, exist_ok=True)  # all-empty ranges publish an empty segment
             refs = [
                 _merge_delta_files_task.remote(
                     fs, os.path.join(tmp, f"part_p={p}", "merged.parquet")
@@ -753,8 +754,16 @@ class Replayer:
         raise (the guard in ``fold_output``); audit/deadletter reads fall
         back to the segment filtered by epoch."""
         removed = []
+        floor = self.manifest.last_compacted_epoch()
         for seg in self.manifest.delta_segments():
+            straddles = seg["from"] <= floor < seg["to"]
             for e in range(seg["from"], seg["to"] + 1):
+                if straddles and e > floor:
+                    # state reads EXCLUDE floor-straddling segments (their
+                    # pre-floor part is already folded into the base), so
+                    # the per-epoch dir is the only live copy of this
+                    # epoch's events — keep it
+                    continue
                 d = os.path.join(self.root, "deltas", f"epoch={e}")
                 if os.path.isdir(d):
                     shutil.rmtree(d)
@@ -867,6 +876,14 @@ class Replayer:
         """Dead-letter rows for an epoch (reference S7 bad-records sink)."""
         files, need_filter = self._epoch_files(epoch)
         if not files:
+            if self.manifest.is_committed(epoch) \
+                    and self.manifest.epoch_entry(epoch)["processed"]:
+                # consistent with audit_dataset: destroyed history must not
+                # read as "the epoch had no deadletters"
+                raise ValueError(
+                    f"epoch {epoch}: delta events were vacuumed without audit "
+                    f"retention (vacuum(retain_audit=False)); history is gone"
+                )
             return None
         ds = ray.data.read_parquet(files)
         if need_filter:

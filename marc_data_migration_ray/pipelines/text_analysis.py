@@ -203,6 +203,9 @@ def sequence_pack(sf_dir: str, pack_len: int = PACK_LEN) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    # two consumers below: materialize the (doc_id, n_tok, bucket) table —
+    # three ints per doc, no text — so the scan+tokenize runs once
+    ds = ds.materialize()
     bucket_sums = {}
     for b in ds.groupby("bucket").sum("n_tok").iter_batches(batch_format="pyarrow"):
         for k, v in zip(b["bucket"].to_pylist(), b["sum(n_tok)"].to_pylist()):

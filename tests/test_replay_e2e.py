@@ -433,6 +433,30 @@ def test_delta_segment_compaction(ray_session, fixture_dir, tmp_path):
     assert rp.read_state(up_to_epoch=1).count() > 0
 
 
+def test_compact_deltas_empty_range(ray_session, fixture_dir, tmp_path):
+    """Zero-event epochs (no delta files at all) still compact: an empty
+    segment is published (regression: the tmp dir was never created, so
+    the publish rename crashed) and reads/vacuum behave."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+    src = os.path.join(fixture_dir, "binlog", "epoch=0")
+    schema = pq.read_schema(os.path.join(src, sorted(os.listdir(src))[0]))
+    empty_dir = str(tmp_path / "empty_binlog")
+    os.makedirs(empty_dir)
+    pq.write_table(schema.empty_table(), os.path.join(empty_dir, "part-0.parquet"))
+    rp.apply_epoch(N_EPOCHS, empty_dir)
+    rp.apply_epoch(N_EPOCHS + 1, empty_dir)
+    want = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+
+    seg = rp.compact_deltas(N_EPOCHS, N_EPOCHS + 1)
+    assert os.path.isdir(seg)
+    got = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    rows_equal(got, [dict(r) for r in want])
+    rp.vacuum_deltas()
+    rows_equal(sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"]),
+               [dict(r) for r in want])
+
+
 def test_auto_segmentation(ray_session, fixture_dir, tmp_path):
     """auto_segment_epochs=2: the oldest 2 epochs merge into a level-1
     segment during ingest; state still equals the oracle."""

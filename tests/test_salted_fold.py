@@ -188,3 +188,13 @@ def test_segment_straddling_compaction_floor(ray_session, skew_fixture, tmp_path
     assert [r["doc_id"] for r in got] == [r["doc_id"] for r in want]
     for a, b in zip(got, want):
         assert a["last_lsn"] == b["last_lsn"] and a["n_tok"] == b["n_tok"], a["doc_id"]
+
+    # vacuum_deltas must NOT drop the above-floor epochs of a straddling
+    # segment: reads exclude such segments, so the per-epoch dir is the
+    # only live copy (regression: data loss -> insert-only state)
+    rp.vacuum_deltas()
+    assert os.path.isdir(os.path.join(root, "deltas", "epoch=1"))
+    after = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    assert [r["doc_id"] for r in after] == [r["doc_id"] for r in want]
+    for a, b in zip(after, want):
+        assert a["last_lsn"] == b["last_lsn"], a["doc_id"]

@@ -49,6 +49,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from marc_data_migration_ray.config import ReplayConfig
     from marc_data_migration_ray.pipelines import (
+        curation,
         dedup,
         derived,
         events,
@@ -96,6 +97,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
         "sequence_pack": text_analysis.sequence_pack,
+        # curation: decontamination, PII redaction, deterministic shuffle
+        "decontaminate": curation.decontaminate,
+        "pii_redact": curation.pii_redact,
+        "corpus_shuffle": curation.corpus_shuffle,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
@@ -344,6 +349,7 @@ def oracle_sql() -> dict[str, str]:
     are approximate / engine-hash ops not expressible in SQL → driver does
     rows-only checks; each is independently verified in pytest
     (tests/test_dedup_verification.py)."""
+    from marc_data_migration_ray.pipelines import curation as _curation
     from marc_data_migration_ray.pipelines import sampling as _sampling
 
     return {
@@ -352,6 +358,10 @@ def oracle_sql() -> dict[str, str]:
         # same constants the kernels use
         "dataset_split": _sampling.split_sql(),
         "source_mix_sample": _sampling.mix_sql(),
+        # curation ops share their shingle rule / hash constants with SQL
+        "decontaminate": _curation.decontaminate_sql(),
+        "pii_redact": _curation.pii_redact_sql(),
+        "corpus_shuffle": _curation.corpus_shuffle_sql(),
         "cdc_lww_state": _CDC_STATE,
         "cdc_routing_counts": _ROUTING,
         # the fuzzy_001_test gate over noisy-prefixed keys: doc % 3 picks

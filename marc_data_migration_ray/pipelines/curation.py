@@ -1,0 +1,213 @@
+"""Corpus-curation operators: decontamination, PII redaction, global shuffle.
+
+Three first-class training-data pipeline ops a 100-TB corpus build needs
+beyond dedup/quality (all deterministic, all DuckDB-oracle-checked):
+
+- ``decontaminate``: flag training documents sharing word n-grams with a
+  held-out benchmark set (the standard eval-decontamination pass, cf.
+  GPT-3 appendix C / "Documenting the English Colossal Clean Crawled
+  Corpus" — public). Benchmark shingles are SMALL (benchmarks are MBs);
+  they are collected once and broadcast via ``ray.put``, the train side
+  streams through a stateless ``map_batches`` filter — no shuffle of the
+  corpus. At a benchmark size that outgrows one object, the same op
+  becomes a hash-partitioned semi-join on shingle hash (documented
+  fallback, not needed here).
+- ``pii_redact``: pseudonymize direct identifiers (keyed multiplicative
+  hash of ``user_id`` — deterministic tokenization, no lookup table to
+  ship), coarsen the timestamp quasi-identifier to the hour, and scrub
+  digit runs from the free-form ``props`` JSON. Pure vectorized
+  ``map_batches`` over zero-copy Arrow; embarrassingly parallel.
+- ``corpus_shuffle``: deterministic global shuffle for training-example
+  order — every row gets an explicit ``pos`` by salted-hash order. The
+  rank is a DISTRIBUTED PREFIX SUM: hash-range buckets → per-bucket
+  counts → tiny driver exclusive prefix (one int per bucket) → in-bucket
+  vectorized sort+rank. No stage holds more than one bucket; the result
+  is independent of block layout and cluster size (unlike
+  ``Dataset.random_shuffle``, which is neither deterministic across
+  layouts nor resumable).
+
+Shingle definition shared with ``pipelines/dedup.shingle_set`` (one
+definition for dedup signatures, decontamination, and the SQL mirrors).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from marc_data_migration_ray.pipelines.dedup import shingle_set
+from marc_data_migration_ray.pipelines.sampling import KNUTH, MOD
+
+DECON_K = 4        # words per shingle (benchmark-overlap n-gram)
+BENCH_MOD = 97     # doc_id % BENCH_MOD == 0 -> held-out benchmark doc
+_PII_SALT = 424243     # keyed-pseudonym salt (decorrelated from split/mix)
+_SHUFFLE_SALT = 777317
+_SHUFFLE_BUCKETS = 256  # hash-range buckets for the distributed rank
+
+
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
+    )
+
+
+# ------------------------------------------------------- decontamination --
+
+
+def decontaminate(sf_dir: str, k: int = DECON_K) -> ray.data.Dataset:
+    """(doc_id, n_hits): training documents (``doc_id % 97 != 0``) that
+    share >= 1 distinct k-word shingle with the benchmark partition
+    (``doc_id % 97 == 0``), with the count of distinct overlapping
+    shingles. Deterministic contamination report — rows here are what a
+    curation pipeline would drop before training."""
+    def _bench_only(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        mask = ids.to_numpy(zero_copy_only=False) % BENCH_MOD == 0
+        return t.filter(pa.array(mask))
+
+    bench_shingles: set[str] = set()
+    bench = _docs(sf_dir).map_batches(
+        _bench_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for b in bench.iter_batches(batch_format="pyarrow"):
+        for txt in b["text"].to_pylist():
+            bench_shingles.update(shingle_set(txt, k))
+    ref = ray.put(frozenset(bench_shingles))  # broadcast once, read per task
+
+    def _hits(t: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        ids = t["doc_id"].to_pylist()
+        out_id, out_n = [], []
+        for i, txt in zip(ids, t["text"].to_pylist()):
+            if i % BENCH_MOD == 0:
+                continue
+            n = len(shingle_set(txt, k) & bset)
+            if n:
+                out_id.append(i)
+                out_n.append(n)
+        return pa.table(
+            {"doc_id": pa.array(out_id, pa.int64()),
+             "n_hits": pa.array(out_n, pa.int64())}
+        )
+
+    return _docs(sf_dir).map_batches(_hits, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def decontaminate_sql(k: int = DECON_K) -> str:
+    """Exact mirror incl. the <k-words whole-text shingle rule."""
+    return (
+        f"WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), "
+        f"sh AS (SELECT doc_id, unnest(CASE WHEN len(ts) < {k} "
+        f"THEN [array_to_string(ts, ' ')] "
+        f"ELSE list_transform(range(len(ts) - {k - 1}), "
+        f"i -> array_to_string(ts[i + 1 : i + {k}], ' ')) END) AS shingle "
+        f"FROM tok WHERE len(ts) > 0), "
+        f"bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % {BENCH_MOD} = 0) "
+        f"SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_hits "
+        f"FROM sh s JOIN bench b USING (shingle) "
+        f"WHERE s.doc_id % {BENCH_MOD} <> 0 GROUP BY s.doc_id"
+    )
+
+
+# -------------------------------------------------------- PII redaction --
+
+
+def pii_redact(sf_dir: str) -> ray.data.Dataset:
+    """(event_id, user_token, ts_hour, event_type, props_redacted):
+    privacy pass over the event stream — ``user_id`` replaced by a keyed
+    pseudonym (stable across the corpus, so per-user analytics still
+    join), ``ts`` coarsened to the hour, digit runs in the free-form
+    ``props`` payload masked, and the raw ``value`` column dropped."""
+
+    def _redact(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].combine_chunks() if isinstance(
+            t["user_id"], pa.ChunkedArray) else t["user_id"]
+        v = uid.to_numpy(zero_copy_only=False).astype(np.uint64)
+        token = ((v * np.uint64(KNUTH) + np.uint64(_PII_SALT)) % np.uint64(MOD))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_token": pa.array(token.astype(np.int64)),
+                "ts_hour": pc.floor_temporal(t["ts"], unit="hour"),
+                "event_type": t["event_type"],
+                "props_redacted": pc.replace_substring_regex(
+                    t["props"], r"\d+", "#"
+                ),
+            }
+        )
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type", "props"],
+    ).map_batches(_redact, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def pii_redact_sql() -> str:
+    return (
+        f"SELECT event_id, "
+        f"CAST((user_id * {KNUTH} + {_PII_SALT}) % {MOD} AS BIGINT) AS user_token, "
+        f"date_trunc('hour', ts) AS ts_hour, event_type, "
+        f"regexp_replace(props, '\\d+', '#', 'g') AS props_redacted "
+        f"FROM events"
+    )
+
+
+# ------------------------------------------------- deterministic shuffle --
+
+
+def corpus_shuffle(sf_dir: str) -> ray.data.Dataset:
+    """(pos, doc_id): deterministic global training order — documents
+    ranked by salted multiplicative hash (ties by doc_id). Same shape as
+    ``sequence_pack``'s distributed prefix sum, keyed by hash range
+    instead of doc_id range."""
+
+    def _key(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        v = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (v * np.uint64(KNUTH) + np.uint64(_SHUFFLE_SALT)) % np.uint64(MOD)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(h.astype(np.int64)),
+                "bucket": pa.array(
+                    (h // np.uint64(MOD // _SHUFFLE_BUCKETS)).astype(np.int64)
+                ),
+            }
+        )
+
+    ds = _docs(sf_dir, ("doc_id",)).map_batches(
+        _key, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two consumers (counts + rank); 3 ints per doc
+
+    counts: dict[int, int] = {}
+    for b in ds.groupby("bucket").count().iter_batches(batch_format="pyarrow"):
+        for k, v in zip(b["bucket"].to_pylist(), b["count()"].to_pylist()):
+            counts[k] = v
+    offsets, acc = {}, 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    off_ref = ray.put(offsets)
+
+    def _rank(df):
+        df = df.sort_values(["h", "doc_id"])
+        base = ray.get(off_ref)[int(df["bucket"].iloc[0])]
+        return df.assign(pos=base + np.arange(len(df)))[["pos", "doc_id"]]
+
+    return ds.groupby("bucket").map_groups(_rank, batch_format="pandas")
+
+
+def corpus_shuffle_sql() -> str:
+    return (
+        f"SELECT CAST(ROW_NUMBER() OVER (ORDER BY "
+        f"(doc_id * {KNUTH} + {_SHUFFLE_SALT}) % {MOD}, doc_id) - 1 AS BIGINT) "
+        f"AS pos, doc_id FROM documents"
+    )

@@ -118,6 +118,39 @@ def test_dataset_split_is_layout_independent(ray_session):
     assert abs(train / n - 0.8) < 0.1
 
 
+def test_corpus_shuffle_is_layout_independent(ray_session):
+    """The deterministic shuffle rank must be a pure function of the row:
+    identical (pos, doc_id) after a repartition, a permutation of all ids."""
+    from marc_data_migration_ray.pipelines import curation
+
+    a = {r["doc_id"]: r["pos"] for r in curation.corpus_shuffle(SF_DIR).take_all()}
+    ds = curation.corpus_shuffle(SF_DIR)
+    b = {r["doc_id"]: r["pos"] for r in ds.repartition(7).take_all()}
+    assert a == b
+    assert sorted(a.values()) == list(range(len(a)))
+
+
+def test_decontaminate_planted_overlap(ray_session, tmp_path):
+    """A train doc sharing a 4-gram with a benchmark doc is flagged with
+    the exact distinct-overlap count; disjoint docs are not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import curation
+
+    bench = "alpha beta gamma delta epsilon zeta"          # doc_id 0 (benchmark)
+    hit = "xx alpha beta gamma delta epsilon yy"           # shares 2 4-grams
+    miss = "one two three four five six seven"             # disjoint
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array([bench, hit, miss], pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {r["doc_id"]: r["n_hits"]
+            for r in curation.decontaminate(str(tmp_path)).take_all()}
+    assert rows == {1: 2}
+
+
 def test_entry_smoke(ray_session):
     res = entry_mod.entry()
     n = res.count() if hasattr(res, "count") else len(res)

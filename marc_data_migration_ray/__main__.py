@@ -109,6 +109,10 @@ def main(argv=None) -> int:
     )
     v.add_argument("--table", required=True)
     v.add_argument("--drop-audit", action="store_true", dest="drop_audit")
+    v.add_argument("--retain-snapshots", type=int, default=0,
+                   dest="retain_snapshots",
+                   help="keep the N most recently superseded base snapshots "
+                        "(retention window for concurrent stale readers)")
     _add_cfg_args(v)
 
     mo = sub.add_parser(
@@ -285,7 +289,8 @@ def main(argv=None) -> int:
             path = rp.compact()
             print(json.dumps({"compacted_to": path}))
         elif args.cmd == "vacuum":
-            removed = rp.vacuum(retain_audit=not args.drop_audit)
+            removed = rp.vacuum(retain_audit=not args.drop_audit,
+                                retain_snapshots=args.retain_snapshots)
             print(json.dumps({"removed": removed}))
     finally:
         ray.shutdown()

@@ -770,34 +770,47 @@ class Replayer:
                     removed.append(d)
         return removed
 
-    def vacuum(self, retain_audit: bool = True) -> list[str]:
+    def vacuum(self, retain_audit: bool = True, retain_snapshots: int = 0) -> list[str]:
         """Reclaim storage after compactions (Delta-Lake-style VACUUM).
 
         Removes base snapshots under the table root superseded by a later
         ``compact()`` (each compaction writes a full new snapshot — at
-        scale the old ones dominate storage). With ``retain_audit=False``
-        it also drops the below-floor delta epoch dirs and segments whose
-        events are already folded into the base; their per-epoch
-        audit/deadletter history becomes unreadable (``audit_dataset``
-        raises), while state and whole-run metrics stay intact (the
-        compaction's metrics snapshot carries the counters).
+        scale the old ones dominate storage). ``retain_snapshots=N`` keeps
+        the N most recently superseded snapshots as a retention window
+        (Delta's ``RETAIN``): a reader that listed its files before any of
+        the last N compactions committed still finds its base. With
+        ``retain_audit=False`` it also drops the below-floor delta epoch
+        dirs and segments whose events are already folded into the base;
+        their per-epoch audit/deadletter history becomes unreadable
+        (``audit_dataset`` raises), while state and whole-run metrics stay
+        intact (the compaction's metrics snapshot carries the counters).
 
-        Maintenance op: run only when no concurrent reader predates the
-        latest compaction — a fold that listed its files before the
-        compaction committed may still be reading a superseded base.
-        Never touches the user-supplied ``base_path`` input (only
-        snapshots under the table root)."""
+        With ``retain_snapshots=0``, run only when no concurrent reader
+        predates the latest compaction. Never touches the user-supplied
+        ``base_path`` input (only snapshots under the table root)."""
         removed: list[str] = []
         current = self.manifest.state.get("base_bucketized_path")
         if current and self.manifest.state["compactions"]:
-            candidates = [os.path.join(self.root, "base_bucketized")]
-            candidates += glob.glob(os.path.join(self.root, "base-compact-*"))
-            for d in candidates:
-                if ".tmp" in os.path.basename(d):
-                    continue  # a concurrent compactor's unpublished snapshot
-                if os.path.isdir(d) and os.path.realpath(d) != os.path.realpath(current):
-                    shutil.rmtree(d)
-                    removed.append(d)
+            cur = os.path.realpath(current)
+            # superseded snapshots in commit order: the original bucketized
+            # base, then each compaction's snapshot
+            ordered = [os.path.join(self.root, "base_bucketized")]
+            ordered += [c["base_path"] for c in self.manifest.state["compactions"]]
+            ordered = [d for d in ordered
+                       if os.path.isdir(d) and os.path.realpath(d) != cur]
+            keep = set(ordered[len(ordered) - retain_snapshots:]) \
+                if retain_snapshots else set()
+            # orphans: snapshot dirs never recorded in the manifest (a CAS
+            # loser's published-but-unreferenced output) are always dead
+            known = {os.path.realpath(d) for d in ordered} | {cur}
+            orphans = [d for d in glob.glob(os.path.join(self.root, "base-compact-*"))
+                       if ".tmp" not in os.path.basename(d)
+                       and os.path.realpath(d) not in known]
+            for d in ordered + orphans:
+                if d in keep:
+                    continue
+                shutil.rmtree(d)
+                removed.append(d)
         if not retain_audit:
             floor = self.manifest.last_compacted_epoch()
             for e in self.manifest.committed_epochs():

@@ -247,8 +247,18 @@ def test_vacuum_reclaims_superseded_snapshots(ray_session, fixture_dir, tmp_path
     bases = [d for d in _glob.glob(os.path.join(root, "base*")) if os.path.isdir(d)]
     assert len(bases) >= 3  # initial bucketized + 2 compaction snapshots
 
-    removed = rp.vacuum()  # retain_audit=True: only superseded bases go
-    assert len(removed) == len(bases) - 1
+    # retention window: keep the most recently superseded snapshot so a
+    # reader that listed files just before the last compaction still works
+    kept = rp.vacuum(retain_snapshots=1)
+    left = [d for d in _glob.glob(os.path.join(root, "base*")) if os.path.isdir(d)]
+    assert len(left) == 2 and len(kept) == len(bases) - 2
+    prev_snap = rp.manifest.state["compactions"][-2]["base_path"] \
+        if len(rp.manifest.state["compactions"]) >= 2 \
+        else os.path.join(root, "base_bucketized")
+    assert os.path.isdir(prev_snap)  # the retained one is the NEWEST superseded
+
+    removed = rp.vacuum()  # no retention: the last superseded base goes too
+    assert len(removed) == 1
     left = [d for d in _glob.glob(os.path.join(root, "base*")) if os.path.isdir(d)]
     assert left == [rp.manifest.state["base_bucketized_path"]]
     rows_equal(rp.read_state().take_all(), [dict(r) for r in want])

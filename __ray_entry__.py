@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing over real binary columns (actor-pool decode)
         "media_decode": multimodal.media_decode,
         "media_frame_sample": multimodal.media_frame_sample,
+        # REAL container parsing (PPM/WAV/Y4M — no codec libs needed)
+        "media_real_decode": multimodal.media_real_decode,
     }
 
 
@@ -341,6 +343,12 @@ def _sequence_pack_sql() -> str:
         f"CAST(greatest(start_tok, start_tok + n_tok - 1) // {PACK_LEN} AS BIGINT) "
         f"AS last_pack FROM s"
     )
+
+
+def _multimodal_sql() -> str:
+    from marc_data_migration_ray.pipelines.multimodal import media_real_decode_sql
+
+    return media_real_decode_sql()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -579,6 +587,9 @@ ORDER BY op, route, status
             "FROM m WHERE kind = 'video' "
             "UNION ALL SELECT media_id, kind, 0 FROM m WHERE kind <> 'video'"
         ),
+        # real PPM/WAV/Y4M parse: oracle mirrors the payload GENERATOR
+        # arithmetic; the engine must parse the real containers to match
+        "media_real_decode": _multimodal_sql(),
         "parts_by_brand": (
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
             "CAST(sum(CAST(p_size AS BIGINT)) * 100 // count(*) AS BIGINT) AS avg_size_x100, "

@@ -132,7 +132,7 @@ def run_queries(sf_dir: str) -> dict:
         "customer_order_join", "title_jaccard", "user_daily_value",
         "session_count", "event_type_users",
         "policy_location_map", "policy_chain", "online_counts",
-        "decontaminate", "pii_redact", "corpus_shuffle",
+        "decontaminate", "pii_redact", "corpus_shuffle", "media_real_decode",
     ]
     qs = entry_mod.queries()
     out = {}

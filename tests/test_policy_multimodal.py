@@ -65,3 +65,80 @@ def test_frame_sampler(ray_session):
     assert len(out) >= 64  # videos expand to ≥1 frame rows
     vids = [r for r in out if r["kind"] == "video"]
     assert vids and all(r["frame_ms"] % 10000 == 0 for r in vids)
+
+
+# ----------------------------- real container codecs (PPM / WAV / Y4M) --
+
+
+def test_ppm_roundtrip_and_comments():
+    from marc_data_migration_ray.functions import media as M
+    import numpy as np
+
+    rgb = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    assert np.array_equal(M.decode_ppm(M.encode_ppm(rgb)), rgb)
+    # comment-tolerant header parse (Netpbm spec allows # comments)
+    commented = b"P6\n# a comment\n5 4\n255\n" + rgb.tobytes()
+    assert np.array_equal(M.decode_ppm(commented), rgb)
+
+
+def test_ppm_resize_nearest():
+    from marc_data_migration_ray.functions import media as M
+    import numpy as np
+
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    rgb[2:, 2:] = 255  # bottom-right quadrant white
+    small = M.resize_nearest(rgb, 2, 2)
+    assert small.shape == (2, 2, 3)
+    assert small[0, 0, 0] == 0 and small[1, 1, 0] == 255
+    big = M.resize_nearest(rgb, 8, 8)
+    assert big.shape == (8, 8, 3) and big[7, 7, 0] == 255 and big[0, 0, 0] == 0
+
+
+def test_wav_roundtrip():
+    from marc_data_migration_ray.functions import media as M
+    import numpy as np
+
+    s = (np.arange(300, dtype=np.int64) * 37 % 2048 - 1024).astype(np.int16)
+    got, rate = M.decode_wav(M.encode_wav(s, 8000))
+    assert rate == 8000 and np.array_equal(got, s)
+
+
+def test_y4m_roundtrip_and_strided_seek():
+    from marc_data_migration_ray.functions import media as M
+    import numpy as np
+
+    frames = np.stack(
+        [np.full((6, 8), f * 10, np.uint8) for f in range(5)]
+    )
+    payload = M.encode_y4m(frames)
+    got, w, h, n = M.decode_y4m(payload)
+    assert (w, h, n) == (8, 6, 5) and np.array_equal(got, frames)
+    # every=2 must SEEK to frames 0, 2, 4 without misaligning the stride
+    sampled, _, _, n2 = M.decode_y4m(payload, every=2)
+    assert n2 == 5 and np.array_equal(sampled, frames[::2])
+
+
+def test_real_media_decoder_parses_all_kinds(ray_session):
+    """Actor-pool real decode over synthesized PPM/WAV/Y4M payloads matches
+    a direct scalar parse of the same payloads."""
+    import numpy as np
+
+    from marc_data_migration_ray.functions import media as M
+
+    ids = np.arange(12, dtype=np.int64)
+    t = multimodal.synthesize_real_media(ids)
+    out = multimodal.RealMediaDecoder()(t).to_pylist()
+    for r in out:
+        i = r["media_id"]
+        if r["kind"] == "image":
+            rgb = M.decode_ppm(M.gen_image(i)).reshape(-1, 3).astype(np.int64)
+            assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(rgb.sum(axis=0))
+            assert r["n_frames"] is None
+        elif r["kind"] == "audio":
+            s, rate = M.decode_wav(M.gen_audio(i))
+            assert r["n_samples"] == len(s) == M.wav_n_samples(i)
+            assert r["sum_sq"] == int((s.astype(np.int64) ** 2).sum())
+            assert r["width"] is None
+        else:
+            assert r["n_frames"] == M.vid_n_frames(i)
+            assert r["sum_sq"] is None

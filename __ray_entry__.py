@@ -125,6 +125,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frame_sample": multimodal.media_frame_sample,
         # REAL container parsing (PPM/WAV/Y4M — no codec libs needed)
         "media_real_decode": multimodal.media_real_decode,
+        "media_resize": multimodal.media_resize,
+        "media_frames_real": multimodal.media_frames_real,
     }
 
 
@@ -345,10 +347,14 @@ def _sequence_pack_sql() -> str:
     )
 
 
-def _multimodal_sql() -> str:
-    from marc_data_migration_ray.pipelines.multimodal import media_real_decode_sql
+def _multimodal_sql() -> dict[str, str]:
+    from marc_data_migration_ray.pipelines import multimodal as mm
 
-    return media_real_decode_sql()
+    return {
+        "media_real_decode": mm.media_real_decode_sql(),
+        "media_resize": mm.media_resize_sql(),
+        "media_frames_real": mm.media_frames_real_sql(),
+    }
 
 
 def oracle_sql() -> dict[str, str]:
@@ -587,9 +593,9 @@ ORDER BY op, route, status
             "FROM m WHERE kind = 'video' "
             "UNION ALL SELECT media_id, kind, 0 FROM m WHERE kind <> 'video'"
         ),
-        # real PPM/WAV/Y4M parse: oracle mirrors the payload GENERATOR
+        # real PPM/WAV/Y4M parse: oracles mirror the payload GENERATOR
         # arithmetic; the engine must parse the real containers to match
-        "media_real_decode": _multimodal_sql(),
+        **_multimodal_sql(),
         "parts_by_brand": (
             "SELECT p_brand, CAST(count(*) AS BIGINT) AS n_parts, "
             "CAST(sum(CAST(p_size AS BIGINT)) * 100 // count(*) AS BIGINT) AS avg_size_x100, "

@@ -133,6 +133,7 @@ def run_queries(sf_dir: str) -> dict:
         "session_count", "event_type_users",
         "policy_location_map", "policy_chain", "online_counts",
         "decontaminate", "pii_redact", "corpus_shuffle", "media_real_decode",
+        "media_frames_real",
     ]
     qs = entry_mod.queries()
     out = {}

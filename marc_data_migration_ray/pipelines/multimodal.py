@@ -335,6 +335,151 @@ FROM m
 """
 
 
+class ImageResizer:
+    """Actor-pool resize stage: decode PPM → nearest-neighbour resize →
+    integer channel sums of the RESIZED image (so the oracle checks the
+    resize index arithmetic, not just the decode)."""
+
+    def __init__(self, out_h: int = 4, out_w: int = 4):
+        from marc_data_migration_ray.functions import media as M
+
+        self.M = M
+        self.out_h, self.out_w = out_h, out_w
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sums = np.zeros((n, 3), np.int64)
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            rgb = self.M.decode_ppm(payload)
+            small = self.M.resize_nearest(rgb, self.out_h, self.out_w)
+            sums[i] = small.reshape(-1, 3).astype(np.int64).sum(axis=0)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "out_h": pa.array(np.full(n, self.out_h), pa.int64()),
+                "out_w": pa.array(np.full(n, self.out_w), pa.int64()),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+            }
+        )
+
+
+def media_resize(sf_dir: str) -> ray.data.Dataset:
+    """(media_id, out_h, out_w, sum_r, sum_g, sum_b): real PPM decode +
+    8x8 → 4x4 nearest-neighbour resize over the image rows."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def _payloads(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        arr = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
+        tbl = synthesize_real_media(arr)
+        return tbl.filter(pc.equal(tbl["kind"], "image"))
+
+    return ds.map_batches(
+        _payloads, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        ImageResizer, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), zero_copy_batch=True,
+    )
+
+
+def media_resize_sql() -> str:
+    """Nearest mapping for 8→4: out pixel (r,c) reads in pixel (2r, 2c)."""
+    from marc_data_migration_ray.functions.media import IMG_W
+
+    return f"""
+SELECT doc_id AS media_id, 4 AS out_h, 4 AS out_w,
+  list_sum(list_transform(range(16),
+    i -> (doc_id * 13 + 3 * (((i // 4) * 2) * {IMG_W} + (i % 4) * 2)) % 256))
+    AS sum_r,
+  list_sum(list_transform(range(16),
+    i -> (doc_id * 13 + 3 * (((i // 4) * 2) * {IMG_W} + (i % 4) * 2) + 1) % 256))
+    AS sum_g,
+  list_sum(list_transform(range(16),
+    i -> (doc_id * 13 + 3 * (((i // 4) * 2) * {IMG_W} + (i % 4) * 2) + 2) % 256))
+    AS sum_b
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+
+class RealFrameSampler:
+    """Flat-map actor stage: Y4M video rows → one row per SAMPLED frame
+    (every k-th, via the strided seek — unsampled frame bytes untouched)."""
+
+    def __init__(self, every: int = 2):
+        from marc_data_migration_ray.functions import media as M
+
+        self.M = M
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, sums = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            planes, w, h, nf = self.M.decode_y4m(payload, every=self.every)
+            for j, f in enumerate(range(0, nf, self.every)):
+                ids.append(mid)
+                fidx.append(f)
+                sums.append(int(planes[j].astype(np.int64).sum()))
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "sum_y": pa.array(sums, pa.int64()),
+            }
+        )
+
+
+def media_frames_real(sf_dir: str, every: int = 2) -> ray.data.Dataset:
+    """(media_id, frame_idx, sum_y): every 2nd frame of each Y4M video,
+    decoded via the strided frame seek (flat-map expansion)."""
+    import os
+
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def _payloads(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        arr = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
+        tbl = synthesize_real_media(arr)
+        return tbl.filter(pc.equal(tbl["kind"], "video"))
+
+    return ds.map_batches(
+        _payloads, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        RealFrameSampler, fn_constructor_kwargs={"every": every},
+        batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), zero_copy_batch=True,
+    )
+
+
+def media_frames_real_sql(every: int = 2) -> str:
+    from marc_data_migration_ray.functions.media import VID_H, VID_W
+
+    npix = VID_W * VID_H
+    return f"""
+WITH v AS (SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+f AS (SELECT media_id,
+        unnest(list_transform(range((nf + {every - 1}) // {every}),
+                              x -> {every} * x)) AS frame_idx
+      FROM v)
+SELECT media_id, frame_idx,
+  list_sum(list_transform(range({npix}),
+    k -> (media_id * 17 + frame_idx * 29 + k) % 256)) AS sum_y
+FROM f
+"""
+
+
 def decode_pipeline(n_rows: int = 256, seed: int = 99) -> ray.data.Dataset:
     """read (synthesized) media → actor-pool decode → features dataset."""
     ds = ray.data.from_arrow(synthesize_media_table(n_rows, seed))

@@ -197,15 +197,42 @@ def replay_datasets(
     )
 
 
-def cdc_lww_state(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Dataset:
+def cdc_lww_state(
+    sf_dir: str, cfg: ReplayConfig | None = None, via: str = "shuffle"
+) -> ray.data.Dataset:
     """Flagship derived query: gated LWW replay of events onto documents.
 
     Returns (doc_id, n_tok, source, last_lsn, status) — scalar columns only
     so the DuckDB oracle can hash-match (token payloads are checked by the
     fixture/oracle tests instead).
-    """
+
+    ``via``: ``"shuffle"`` (default) folds through one in-memory
+    ``groupby(part_id).map_groups`` — optimal for a ONE-SHOT query, where
+    the events must move exactly once either way and no artifact outlives
+    the call. ``via="layout"`` routes through the manifest ``Replayer``
+    (co-partitioned on-disk deltas + per-bucket vectorized fold): pays a
+    delta write, amortized when the caller keeps the table root for
+    repeated folds / incremental epochs — the engine's flagship path.
+    Both produce identical rows (pytest-asserted). The layout path's temp
+    table root stays on disk while the returned (lazy) Dataset reads it."""
     cfg = cfg or ReplayConfig(num_partitions=16)
-    rows = replay_datasets(build_base_ds(sf_dir), build_binlog_ds(sf_dir), cfg)
+    if via == "layout":
+        import tempfile
+
+        from marc_data_migration_ray.pipelines.replay import Replayer
+
+        root = tempfile.mkdtemp(prefix="cdc_lww_layout_")
+        base_dir = os.path.join(root, "base_in")
+        binlog_dir = os.path.join(root, "binlog_in")
+        build_base_ds(sf_dir).write_parquet(base_dir)
+        build_binlog_ds(sf_dir).write_parquet(binlog_dir)
+        rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
+        rp.apply_epoch(0, binlog_dir)
+        rows = rp.read_state()
+    elif via == "shuffle":
+        rows = replay_datasets(build_base_ds(sf_dir), build_binlog_ds(sf_dir), cfg)
+    else:
+        raise ValueError(f"via must be 'shuffle' or 'layout', got {via!r}")
     return rows.map_batches(
         lambda t: pa.table(
             {

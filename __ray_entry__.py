@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
+        "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.dedup_simhash,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
@@ -131,6 +132,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ----------------------------------------------------------- oracle SQL --
+
+# exact all-pairs 3-shingle Jaccard pair CTEs (shingle semantics mirror
+# dedup.shingle_set; the least/greatest length prefilter is lossless:
+# jaccard <= min|s|/max|s|) — shared by dedup_minhash and dedup_clusters
+_MINHASH_PAIR_CTES = (
+    r"w AS (SELECT doc_id, regexp_extract_all(text, '\S+') ws FROM documents), "
+    "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[]) "
+    "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
+    "ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
+    "for i in range(1, len(ws)-1)]) END AS s FROM w), "
+    "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+    "WHERE least(len(a.s), len(b.s)) >= 0.8 * greatest(len(a.s), len(b.s))), "
+    "j AS (SELECT doc_a, doc_b, "
+    "CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0 "
+    "ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) "
+    "/ len(list_distinct(list_concat(sa, sb))) END AS jaccard FROM p)"
+)
 
 # shared SQL fragments — regexes identical to functions/keys.py and
 # functions/text.py (both RE2)
@@ -494,19 +513,20 @@ ORDER BY op, route, status
         # 16x4 banding is 1-(1-j^4)^16 >= 1-2.6e-3 — candidate-certain on
         # the planted near-dups (all at j>=0.9: miss prob < 4e-8).
         "dedup_minhash": (
-            r"WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') ws FROM documents), "
-            "sh AS (SELECT doc_id, CASE WHEN len(ws) = 0 THEN CAST([] AS VARCHAR[]) "
-            "WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')] "
-            "ELSE list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] "
-            "for i in range(1, len(ws)-1)]) END AS s FROM w), "
-            "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s AS sa, b.s AS sb "
-            "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
-            "WHERE least(len(a.s), len(b.s)) >= 0.8 * greatest(len(a.s), len(b.s))), "
-            "j AS (SELECT doc_a, doc_b, "
-            "CASE WHEN len(list_distinct(list_concat(sa, sb))) = 0 THEN 0.0 "
-            "ELSE CAST(len(list_intersect(sa, sb)) AS DOUBLE) "
-            "/ len(list_distinct(list_concat(sa, sb))) END AS jaccard FROM p) "
+            "WITH " + _MINHASH_PAIR_CTES + " "
             "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8"
+        ),
+        # connected components over the SAME verified pair set: recursive
+        # min-label closure (mirrors the engine's label propagation)
+        "dedup_clusters": (
+            "WITH RECURSIVE " + _MINHASH_PAIR_CTES + ", "
+            "pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8), "
+            "e AS (SELECT doc_a AS n, doc_b AS m FROM pr "
+            "UNION ALL SELECT doc_b, doc_a FROM pr), "
+            "reach(n, l) AS (SELECT n, m FROM e UNION SELECT n, n FROM e "
+            "UNION SELECT e.n, r.l FROM e JOIN reach r ON r.n = e.m) "
+            "SELECT n AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster_id "
+            "FROM reach GROUP BY n"
         ),
         # exact all-pairs cosine >= 0.45 (engine is exact-by-construction;
         # nearest pair to the threshold sits ~5e-4 away — float-safe)

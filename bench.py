@@ -127,7 +127,7 @@ def run_queries(sf_dir: str) -> dict:
         "key_normalize", "pricing_summary",
         "nation_revenue", "token_count", "token_topk", "sequence_pack",
         "quality_score", "lang_id",
-        "dedup_exact", "dedup_minhash", "dedup_simhash",
+        "dedup_exact", "dedup_minhash", "dedup_clusters", "dedup_simhash",
         "embedding_near_dup", "ann_topk", "ann_topk_ivf",
         "customer_order_join", "title_jaccard", "user_daily_value",
         "session_count", "event_type_users",

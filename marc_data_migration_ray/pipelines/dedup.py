@@ -569,3 +569,131 @@ def embedding_near_dup_lsh(
     return pairs.groupby(["vec_a", "vec_b"]).aggregate(Count(alias_name="nt")).map_batches(
         lambda t: t.select(["vec_a", "vec_b"]), batch_format="pyarrow"
     )
+
+
+# --------------------------------------------------------------------- #
+# near-dup cluster assignment (connected components over verified pairs)
+# --------------------------------------------------------------------- #
+def connected_components(
+    edges: ray.data.Dataset, max_iters: int = 25
+) -> ray.data.Dataset:
+    """(node, cluster_id = min node id in its component) via distributed
+    min-label propagation over an edge Dataset (columns ``a``, ``b``).
+
+    Each round is ONE coarse-keyed shuffle: edge rows (keyed by the
+    neighbour endpoint) and label rows (keyed by node) land in the same
+    hash group, where a vectorized polars join emits each edge's
+    neighbour label; a ``groupby(node).min`` then folds candidates into
+    the labels — O(E) shuffled per round, rounds bounded by component
+    diameter. Near-dup components are tiny cliques/chains in practice,
+    so a handful of rounds converges; pathological diameters would call
+    for pointer-doubling (label-of-label, O(log d) rounds — same
+    primitives). Convergence is the monotonically decreasing global
+    label sum reaching a fixpoint; non-convergence within ``max_iters``
+    raises rather than returning a silently-partial clustering. Each
+    round also applies POINTER DOUBLING — a second pass joining the label
+    table against itself (label(n) ← label(label(n))) — so convergence
+    takes O(log diameter) rounds instead of O(diameter).
+
+    (Deliberately avoids ``Dataset.join`` inside the loop: repeated
+    joins leak hash-shuffle aggregator actors in Ray 2.49 and can starve
+    small CPU budgets; the coarse-group + in-group polars join is the
+    same pattern ``_bucket_pairs_fn`` uses.)"""
+    import polars as pl
+
+    _CG = 1023  # coarse-group mask (≤ 1024 shuffle groups)
+
+    both = edges.map_batches(
+        lambda t: pa.concat_tables(
+            [
+                pa.table({"n": t["a"], "m": t["b"]}),
+                pa.table({"n": t["b"], "m": t["a"]}),
+            ]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    labels = both.groupby("n").min("m").map_batches(
+        lambda t: pa.table(
+            {"node": t["n"],
+             "label": pc.min_element_wise(t["n"], t["min(m)"])}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cg": pc.cast(pc.bit_wise_and(t["m"], _CG), pa.int32()),
+             "m": t["m"], "n": t["n"],
+             "label": pa.nulls(t.num_rows, pa.int64())}
+        )
+
+    def _label_rows(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"cg": pc.cast(pc.bit_wise_and(t["node"], _CG), pa.int32()),
+             "m": t["node"], "n": pa.nulls(t.num_rows, pa.int64()),
+             "label": t["label"]}
+        )
+
+    def _group_join(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g)
+        lab = df.filter(pl.col("n").is_null()).select(["m", "label"])
+        edg = df.filter(pl.col("n").is_not_null()).select(["n", "m"])
+        out = edg.join(lab, on="m", how="inner").select(
+            pl.col("n").alias("node"), pl.col("label")
+        )
+        return out.to_arrow()
+
+    def _fold_in(cand, labels):
+        return cand.union(labels).groupby("node").min("label").map_batches(
+            lambda t: pa.table({"node": t["node"], "label": t["min(label)"]}),
+            batch_format="pyarrow",
+        ).materialize()
+
+    prev = None
+    for _ in range(max_iters):
+        total = labels.sum("label")
+        if total == prev:
+            return labels.map_batches(
+                lambda t: pa.table(
+                    {"doc_id": t["node"], "cluster_id": t["label"]}
+                ),
+                batch_format="pyarrow",
+            )
+        prev = total
+        # ONE shuffle covers both steps: edge rows (neighbour propagation)
+        # and label-as-edge rows (pointer doubling) meet the label rows in
+        # the same coarse group
+        doubling = labels.map_batches(
+            lambda t: pa.table(
+                {"cg": pc.cast(pc.bit_wise_and(t["label"], _CG), pa.int32()),
+                 "m": t["label"], "n": t["node"],
+                 "label": pa.nulls(t.num_rows, pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        mixed = both.map_batches(
+            _edge_rows, batch_format="pyarrow", zero_copy_batch=True
+        ).union(doubling).union(labels.map_batches(
+            _label_rows, batch_format="pyarrow", zero_copy_batch=True
+        ))
+        cand = mixed.groupby("cg").map_groups(_group_join, batch_format="pyarrow")
+        labels = _fold_in(cand, labels)
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds"
+    )
+
+
+def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.Dataset:
+    """(doc_id, cluster_id): group verified near-dup pairs into clusters —
+    the step that turns pairwise dedup output into "keep one document per
+    cluster". cluster_id is the smallest doc_id in the component, so the
+    canonical survivor is ``doc_id == cluster_id``."""
+    pairs = dedup_minhash(sf_dir, jaccard_threshold).map_batches(
+        lambda t: pa.table({"a": t["doc_a"], "b": t["doc_b"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return connected_components(pairs)

@@ -192,3 +192,21 @@ def test_fingerprint_matches_scalar_fnv(ray_session):
     got = fingerprints(pa.array(texts)).to_pylist()
     want = [np.uint64(hash_str64(s)).astype(np.int64).item() for s in texts]
     assert got == want
+
+
+def test_connected_components_chain_and_island(ray_session):
+    """Min-label propagation over a 12-node chain (needs many rounds) plus
+    a disjoint pair: every chain node labels to the chain minimum."""
+    import pyarrow as pa
+    import ray.data
+
+    from marc_data_migration_ray.pipelines.dedup import connected_components
+
+    a = list(range(11)) + [100]
+    b = list(range(1, 12)) + [101]
+    edges = ray.data.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(edges).take_all()}
+    assert got == {**{i: 0 for i in range(12)}, 100: 100, 101: 100}

@@ -96,6 +96,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
+        "stratified_sample": sampling.stratified_sample,
+        "token_quantiles": sampling.token_quantiles,
         "sequence_pack": text_analysis.sequence_pack,
         # curation: decontamination, PII redaction, deterministic shuffle
         "decontaminate": curation.decontaminate,
@@ -391,6 +393,8 @@ def oracle_sql() -> dict[str, str]:
         # same constants the kernels use
         "dataset_split": _sampling.split_sql(),
         "source_mix_sample": _sampling.mix_sql(),
+        "stratified_sample": _sampling.stratified_sql(),
+        "token_quantiles": _sampling.quantiles_sql(),
         # curation ops share their shingle rule / hash constants with SQL
         "decontaminate": _curation.decontaminate_sql(),
         "pii_redact": _curation.pii_redact_sql(),

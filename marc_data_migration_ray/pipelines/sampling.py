@@ -112,3 +112,112 @@ def mix_sql() -> str:
         f"FROM documents) "
         f"SELECT doc_id, source FROM h WHERE hv < (CASE g {cases} END)"
     )
+
+
+_STRAT_SALT = 98765431
+STRAT_K = 20  # kept docs per source (shared with the SQL mirror)
+
+
+def stratified_sample(sf_dir: str, k: int = STRAT_K) -> ray.data.Dataset:
+    """(doc_id, source): deterministic per-source sample — each source
+    keeps its k docs with the smallest salted hash (ties by doc_id).
+
+    Distributed per-group top-k WITHOUT a full shuffle: every batch
+    reduces to at most k rows per source it contains (vectorized polars
+    sort+head), then one tiny ``groupby(source)`` over ≤ k×blocks rows
+    finishes. The kept set is a pure function of the rows, so it is
+    identical on any block layout / cluster size (reservoir sampling is
+    not) and stable across reruns — stratified eval sets you can cache."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        h = _hash_u32(t["doc_id"], salt=_STRAT_SALT)
+        df = pl.from_arrow(t.select(["doc_id", "source"])).with_columns(
+            pl.Series("h", h.astype(np.int64))
+        )
+        out = (
+            df.sort(["source", "h", "doc_id"])
+            .group_by("source", maintain_order=True)
+            .head(k)
+        )
+        return out.to_arrow()
+
+    def _final(g):
+        import pandas as pd  # noqa: F401  (map_groups pandas batch)
+
+        g = g.sort_values(["h", "doc_id"]).head(k)
+        return g[["doc_id", "source"]]
+
+    partials = _docs(sf_dir, ("doc_id", "source")).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.groupby("source").map_groups(_final, batch_format="pandas")
+
+
+def stratified_sql(k: int = STRAT_K) -> str:
+    return (
+        f"SELECT doc_id, source FROM ("
+        f"SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
+        f"ORDER BY (doc_id * {KNUTH} + {_STRAT_SALT}) % {MOD}, doc_id) AS rn "
+        f"FROM documents) WHERE rn <= {k}"
+    )
+
+
+QUANTILES = (0.1, 0.5, 0.9, 0.99)  # shared with the SQL mirror
+
+
+def token_quantiles(sf_dir: str) -> "pa.Table":
+    """(q_pct, n_tok): EXACT token-length distribution quantiles via a
+    mergeable value histogram — the length-distribution health check every
+    corpus build runs.
+
+    Scale shape: per-batch (n_tok -> count) histograms (token lengths are
+    small integers, so the histogram is tiny regardless of corpus size) →
+    one ``groupby(value).sum`` over distinct values → driver computes the
+    quantiles from the cumulative counts. Quantile rule (shared with the
+    SQL mirror): smallest v whose cumulative count >= ceil(q * N)."""
+    import math
+
+    from marc_data_migration_ray.functions.text import token_counts
+
+    def _hist(t: pa.Table) -> pa.Table:
+        counts = token_counts(t["text"])
+        arr = counts.combine_chunks() if isinstance(counts, pa.ChunkedArray) else counts
+        v, c = np.unique(arr.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"v": pa.array(v.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    hist: dict[int, int] = {}
+    merged = _docs(sf_dir, ("text",)).map_batches(
+        _hist, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("v").sum("c")
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b["v"].to_pylist(), b["sum(c)"].to_pylist()):
+            hist[v] = hist.get(v, 0) + c
+    N = sum(hist.values())
+    out_q, out_v = [], []
+    for q in QUANTILES:
+        need = math.ceil(q * N)
+        cum = 0
+        for v in sorted(hist):
+            cum += hist[v]
+            if cum >= need:
+                out_q.append(int(round(q * 100)))
+                out_v.append(v)
+                break
+    return pa.table({"q_pct": pa.array(out_q, pa.int64()),
+                     "n_tok": pa.array(out_v, pa.int64())})
+
+
+def quantiles_sql() -> str:
+    qs = ", ".join(f"({int(round(q * 100))})" for q in QUANTILES)
+    return (
+        "WITH t AS (SELECT CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+        "AS v FROM documents), "
+        "c AS (SELECT v, count(*) AS n FROM t GROUP BY v), "
+        "cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS cn, "
+        "(SELECT count(*) FROM t) AS N FROM c), "
+        f"q(q_pct) AS (VALUES {qs}) "
+        "SELECT q_pct, CAST(min(v) AS BIGINT) AS n_tok FROM cum, q "
+        "WHERE cn >= ceil(q_pct * N / 100.0) GROUP BY q_pct"
+    )

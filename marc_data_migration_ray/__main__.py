@@ -8,6 +8,7 @@ Commands:
   metrics      — fold metrics + manifest route counts
   compact      — LSM-merge committed deltas into a new base snapshot
   vacuum       — reclaim superseded base snapshots / old delta history
+  changes      — change-data feed: state diff between two epochs (CDF)
   modify       — plugin-only transform (reference --modify-recs)
   report       — dup-keys / route reports over a binlog dir (§3.3)
 
@@ -114,6 +115,17 @@ def main(argv=None) -> int:
                    help="keep the N most recently superseded base snapshots "
                         "(retention window for concurrent stale readers)")
     _add_cfg_args(v)
+
+    ch = sub.add_parser(
+        "changes",
+        help="change-data feed: per-row diff of table state between epochs",
+    )
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-epoch", type=int, required=True, dest="from_epoch")
+    ch.add_argument("--to-epoch", type=int, required=True, dest="to_epoch")
+    ch.add_argument("--out", default=None)
+    ch.add_argument("--limit", type=int, default=20)
+    _add_cfg_args(ch)
 
     mo = sub.add_parser(
         "modify",
@@ -292,6 +304,15 @@ def main(argv=None) -> int:
             removed = rp.vacuum(retain_audit=not args.drop_audit,
                                 retain_snapshots=args.retain_snapshots)
             print(json.dumps({"removed": removed}))
+        elif args.cmd == "changes":
+            ds = rp.changes_between(args.from_epoch, args.to_epoch)
+            if args.out:
+                ds.write_parquet(args.out)
+                print(json.dumps({"rows": ds.count(), "out": args.out}))
+            else:
+                for r in ds.take(args.limit):
+                    print(json.dumps(dict(r), default=str))
+                print(json.dumps({"total_changes": ds.count()}))
     finally:
         ray.shutdown()
     return 0

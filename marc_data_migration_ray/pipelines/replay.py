@@ -196,6 +196,59 @@ def _fold_salted_merge_task(
     return fold_salted_merge(pa.concat_tables(parts), cfg, local_id_offsets, schema_ops)
 
 
+@ray.remote(num_cpus=1)
+def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
+    """Diff two same-bucket fold outputs (change-data feed unit): vectorized
+    polars full join on doc_id; ``update`` = last_lsn moved."""
+    import polars as pl
+
+    def _rows(t: pa.Table, keep_extra: bool) -> "pl.DataFrame":
+        r = t.filter(pc.equal(t["_kind"], "row"))
+        cols = ["doc_id", "last_lsn"]
+        if keep_extra:
+            cols += [c for c in ("n_tok", "source") if c in r.column_names]
+        return pl.from_arrow(r.select(cols))
+
+    da = _rows(ta, keep_extra=False).rename({"last_lsn": "last_lsn_before"})
+    db = _rows(tb, keep_extra=True).rename({"last_lsn": "last_lsn_after"})
+    for c, dt in (("n_tok", pl.Int64), ("source", pl.Utf8)):
+        if c in db.columns:
+            db = db.rename({c: f"{c}_after"})
+        else:  # DDL renamed it away in the final schema: still emit the column
+            db = db.with_columns(pl.lit(None, dtype=dt).alias(f"{c}_after"))
+    j = db.join(da, on="doc_id", how="full", coalesce=True)
+    j = j.with_columns(
+        pl.when(pl.col("last_lsn_before").is_null())
+        .then(pl.lit("insert"))
+        .when(pl.col("last_lsn_after").is_null())
+        .then(pl.lit("delete"))
+        .when(pl.col("last_lsn_before") != pl.col("last_lsn_after"))
+        .then(pl.lit("update"))
+        .otherwise(pl.lit(None))
+        .alias("change")
+    ).filter(pl.col("change").is_not_null())
+    out = j.select(
+        pl.col("doc_id"),
+        pl.col("change"),
+        pl.col("last_lsn_before").cast(pl.Int64),
+        pl.col("last_lsn_after").cast(pl.Int64),
+        pl.col("n_tok_after").cast(pl.Int64),
+        pl.col("source_after").cast(pl.Utf8),
+    ).to_arrow()
+    return out.cast(
+        pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("change", pa.string()),
+                ("last_lsn_before", pa.int64()),
+                ("last_lsn_after", pa.int64()),
+                ("n_tok_after", pa.int64()),
+                ("source_after", pa.string()),
+            ]
+        )
+    )
+
+
 class Replayer:
     """Replays a binlog onto a lake table under exactly-once manifest commits."""
 
@@ -458,6 +511,12 @@ class Replayer:
 
         One Ray task per hash partition, each reading only its own
         co-partitioned base + delta files."""
+        refs = self._fold_part_refs(up_to_epoch)
+        return ray.data.from_arrow_refs(list(refs.values()))
+
+    def _fold_part_refs(self, up_to_epoch: int | None = None) -> dict[int, "ray.ObjectRef"]:
+        """One fold ObjectRef per LOGICAL partition (keyed by partition id) —
+        the co-partitioned unit ``changes_between`` diffs pairwise."""
         st = self.manifest.state
         floor = self.manifest.last_compacted_epoch()
         if up_to_epoch is not None and up_to_epoch < floor:
@@ -506,8 +565,8 @@ class Replayer:
         schema_ops = self._schema_ops_up_to(up_to_epoch)
         S = self.cfg.num_salts
         if S == 1:
-            refs = [
-                _fold_bucket_task.remote(
+            return {
+                p: _fold_bucket_task.remote(
                     base_by_part.get(p, []),
                     delta_by_part.get(p, []),
                     self.cfg,
@@ -516,15 +575,14 @@ class Replayer:
                     schema_ops,
                 )
                 for p in parts
-            ]
-            return ray.data.from_arrow_refs(refs)
+            }
         # salted two-stage fold: `parts` here are PHYSICAL sub-buckets;
         # group them by logical partition (phys // S), run one stage-1
         # summary task per sub-bucket, one merge task per logical partition
         logical: dict[int, list[int]] = {}
         for p in parts:
             logical.setdefault(p // S, []).append(p)
-        merge_refs = []
+        merge_refs: dict[int, "ray.ObjectRef"] = {}
         for lp, phys in sorted(logical.items()):
             s1 = [
                 _fold_salted_stage1_task.remote(
@@ -536,10 +594,37 @@ class Replayer:
                 )
                 for p in phys
             ]
-            merge_refs.append(
-                _fold_salted_merge_task.remote(self.cfg, offsets, schema_ops, *s1)
+            merge_refs[lp] = _fold_salted_merge_task.remote(
+                self.cfg, offsets, schema_ops, *s1
             )
-        return ray.data.from_arrow_refs(merge_refs)
+        return merge_refs
+
+    def changes_between(self, from_epoch: int, to_epoch: int):
+        """Change-data feed (Delta-CDF analog): per-row diff of the table
+        state at ``to_epoch`` vs ``from_epoch`` — (doc_id, change ∈
+        {insert, update, delete}, last_lsn_before, last_lsn_after,
+        n_tok_after, source_after).
+
+        Both states fold from the SAME co-partitioned layout, so the diff
+        is one task per partition joining two same-bucket tables — no
+        shuffle, no full-table materialization on the driver. ``update``
+        is detected by ``last_lsn`` movement (any applied event advances
+        it). Epochs must be committed and at/above the compaction floor
+        (same rule as ``read_state(up_to_epoch=...)``)."""
+        if not (self.manifest.is_committed(from_epoch)
+                and self.manifest.is_committed(to_epoch)):
+            raise ValueError("both epochs must be committed")
+        if from_epoch >= to_epoch:
+            raise ValueError("from_epoch must be < to_epoch")
+        refs_a = self._fold_part_refs(from_epoch)
+        refs_b = self._fold_part_refs(to_epoch)
+        empty = ray.put(_empty_fold())
+        parts = sorted(set(refs_a) | set(refs_b))
+        out = [
+            _diff_bucket_task.remote(refs_a.get(p, empty), refs_b.get(p, empty))
+            for p in parts
+        ]
+        return ray.data.from_arrow_refs(out)
 
     def _schema_ops_up_to(self, up_to_epoch: int | None) -> list[dict]:
         """Manifest DDL ops limited to the lsn range of the folded epochs."""

@@ -501,3 +501,34 @@ def test_duplicate_delta_file_absorbed(ray_session, fixture_dir, tmp_path):
     shutil.copy(f, f.replace(".parquet", "-retry-dup.parquet"))
     got = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
     rows_equal(got, [dict(r) for r in want])
+
+
+def test_changes_between_matches_oracle_diff(ray_session, fixture_dir, tmp_path):
+    """Change-data feed: changes_between(0, 2) equals the diff of the
+    oracle's replayed states at epoch 0 and epoch 2."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp = replay_all(str(tmp_path / "t"), fixture_dir, cfg)
+
+    sa = {r["doc_id"]: r for r in oracle_final(fixture_dir, cfg, n_epochs=1)["final"]}
+    sb = {r["doc_id"]: r for r in oracle_final(fixture_dir, cfg, n_epochs=3)["final"]}
+    want = {}
+    for d in set(sa) | set(sb):
+        if d not in sa:
+            want[d] = ("insert", None, sb[d]["last_lsn"])
+        elif d not in sb:
+            want[d] = ("delete", sa[d]["last_lsn"], None)
+        elif sa[d]["last_lsn"] != sb[d]["last_lsn"]:
+            want[d] = ("update", sa[d]["last_lsn"], sb[d]["last_lsn"])
+
+    got = {r["doc_id"]: (r["change"], r["last_lsn_before"], r["last_lsn_after"])
+           for r in rp.changes_between(0, 2).take_all()}
+    assert got == want
+    # after-image scalars match the to-state for non-deletes
+    for r in rp.changes_between(0, 2).take_all():
+        if r["change"] != "delete":
+            assert r["n_tok_after"] == sb[r["doc_id"]]["n_tok"], r["doc_id"]
+
+    with pytest.raises(ValueError, match="committed"):
+        rp.changes_between(0, 99)
+    with pytest.raises(ValueError, match="from_epoch"):
+        rp.changes_between(2, 1)

@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text_analysis.fingerprint,
         "token_topk": text_analysis.token_topk,
         "token_topk_sketch": text_analysis.token_topk_sketch,
+        "token_doc_freq": text_analysis.token_doc_freq,
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
@@ -395,6 +396,14 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_sample": _sampling.mix_sql(),
         "stratified_sample": _sampling.stratified_sql(),
         "token_quantiles": _sampling.quantiles_sql(),
+        "token_doc_freq": (
+            r"WITH tok AS (SELECT DISTINCT doc_id, "
+            r"unnest(regexp_extract_all(text, '\S+')) AS token FROM documents), "
+            "d AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tok "
+            "GROUP BY token) "
+            "SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, token) AS BIGINT) "
+            "AS rank, token, df FROM d ORDER BY rank LIMIT 20"
+        ),
         # curation ops share their shingle rule / hash constants with SQL
         "decontaminate": _curation.decontaminate_sql(),
         "pii_redact": _curation.pii_redact_sql(),

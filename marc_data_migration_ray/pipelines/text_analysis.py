@@ -242,3 +242,48 @@ def fingerprint(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def token_doc_freq(sf_dir: str, k: int = 20) -> pa.Table:
+    """(rank, token, df): top-k tokens by DOCUMENT frequency (the IDF
+    denominator) — distinct-doc counts, not occurrence counts.
+
+    Same wordcount shape as ``token_topk`` with one twist: each batch
+    first reduces to DISTINCT (doc, token) pairs (polars unique — raw
+    occurrences never leave the batch), so the shuffled partials are
+    per-token *document* counts. Ties break by token asc."""
+    import polars as pl
+
+    def _batch_df(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        out = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"\S+").alias("token"),
+            )
+            .explode("token")
+            .drop_nulls()
+            .unique(subset=["doc_id", "token"])
+            .group_by("token")
+            .len(name="n")
+        )
+        a = out.to_arrow()
+        return pa.table({"token": pc.cast(a["token"], pa.string()),
+                         "n": pc.cast(a["n"], pa.int64())})
+
+    partials = _docs(sf_dir).map_batches(
+        _batch_df, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = partials.groupby("token").sum("n")
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        t = pa.table({"token": t["token"], "n": pc.cast(t["sum(n)"], pa.int64())})
+        return t.sort_by([("n", "descending"), ("token", "ascending")]).slice(0, k)
+
+    best: list[tuple[str, int]] = []
+    for b in totals.map_batches(_local_topk, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        best.extend(zip(b["token"].to_pylist(), b["n"].to_pylist()))
+    out = _rank_table(best, k)
+    return out.rename_columns(["rank", "token", "df"])

@@ -189,6 +189,10 @@ def test_segment_straddling_compaction_floor(ray_session, skew_fixture, tmp_path
     for a, b in zip(got, want):
         assert a["last_lsn"] == b["last_lsn"] and a["n_tok"] == b["n_tok"], a["doc_id"]
 
+    # change feed works identically through the salted two-stage fold
+    ch = rp.changes_between(0, 1).take_all()
+    assert ch and all(r["change"] in ("insert", "update", "delete") for r in ch)
+
     # vacuum_deltas must NOT drop the above-floor epochs of a straddling
     # segment: reads exclude such segments, so the per-epoch dir is the
     # only live copy (regression: data loss -> insert-only state)

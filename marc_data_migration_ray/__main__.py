@@ -9,6 +9,8 @@ Commands:
   compact      — LSM-merge committed deltas into a new base snapshot
   vacuum       — reclaim superseded base snapshots / old delta history
   changes      — change-data feed: state diff between two epochs (CDF)
+  follow       — streaming micro-batch ingest: tail a binlog root, apply
+                 epoch dirs in order (manifest-fenced, restart-resumable)
   modify       — plugin-only transform (reference --modify-recs)
   report       — dup-keys / route reports over a binlog dir (§3.3)
 
@@ -115,6 +117,25 @@ def main(argv=None) -> int:
                    help="keep the N most recently superseded base snapshots "
                         "(retention window for concurrent stale readers)")
     _add_cfg_args(v)
+
+    fo = sub.add_parser(
+        "follow",
+        help="streaming micro-batch ingest: tail a binlog root for epoch=N "
+             "dirs and apply them in LSN-epoch order as they appear",
+    )
+    fo.add_argument("--table", required=True)
+    fo.add_argument("--binlog-root", required=True, dest="binlog_root")
+    fo.add_argument("--base", default=None)
+    fo.add_argument("--poll", type=float, default=2.0,
+                    help="seconds between directory polls")
+    fo.add_argument("--until-epoch", type=int, default=None, dest="until_epoch",
+                    help="exit after applying this epoch")
+    fo.add_argument("--max-idle-polls", type=int, default=0, dest="max_idle",
+                    help="exit after this many consecutive empty polls (0 = forever)")
+    fo.add_argument("--marker", default=None,
+                    help="only apply an epoch dir once this marker file exists "
+                         "in it (for producers that do not publish atomically)")
+    _add_cfg_args(fo)
 
     ch = sub.add_parser(
         "changes",
@@ -304,6 +325,37 @@ def main(argv=None) -> int:
             removed = rp.vacuum(retain_audit=not args.drop_audit,
                                 retain_snapshots=args.retain_snapshots)
             print(json.dumps({"removed": removed}))
+        elif args.cmd == "follow":
+            # streaming micro-batch loop: resume point comes from the
+            # manifest (exactly-once across restarts — a re-applied epoch is
+            # fenced to a no-op), epochs apply strictly in order
+            import time as _time
+
+            committed = rp.manifest.committed_epochs()
+            e = (max(committed) + 1) if committed else 0
+            idle = 0
+            applied = []
+            while True:
+                d = os.path.join(args.binlog_root, f"epoch={e}")
+                ready = os.path.isdir(d) and (
+                    args.marker is None or os.path.exists(os.path.join(d, args.marker))
+                )
+                if ready:
+                    entry = rp.apply_epoch(e, d)
+                    applied.append(e)
+                    print(json.dumps({"applied_epoch": e, "rows": entry["rows"],
+                                      "routes": entry["routes"]}), flush=True)
+                    if args.until_epoch is not None and e >= args.until_epoch:
+                        break
+                    e += 1
+                    idle = 0
+                    continue
+                idle += 1
+                if args.max_idle and idle >= args.max_idle:
+                    break
+                _time.sleep(args.poll)
+            print(json.dumps({"followed": applied,
+                              "next_epoch": e if not ready else e + 1}))
         elif args.cmd == "changes":
             ds = rp.changes_between(args.from_epoch, args.to_epoch)
             if args.out:

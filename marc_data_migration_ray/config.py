@@ -90,6 +90,14 @@ class ReplayConfig:
     #: between full compact() calls without any semantic change.
     auto_segment_epochs: int = 0
 
+    #: when > 0, apply_epoch auto-triggers a FULL compaction (compact())
+    #: whenever this many committed epochs have accumulated above the
+    #: compaction floor — LSM maintenance automation: merge-on-read never
+    #: reads more than this many epochs of deltas. Semantics unchanged
+    #: (compaction equivalence is oracle-tested); checked after
+    #: auto-segmentation, so segments below the new floor are superseded.
+    auto_compact_epochs: int = 0
+
     #: hot-key mitigation: within-batch LWW pre-collapse of gate-passed
     #: updates sharing (key, column-mask set) — only the max-lsn one can ever
     #: win a column, so final STATE is provably unchanged while a key with

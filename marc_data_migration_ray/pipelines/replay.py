@@ -380,6 +380,11 @@ class Replayer:
         self.manifest.commit_epoch(epoch, entry, schema_ops=entry.pop("_schema_ops"))
         if self.cfg.auto_segment_epochs > 0:
             self._maybe_auto_segment()
+        if self.cfg.auto_compact_epochs > 0:
+            floor = self.manifest.last_compacted_epoch()
+            pending = [e for e in self.manifest.committed_epochs() if e > floor]
+            if len(pending) >= self.cfg.auto_compact_epochs:
+                self.compact(up_to_epoch=max(pending))
         return entry
 
     def _maybe_auto_segment(self) -> None:

@@ -143,3 +143,63 @@ def test_cli_salted_fuzzy001_roundtrip(fixture_dir, tmp_path):
         capture_output=True, text=True, env=env,
     )
     assert out.returncode != 0 and "salt layout" in out.stderr
+
+
+def test_cli_follow_and_auto_compact(ray_session, tmp_path):
+    """`follow` tails the binlog root and applies epochs in order with
+    exactly-once resume; auto_compact_epochs keeps merge-on-read bounded
+    while state stays oracle-equal."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray import oracle
+    from marc_data_migration_ray.config import ReplayConfig
+    from marc_data_migration_ray.pipelines.replay import Replayer
+    from marc_data_migration_ray.sources import fixtures
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    root = str(tmp_path / "fix")
+    fixtures.write_fixture(root, n_rows=60, n_events=400, n_epochs=3, seed=11)
+    table = str(tmp_path / "ftable")
+
+    r = subprocess.run(
+        [sys.executable, "-m", "marc_data_migration_ray", "follow",
+         "--table", table, "--binlog-root", os.path.join(root, "binlog"),
+         "--base", os.path.join(root, "base"), "--num-partitions", "4",
+         "--until-epoch", "1", "--poll", "0.1"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=240,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
+    assert [x.get("applied_epoch") for x in lines[:-1]] == [0, 1]
+    # resume: a second follow starts AFTER the committed epochs
+    r2 = subprocess.run(
+        [sys.executable, "-m", "marc_data_migration_ray", "follow",
+         "--table", table, "--binlog-root", os.path.join(root, "binlog"),
+         "--num-partitions", "4", "--until-epoch", "2", "--poll", "0.1"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=240,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    lines2 = [json.loads(x) for x in r2.stdout.strip().splitlines()]
+    assert [x.get("applied_epoch") for x in lines2[:-1]] == [2]
+
+    # auto_compact_epochs=2: same fixture through the library path
+    cfg = ReplayConfig(num_partitions=4, auto_compact_epochs=2)
+    rp = Replayer(str(tmp_path / "atable"), cfg,
+                  base_path=os.path.join(root, "base"))
+    for e in range(3):
+        rp.apply_epoch(e, os.path.join(root, "binlog", f"epoch={e}"))
+    assert rp.manifest.last_compacted_epoch() >= 1  # compaction auto-ran
+    base = pq.read_table(os.path.join(root, "base")).to_pylist()
+    evs = []
+    for e in range(3):
+        d = os.path.join(root, "binlog", f"epoch={e}")
+        for f in sorted(os.listdir(d)):
+            evs += pq.read_table(os.path.join(d, f)).to_pylist()
+    o = oracle.replay(base, evs, cfg)
+    eng = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    assert len(eng) == len(o["final"])
+    for a, b in zip(eng, o["final"]):
+        assert a["last_lsn"] == b["last_lsn"] and a["n_tok"] == b["n_tok"]

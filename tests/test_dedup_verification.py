@@ -210,3 +210,44 @@ def test_connected_components_chain_and_island(ray_session):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(edges).take_all()}
     assert got == {**{i: 0 for i in range(12)}, 100: 100, 101: 100}
+
+
+def test_connected_components_random_graph_vs_union_find(ray_session):
+    """Distributed CC equals a scalar union-find on a seeded random graph
+    (mixed component sizes, self-contained islands, a few cliques)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from marc_data_migration_ray.pipelines.dedup import connected_components
+
+    rng = np.random.default_rng(4242)
+    nodes = rng.choice(5000, size=120, replace=False)
+    a = nodes[rng.integers(0, len(nodes), size=90)]
+    b = nodes[rng.integers(0, len(nodes), size=90)]
+    keep = a != b
+    a, b = a[keep], b[keep]
+
+    parent = {}
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    def union(x, y):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    for x, y in zip(a.tolist(), b.tolist()):
+        union(x, y)
+    want = {x: find(x) for x in set(a.tolist()) | set(b.tolist())}
+    # path-compress to final roots
+    want = {x: find(x) for x in want}
+
+    edges = ray.data.from_arrow(
+        pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
+    )
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(edges).take_all()}
+    assert got == want

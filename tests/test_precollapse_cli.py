@@ -203,3 +203,55 @@ def test_cli_follow_and_auto_compact(ray_session, tmp_path):
     assert len(eng) == len(o["final"])
     for a, b in zip(eng, o["final"]):
         assert a["last_lsn"] == b["last_lsn"] and a["n_tok"] == b["n_tok"]
+
+
+def test_two_process_concurrent_apply(ray_session, tmp_path):
+    """Two OS processes apply different epochs to the SAME table at the
+    same time: both CAS-commit, final state equals the oracle."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray import oracle
+    from marc_data_migration_ray.config import ReplayConfig
+    from marc_data_migration_ray.pipelines.replay import Replayer
+    from marc_data_migration_ray.sources import fixtures
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    root = str(tmp_path / "fix")
+    fixtures.write_fixture(root, n_rows=60, n_events=400, n_epochs=2, seed=13)
+    table = str(tmp_path / "ctable")
+    # create the table (manifest) first so both writers share one layout
+    cfg = ReplayConfig(num_partitions=4)
+    Replayer(table, cfg, base_path=os.path.join(root, "base"))
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "marc_data_migration_ray", "apply",
+             "--table", table, "--epoch", str(e),
+             "--binlog", os.path.join(root, "binlog", f"epoch={e}"),
+             "--num-partitions", "4"],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd="/root/repo",
+        )
+        for e in (0, 1)
+    ]
+    for p in procs:
+        out, err = p.communicate(timeout=240)
+        assert p.returncode == 0, err[-2000:]
+        json.loads(out.strip().splitlines()[-1])  # valid commit entry
+
+    rp = Replayer(table, cfg)
+    assert rp.manifest.committed_epochs() == [0, 1]
+    base = pq.read_table(os.path.join(root, "base")).to_pylist()
+    evs = []
+    for e in range(2):
+        d = os.path.join(root, "binlog", f"epoch={e}")
+        for f in sorted(os.listdir(d)):
+            evs += pq.read_table(os.path.join(d, f)).to_pylist()
+    o = oracle.replay(base, evs, cfg)
+    eng = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    assert len(eng) == len(o["final"])
+    for a, b in zip(eng, o["final"]):
+        assert a["last_lsn"] == b["last_lsn"] and list(a["tokens"] or []) == list(b["tokens"] or [])

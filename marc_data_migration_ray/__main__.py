@@ -335,7 +335,10 @@ def main(argv=None) -> int:
             e = (max(committed) + 1) if committed else 0
             idle = 0
             applied = []
-            while True:
+            # the bound is checked BEFORE applying: a resume where
+            # until_epoch is already committed exits immediately instead of
+            # polling forever or over-applying
+            while args.until_epoch is None or e <= args.until_epoch:
                 d = os.path.join(args.binlog_root, f"epoch={e}")
                 ready = os.path.isdir(d) and (
                     args.marker is None or os.path.exists(os.path.join(d, args.marker))
@@ -345,8 +348,6 @@ def main(argv=None) -> int:
                     applied.append(e)
                     print(json.dumps({"applied_epoch": e, "rows": entry["rows"],
                                       "routes": entry["routes"]}), flush=True)
-                    if args.until_epoch is not None and e >= args.until_epoch:
-                        break
                     e += 1
                     idle = 0
                     continue
@@ -354,10 +355,11 @@ def main(argv=None) -> int:
                 if args.max_idle and idle >= args.max_idle:
                     break
                 _time.sleep(args.poll)
-            print(json.dumps({"followed": applied,
-                              "next_epoch": e if not ready else e + 1}))
+            print(json.dumps({"followed": applied, "next_epoch": e}))
         elif args.cmd == "changes":
-            ds = rp.changes_between(args.from_epoch, args.to_epoch)
+            # materialize once: take/count after write would otherwise
+            # re-fold both epoch states and re-diff every partition
+            ds = rp.changes_between(args.from_epoch, args.to_epoch).materialize()
             if args.out:
                 ds.write_parquet(args.out)
                 print(json.dumps({"rows": ds.count(), "out": args.out}))

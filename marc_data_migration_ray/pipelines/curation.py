@@ -42,19 +42,18 @@ import ray
 import ray.data
 
 from marc_data_migration_ray.pipelines.dedup import shingle_set
-from marc_data_migration_ray.pipelines.sampling import KNUTH, MOD
+from marc_data_migration_ray.pipelines.sampling import (
+    KNUTH,
+    MOD,
+    _docs,
+    _hash_u32,
+)
 
 DECON_K = 4        # words per shingle (benchmark-overlap n-gram)
 BENCH_MOD = 97     # doc_id % BENCH_MOD == 0 -> held-out benchmark doc
 _PII_SALT = 424243     # keyed-pseudonym salt (decorrelated from split/mix)
 _SHUFFLE_SALT = 777317
 _SHUFFLE_BUCKETS = 256  # hash-range buckets for the distributed rank
-
-
-def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
-    )
 
 
 # ------------------------------------------------------- decontamination --
@@ -101,9 +100,12 @@ def decontaminate(sf_dir: str, k: int = DECON_K) -> ray.data.Dataset:
 
 
 def decontaminate_sql(k: int = DECON_K) -> str:
-    """Exact mirror incl. the <k-words whole-text shingle rule."""
+    """Exact mirror of ``shingle_set``: tokens are ``\\S+`` runs (ANY
+    whitespace separates, matching ``str.split()``), empty text yields no
+    shingles, <k words yield one whole-text shingle."""
     return (
-        f"WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents), "
+        r"WITH tok AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ts "
+        f"FROM documents), "
         f"sh AS (SELECT doc_id, unnest(CASE WHEN len(ts) < {k} "
         f"THEN [array_to_string(ts, ' ')] "
         f"ELSE list_transform(range(len(ts) - {k - 1}), "
@@ -127,10 +129,7 @@ def pii_redact(sf_dir: str) -> ray.data.Dataset:
     ``props`` payload masked, and the raw ``value`` column dropped."""
 
     def _redact(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].combine_chunks() if isinstance(
-            t["user_id"], pa.ChunkedArray) else t["user_id"]
-        v = uid.to_numpy(zero_copy_only=False).astype(np.uint64)
-        token = ((v * np.uint64(KNUTH) + np.uint64(_PII_SALT)) % np.uint64(MOD))
+        token = _hash_u32(t["user_id"], salt=_PII_SALT)
         return pa.table(
             {
                 "event_id": t["event_id"],
@@ -169,10 +168,7 @@ def corpus_shuffle(sf_dir: str) -> ray.data.Dataset:
     instead of doc_id range."""
 
     def _key(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].combine_chunks() if isinstance(
-            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
-        v = ids.to_numpy(zero_copy_only=False).astype(np.uint64)
-        h = (v * np.uint64(KNUTH) + np.uint64(_SHUFFLE_SALT)) % np.uint64(MOD)
+        h = _hash_u32(t["doc_id"], salt=_SHUFFLE_SALT)
         return pa.table(
             {
                 "doc_id": t["doc_id"],

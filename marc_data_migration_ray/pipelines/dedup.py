@@ -580,20 +580,17 @@ def connected_components(
     """(node, cluster_id = min node id in its component) via distributed
     min-label propagation over an edge Dataset (columns ``a``, ``b``).
 
-    Each round is ONE coarse-keyed shuffle: edge rows (keyed by the
-    neighbour endpoint) and label rows (keyed by node) land in the same
-    hash group, where a vectorized polars join emits each edge's
-    neighbour label; a ``groupby(node).min`` then folds candidates into
-    the labels — O(E) shuffled per round, rounds bounded by component
-    diameter. Near-dup components are tiny cliques/chains in practice,
-    so a handful of rounds converges; pathological diameters would call
-    for pointer-doubling (label-of-label, O(log d) rounds — same
-    primitives). Convergence is the monotonically decreasing global
-    label sum reaching a fixpoint; non-convergence within ``max_iters``
-    raises rather than returning a silently-partial clustering. Each
-    round also applies POINTER DOUBLING — a second pass joining the label
-    table against itself (label(n) ← label(label(n))) — so convergence
-    takes O(log diameter) rounds instead of O(diameter).
+    Each round is ONE coarse-keyed shuffle carrying three row kinds into
+    the same hash groups: edge rows (keyed by the neighbour endpoint) —
+    neighbour-label propagation — plus label-as-edge rows (keyed by the
+    node's current label) — POINTER DOUBLING, label(n) ← label(label(n))
+    — plus the label rows themselves; a vectorized polars join inside
+    each group emits the candidates and a ``groupby(node).min`` folds
+    them in. Doubling makes convergence O(log diameter) rounds, O(E)
+    shuffled per round. Convergence is the monotonically decreasing
+    global label sum reaching a fixpoint; non-convergence within
+    ``max_iters`` raises rather than returning a silently-partial
+    clustering.
 
     (Deliberately avoids ``Dataset.join`` inside the loop: repeated
     joins leak hash-shuffle aggregator actors in Ray 2.49 and can starve

@@ -378,8 +378,7 @@ def media_resize(sf_dir: str) -> ray.data.Dataset:
         ids = t["doc_id"].combine_chunks() if isinstance(
             t["doc_id"], pa.ChunkedArray) else t["doc_id"]
         arr = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
-        tbl = synthesize_real_media(arr)
-        return tbl.filter(pc.equal(tbl["kind"], "image"))
+        return synthesize_real_media(arr[arr % 3 == 0])  # image ids only
 
     return ds.map_batches(
         _payloads, batch_format="pyarrow", zero_copy_batch=True
@@ -450,8 +449,7 @@ def media_frames_real(sf_dir: str, every: int = 2) -> ray.data.Dataset:
         ids = t["doc_id"].combine_chunks() if isinstance(
             t["doc_id"], pa.ChunkedArray) else t["doc_id"]
         arr = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
-        tbl = synthesize_real_media(arr)
-        return tbl.filter(pc.equal(tbl["kind"], "video"))
+        return synthesize_real_media(arr[arr % 3 == 2])  # video ids only
 
     return ds.map_batches(
         _payloads, batch_format="pyarrow", zero_copy_batch=True

@@ -211,11 +211,10 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
 
     da = _rows(ta, keep_extra=False).rename({"last_lsn": "last_lsn_before"})
     db = _rows(tb, keep_extra=True).rename({"last_lsn": "last_lsn_after"})
-    for c, dt in (("n_tok", pl.Int64), ("source", pl.Utf8)):
-        if c in db.columns:
-            db = db.rename({c: f"{c}_after"})
-        else:  # DDL renamed it away in the final schema: still emit the column
-            db = db.with_columns(pl.lit(None, dtype=dt).alias(f"{c}_after"))
+    # after-image scalars keep CANONICAL payload names (fold output is
+    # pre-schema-materialization, so DDL renames never change the feed's
+    # column names — a stable contract for consumers)
+    db = db.rename({"n_tok": "n_tok_after", "source": "source_after"})
     j = db.join(da, on="doc_id", how="full", coalesce=True)
     j = j.with_columns(
         pl.when(pl.col("last_lsn_before").is_null())
@@ -614,7 +613,10 @@ class Replayer:
         is one task per partition joining two same-bucket tables — no
         shuffle, no full-table materialization on the driver. ``update``
         is detected by ``last_lsn`` movement (any applied event advances
-        it). Epochs must be committed and at/above the compaction floor
+        it). After-image columns carry the CANONICAL payload names
+        (``n_tok_after``/``source_after``) regardless of DDL renames —
+        the fold output the diff reads is pre-schema-materialization.
+        Epochs must be committed and at/above the compaction floor
         (same rule as ``read_state(up_to_epoch=...)``)."""
         if not (self.manifest.is_committed(from_epoch)
                 and self.manifest.is_committed(to_epoch)):

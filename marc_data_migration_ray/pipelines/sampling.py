@@ -39,7 +39,7 @@ _MIX_THRESHOLDS = tuple(int(r * MOD) for r in MIX_RATES)
 _MIX_SALT = 1234567  # decorrelates the mix hash from the split hash
 
 
-def _docs(sf_dir: str, columns) -> ray.data.Dataset:
+def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
     return ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
     )

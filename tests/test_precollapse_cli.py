@@ -184,6 +184,17 @@ def test_cli_follow_and_auto_compact(ray_session, tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     lines2 = [json.loads(x) for x in r2.stdout.strip().splitlines()]
     assert [x.get("applied_epoch") for x in lines2[:-1]] == [2]
+    # resume where until_epoch is ALREADY committed: exit at once, apply
+    # nothing (regression: used to poll forever / over-apply)
+    r3 = subprocess.run(
+        [sys.executable, "-m", "marc_data_migration_ray", "follow",
+         "--table", table, "--binlog-root", os.path.join(root, "binlog"),
+         "--num-partitions", "4", "--until-epoch", "1", "--poll", "0.1"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=120,
+    )
+    assert r3.returncode == 0, r3.stderr[-2000:]
+    done = json.loads(r3.stdout.strip().splitlines()[-1])
+    assert done["followed"] == [] and done["next_epoch"] == 3
 
     # auto_compact_epochs=2: same fixture through the library path
     cfg = ReplayConfig(num_partitions=4, auto_compact_epochs=2)

@@ -141,14 +141,24 @@ def test_decontaminate_planted_overlap(ray_session, tmp_path):
     bench = "alpha beta gamma delta epsilon zeta"          # doc_id 0 (benchmark)
     hit = "xx alpha beta gamma delta epsilon yy"           # shares 2 4-grams
     miss = "one two three four five six seven"             # disjoint
+    # tab/multi-space separated: tokens are \S+ runs, so this still hits
+    tabhit = "zz\talpha  beta\ngamma delta qq"
     pq.write_table(
-        pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
-                  "text": pa.array([bench, hit, miss], pa.string())}),
+        pa.table({"doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "text": pa.array([bench, hit, miss, tabhit], pa.string())}),
         str(tmp_path / "documents.parquet"),
     )
     rows = {r["doc_id"]: r["n_hits"]
             for r in curation.decontaminate(str(tmp_path)).take_all()}
-    assert rows == {1: 2}
+    assert rows == {1: 2, 3: 1}
+    # and the SQL mirror agrees on the irregular-whitespace doc
+    import duckdb as _duck
+
+    con2 = _duck.connect()
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                 f"'{tmp_path}/documents.parquet'")
+    odf = con2.execute(entry_mod.oracle_sql()["decontaminate"]).fetchdf()
+    assert {int(r.doc_id): int(r.n_hits) for r in odf.itertuples()} == rows
 
 
 def test_entry_smoke(ray_session):

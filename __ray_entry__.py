@@ -381,8 +381,8 @@ def _multimodal_sql() -> dict[str, str]:
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents. Omitted keys (dedup_simhash,
-    embedding_near_dup_lsh, ann_topk_lsh, ann_topk_ivf, doc_fingerprint)
-    are approximate / engine-hash ops not expressible in SQL → driver does
+    embedding_near_dup_lsh, ann_topk_lsh, ann_topk_ivf) are approximate
+    ops whose exact recall sets are not SQL-expressible → driver does
     rows-only checks; each is independently verified in pytest
     (tests/test_dedup_verification.py)."""
     from marc_data_migration_ray.pipelines import curation as _curation
@@ -396,6 +396,21 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_sample": _sampling.mix_sql(),
         "stratified_sample": _sampling.stratified_sql(),
         "token_quantiles": _sampling.quantiles_sql(),
+        # exact FNV-1a 64 in SQL: HUGEINT gives 128-bit headroom for the
+        # multiply, mod 2^64 wraps, final CASE views it as signed int64;
+        # texts are ASCII so ascii(char) == utf-8 byte
+        "doc_fingerprint": (
+            "SELECT doc_id, "
+            "CAST(CASE WHEN h >= CAST(9223372036854775808 AS HUGEINT) "
+            "THEN h - CAST(18446744073709551616 AS HUGEINT) ELSE h END "
+            "AS BIGINT) AS fp "
+            "FROM (SELECT doc_id, list_reduce("
+            "list_prepend(CAST(14695981039346656037 AS HUGEINT), "
+            "[CAST(ascii(text[i]) AS HUGEINT) "
+            "for i in range(1, length(text) + 1)]), "
+            "(h, c) -> (xor(h, c) * 1099511628211) "
+            "% CAST(18446744073709551616 AS HUGEINT)) AS h FROM documents)"
+        ),
         "token_doc_freq": (
             r"WITH tok AS (SELECT DISTINCT doc_id, "
             r"unnest(regexp_extract_all(text, '\S+')) AS token FROM documents), "

@@ -46,6 +46,10 @@ PARSED_FIELDS = [
     ("schema_new_name", pa.string()),
     ("route", pa.string()),
     ("status", pa.string()),
+    # set by the optional pre-collapse stage: a superseded hot-key update
+    # kept (payload-stripped) for audit/count parity; it can never win a
+    # fold column (see precollapse.py), so the fold needs no skip logic
+    ("collapsed", pa.bool_()),
 ]
 PARSED_SCHEMA = pa.schema(PARSED_FIELDS)
 
@@ -172,6 +176,7 @@ class ParseRoute:
                 "schema_new_name": batch["schema_new_name"] if "schema_new_name" in batch.column_names else pa.nulls(n, pa.string()),
                 "route": pa.array(route, pa.string()),
                 "status": pa.array(status, pa.string()),
+                "collapsed": pa.array(np.zeros(n, bool)),
             }
         )
 
@@ -244,5 +249,6 @@ class PrepBase:
                 "schema_new_name": pa.nulls(n, pa.string()),
                 "route": pa.array(np.full(n, "base", object), pa.string()),
                 "status": status if status is not None else pa.array(np.full(n, "base", object), pa.string()),
+                "collapsed": pa.array(np.zeros(n, bool)),
             }
         )

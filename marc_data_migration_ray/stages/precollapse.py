@@ -6,9 +6,20 @@ share a key, only the max-``lsn`` event can ever win a column in the fold
 anchor_lsn`` with a live anchor — can never prefer the lower-lsn duplicate
 when the higher one exists; an empty mask writes the base payload columns
 in EVERY schema segment, so mid-stream DDL cannot change its write set).
-Dropping the superseded ones therefore leaves the final table state
-bit-identical while bounding a hot key's full-row delta volume to ≤ one
-row per batch — complementary to the cross-partition salted fold.
+
+Superseded events are NOT dropped: they are kept payload-STRIPPED
+(``tokens`` nulled — the column that dominates bytes) and flagged
+``collapsed=True``. The fold needs NO special handling for flagged rows:
+a stripped row can never be a column winner — its within-batch winner has
+a strictly higher lsn for the same key and is always co-present in any
+fold input (unsalted: same key ⇒ same partition; salted: each sub-bucket
+forwards its per-key max-lsn candidate, and the GLOBAL max-lsn applier is
+by definition never superseded in its own batch, so it always out-ranks
+any forwarded stripped row at the merge). Keeping the rows means audit
+rows, route counts, noop/col-replacement metrics and the
+``processed == Σroutes`` invariant stay EXACTLY what an uncollapsed run
+(and the oracle) produce — while a hot key's full-row delta *bytes*
+still shrink to ≤ one payload per batch.
 
 Masked updates are NOT collapsed: under as-of-lsn mask resolution
 (SEMANTICS §schema) two same-mask updates straddling a rename DDL write
@@ -37,9 +48,13 @@ def precollapse_batch(t: pa.Table) -> pa.Table:
     upd = df.filter(is_cand)
     rest = df.filter(~is_cand)
     if upd.height:
-        upd = (
-            upd.sort(["key", "lsn"])
-            .unique(subset=["key"], keep="last", maintain_order=True)
+        # lsn is globally unique, so the per-key max IS the batch winner
+        upd = upd.with_columns(
+            (pl.col("lsn") != pl.col("lsn").max().over("key")).alias("collapsed")
+        ).with_columns(
+            tokens=pl.when(pl.col("collapsed"))
+            .then(pl.lit(None))
+            .otherwise(pl.col("tokens")),
         )
     out = pl.concat([rest, upd], how="vertical").to_arrow()
     cols = []

@@ -34,21 +34,45 @@ def _final_state(root, fixture_dir, cfg):
     ], rp
 
 
+def _routes(rp, n_epochs=2):
+    out = {}
+    for e in range(n_epochs):
+        for k, v in rp.manifest.epoch_entry(e)["routes"].items():
+            out[k] = out.get(k, 0) + v
+    return out
+
+
 def test_precollapse_state_identical(ray_session, fixture_dir, tmp_path):
-    """precollapse_updates drops superseded hot-key updates at ingest but the
-    folded STATE must be bit-identical (SEMANTICS pre-collapse argument)."""
-    plain, _ = _final_state(str(tmp_path / "plain"), fixture_dir, ReplayConfig(num_partitions=8))
+    """precollapse_updates strips superseded hot-key update payloads at
+    ingest (kept-but-stripped): folded STATE, route counts AND audit rows
+    must all be identical to an uncollapsed run."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    plain, rp_plain = _final_state(
+        str(tmp_path / "plain"), fixture_dir, ReplayConfig(num_partitions=8)
+    )
     coll, rp = _final_state(
         str(tmp_path / "coll"), fixture_dir,
         ReplayConfig(num_partitions=8, precollapse_updates=True),
     )
     assert plain == coll
-    # and it actually dropped rows for the hot keys
-    routes = {}
-    for e in range(2):
-        for k, v in rp.manifest.epoch_entry(e)["routes"].items():
-            routes[k] = routes.get(k, 0) + v
-    assert sum(routes.values()) < 2000  # superseded updates were collapsed
+    # kept-but-stripped: no event disappears from counts or audit
+    assert _routes(rp) == _routes(rp_plain)
+    assert sum(_routes(rp).values()) == 2000
+    assert rp.audit_dataset(0).count() == rp_plain.audit_dataset(0).count()
+    # superseded hot-key updates are present, flagged, and payload-free
+    deltas = glob.glob(os.path.join(str(tmp_path / "coll"), "**", "*.parquet"),
+                       recursive=True)
+    n_collapsed = n_collapsed_tok = 0
+    for f in deltas:
+        t = pq.read_table(f, columns=["collapsed", "tokens"])
+        mask = t["collapsed"].combine_chunks().to_numpy(zero_copy_only=False)
+        n_collapsed += int(mask.sum())
+        n_collapsed_tok += t.filter(mask)["tokens"].null_count
+    assert n_collapsed > 100  # hot-key fixture: many superseded per batch
+    assert n_collapsed_tok == n_collapsed  # every flagged row is stripped
 
 
 def test_cli_end_to_end(ray_session, tmp_path):

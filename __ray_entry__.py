@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         reports,
         sampling,
         similarity,
+        temporal,
         text_analysis,
         tpch,
     )
@@ -94,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk": text_analysis.token_topk,
         "token_topk_sketch": text_analysis.token_topk_sketch,
         "token_doc_freq": text_analysis.token_doc_freq,
+        "tfidf_topk": text_analysis.tfidf_topk,
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
@@ -124,6 +126,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_window_value": events.sliding_window_value,
         "top_orders_per_customer": events.top_orders_per_customer,
         "key_diff_report": events.key_diff_report,
+        # temporal as-of joins (co-partitioned polars join_asof per bucket)
+        "purchase_attribution": temporal.purchase_attribution,
+        "purchase_followup": temporal.purchase_followup,
         # multimodal plumbing over real binary columns (actor-pool decode)
         "media_decode": multimodal.media_decode,
         "media_frame_sample": multimodal.media_frame_sample,
@@ -419,6 +424,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(ROW_NUMBER() OVER (ORDER BY df DESC, token) AS BIGINT) "
             "AS rank, token, df FROM d ORDER BY rank LIMIT 20"
         ),
+        # log-free idf: score = tf*N/df as one exact-int double division
+        # (bit-identical across engines; ln() would not be)
+        "tfidf_topk": (
+            r"WITH tok AS (SELECT doc_id, "
+            r"unnest(regexp_extract_all(text, '\S+')) AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf "
+            "FROM tok GROUP BY 1, 2), "
+            "d AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf "
+            "GROUP BY token), "
+            "n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents), "
+            "s AS (SELECT tf.doc_id, tf.token, tf.tf, d.df, "
+            "CAST(tf.tf * n.n AS DOUBLE) / d.df AS score "
+            "FROM tf JOIN d USING (token) CROSS JOIN n), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, token) AS rn FROM s) "
+            "SELECT doc_id, CAST(rn AS BIGINT) AS rnk, token, tf, df, score "
+            "FROM r WHERE rn <= 3"
+        ),
         # curation ops share their shingle rule / hash constants with SQL
         "decontaminate": _curation.decontaminate_sql(),
         "pii_redact": _curation.pii_redact_sql(),
@@ -618,6 +641,41 @@ ORDER BY op, route, status
             "PARTITION BY o_custkey "
             "ORDER BY round(o_totalprice * 100) DESC, o_orderkey) AS rn "
             "FROM orders) WHERE rn <= 3"
+        ),
+        # as-of joins: ROW_NUMBER forms (deterministic under ts ties, which
+        # is how the engine tie-breaks via its (user,ts) right-side dedup);
+        # all times truncated to epoch seconds on BOTH sides
+        "purchase_attribution": (
+            "WITH p AS (SELECT event_id pid, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT event_id vid, user_id, ts FROM events "
+            "WHERE event_type = 'view'), "
+            "j AS (SELECT p.pid, p.user_id, p.ts pts, v.vid, v.ts vts, "
+            "row_number() OVER (PARTITION BY p.pid "
+            "ORDER BY v.ts DESC, v.vid DESC) rn "
+            "FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts) "
+            "SELECT pid AS purchase_id, user_id, "
+            "epoch_us(pts) // 1000000 AS purchase_ts_sec, "
+            "vid AS view_id, epoch_us(vts) // 1000000 AS view_ts_sec, "
+            "(epoch_us(pts) // 1000000) - (epoch_us(vts) // 1000000) AS lag_sec "
+            "FROM j WHERE rn = 1"
+        ),
+        "purchase_followup": (
+            "WITH p AS (SELECT event_id pid, user_id, ts FROM events "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT event_id vid, user_id, ts FROM events "
+            "WHERE event_type = 'error'), "
+            "j AS (SELECT p.pid, p.user_id, p.ts pts, v.vid, v.ts vts, "
+            "row_number() OVER (PARTITION BY p.pid "
+            "ORDER BY v.ts ASC, v.vid ASC) rn "
+            "FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts >= p.ts), "
+            "f AS (SELECT pid, user_id, epoch_us(pts) // 1000000 AS psec, "
+            "vid, epoch_us(vts) // 1000000 AS vsec FROM j WHERE rn = 1) "
+            "SELECT pid AS purchase_id, user_id, psec AS purchase_ts_sec, "
+            "CASE WHEN vsec - psec <= 3600 THEN vid END AS error_id, "
+            "CASE WHEN vsec - psec <= 3600 THEN vsec END AS error_ts_sec, "
+            "CASE WHEN vsec - psec <= 3600 THEN vsec - psec END AS lag_sec "
+            "FROM f"
         ),
         # texts are ASCII ⇒ utf-8 bytes ≡ codepoints, so the decode stage's
         # byte statistics are SQL-expressible over ascii(char)

@@ -131,6 +131,7 @@ def run_queries(sf_dir: str) -> dict:
         "embedding_near_dup", "ann_topk", "ann_topk_ivf",
         "customer_order_join", "title_jaccard", "user_daily_value",
         "session_count", "event_type_users",
+        "purchase_attribution", "purchase_followup", "tfidf_topk",
         "policy_location_map", "policy_chain", "online_counts",
         "decontaminate", "pii_redact", "corpus_shuffle", "media_real_decode",
         "media_frames_real",

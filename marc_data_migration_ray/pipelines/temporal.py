@@ -1,0 +1,180 @@
+"""Temporal (as-of) joins over the ``events`` stream.
+
+Ray Data has no native as-of join; the scalable recast is the same
+co-partitioning move the CDC fold uses: hash BOTH sides on the equality
+key (``user_id``) into coarse buckets, shuffle once, and run ONE
+vectorized polars ``join_asof`` per bucket — no per-key Python, no
+all-pairs time join. Partitioning assumption (documented per the custom-
+operator rule): each bucket holds every event of its users, so the
+per-bucket join is exact; bucket count bounds per-task memory the same
+way ``SESSION_BUCKETS`` does for session windows.
+
+Determinism: the right side is deduplicated per (user_id, ts) BEFORE the
+join (keep max event_id for backward joins, min for forward joins), so
+tie-breaking matches the SQL oracle's ``ROW_NUMBER`` order exactly even
+if a fixture ever produced duplicate timestamps. All emitted times are
+truncated epoch SECONDS (int64) — the lag comparison happens at that
+resolution on both the engine and oracle sides, so there is no float or
+interval-boundary ambiguity.
+
+Scale note (100 TB): both sides move exactly once (one shuffle keyed on
+user); the per-bucket polars join is O(n log n) in the bucket's rows.
+A pathologically hot user concentrates in one bucket — the standard
+mitigation is more buckets (the knob below) since a single user's events
+must be co-located for as-of semantics regardless of engine.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+ASOF_BUCKETS = 64
+FOLLOWUP_WINDOW_SEC = 3600
+
+
+def _typed_events(sf_dir: str, types: tuple[str, ...]) -> ray.data.Dataset:
+    """One pruned read feeds both join sides (columns= + row filter at the
+    read, never a full-table load)."""
+    import pyarrow.dataset as pads
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_id", "ts", "user_id", "event_type"],
+        filter=pads.field("event_type").isin(list(types)),
+    )
+
+
+def _bucketed(ds: ray.data.Dataset) -> ray.data.Dataset:
+    def _b(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.subtract(
+                t["user_id"],
+                pc.multiply(pc.divide(t["user_id"], ASOF_BUCKETS), ASOF_BUCKETS),
+            ),
+            pa.int32(),
+        )
+        return t.append_column("bucket", b)
+
+    return ds.map_batches(_b, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _asof_bucket(
+    g: pa.Table,
+    left_type: str,
+    right_type: str,
+    strategy: str,
+    out_names: tuple[str, str, str],
+):
+    """polars join_asof for one user bucket. Returns (left_id, user_id,
+    left_ts_sec, right_id, right_ts_sec, lag_sec) with lag/right columns
+    null when no match."""
+    import polars as pl
+
+    df = pl.from_arrow(g.drop_columns(["bucket"]))
+    left = df.filter(pl.col("event_type") == left_type).sort(["ts", "event_id"])
+    right = (
+        df.filter(pl.col("event_type") == right_type)
+        .sort(["user_id", "ts", "event_id"])
+        .unique(
+            subset=["user_id", "ts"],
+            keep="last" if strategy == "backward" else "first",
+            maintain_order=True,
+        )
+        .sort(["ts", "event_id"])
+        .select(
+            "user_id",
+            "ts",
+            pl.col("event_id").alias("r_id"),
+            pl.col("ts").alias("r_ts"),
+        )
+    )
+    # both frames ARE sorted by ts above; polars warns unconditionally that
+    # it can't VERIFY sortedness when `by` groups are present — suppress
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.filterwarnings(
+            "ignore", message="Sortedness of columns cannot be checked"
+        )
+        j = left.join_asof(right, on="ts", by="user_id", strategy=strategy)
+    lname, rname, lagname = out_names
+    out = j.select(
+        pl.col("event_id").alias(lname),
+        pl.col("user_id"),
+        (pl.col("ts").dt.epoch("us") // 1_000_000).alias(f"{lname[:-3]}_ts_sec"),
+        pl.col("r_id").alias(rname),
+        (pl.col("r_ts").dt.epoch("us") // 1_000_000).alias(f"{rname[:-3]}_ts_sec"),
+        pl.lit(None, pl.Int64).alias(lagname),
+    ).with_columns(
+        (
+            (pl.col(f"{lname[:-3]}_ts_sec") - pl.col(f"{rname[:-3]}_ts_sec")).abs()
+        ).alias(lagname)
+    )
+    t = out.to_arrow()
+    return pa.Table.from_arrays(
+        [
+            pc.cast(t.column(i).combine_chunks(), typ)
+            for i, typ in enumerate(
+                [pa.int64(), pa.int64(), pa.int64(), pa.int64(), pa.int64(), pa.int64()]
+            )
+        ],
+        names=list(t.column_names),
+    )
+
+
+def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Backward as-of join (attribution): each ``purchase`` event joined to
+    the same user's most recent ``view`` at or before it.
+
+    (purchase_id, user_id, purchase_ts_sec, view_id, view_ts_sec, lag_sec);
+    view columns null when the user never viewed before buying."""
+    ds = _bucketed(_typed_events(sf_dir, ("purchase", "view")))
+    return ds.groupby("bucket").map_groups(
+        lambda g: _asof_bucket(
+            g, "purchase", "view", "backward",
+            ("purchase_id", "view_id", "lag_sec"),
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def purchase_followup(sf_dir: str) -> ray.data.Dataset:
+    """Forward as-of join with a window: each ``purchase`` joined to the
+    same user's FIRST ``error`` event after it, kept only when the lag is
+    within ``FOLLOWUP_WINDOW_SEC`` (truncated-second resolution).
+
+    Tolerance is applied as an integer-second filter AFTER the forward
+    join (equivalent to join_asof tolerance — the nearest forward match
+    beyond the window means NO match — but with exactly the oracle's
+    comparison semantics, no interval-boundary ambiguity).
+
+    (purchase_id, user_id, purchase_ts_sec, error_id, error_ts_sec,
+    lag_sec); error columns null when no error within the hour."""
+    import polars as pl
+
+    ds = _bucketed(_typed_events(sf_dir, ("purchase", "error")))
+
+    def _fold(g: pa.Table) -> pa.Table:
+        t = _asof_bucket(
+            g, "purchase", "error", "forward",
+            ("purchase_id", "error_id", "lag_sec"),
+        )
+        df = pl.from_arrow(t)
+        within = pl.col("lag_sec") <= FOLLOWUP_WINDOW_SEC
+        out = df.with_columns(
+            pl.when(within).then(pl.col("error_id")).alias("error_id"),
+            pl.when(within).then(pl.col("error_ts_sec")).alias("error_ts_sec"),
+            pl.when(within).then(pl.col("lag_sec")).alias("lag_sec"),
+        )
+        a = out.to_arrow()
+        return pa.Table.from_arrays(
+            [pc.cast(a.column(i).combine_chunks(), pa.int64()) for i in range(6)],
+            names=list(a.column_names),
+        )
+
+    return ds.groupby("bucket").map_groups(_fold, batch_format="pyarrow")

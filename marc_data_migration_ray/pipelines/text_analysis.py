@@ -287,3 +287,95 @@ def token_doc_freq(sf_dir: str, k: int = 20) -> pa.Table:
         best.extend(zip(b["token"].to_pylist(), b["n"].to_pylist()))
     out = _rank_table(best, k)
     return out.rename_columns(["rank", "token", "df"])
+
+
+TFIDF_BUCKETS = 64
+
+
+def tfidf_topk(sf_dir: str, k: int = 3) -> ray.data.Dataset:
+    """(doc_id, rnk, token, tf, df, score): each document's top-k terms by
+    TF-IDF — the classic per-document keyword/feature extraction.
+
+    Log-free idf: ``score = tf * N / df`` as ONE IEEE-double division of
+    exact integers (< 2^53, so the product is exact and the division is
+    correctly rounded — bit-identical in DuckDB and polars, unlike
+    ``ln()`` whose libm rounding differs across engines). Rank ties break
+    by token asc.
+
+    Distributed shape: (1) exact per-batch (doc_id, token, tf) triples —
+    docs are whole rows, so a batch-local group_by is globally exact;
+    (2) df = ONE ``groupby(token).count`` over the distinct pairs
+    (vocab-sized shuffle); (3) ``Dataset.join`` tf⋈df on token (both
+    sides large). A stopword-hot token concentrates its tf rows in one
+    join partition — for stopword-heavy corpora broadcast the top-V df
+    entries and join only the tail; (4) per-doc top-k via a coarse
+    doc-bucket shuffle + one vectorized polars window per bucket (no
+    per-doc Python)."""
+    import polars as pl
+
+    from ray.data.aggregate import Count
+
+    docs = _docs(sf_dir)
+    n_docs = docs.count()  # parquet metadata count — no data scan
+
+    def _tf(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        out = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"\S+").alias("token"),
+            )
+            .explode("token")
+            .drop_nulls()
+            .group_by(["doc_id", "token"])
+            .len(name="tf")
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "token": pc.cast(a["token"], pa.string()),
+                "tf": pc.cast(a["tf"], pa.int64()),
+            }
+        )
+
+    tf_ds = docs.map_batches(_tf, batch_format="pyarrow", zero_copy_batch=True)
+    df_ds = tf_ds.groupby("token").aggregate(Count(alias_name="df"))
+    joined = tf_ds.join(
+        df_ds, join_type="inner", num_partitions=8, on=("token",)
+    )
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.subtract(
+                t["doc_id"],
+                pc.multiply(pc.divide(t["doc_id"], TFIDF_BUCKETS), TFIDF_BUCKETS),
+            ),
+            pa.int32(),
+        )
+        return t.append_column("bucket", b)
+
+    def _rank(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["bucket"]))
+        out = (
+            df.with_columns(
+                ((pl.col("tf") * n_docs).cast(pl.Float64) / pl.col("df")).alias("score")
+            )
+            .sort(["doc_id", "score", "token"], descending=[False, True, False])
+            .with_columns(pl.col("tf").cum_count().over("doc_id").alias("rnk"))
+            .filter(pl.col("rnk") <= k)
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "rnk": pc.cast(a["rnk"], pa.int64()),
+                "token": pc.cast(a["token"], pa.string()),
+                "tf": pc.cast(a["tf"], pa.int64()),
+                "df": pc.cast(a["df"], pa.int64()),
+                "score": pc.cast(a["score"], pa.float64()),
+            }
+        )
+
+    bucketed = joined.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("bucket").map_groups(_rank, batch_format="pyarrow")

@@ -13,6 +13,9 @@ Commands:
                  epoch dirs in order (manifest-fenced, restart-resumable)
   modify       — plugin-only transform (reference --modify-recs)
   report       — dup-keys / route reports over a binlog dir (§3.3)
+  lookup       — point lookup by key (partition-pruned fold; reference S4)
+  view         — refresh/read the incrementally-maintained source-counts
+                 materialized view (change-feed driven)
 
 Owns its Ray session (guarded init; the driver's ``__ray_entry__`` path
 never goes through here).
@@ -156,6 +159,29 @@ def main(argv=None) -> int:
     mo.add_argument("--input", required=True, help="Parquet table to transform")
     mo.add_argument("--out", required=True)
     _add_cfg_args(mo)
+
+    lk = sub.add_parser(
+        "lookup",
+        help="point lookup: fold ONLY the partitions that can hold the keys "
+             "(reference S4 authority point-lookup)",
+    )
+    lk.add_argument("--table", required=True)
+    lk.add_argument("--id", action="append", required=True, dest="ids",
+                    help="doc_id to look up (repeatable)")
+    lk.add_argument("--up-to-epoch", type=int, default=None, dest="up_to_epoch")
+    _add_cfg_args(lk)
+
+    vw = sub.add_parser(
+        "view",
+        help="incrementally-maintained (source, n_rows, n_tok_sum) view: "
+             "refresh from the change feed, then print",
+    )
+    vw.add_argument("--table", required=True)
+    vw.add_argument("--view-root", required=True, dest="view_root")
+    vw.add_argument("--to-epoch", type=int, default=None, dest="to_epoch")
+    vw.add_argument("--no-refresh", action="store_true", dest="no_refresh",
+                    help="print the current view without refreshing")
+    _add_cfg_args(vw)
 
     rep = sub.add_parser(
         "report",
@@ -356,6 +382,22 @@ def main(argv=None) -> int:
                     break
                 _time.sleep(args.poll)
             print(json.dumps({"followed": applied, "next_epoch": e}))
+        elif args.cmd == "lookup":
+            rows = rp.lookup(args.ids, up_to_epoch=args.up_to_epoch).take_all()
+            for r in rows:
+                r = dict(r)
+                if r.get("tokens") is not None:
+                    r["tokens"] = list(r["tokens"])[:8] + (["..."] if len(r["tokens"]) > 8 else [])
+                print(json.dumps(r, default=str))
+            print(json.dumps({"found": len(rows), "asked": len(args.ids)}))
+        elif args.cmd == "view":
+            from marc_data_migration_ray.pipelines.views import SourceCountsView
+
+            v = SourceCountsView(args.view_root, rp)
+            if not args.no_refresh:
+                print(json.dumps(v.refresh(to_epoch=args.to_epoch)))
+            for r in v.read().to_pylist():
+                print(json.dumps(r))
         elif args.cmd == "changes":
             # materialize once: take/count after write would otherwise
             # re-fold both epoch states and re-diff every partition

@@ -202,19 +202,21 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
     polars full join on doc_id; ``update`` = last_lsn moved."""
     import polars as pl
 
-    def _rows(t: pa.Table, keep_extra: bool) -> "pl.DataFrame":
+    def _rows(t: pa.Table, suffix: str) -> "pl.DataFrame":
         r = t.filter(pc.equal(t["_kind"], "row"))
-        cols = ["doc_id", "last_lsn"]
-        if keep_extra:
-            cols += [c for c in ("n_tok", "source") if c in r.column_names]
-        return pl.from_arrow(r.select(cols))
+        cols = ["doc_id", "last_lsn"] + [
+            c for c in ("n_tok", "source") if c in r.column_names
+        ]
+        df = pl.from_arrow(r.select(cols))
+        return df.rename({c: f"{c}{suffix}" for c in cols if c != "doc_id"})
 
-    da = _rows(ta, keep_extra=False).rename({"last_lsn": "last_lsn_before"})
-    db = _rows(tb, keep_extra=True).rename({"last_lsn": "last_lsn_after"})
-    # after-image scalars keep CANONICAL payload names (fold output is
-    # pre-schema-materialization, so DDL renames never change the feed's
-    # column names — a stable contract for consumers)
-    db = db.rename({"n_tok": "n_tok_after", "source": "source_after"})
+    # before- AND after-image scalars, both keeping CANONICAL payload names
+    # (fold output is pre-schema-materialization, so DDL renames never
+    # change the feed's column names — a stable contract for consumers);
+    # before-images make the feed sufficient for incremental aggregate
+    # maintenance (subtract before, add after — see pipelines/views.py)
+    da = _rows(ta, "_before")
+    db = _rows(tb, "_after")
     j = db.join(da, on="doc_id", how="full", coalesce=True)
     j = j.with_columns(
         pl.when(pl.col("last_lsn_before").is_null())
@@ -231,6 +233,8 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
         pl.col("change"),
         pl.col("last_lsn_before").cast(pl.Int64),
         pl.col("last_lsn_after").cast(pl.Int64),
+        pl.col("n_tok_before").cast(pl.Int64),
+        pl.col("source_before").cast(pl.Utf8),
         pl.col("n_tok_after").cast(pl.Int64),
         pl.col("source_after").cast(pl.Utf8),
     ).to_arrow()
@@ -241,6 +245,8 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
                 ("change", pa.string()),
                 ("last_lsn_before", pa.int64()),
                 ("last_lsn_after", pa.int64()),
+                ("n_tok_before", pa.int64()),
+                ("source_before", pa.string()),
                 ("n_tok_after", pa.int64()),
                 ("source_after", pa.string()),
             ]
@@ -518,9 +524,15 @@ class Replayer:
         refs = self._fold_part_refs(up_to_epoch)
         return ray.data.from_arrow_refs(list(refs.values()))
 
-    def _fold_part_refs(self, up_to_epoch: int | None = None) -> dict[int, "ray.ObjectRef"]:
+    def _fold_part_refs(
+        self,
+        up_to_epoch: int | None = None,
+        only_parts: set[int] | None = None,
+    ) -> dict[int, "ray.ObjectRef"]:
         """One fold ObjectRef per LOGICAL partition (keyed by partition id) —
-        the co-partitioned unit ``changes_between`` diffs pairwise."""
+        the co-partitioned unit ``changes_between`` diffs pairwise.
+        ``only_parts`` restricts the fold to those logical partitions
+        (point lookups: touch only the buckets that can hold the keys)."""
         st = self.manifest.state
         floor = self.manifest.last_compacted_epoch()
         if up_to_epoch is not None and up_to_epoch < floor:
@@ -565,6 +577,11 @@ class Replayer:
         parts = sorted(set(base_by_part) | set(delta_by_part))
         if not parts:
             raise ValueError("nothing to fold: no base and no committed deltas")
+        if only_parts is not None:
+            S_ = self.cfg.num_salts
+            parts = [p for p in parts if (p // S_ if S_ > 1 else p) in only_parts]
+            if not parts:
+                return {}
         offsets = self.manifest.local_id_offsets()
         schema_ops = self._schema_ops_up_to(up_to_epoch)
         S = self.cfg.num_salts
@@ -606,18 +623,20 @@ class Replayer:
     def changes_between(self, from_epoch: int, to_epoch: int):
         """Change-data feed (Delta-CDF analog): per-row diff of the table
         state at ``to_epoch`` vs ``from_epoch`` — (doc_id, change ∈
-        {insert, update, delete}, last_lsn_before, last_lsn_after,
-        n_tok_after, source_after).
+        {insert, update, delete}, last_lsn_before/after, n_tok_before/
+        after, source_before/after).
 
         Both states fold from the SAME co-partitioned layout, so the diff
         is one task per partition joining two same-bucket tables — no
         shuffle, no full-table materialization on the driver. ``update``
         is detected by ``last_lsn`` movement (any applied event advances
-        it). After-image columns carry the CANONICAL payload names
-        (``n_tok_after``/``source_after``) regardless of DDL renames —
-        the fold output the diff reads is pre-schema-materialization.
-        Epochs must be committed and at/above the compaction floor
-        (same rule as ``read_state(up_to_epoch=...)``)."""
+        it). Before- AND after-image columns carry the CANONICAL payload
+        names regardless of DDL renames — the fold output the diff reads
+        is pre-schema-materialization. Before-images make the feed
+        sufficient for incremental aggregate maintenance (subtract
+        before, add after — ``pipelines/views.py``). Epochs must be
+        committed and at/above the compaction floor (same rule as
+        ``read_state(up_to_epoch=...)``)."""
         if not (self.manifest.is_committed(from_epoch)
                 and self.manifest.is_committed(to_epoch)):
             raise ValueError("both epochs must be committed")
@@ -649,6 +668,50 @@ class Replayer:
         renames as display names, DDL-added columns MATERIALIZED from the
         rows' canonical ``extra_json`` carrier)."""
         rows = self.fold_output(up_to_epoch).filter(expr="_kind == 'row'")
+        return self._postprocess_rows(rows, up_to_epoch)
+
+    def lookup(self, doc_ids: list[str], up_to_epoch: int | None = None):
+        """Point lookup (reference S4 authority point-lookup, made literal
+        at scale): return the state rows for ``doc_ids`` by folding ONLY
+        the partitions that can contain them — O(|ids|) bucket reads, not
+        a full-table fold.
+
+        Routing: a key's partition is ``hash_partition(key) %
+        num_partitions`` (the same function ingest uses); allocator-
+        assigned local ids (``{prefix}-PPPP-N``) encode their partition
+        directly, so they are addressable too. Rows come back in exactly
+        the ``read_state`` schema (schema ops + policies applied)."""
+        from marc_data_migration_ray.functions.keys import hash_partition
+
+        ids = [k for k in dict.fromkeys(doc_ids) if k]
+        pref = self.cfg.local_id_prefix + "-"
+        parts: set[int] = set()
+        hashed = []
+        for k in ids:
+            seg = k.split("-")
+            if k.startswith(pref) and len(seg) >= 3 and seg[-2].isdigit():
+                parts.add(int(seg[-2]))
+            else:
+                hashed.append(k)
+        if hashed:
+            arr = hash_partition(pa.array(hashed, pa.string()), self.cfg.num_partitions)
+            parts.update(int(p) for p in arr.to_pylist())
+        refs = self._fold_part_refs(up_to_epoch, only_parts=parts)
+        if refs:
+            rows = ray.data.from_arrow_refs(list(refs.values()))
+        else:
+            rows = ray.data.from_arrow(_empty_fold())
+        rows = rows.filter(expr="_kind == 'row'")
+        want = pa.array(sorted(ids), pa.string())
+        rows = rows.map_batches(
+            lambda t: t.filter(pc.is_in(t["doc_id"], value_set=want)),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        return self._postprocess_rows(rows, up_to_epoch)
+
+    def _postprocess_rows(self, rows, up_to_epoch: int | None):
+        """Fold row-kind dataset → public state schema (shared by
+        ``read_state`` and ``lookup``)."""
         rows = rows.map_batches(
             lambda t: t.select(_ROW_COLS), batch_format="pyarrow", zero_copy_batch=True
         )

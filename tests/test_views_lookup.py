@@ -1,0 +1,120 @@
+"""Point lookup (partition-pruned fold) + incrementally-maintained
+materialized view (change-feed driven) tests."""
+
+import os
+
+import pytest
+
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.pipelines.replay import Replayer
+from marc_data_migration_ray.pipelines.views import SourceCountsView
+from marc_data_migration_ray.sources import fixtures
+
+N_EPOCHS = 3
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("vl_fixture"))
+    fixtures.write_fixture(root, n_rows=200, n_events=1200, n_epochs=N_EPOCHS, seed=77)
+    return root
+
+
+def _replay(root, fixture_dir, cfg, epochs=N_EPOCHS):
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    for e in range(epochs):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    return rp
+
+
+def _norm(rows):
+    return sorted(
+        (
+            {k: (list(v) if k == "tokens" and v is not None else v) for k, v in r.items()}
+            for r in rows
+        ),
+        key=lambda r: r["doc_id"],
+    )
+
+
+@pytest.mark.parametrize("num_salts", [1, 2])
+def test_lookup_matches_read_state(ray_session, fixture_dir, tmp_path, num_salts):
+    cfg = ReplayConfig(num_partitions=8, num_salts=num_salts)
+    rp = _replay(str(tmp_path / f"t{num_salts}"), fixture_dir, cfg)
+    state = {r["doc_id"]: r for r in rp.read_state().take_all()}
+    ids = sorted(state)
+    # hashed keys from several partitions + any allocator-assigned local id
+    picks = ids[::37][:6]
+    local = [d for d in ids if d.startswith(cfg.local_id_prefix + "-")][:2]
+    missing = ["no-such-key", "also-missing"]
+    got = _norm(rp.lookup(picks + local + missing).take_all())
+    want = _norm([state[d] for d in picks + local])
+    assert got == want
+    # lookup folded only the needed partitions, not all of them
+    needed = rp._fold_part_refs(only_parts=None)
+    assert len(rp._fold_part_refs(only_parts={0})) < len(needed)
+    # all-missing lookup returns an empty dataset, not an error
+    assert rp.lookup(missing).count() == 0
+
+
+def test_lookup_respects_up_to_epoch(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "te"), fixture_dir, cfg)
+    old = {r["doc_id"]: r for r in rp.read_state(up_to_epoch=0).take_all()}
+    pick = sorted(old)[5]
+    got = rp.lookup([pick], up_to_epoch=0).take_all()
+    assert len(got) == 1 and got[0]["last_lsn"] == old[pick]["last_lsn"]
+
+
+def _full_view(rp, root, epoch):
+    v = SourceCountsView(root, rp)
+    r = v.refresh(to_epoch=epoch)
+    assert r["mode"] == "full"
+    return v.read().to_pylist()
+
+
+def test_view_incremental_equals_full(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = Replayer(str(tmp_path / "t"), cfg,
+                  base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+
+    v = SourceCountsView(str(tmp_path / "view"), rp)
+    r0 = v.refresh()
+    assert r0 == {"epoch": 0, "mode": "full", "rows": r0["rows"]}
+
+    for e in (1, 2):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    r2 = v.refresh()
+    assert r2["mode"] == "incremental" and r2["epoch"] == 2
+    # the incrementally-maintained aggregate equals a from-scratch build
+    want = _full_view(rp, str(tmp_path / "view_scratch"), 2)
+    assert v.read().to_pylist() == want
+    # invariants: totals match the actual state
+    state = rp.read_state().take_all()
+    assert sum(r["n_rows"] for r in want) == len(state)
+    assert sum(r["n_tok_sum"] for r in want) == sum(r["n_tok"] or 0 for r in state)
+
+    # idempotent refresh at the same epoch is a no-op
+    assert v.refresh()["mode"] == "noop"
+    # rollback refresh is refused
+    with pytest.raises(ValueError, match="already at epoch"):
+        v.refresh(to_epoch=1)
+
+
+def test_view_full_rebuild_after_compaction(ray_session, fixture_dir, tmp_path):
+    """Compaction above the view's base epoch forces a full rebuild (the
+    incremental base state can no longer be folded) — and the rebuilt
+    view still matches a scratch build."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp = Replayer(str(tmp_path / "t"), cfg,
+                  base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    v = SourceCountsView(str(tmp_path / "view"), rp)
+    v.refresh()
+    for e in (1, 2):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    rp.compact(up_to_epoch=1)
+    r = v.refresh()
+    assert r["mode"] == "full" and r["epoch"] == 2
+    assert v.read().to_pylist() == _full_view(rp, str(tmp_path / "vs"), 2)

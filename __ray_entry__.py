@@ -49,6 +49,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from marc_data_migration_ray.config import ReplayConfig
     from marc_data_migration_ray.pipelines import (
+        clustering,
         curation,
         dedup,
         derived,
@@ -113,6 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup.dedup_simhash,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
+        # embedding clustering (SemDeDup-style curation building blocks)
+        "embedding_assign": lambda sf: clustering.embedding_assign(sf),
+        "semantic_clusters": lambda sf: clustering.semantic_clusters(sf),
         # similarity search
         "ann_topk": lambda sf: similarity.ann_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
@@ -390,11 +394,16 @@ def oracle_sql() -> dict[str, str]:
     ops whose exact recall sets are not SQL-expressible → driver does
     rows-only checks; each is independently verified in pytest
     (tests/test_dedup_verification.py)."""
+    from marc_data_migration_ray.pipelines import clustering as _clustering
     from marc_data_migration_ray.pipelines import curation as _curation
     from marc_data_migration_ray.pipelines import sampling as _sampling
 
     return {
         **_policy_sql(),
+        # fixed-centroid cosine assignment; and the full distributed
+        # k-means — the oracle UNROLLS the same Lloyd iterations as CTEs
+        "embedding_assign": _clustering.embedding_assign_sql(),
+        "semantic_clusters": _clustering.semantic_clusters_sql(),
         # integer-threshold multiplicative-hash mirrors, built from the
         # same constants the kernels use
         "dataset_split": _sampling.split_sql(),

@@ -129,6 +129,7 @@ def run_queries(sf_dir: str) -> dict:
         "quality_score", "lang_id",
         "dedup_exact", "dedup_minhash", "dedup_clusters", "dedup_simhash",
         "embedding_near_dup", "ann_topk", "ann_topk_ivf",
+        "embedding_assign", "semantic_clusters",
         "customer_order_join", "title_jaccard", "user_daily_value",
         "session_count", "event_type_users",
         "purchase_attribution", "purchase_followup", "tfidf_topk",

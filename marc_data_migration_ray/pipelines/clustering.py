@@ -1,0 +1,264 @@
+"""Embedding clustering over the ``embeddings`` table.
+
+Two operators for corpus curation (SemDeDup-style cluster-then-sample
+pipelines cluster document embeddings before per-cluster dedup/sampling):
+
+* ``embedding_assign`` — one spherical assignment step against FIXED
+  deterministic centroids (the embedding rows of ``centroid_ids``):
+  ``cluster_id = argmax_c cos(e, c)``. Exactly SQL-expressible, so the
+  driver checks it hash-exact against DuckDB ``list_cosine_similarity``.
+* ``semantic_clusters`` — full distributed spherical k-means (Lloyd's):
+  each iteration is one ``map_batches`` pass emitting per-batch partial
+  ``(cluster, count, sum-vector)`` summaries (k×d doubles per batch —
+  tiny), merged on the driver into the next k×d centroid matrix. The
+  data never moves: per-iteration traffic is O(batches · k · d), not
+  O(rows). The SQL oracle UNROLLS the same fixed number of Lloyd
+  iterations as chained CTEs over the exploded (vec_id, dim, val)
+  normalized table — cosine's scale-invariance lets the SQL skip
+  centroid re-normalization by dividing each dot product by the
+  centroid norm — so even this iterative algorithm is hash-checked
+  against DuckDB (``semantic_clusters_sql``).
+
+Scale notes (100 TB): the centroid state is k×d floats — broadcast via
+``ray.put`` once per iteration; assignment is one batched matmul per
+block; the per-iteration reduce is k rows per batch. Each iteration
+re-reads the pruned (vec_id, embedding) columns rather than pinning the
+dataset in the object store — at cluster scale the read is the cheaper
+resource; callers with spare object-store memory can pass a
+materialized Dataset instead. Determinism: init centroids are the k
+smallest ``vec_id`` rows, argmax ties break toward the smaller cluster
+id (numpy first-max == SQL ``ORDER BY sim DESC, cluster_id``).
+
+Reference: this generalizes the broadcast-dict lookup shape of
+``/root/reference/processors/plugins/pnca/location_mapper.py:9-108``
+(small immutable state shipped once, vectorized per-batch application)
+to iterative numeric state.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+
+from marc_data_migration_ray.functions.vectors import emb_matrix, ids_array, normalized
+
+DEFAULT_CENTROID_IDS = (0, 60, 120, 180, 240, 300, 360, 420)
+
+
+def _emb_ds(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+
+
+def _point_vectors(sf_dir: str, ids: tuple[int, ...]) -> np.ndarray:
+    """Row-group-pruned read of just the requested rows, returned in the
+    order of ``ids`` (no full-table driver read)."""
+    t = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "in", list(ids))],
+    )
+    got = ids_array(t["vec_id"])
+    emb = emb_matrix(t["embedding"])
+    order = [int(np.nonzero(got == q)[0][0]) for q in ids]
+    return emb[order]
+
+
+class _Assign:
+    """Actor-pool stage: normalized-centroid matrix fetched once per actor
+    in ``__init__``; per batch one matmul + argmax (ties → first index =
+    smallest cluster id)."""
+
+    def __init__(self, c_ref, cluster_ids):
+        self.C = ray.get(c_ref)  # (k, d), rows normalized
+        self.cluster_ids = np.asarray(cluster_ids, np.int64)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = ids_array(t["vec_id"])
+        emb = normalized(emb_matrix(t["embedding"]))
+        a = np.argmax(emb @ self.C.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(self.cluster_ids[a], pa.int64()),
+            }
+        )
+
+
+def embedding_assign(
+    sf_dir: str, centroid_ids: tuple[int, ...] = DEFAULT_CENTROID_IDS
+) -> ray.data.Dataset:
+    """Assign every vector to its nearest-by-cosine FIXED centroid (the
+    embedding rows of ``centroid_ids``, ascending). Returns a streaming
+    Dataset of (vec_id, cluster_id) — no shuffle, one matmul per batch."""
+    cids = tuple(sorted(centroid_ids))
+    C = normalized(_point_vectors(sf_dir, cids))
+    ref = ray.put(C)
+    return _emb_ds(sf_dir).map_batches(
+        _Assign,
+        fn_constructor_args=(ref, cids),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+
+
+def embedding_assign_sql(centroid_ids: tuple[int, ...] = DEFAULT_CENTROID_IDS) -> str:
+    ids = ", ".join(str(i) for i in sorted(centroid_ids))
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+s AS (
+  SELECT e.vec_id, c.cluster_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS sim
+  FROM embeddings e, c
+)
+SELECT vec_id, cluster_id
+FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster_id) rn
+      FROM s)
+WHERE rn = 1
+"""
+
+
+class _PartialSums:
+    """Per-batch Lloyd partials: (cluster, n, sum-vector) — k rows per
+    batch regardless of batch size."""
+
+    def __init__(self, c_ref):
+        self.C = ray.get(c_ref)  # (k, d), rows normalized
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        emb = normalized(emb_matrix(t["embedding"]))
+        k, d = self.C.shape
+        a = np.argmax(emb @ self.C.T, axis=1)
+        counts = np.bincount(a, minlength=k).astype(np.int64)
+        sums = np.zeros((k, d), np.float64)
+        np.add.at(sums, a, emb)
+        return pa.table(
+            {
+                "cluster": pa.array(np.arange(k, dtype=np.int64)),
+                "n": pa.array(counts),
+                "vsum": pa.array(list(sums), pa.list_(pa.float64())),
+            }
+        )
+
+
+def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 3) -> np.ndarray:
+    """Distributed spherical k-means: ``iters`` Lloyd update rounds, each
+    one streaming map_batches pass + a tiny driver merge of per-batch
+    (k, d) partial sums. Init = normalized rows of the k smallest
+    vec_ids. Empty clusters keep their previous centroid. Returns the
+    final normalized (k, d) centroid matrix."""
+    C = normalized(_point_vectors(sf_dir, tuple(range(k))))
+    for _ in range(iters):
+        ref = ray.put(C)
+        partials = _emb_ds(sf_dir).map_batches(
+            _PartialSums,
+            fn_constructor_args=(ref,),
+            batch_format="pyarrow",
+            batch_size=8192,
+            concurrency=(1, 4),
+        )
+        counts = np.zeros(k, np.int64)
+        sums = np.zeros_like(C)
+        for b in partials.iter_batches(batch_format="pyarrow"):
+            cl = ids_array(b["cluster"])
+            counts[cl] += ids_array(b["n"])
+            sums[cl] += np.stack(
+                [np.asarray(v, np.float64) for v in b["vsum"].to_pylist()]
+            )
+        nz = counts > 0
+        C = C.copy()
+        C[nz] = normalized(sums[nz] / counts[nz, None])
+    return C
+
+
+def semantic_clusters(sf_dir: str, k: int = 8, iters: int = 3) -> pa.Table:
+    """Distributed k-means cluster sizes: fit ``iters`` rounds, then one
+    final assignment pass reduced to per-cluster counts (k-row output).
+    Returns (cluster_id, n_vectors) for non-empty clusters."""
+    C = kmeans_fit(sf_dir, k=k, iters=iters)
+    ref = ray.put(C)
+    partials = _emb_ds(sf_dir).map_batches(
+        _PartialSums,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+    counts = np.zeros(k, np.int64)
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        counts[ids_array(b["cluster"])] += ids_array(b["n"])
+    nz = np.nonzero(counts)[0]
+    return pa.table(
+        {
+            "cluster_id": pa.array(nz.astype(np.int64)),
+            "n_vectors": pa.array(counts[nz]),
+        }
+    )
+
+
+def semantic_clusters_sql(k: int = 8, iters: int = 3) -> str:
+    """The SAME fixed-iteration Lloyd run, unrolled as chained CTEs.
+
+    ``en`` is the exploded normalized table (vec_id, dim, val). Each
+    round: assignment = argmax over ``Σ val·cval / |c|`` (cosine — the
+    centroid-norm division replaces re-normalization), update = per-dim
+    AVG of assigned normalized vectors with empty clusters COALESCEd to
+    the previous centroid. Final SELECT counts the last assignment."""
+
+    def assign(tag: str, c: str) -> str:
+        return f"""
+{tag} AS (
+  SELECT vec_id, cluster_id FROM (
+    SELECT s.vec_id, s.cluster_id,
+           row_number() OVER (
+             PARTITION BY s.vec_id ORDER BY s.sim / cn.nrm DESC, s.cluster_id) rn
+    FROM (SELECT en.vec_id, c.cluster_id, sum(en.val * c.cval) AS sim
+          FROM en, {c} c WHERE en.dim = c.dim
+          GROUP BY en.vec_id, c.cluster_id) s
+    JOIN (SELECT cluster_id, sqrt(sum(cval * cval)) AS nrm
+          FROM {c} GROUP BY cluster_id) cn USING (cluster_id)
+  ) WHERE rn = 1
+)"""
+
+    ctes = [
+        """en AS (
+  SELECT vec_id, dim, val / nrm AS val FROM (
+    SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS val,
+           unnest(range(len(embedding))) AS dim,
+           sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+    FROM embeddings)
+)""",
+        f"""c0 AS (
+  SELECT CAST(vec_id AS BIGINT) AS cluster_id, dim, val AS cval
+  FROM en WHERE vec_id < {k}
+)""",
+    ]
+    for t in range(iters):
+        ctes.append(assign(f"a{t}", f"c{t}").strip())
+        ctes.append(
+            f"""c{t + 1} AS (
+  SELECT prev.cluster_id, prev.dim, COALESCE(n.cval, prev.cval) AS cval
+  FROM c{t} prev LEFT JOIN (
+    SELECT a.cluster_id, en.dim, avg(en.val) AS cval
+    FROM a{t} a JOIN en USING (vec_id) GROUP BY a.cluster_id, en.dim
+  ) n ON prev.cluster_id = n.cluster_id AND prev.dim = n.dim
+)"""
+        )
+    ctes.append(assign("afinal", f"c{iters}").strip())
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        "SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors\n"
+        "FROM afinal GROUP BY cluster_id"
+    )

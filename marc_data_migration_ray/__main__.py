@@ -98,6 +98,9 @@ def main(argv=None) -> int:
     st.add_argument("--table", required=True)
     st.add_argument("--out", default=None, help="write Parquet here instead of printing")
     st.add_argument("--limit", type=int, default=10)
+    st.add_argument("--up-to-epoch", type=int, default=None, dest="up_to_epoch",
+                    help="time travel: state as of this committed epoch "
+                         "(must be at/above the compaction floor)")
     _add_cfg_args(st)
 
     m = sub.add_parser("metrics")
@@ -138,6 +141,9 @@ def main(argv=None) -> int:
     fo.add_argument("--marker", default=None,
                     help="only apply an epoch dir once this marker file exists "
                          "in it (for producers that do not publish atomically)")
+    fo.add_argument("--view-root", default=None, dest="view_root",
+                    help="keep the source-counts materialized view fresh: "
+                         "incremental refresh after every applied epoch")
     _add_cfg_args(fo)
 
     ch = sub.add_parser(
@@ -330,7 +336,7 @@ def main(argv=None) -> int:
             entry = rp.apply_epoch(args.epoch, args.binlog)
             print(json.dumps({"epoch": args.epoch, **{k: v for k, v in entry.items() if k != "dir"}}))
         elif args.cmd == "state":
-            ds = rp.read_state()
+            ds = rp.read_state(up_to_epoch=args.up_to_epoch)
             if args.out:
                 ds.write_parquet(args.out)
                 print(json.dumps({"rows": ds.count(), "out": args.out}))
@@ -361,6 +367,11 @@ def main(argv=None) -> int:
             e = (max(committed) + 1) if committed else 0
             idle = 0
             applied = []
+            view = None
+            if args.view_root:
+                from marc_data_migration_ray.pipelines.views import SourceCountsView
+
+                view = SourceCountsView(args.view_root, rp)
             # the bound is checked BEFORE applying: a resume where
             # until_epoch is already committed exits immediately instead of
             # polling forever or over-applying
@@ -372,8 +383,11 @@ def main(argv=None) -> int:
                 if ready:
                     entry = rp.apply_epoch(e, d)
                     applied.append(e)
-                    print(json.dumps({"applied_epoch": e, "rows": entry["rows"],
-                                      "routes": entry["routes"]}), flush=True)
+                    line = {"applied_epoch": e, "rows": entry["rows"],
+                            "routes": entry["routes"]}
+                    if view is not None:
+                        line["view"] = view.refresh(to_epoch=e)
+                    print(json.dumps(line), flush=True)
                     e += 1
                     idle = 0
                     continue

@@ -102,6 +102,48 @@ def test_view_incremental_equals_full(ray_session, fixture_dir, tmp_path):
         v.refresh(to_epoch=1)
 
 
+def test_cli_follow_maintains_view(ray_session, fixture_dir, tmp_path):
+    """`follow --view-root` refreshes the materialized view after every
+    applied epoch (full on the first, incremental after), and the final
+    view equals a from-scratch build; `state --up-to-epoch` time-travels."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    table = str(tmp_path / "t")
+    r = subprocess.run(
+        [sys.executable, "-m", "marc_data_migration_ray", "follow",
+         "--table", table, "--binlog-root", os.path.join(fixture_dir, "binlog"),
+         "--base", os.path.join(fixture_dir, "base"), "--num-partitions", "4",
+         "--until-epoch", str(N_EPOCHS - 1), "--poll", "0.1",
+         "--view-root", str(tmp_path / "view")],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
+    modes = [x["view"]["mode"] for x in lines if "view" in x]
+    assert modes == ["full"] + ["incremental"] * (N_EPOCHS - 1)
+
+    cfg = ReplayConfig(num_partitions=4)
+    rp = Replayer(table, cfg)
+    v = SourceCountsView(str(tmp_path / "view"), rp)
+    assert v.last_epoch() == N_EPOCHS - 1
+    assert v.read().to_pylist() == _full_view(rp, str(tmp_path / "vs"), N_EPOCHS - 1)
+
+    # state --up-to-epoch: CLI time travel matches the library read
+    r2 = subprocess.run(
+        [sys.executable, "-m", "marc_data_migration_ray", "state",
+         "--table", table, "--num-partitions", "4", "--up-to-epoch", "0",
+         "--limit", "1"],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r2.returncode == 0, r2.stderr[-2000:]
+    total = json.loads(r2.stdout.strip().splitlines()[-1])["total_rows"]
+    assert total == rp.read_state(up_to_epoch=0).count()
+
+
 def test_view_full_rebuild_after_compaction(ray_session, fixture_dir, tmp_path):
     """Compaction above the view's base epoch forces a full rebuild (the
     incremental base state can no longer be folded) — and the rebuilt

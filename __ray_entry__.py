@@ -75,6 +75,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_routing_counts": lambda sf: derived.cdc_routing_counts(sf),
         "cdc_routing_counts_f001": lambda sf: derived.cdc_routing_counts_f001(sf),
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
+        "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
+        "cdc_source_counts": lambda sf: derived.cdc_source_counts(sf),
         # key/title kernels (M1-M3, M7, M15)
         "key_normalize": reports.key_normalize,
         "title_normalize": reports.title_normalize,
@@ -388,6 +390,12 @@ def _multimodal_sql() -> dict[str, str]:
     }
 
 
+def _derived_lookup_ids() -> tuple[str, ...]:
+    from marc_data_migration_ray.pipelines.derived import LOOKUP_IDS
+
+    return LOOKUP_IDS
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents. Omitted keys (dedup_simhash,
     embedding_near_dup_lsh, ann_topk_lsh, ann_topk_ivf) are approximate
@@ -456,6 +464,19 @@ def oracle_sql() -> dict[str, str]:
         "pii_redact": _curation.pii_redact_sql(),
         "corpus_shuffle": _curation.corpus_shuffle_sql(),
         "cdc_lww_state": _CDC_STATE,
+        # point lookup: the LWW state filtered to the looked-up keys (a
+        # deleted/unknown key is absent from both sides)
+        "cdc_point_lookup": (
+            f"SELECT * FROM ({_CDC_STATE}) WHERE doc_id IN ("
+            + ", ".join(f"'{i}'" for i in _derived_lookup_ids())
+            + ")"
+        ),
+        # materialized view: GROUP BY source over the same LWW state
+        "cdc_source_counts": (
+            f"SELECT source, CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(sum(n_tok) AS BIGINT) AS n_tok_sum "
+            f"FROM ({_CDC_STATE}) GROUP BY source"
+        ),
         "cdc_routing_counts": _ROUTING,
         # the fuzzy_001_test gate over noisy-prefixed keys: doc % 3 picks
         # the raw form (0 → 'ocm'+k, 1 → '(OCoLC)'+k, 2 → bare), so

@@ -197,6 +197,72 @@ def replay_datasets(
     )
 
 
+def _layout_replayer(sf_dir: str, cfg: ReplayConfig) -> "Replayer":
+    """Materialize the sf-derived base+binlog into a manifest ``Replayer``
+    table (co-partitioned on-disk layout) and apply the single epoch. The
+    temp root stays on disk while returned (lazy) Datasets read it."""
+    import tempfile
+
+    from marc_data_migration_ray.pipelines.replay import Replayer
+
+    root = tempfile.mkdtemp(prefix="cdc_lww_layout_")
+    base_dir = os.path.join(root, "base_in")
+    binlog_dir = os.path.join(root, "binlog_in")
+    build_base_ds(sf_dir).write_parquet(base_dir)
+    build_binlog_ds(sf_dir).write_parquet(binlog_dir)
+    rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
+    rp.apply_epoch(0, binlog_dir)
+    return rp
+
+
+def _scalar_state(rows: ray.data.Dataset) -> ray.data.Dataset:
+    """Project state rows to the hashable scalar columns the DuckDB LWW
+    oracle reproduces (shared by ``cdc_lww_state`` / ``cdc_point_lookup``)."""
+    return rows.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "source": t["source"],
+                "last_lsn": t["last_lsn"],
+                "status": t["status"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# deterministic spread of existing keys + one miss (driver query input)
+LOOKUP_IDS = ("7", "77", "177", "277", "377", "477", "no-such-id")
+
+
+def cdc_point_lookup(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+    doc_ids: tuple[str, ...] = LOOKUP_IDS,
+) -> ray.data.Dataset:
+    """Driver surface for ``Replayer.lookup`` (reference S4 point-lookup):
+    replay onto the co-partitioned layout, then fold ONLY the partitions
+    that can hold ``doc_ids``. Oracle = the LWW state SQL filtered to the
+    same ids (a key deleted by replay is absent from both sides)."""
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    return _scalar_state(rp.lookup(list(doc_ids)))
+
+
+def cdc_source_counts(sf_dir: str, cfg: ReplayConfig | None = None) -> pa.Table:
+    """Driver surface for the materialized view: replay onto the layout,
+    refresh a ``SourceCountsView``, return its (source, n_rows, n_tok_sum)
+    table. Oracle = GROUP BY source over the LWW state SQL."""
+    import tempfile
+
+    from marc_data_migration_ray.pipelines.views import SourceCountsView
+
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    v = SourceCountsView(tempfile.mkdtemp(prefix="cdc_view_"), rp)
+    v.refresh()
+    return v.read()
+
+
 def cdc_lww_state(
     sf_dir: str, cfg: ReplayConfig | None = None, via: str = "shuffle"
 ) -> ray.data.Dataset:
@@ -217,35 +283,12 @@ def cdc_lww_state(
     table root stays on disk while the returned (lazy) Dataset reads it."""
     cfg = cfg or ReplayConfig(num_partitions=16)
     if via == "layout":
-        import tempfile
-
-        from marc_data_migration_ray.pipelines.replay import Replayer
-
-        root = tempfile.mkdtemp(prefix="cdc_lww_layout_")
-        base_dir = os.path.join(root, "base_in")
-        binlog_dir = os.path.join(root, "binlog_in")
-        build_base_ds(sf_dir).write_parquet(base_dir)
-        build_binlog_ds(sf_dir).write_parquet(binlog_dir)
-        rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
-        rp.apply_epoch(0, binlog_dir)
-        rows = rp.read_state()
+        rows = _layout_replayer(sf_dir, cfg).read_state()
     elif via == "shuffle":
         rows = replay_datasets(build_base_ds(sf_dir), build_binlog_ds(sf_dir), cfg)
     else:
         raise ValueError(f"via must be 'shuffle' or 'layout', got {via!r}")
-    return rows.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_tok": pc.cast(t["n_tok"], pa.int64()),
-                "source": t["source"],
-                "last_lsn": t["last_lsn"],
-                "status": t["status"],
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
+    return _scalar_state(rows)
 
 
 def cdc_routing_counts(sf_dir: str, cfg: ReplayConfig | None = None) -> "pa.Table":

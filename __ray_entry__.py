@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk_sketch": text_analysis.token_topk_sketch,
         "token_doc_freq": text_analysis.token_doc_freq,
         "tfidf_topk": text_analysis.tfidf_topk,
+        "source_lang_rollup": text_analysis.source_lang_rollup,
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
@@ -390,6 +391,12 @@ def _multimodal_sql() -> dict[str, str]:
     }
 
 
+def _text_analysis_rollup_sql() -> str:
+    from marc_data_migration_ray.pipelines.text_analysis import source_lang_rollup_sql
+
+    return source_lang_rollup_sql()
+
+
 def _derived_lookup_ids() -> tuple[str, ...]:
     from marc_data_migration_ray.pipelines.derived import LOOKUP_IDS
 
@@ -408,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **_policy_sql(),
+        "source_lang_rollup": _text_analysis_rollup_sql(),
         # fixed-centroid cosine assignment; and the full distributed
         # k-means — the oracle UNROLLS the same Lloyd iterations as CTEs
         "embedding_assign": _clustering.embedding_assign_sql(),

@@ -379,3 +379,79 @@ def tfidf_topk(sf_dir: str, k: int = 3) -> ray.data.Dataset:
 
     bucketed = joined.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
     return bucketed.groupby("bucket").map_groups(_rank, batch_format="pyarrow")
+
+
+_ROLLUP_SENTINEL = "\x00ALL\x00"  # cannot collide with real source/lang values
+
+
+def source_lang_rollup(sf_dir: str) -> ray.data.Dataset:
+    """Hierarchical aggregate (SQL ``GROUP BY ROLLUP(source, lang)``):
+    doc counts + char sums at (source, lang), (source) and grand-total
+    levels in ONE pass.
+
+    Each batch emits partial rows for all three levels (a per-batch
+    ``group_by`` per level — bounded by distinct groups, not rows), so the
+    shuffle moves only pre-aggregated partials; one distributed
+    ``groupby.sum`` finishes. Rolled-up keys travel as a sentinel string
+    (Ray hash-aggregate keys stay non-null) and are projected back to NULL
+    at the end, matching the SQL ROLLUP output shape."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["source", "lang", "n_chars"],
+    )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        base = pa.table(
+            {
+                "source": t["source"],
+                "lang": t["lang"],
+                "one": pa.array([1] * n, pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            }
+        )
+        sent = pa.array([_ROLLUP_SENTINEL] * n, pa.string())
+        levels = [
+            base,
+            base.set_column(1, "lang", sent),
+            base.set_column(0, "source", sent).set_column(1, "lang", sent),
+        ]
+        return pa.concat_tables(
+            lv.group_by(["source", "lang"]).aggregate(
+                [("one", "sum"), ("n_chars", "sum")]
+            )
+            for lv in levels
+        )
+
+    partials = ds.map_batches(_partials, batch_format="pyarrow", zero_copy_batch=True)
+    from ray.data.aggregate import Sum
+
+    agg = partials.groupby(["source", "lang"]).aggregate(
+        Sum("one_sum", alias_name="n_docs"), Sum("n_chars_sum", alias_name="chars_sum")
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        def _null_sentinel(col):
+            col = pc.cast(col, pa.string())
+            return pc.if_else(
+                pc.equal(col, _ROLLUP_SENTINEL), pa.nulls(len(col), pa.string()), col
+            )
+
+        return pa.table(
+            {
+                "source": _null_sentinel(t["source"]),
+                "lang": _null_sentinel(t["lang"]),
+                "n_docs": pc.cast(t["n_docs"], pa.int64()),
+                "chars_sum": pc.cast(t["chars_sum"], pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def source_lang_rollup_sql() -> str:
+    return (
+        "SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS chars_sum "
+        "FROM documents GROUP BY ROLLUP(source, lang)"
+    )

@@ -130,6 +130,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_value": events.user_daily_value,
         "session_count": events.session_count,
         "event_type_users": events.event_type_users,
+        "event_type_users_sketch": lambda sf: events.event_type_users_sketch(sf),
         "sliding_window_value": events.sliding_window_value,
         "top_orders_per_customer": events.top_orders_per_customer,
         "key_diff_report": events.key_diff_report,
@@ -659,6 +660,12 @@ ORDER BY op, route, status
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        # KMV bottom-k sketch with k above the test-scale cardinality →
+        # exact; the estimator path is accuracy-tested in pytest
+        "event_type_users_sketch": (
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) "
+            "AS n_users_est FROM events GROUP BY event_type ORDER BY event_type"
         ),
         # sliding 60-min window, 30-min slide: each event lands in 2 windows
         "sliding_window_value": (

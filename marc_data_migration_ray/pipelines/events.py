@@ -283,3 +283,76 @@ def key_diff_report(sf_dir: str) -> ray.data.Dataset:
         return t.filter(pc.or_(differs, pc.invert(t["is_valid"])))
 
     return ds.map_batches(_diff, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _splitmix64(x):
+    """Vectorized splitmix64 over uint64 — the KMV sketch's uniform hash."""
+    import numpy as np
+
+    z = (x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15))
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def event_type_users_sketch(sf_dir: str, k: int = 8192) -> pa.Table:
+    """Distinct users per event type via a mergeable KMV (bottom-k)
+    sketch: (event_type, n_users_est).
+
+    Each batch keeps only the k smallest DISTINCT user-id hashes per type
+    (the bottom-k of a union is the bottom-k of the unions' bottom-ks, so
+    per-batch truncation is lossless for the final sketch); one tiny
+    ``groupby(event_type).map_groups`` merges. The shuffle moves at most
+    batches × types × k hashes — bounded regardless of user cardinality,
+    the property that makes this the 100-TB path where the exact
+    ``event_type_users`` distinct-groupby must shuffle every (type, user)
+    pair. Estimator: exact m when m < k sketch values survive, else
+    (k-1) · 2⁶⁴ / h_k. With the default k above the test-scale
+    cardinality the output is EXACT, so the DuckDB COUNT(DISTINCT) oracle
+    hash-matches; the estimator path is accuracy-tested in pytest with a
+    tiny k."""
+    import numpy as np
+
+    ds = _events(sf_dir, ["event_type", "user_id"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        tt = t.group_by(["event_type", "user_id"]).aggregate([])
+        uid = tt["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        h = _splitmix64(uid.view(np.uint64))
+        et = tt["event_type"].to_numpy(zero_copy_only=False)
+        out_t, out_h = [], []
+        for e in np.unique(et):
+            hs = h[et == e]
+            if len(hs) > k:
+                hs = np.partition(hs, k)[:k]
+            out_t += [e] * len(hs)
+            out_h.append(hs)
+        return pa.table(
+            {
+                "event_type": pa.array(out_t, pa.string()),
+                "h": pa.array(
+                    np.concatenate(out_h) if out_h else np.array([], np.uint64)
+                ),
+            }
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        hs = np.unique(t["h"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        if len(hs) < k:
+            est = len(hs)
+        else:
+            hk = float(np.sort(hs)[k - 1])
+            est = round((k - 1) * (2.0 ** 64) / (hk + 1.0))
+        return pa.table(
+            {
+                "event_type": pa.array([t["event_type"][0].as_py()], pa.string()),
+                "n_users_est": pa.array([int(est)], pa.int64()),
+            }
+        )
+
+    out = partials.groupby("event_type").map_groups(_merge, batch_format="pyarrow")
+    return pa.concat_tables(out.iter_batches(batch_format="pyarrow")).sort_by(
+        [("event_type", "ascending")]
+    )

@@ -101,6 +101,43 @@ def test_token_topk_sketch_guarantee_under_tiny_capacity(ray_session, tmp_path):
     assert sk == exact
 
 
+def test_kmv_sketch_estimator_and_merge_losslessness(ray_session, tmp_path):
+    """KMV bottom-k sketch: with k above the true cardinality the output
+    is exact (what the SQL oracle checks); with a tiny k the estimator
+    must land within 15% of truth; and per-batch truncation is lossless —
+    the same answer regardless of block layout."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import events as ev
+
+    rng = np.random.default_rng(42)
+    n = 20_000
+    users = rng.integers(0, 3_000, n)  # true distinct ≈ 3000 (dense draw)
+    types = np.array(["a", "b"])[rng.integers(0, 2, n)]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(n), pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(types, pa.string()),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    truth = {
+        e: len(np.unique(users[types == e])) for e in ("a", "b")
+    }
+    exact = {r["event_type"]: r["n_users_est"]
+             for r in ev.event_type_users_sketch(str(tmp_path), k=8192).to_pylist()}
+    assert exact == truth
+    est = {r["event_type"]: r["n_users_est"]
+           for r in ev.event_type_users_sketch(str(tmp_path), k=256).to_pylist()}
+    for e, t in truth.items():
+        assert abs(est[e] - t) / t < 0.15, (e, est[e], t)
+
+
 def test_dataset_split_is_layout_independent(ray_session):
     """The hash split must assign identically regardless of block layout
     (the property RNG-based splits lack): same assignments after an

@@ -217,8 +217,10 @@ def main(argv=None) -> int:
 
             from marc_data_migration_ray.stages.policy import apply_policies
 
+            from marc_data_migration_ray.sources import readers
+
             cfg = _cfg_from_args(args)
-            ds = ray.data.read_parquet(args.input)
+            ds = readers.read_parquet(args.input)
             out = apply_policies(ds, cfg)
             if "online" in (out.schema().names or []):
                 import pyarrow as pa
@@ -246,7 +248,9 @@ def main(argv=None) -> int:
             files = sorted(
                 _glob.glob(os.path.join(args.binlog, "**", "*.parquet"), recursive=True)
             ) or args.binlog
-            ds = ray.data.read_parquet(files)
+            from marc_data_migration_ray.sources import readers
+
+            ds = readers.read_parquet(files)
             parsed = ds.map_batches(ParseRoute(cfg), batch_format="pyarrow", zero_copy_batch=True)
             if args.kind == "dup-keys":
                 import pyarrow.compute as _pc

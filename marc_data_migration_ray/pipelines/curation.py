@@ -48,6 +48,7 @@ from marc_data_migration_ray.pipelines.sampling import (
     _docs,
     _hash_u32,
 )
+from marc_data_migration_ray.sources import readers
 
 DECON_K = 4        # words per shingle (benchmark-overlap n-gram)
 BENCH_MOD = 97     # doc_id % BENCH_MOD == 0 -> held-out benchmark doc
@@ -142,7 +143,7 @@ def pii_redact(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    return ray.data.read_parquet(
+    return readers.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type", "props"],
     ).map_batches(_redact, batch_format="pyarrow", zero_copy_batch=True)

@@ -32,6 +32,7 @@ from ray.data.aggregate import Count, Min
 
 from marc_data_migration_ray.functions.text import fingerprints
 from marc_data_migration_ray.functions.vectors import emb_matrix, ids_array, normalized
+from marc_data_migration_ray.sources import readers
 
 logger = logging.getLogger(__name__)
 
@@ -39,7 +40,7 @@ _SEED = 0x5EED
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
     )
 
@@ -498,7 +499,7 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset
                 }
             )
 
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     return ds.map_batches(
@@ -524,7 +525,7 @@ def embedding_near_dup_lsh(
     a pytest recall check against :func:`embedding_near_dup` on planted
     near-dup vectors (approximate by design; rows-only driver check).
     """
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
 

@@ -33,6 +33,7 @@ from marc_data_migration_ray.config import ReplayConfig
 from marc_data_migration_ray.functions.text import TOKEN_RE
 from marc_data_migration_ray.stages.fold import make_fold_fn
 from marc_data_migration_ray.stages.parse import ParseRoute, PrepBase
+from marc_data_migration_ray.sources import readers
 
 _ROW_COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
 
@@ -47,7 +48,7 @@ def build_base_ds(sf_dir: str) -> ray.data.Dataset:
     """documents → input_hint-shaped base table (tokens column left empty —
     the derived pipeline's payload is scalar; token-payload replay is
     exercised by the synthetic fixtures)."""
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
     )
 
@@ -71,7 +72,7 @@ def build_base_ds(sf_dir: str) -> ray.data.Dataset:
 def build_binlog_ds(sf_dir: str) -> ray.data.Dataset:
     """events → binlog events (full-row updates, deterministic gate scores)."""
     D = _doc_count(sf_dir)
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "user_id", "event_type", "props"],
     )

@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Sum
+from marc_data_migration_ray.sources import readers
 
 SESSION_GAP_MIN = 30
 
@@ -36,7 +37,7 @@ SESSION_BUCKETS = 64
 
 
 def _events(sf_dir: str, columns) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return readers.read_parquet(
         os.path.join(sf_dir, "events.parquet"), columns=list(columns)
     )
 
@@ -229,7 +230,7 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     (PARTITION BY custkey ORDER BY ...)``."""
     import polars as pl
 
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
         columns=["o_orderkey", "o_custkey", "o_totalprice"],
     )

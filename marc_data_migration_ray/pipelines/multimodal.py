@@ -28,6 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from marc_data_migration_ray.sources import readers
 
 
 def synthesize_media_table(n_rows: int = 256, seed: int = 99) -> pa.Table:
@@ -139,7 +140,7 @@ def media_from_documents(sf_dir: str) -> ray.data.Dataset:
     DuckDB oracle mirrors exactly."""
     import os
 
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
 
@@ -283,7 +284,7 @@ def media_real_decode(sf_dir: str) -> ray.data.Dataset:
     so the DuckDB oracle checks the actual parse arithmetic bit-exactly."""
     import os
 
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
     def _payloads(t: pa.Table) -> pa.Table:
@@ -370,7 +371,7 @@ def media_resize(sf_dir: str) -> ray.data.Dataset:
     8x8 → 4x4 nearest-neighbour resize over the image rows."""
     import os
 
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
 
@@ -441,7 +442,7 @@ def media_frames_real(sf_dir: str, every: int = 2) -> ray.data.Dataset:
     decoded via the strided frame seek (flat-map expansion)."""
     import os
 
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
 

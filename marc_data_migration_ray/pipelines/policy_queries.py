@@ -32,6 +32,7 @@ from marc_data_migration_ray.functions.site_policy import (
     POLICY_RE,
 )
 from marc_data_migration_ray.stages.policy import _PolicyStage
+from marc_data_migration_ray.sources import readers
 
 _PLUGIN = "marc_data_migration_ray.plugins.site_policy"
 
@@ -53,7 +54,7 @@ MAT_PD_TEMPLATES = (
 
 
 def _docs_ids(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
     )
 

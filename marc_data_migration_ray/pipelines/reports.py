@@ -18,10 +18,11 @@ import ray.data
 
 from marc_data_migration_ray.functions.keys import normalize_keys
 from marc_data_migration_ray.functions.text import normalize_titles
+from marc_data_migration_ray.sources import readers
 
 
 def _docs(sf_dir: str, columns) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
     )
 

@@ -23,6 +23,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from marc_data_migration_ray.sources import readers
 
 KNUTH = 2654435761  # 2^32 / golden ratio, Knuth's multiplicative constant
 MOD = 1 << 32
@@ -40,7 +41,7 @@ _MIX_SALT = 1234567  # decorrelates the mix hash from the split hash
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
     )
 

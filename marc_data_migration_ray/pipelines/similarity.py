@@ -23,12 +23,13 @@ import ray
 import ray.data
 
 from marc_data_migration_ray.functions.vectors import emb_matrix, ids_array, normalized
+from marc_data_migration_ray.sources import readers
 
 _SEED = 0x5EED
 
 
 def _emb_ds(sf_dir: str) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return readers.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
 

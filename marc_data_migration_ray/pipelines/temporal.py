@@ -32,6 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from marc_data_migration_ray.sources import readers
 
 ASOF_BUCKETS = 64
 FOLLOWUP_WINDOW_SEC = 3600
@@ -42,7 +43,7 @@ def _typed_events(sf_dir: str, types: tuple[str, ...]) -> ray.data.Dataset:
     read, never a full-table load)."""
     import pyarrow.dataset as pads
 
-    return ray.data.read_parquet(
+    return readers.read_parquet(
         os.path.join(sf_dir, "events.parquet"),
         columns=["event_id", "ts", "user_id", "event_type"],
         filter=pads.field("event_type").isin(list(types)),

@@ -17,10 +17,11 @@ import pyarrow.compute as pc
 import ray.data
 
 from marc_data_migration_ray.functions import text as T
+from marc_data_migration_ray.sources import readers
 
 
 def _docs(sf_dir: str, columns=("doc_id", "text")) -> ray.data.Dataset:
-    return ray.data.read_parquet(
+    return readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=list(columns)
     )
 
@@ -316,7 +317,10 @@ def tfidf_topk(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     from ray.data.aggregate import Count
 
     docs = _docs(sf_dir)
-    n_docs = docs.count()  # parquet metadata count — no data scan
+    # Parquet-footer row count — no data scan, no Ray task.
+    import pyarrow.parquet as _pq
+
+    n_docs = _pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
 
     def _tf(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t.select(["doc_id", "text"]))
@@ -395,7 +399,7 @@ def source_lang_rollup(sf_dir: str) -> ray.data.Dataset:
     ``groupby.sum`` finishes. Rolled-up keys travel as a sentinel string
     (Ray hash-aggregate keys stay non-null) and are projected back to NULL
     at the end, matching the SQL ROLLUP output shape."""
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["source", "lang", "n_chars"],
     )

@@ -17,6 +17,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
+from marc_data_migration_ray.sources import readers
 
 
 def pricing_summary(sf_dir: str) -> pa.Table:
@@ -27,7 +28,7 @@ def pricing_summary(sf_dir: str) -> pa.Table:
     per batch inside map_batches, final reduce over the tiny partials
     (ray_guide §Aggregation at scale).
     """
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
     )
@@ -107,7 +108,7 @@ def nation_revenue(sf_dir: str) -> pa.Table:
             )
             return g.group_by("nationkey").aggregate([("cents", "sum"), ("cents", "count")])
 
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
     partials = ds.map_batches(
@@ -134,7 +135,7 @@ def top_docs(sf_dir: str, k: int = 10) -> pa.Table:
     heap merge — no distributed full sort for a top-10 (VERDICT r1 fix #5)."""
     import heapq
 
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
     )
 
@@ -162,7 +163,7 @@ def top_docs(sf_dir: str, k: int = 10) -> pa.Table:
 def customer_order_join(sf_dir: str) -> ray.data.Dataset:
     """Distributed hash join via ``Dataset.join`` (both sides large path):
     orders ⋈ customer on custkey → (o_orderkey, c_name, cents)."""
-    orders = ray.data.read_parquet(
+    orders = readers.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_custkey", "o_totalprice"]
     ).map_batches(
         lambda t: pa.table(
@@ -175,7 +176,7 @@ def customer_order_join(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    cust = ray.data.read_parquet(
+    cust = readers.read_parquet(
         os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
     )
     joined = orders.join(
@@ -193,7 +194,7 @@ def parts_by_brand(sf_dir: str) -> pa.Table:
     avg is computed as an exact integer ratio ×100 (floor), sidestepping
     float-division representation differences between engines.
     """
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "part.parquet"), columns=["p_brand", "p_size", "p_retailprice"]
     )
 
@@ -250,7 +251,7 @@ def supplier_balance(sf_dir: str) -> ray.data.Dataset:
             }).filter(keep)
             return t2
 
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_name", "s_nationkey", "s_acctbal"]
     )
     out = ds.map_batches(J, fn_constructor_args=(ref,), batch_format="pyarrow",
@@ -267,7 +268,7 @@ def monthly_revenue(sf_dir: str, cutoff: str = "1998-01-01") -> pa.Table:
     import pyarrow.dataset as pads
 
     cut = _dt.datetime.fromisoformat(cutoff)
-    ds = ray.data.read_parquet(
+    ds = readers.read_parquet(
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_shipdate", "l_extendedprice", "l_discount"],
         filter=pads.field("l_shipdate") < pads.scalar(cut),

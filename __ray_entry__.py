@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         reports,
         sampling,
         similarity,
+        joins,
         temporal,
         text_analysis,
         tpch,
@@ -87,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_revenue": tpch.nation_revenue,
         "top_docs": tpch.top_docs,
         "customer_order_join": tpch.customer_order_join,
+        "urgent_lineitem_flags": joins.urgent_lineitem_flags,
+        "customers_without_urgent_orders": joins.customers_without_urgent_orders,
         "parts_by_brand": tpch.parts_by_brand,
         "supplier_balance": tpch.supplier_balance,
         # text analysis (training-data ops)
@@ -411,6 +414,7 @@ def oracle_sql() -> dict[str, str]:
     rows-only checks; each is independently verified in pytest
     (tests/test_dedup_verification.py)."""
     from marc_data_migration_ray.pipelines import clustering as _clustering
+    from marc_data_migration_ray.pipelines import joins as _joins
     from marc_data_migration_ray.pipelines import curation as _curation
     from marc_data_migration_ray.pipelines import sampling as _sampling
 
@@ -574,6 +578,8 @@ ORDER BY op, route, status
             "CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
+        "urgent_lineitem_flags": _joins.urgent_lineitem_flags_sql(),
+        "customers_without_urgent_orders": _joins.customers_without_urgent_orders_sql(),
         "token_count": (
             "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"

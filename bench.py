@@ -130,7 +130,8 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_exact", "dedup_minhash", "dedup_clusters", "dedup_simhash",
         "embedding_near_dup", "ann_topk", "ann_topk_ivf",
         "embedding_assign", "semantic_clusters",
-        "customer_order_join", "title_jaccard", "user_daily_value",
+        "customer_order_join", "urgent_lineitem_flags",
+        "customers_without_urgent_orders", "title_jaccard", "user_daily_value",
         "session_count", "event_type_users",
         "purchase_attribution", "purchase_followup", "tfidf_topk",
         "policy_location_map", "policy_chain", "online_counts",

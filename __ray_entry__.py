@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_doc_freq": text_analysis.token_doc_freq,
         "tfidf_topk": text_analysis.tfidf_topk,
         "source_lang_rollup": text_analysis.source_lang_rollup,
+        "word_repetition": text_analysis.word_repetition,
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
@@ -417,10 +418,12 @@ def oracle_sql() -> dict[str, str]:
     from marc_data_migration_ray.pipelines import joins as _joins
     from marc_data_migration_ray.pipelines import curation as _curation
     from marc_data_migration_ray.pipelines import sampling as _sampling
+    from marc_data_migration_ray.pipelines import text_analysis as _ta
 
     return {
         **_policy_sql(),
         "source_lang_rollup": _text_analysis_rollup_sql(),
+        "word_repetition": _ta.word_repetition_sql(),
         # fixed-centroid cosine assignment; and the full distributed
         # k-means — the oracle UNROLLS the same Lloyd iterations as CTEs
         "embedding_assign": _clustering.embedding_assign_sql(),

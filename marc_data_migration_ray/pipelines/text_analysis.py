@@ -459,3 +459,64 @@ def source_lang_rollup_sql() -> str:
         "CAST(sum(n_chars) AS BIGINT) AS chars_sum "
         "FROM documents GROUP BY ROLLUP(source, lang)"
     )
+
+
+def word_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Per-document word-repetition quality stats (Gopher-style filters):
+    (doc_id, n_words, n_unique_words, top_word_count, dup_word_occurrences).
+
+    Distinct-word ratio (n_unique/n_words) and top-word dominance
+    (top_word_count/n_words) are the standard "repetitious document" signals
+    for corpus filtering.  Documents are row-contained, so this is a pure
+    per-batch vectorized polars aggregation — NO shuffle: split → explode →
+    two group_bys inside the batch, counts only leave the task.  At 100 TB
+    this scales embarrassingly; batch size bounds the explode footprint."""
+    import polars as pl
+
+    def _stats(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        wc = (
+            df.with_columns(pl.col("text").str.split(" ").alias("w"))
+            .drop("text")
+            .explode("w")
+            .group_by(["doc_id", "w"])
+            .len(name="c")
+        )
+        out = (
+            wc.group_by("doc_id")
+            .agg(
+                pl.col("c").sum().alias("n_words"),
+                pl.len().alias("n_unique_words"),
+                pl.col("c").max().alias("top_word_count"),
+                pl.col("c").filter(pl.col("c") > 1).sum().alias("dup_word_occurrences"),
+            )
+            .with_columns(pl.col("dup_word_occurrences").fill_null(0))
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "n_words": pc.cast(a["n_words"], pa.int64()),
+                "n_unique_words": pc.cast(a["n_unique_words"], pa.int64()),
+                "top_word_count": pc.cast(a["top_word_count"], pa.int64()),
+                "dup_word_occurrences": pc.cast(a["dup_word_occurrences"], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(
+        _stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def word_repetition_sql() -> str:
+    return (
+        "WITH words AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w) "
+        "SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+        "CAST(count(*) AS BIGINT) AS n_unique_words, "
+        "CAST(max(c) AS BIGINT) AS top_word_count, "
+        "CAST(coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) "
+        "AS dup_word_occurrences "
+        "FROM wc GROUP BY doc_id ORDER BY doc_id"
+    )

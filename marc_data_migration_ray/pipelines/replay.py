@@ -65,9 +65,10 @@ DELTA_ROUTES = ("applied", "fuzzy", "local")
 
 @ray.remote(num_cpus=1)
 def _part_stats_task(files: list[str]) -> tuple:
-    """Route counts + max lsn + schema rows for one partition's files."""
+    """Route counts + min/max lsn + schema rows for one partition's files."""
     route_counts: dict[str, int] = {}
     max_lsn = -1
+    min_lsn = None
     schema_tables = []
     for f in files:
         t = pq.read_table(f, columns=["lsn", "route"])
@@ -77,6 +78,9 @@ def _part_stats_task(files: list[str]) -> tuple:
             m = pc.max(t["lsn"]).as_py()
             if m is not None:
                 max_lsn = max(max_lsn, m)
+            mn = pc.min(t["lsn"]).as_py()
+            if mn is not None:
+                min_lsn = mn if min_lsn is None else min(min_lsn, mn)
         if route_counts.get("schema"):
             st = pq.read_table(
                 f, columns=["lsn", "route", "schema_kind", "schema_name", "schema_new_name"]
@@ -85,7 +89,7 @@ def _part_stats_task(files: list[str]) -> tuple:
             if st.num_rows:
                 schema_tables.append(st)
     srows = pa.concat_tables(schema_tables) if schema_tables else None
-    return route_counts, max_lsn, srows
+    return route_counts, max_lsn, min_lsn, srows
 
 
 def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema):
@@ -382,6 +386,21 @@ class Replayer:
                 shutil.rmtree(tmp_dir, ignore_errors=True)
 
         entry = self._epoch_entry_from_files(epoch, final_dir)
+        # LSN-monotone fence: a compacted snapshot row keeps only its
+        # last_lsn, so an event at or below the compaction ceiling can no
+        # longer be ordered correctly against absorbed writes (a sub-ceiling
+        # update with a disjoint column mask would silently lose, where a
+        # full replay would apply it). Real WAL/binlog tails are
+        # LSN-monotone; enforce that contract instead of diverging silently.
+        ceiling = self.manifest.ceiling_lsn()
+        mn = entry.get("min_lsn")
+        if mn is not None and mn <= ceiling:
+            raise ValueError(
+                f"epoch {epoch} contains lsn {mn} at or below the compaction "
+                f"ceiling {ceiling}; events below the ceiling were already "
+                f"folded into the base snapshot and cannot participate in "
+                f"LWW ordering (SEMANTICS: late events / LSN monotonicity)"
+            )
         self.manifest.commit_epoch(epoch, entry, schema_ops=entry.pop("_schema_ops"))
         if self.cfg.auto_segment_epochs > 0:
             self._maybe_auto_segment()
@@ -423,10 +442,13 @@ class Replayer:
         max_lsn = -1
         schema_rows = []
         part_lineage: dict[str, dict] = {}
-        for p, (rc, ml, srows) in zip(parts, ray.get(refs)):
+        min_lsn = None
+        for p, (rc, ml, mn, srows) in zip(parts, ray.get(refs)):
             for k, v in rc.items():
                 route_counts[k] = route_counts.get(k, 0) + v
             max_lsn = max(max_lsn, ml)
+            if mn is not None:
+                min_lsn = mn if min_lsn is None else min(min_lsn, mn)
             # per-partition checkpoint: rows + highest applied lsn (the
             # north-star "per-partition lineage + applied-LSN metrics")
             part_lineage[str(p)] = {"rows": sum(rc.values()), "max_lsn": ml}
@@ -454,6 +476,7 @@ class Replayer:
             "processed": processed,
             "routes": route_counts,
             "max_lsn": max_lsn,
+            "min_lsn": min_lsn,
             "parts": part_lineage,
             "dir": final_dir,
             "_schema_ops": schema_ops,
@@ -847,7 +870,17 @@ class Replayer:
         os.rename(tmp, new_base)
         # record_compaction (CAS-retried) also flips base_is_final_schema
         # and points base_bucketized_path at the new snapshot
-        self.manifest.record_compaction(up_to, new_base, local_counts, metrics_snapshot=snap)
+        ceiling = max(
+            [self.manifest.ceiling_lsn()]
+            + [
+                self.manifest.epoch_entry(e).get("max_lsn", -1)
+                for e in self.manifest.committed_epochs()
+                if e <= up_to
+            ]
+        )
+        self.manifest.record_compaction(
+            up_to, new_base, local_counts, metrics_snapshot=snap, ceiling_lsn=ceiling
+        )
         return new_base
 
     # ------------------------------------------------------------------ #

@@ -189,8 +189,26 @@ class Manifest:
         floor = self.last_compacted_epoch()
         return [e for e in self.committed_epochs() if e > floor]
 
+    def ceiling_lsn(self) -> int:
+        """Highest lsn folded into any base snapshot. Events at or below it
+        can no longer participate in LWW ordering (the snapshot row carries
+        only its last_lsn), so new epochs must stay strictly above — see
+        SEMANTICS §late events. -1 when never compacted."""
+        best = -1
+        for c in self.state["compactions"]:
+            v = c.get("ceiling_lsn")
+            if v is None:  # legacy record: derive from the absorbed entries
+                v = max(
+                    (e.get("max_lsn", -1) for k, e in self.state["epochs"].items()
+                     if int(k) <= c["up_to"]),
+                    default=-1,
+                )
+            best = max(best, v)
+        return best
+
     def record_compaction(self, up_to: int, base_path: str, local_counts: dict[int, int],
-                          metrics_snapshot: dict | None = None) -> None:
+                          metrics_snapshot: dict | None = None,
+                          ceiling_lsn: int = -1) -> None:
         def _mut(st: dict) -> None:
             if any(c["base_path"] == base_path for c in st["compactions"]):
                 return  # retry after our own landed commit: idempotent
@@ -198,7 +216,8 @@ class Manifest:
                 k = str(p)
                 st["local_id_offsets"][k] = st["local_id_offsets"].get(k, 0) + c
             st["compactions"].append({"up_to": up_to, "base_path": base_path,
-                                      "metrics_snapshot": metrics_snapshot})
+                                      "metrics_snapshot": metrics_snapshot,
+                                      "ceiling_lsn": ceiling_lsn})
             st["base_path"] = base_path
             st["base_normalized"] = True
             st["base_is_final_schema"] = True

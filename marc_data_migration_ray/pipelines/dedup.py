@@ -700,3 +700,51 @@ def dedup_clusters(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.Data
         zero_copy_batch=True,
     )
     return connected_components(pairs)
+
+
+# --------------------------------------------------------------------- #
+# incremental near-dup: new documents vs the already-ingested corpus
+# --------------------------------------------------------------------- #
+CORPUS_MOD = 10     # doc_id % 10 < CORPUS_LT -> "already ingested" corpus
+CORPUS_LT = 3       # (the deterministic split shared with the SQL oracle)
+
+
+def dedup_incremental(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.Dataset:
+    """(doc_id, dup_of): incoming documents whose text near-duplicates an
+    already-ingested corpus document — the production dedup mode for a CDC
+    pipeline (dedup the delta against the lake, not the lake against
+    itself).  ``dup_of`` is the smallest matching corpus id.
+
+    Shape: the SAME (band, bucket) LSH join as ``dedup_minhash``; pairs are
+    then restricted to corpus×incoming cross pairs and exact-verified.  At
+    100 TB the corpus side's band buckets are persisted state (computed once
+    at ingest, exactly like the replay deltas), so an incremental run hashes
+    ONLY the incoming batch and joins it against stored buckets — O(delta),
+    not O(corpus).  Here both sides recompute from the fixture for
+    simplicity; the bucket-join shape is identical.
+    """
+    pairs = dedup_minhash(sf_dir, jaccard_threshold)  # (doc_a, doc_b, jaccard)
+
+    def _cross(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        a_corpus = (a % CORPUS_MOD) < CORPUS_LT
+        b_corpus = (b % CORPUS_MOD) < CORPUS_LT
+        keep = a_corpus != b_corpus
+        a, b, a_corpus = a[keep], b[keep], a_corpus[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(np.where(a_corpus, b, a), pa.int64()),
+                "dup_of": pa.array(np.where(a_corpus, a, b), pa.int64()),
+            }
+        )
+
+    cross = pairs.map_batches(_cross, batch_format="pyarrow", zero_copy_batch=True)
+    agg = cross.groupby("doc_id").aggregate(Min("dup_of", alias_name="dup_of"))
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+             "dup_of": pc.cast(t["dup_of"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )

@@ -104,11 +104,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": text_analysis.tfidf_topk,
         "source_lang_rollup": text_analysis.source_lang_rollup,
         "word_repetition": text_analysis.word_repetition,
+        "lm_familiarity": text_analysis.lm_familiarity,
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
         "stratified_sample": sampling.stratified_sample,
         "token_quantiles": sampling.token_quantiles,
+        "price_quantiles": sampling.price_quantiles,
         "sequence_pack": text_analysis.sequence_pack,
         # curation: decontamination, PII redaction, deterministic shuffle
         "decontaminate": curation.decontaminate,
@@ -143,6 +145,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temporal as-of joins (co-partitioned polars join_asof per bucket)
         "purchase_attribution": temporal.purchase_attribution,
         "purchase_followup": temporal.purchase_followup,
+        # interval (range) join: one row per (purchase, in-window view)
+        "purchase_views_window": temporal.purchase_views_window,
         # multimodal plumbing over real binary columns (actor-pool decode)
         "media_decode": multimodal.media_decode,
         "media_frame_sample": multimodal.media_frame_sample,
@@ -421,11 +425,13 @@ def oracle_sql() -> dict[str, str]:
     from marc_data_migration_ray.pipelines import curation as _curation
     from marc_data_migration_ray.pipelines import sampling as _sampling
     from marc_data_migration_ray.pipelines import text_analysis as _ta
+    from marc_data_migration_ray.pipelines import temporal as temporal_mod
 
     return {
         **_policy_sql(),
         "source_lang_rollup": _text_analysis_rollup_sql(),
         "word_repetition": _ta.word_repetition_sql(),
+        "lm_familiarity": _ta.lm_familiarity_sql(),
         # fixed-centroid cosine assignment; and the full distributed
         # k-means — the oracle UNROLLS the same Lloyd iterations as CTEs
         "embedding_assign": _clustering.embedding_assign_sql(),
@@ -436,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "source_mix_sample": _sampling.mix_sql(),
         "stratified_sample": _sampling.stratified_sql(),
         "token_quantiles": _sampling.quantiles_sql(),
+        "price_quantiles": _sampling.price_quantiles_sql(),
         # exact FNV-1a 64 in SQL: HUGEINT gives 128-bit headroom for the
         # multiply, mod 2^64 wraps, final CASE views it as signed int64;
         # texts are ASCII so ascii(char) == utf-8 byte
@@ -742,6 +749,22 @@ ORDER BY op, route, status
             "CASE WHEN vsec - psec <= 3600 THEN vsec END AS error_ts_sec, "
             "CASE WHEN vsec - psec <= 3600 THEN vsec - psec END AS lag_sec "
             "FROM f"
+        ),
+        # interval join: inner, one row per view in (psec - W, psec];
+        # integer-second comparisons on both sides, W shared with the engine
+        "purchase_views_window": (
+            "WITH p AS (SELECT event_id pid, user_id, "
+            "epoch_us(ts) // 1000000 AS psec FROM events "
+            "WHERE event_type = 'purchase'), "
+            "v AS (SELECT event_id vid, user_id, "
+            "epoch_us(ts) // 1000000 AS vsec FROM events "
+            "WHERE event_type = 'view') "
+            "SELECT pid AS purchase_id, p.user_id AS user_id, "
+            "psec AS purchase_ts_sec, vid AS view_id, vsec AS view_ts_sec, "
+            "psec - vsec AS lag_sec FROM p JOIN v "
+            "ON p.user_id = v.user_id "
+            f"AND v.vsec > p.psec - {temporal_mod.WINDOW_JOIN_SEC} "
+            "AND v.vsec <= p.psec"
         ),
         # texts are ASCII ⇒ utf-8 bytes ≡ codepoints, so the decode stage's
         # byte statistics are SQL-expressible over ascii(char)

@@ -210,6 +210,118 @@ def token_quantiles(sf_dir: str) -> "pa.Table":
                      "n_tok": pa.array(out_v, pa.int64())})
 
 
+PRICE_QUANTILES = (0.1, 0.5, 0.9, 0.99)  # shared with the SQL mirror
+_PRICE_BINS = 4096  # pass-2 histogram resolution (driver holds one int per bin)
+
+
+def price_quantiles(sf_dir: str) -> "pa.Table":
+    """(q_pct, price_cents): EXACT quantiles of a CONTINUOUS column
+    (``l_extendedprice``, as integer cents) — the companion to
+    ``token_quantiles`` for value domains far too wide for a
+    per-distinct-value histogram.
+
+    Three streaming passes over one pruned column, no sort, no
+    materialization (the classic distributed exact-selection shape —
+    bin, locate, refine):
+
+    1. min/max via ``Dataset.aggregate`` (tiny).
+    2. per-batch counts into ``_PRICE_BINS`` fixed integer bins →
+       ``groupby(bin).sum`` → driver cumulates 4096 ints and finds, for
+       each target rank ``ceil(q*N)``, the bin holding it plus the
+       remaining within-bin rank.
+    3. one filtered re-scan keeps ONLY values in candidate bins (expected
+       ~N/4096 rows per bin; pathological single-value skew just means the
+       quantile IS that value and pass 3 short-circuits for that bin when
+       lo == hi), per-batch pre-sorted partials merge on the driver.
+
+    Quantile rule (shared with the SQL mirror): smallest v with
+    cumulative count >= ceil(q*N). All comparisons on integer cents —
+    bit-exact vs DuckDB."""
+    import math
+
+    from ray.data.aggregate import Max, Min
+
+    def _read():
+        return readers.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"), columns=["l_extendedprice"]
+        )
+
+    def _cents(t: pa.Table) -> np.ndarray:
+        v = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        return np.rint(v * 100).astype(np.int64)
+
+    mm = _read().map_batches(
+        lambda t: pa.table({"c": pa.array(_cents(t))}),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).aggregate(Min("c"), Max("c"))
+    lo_v, hi_v = int(mm["min(c)"]), int(mm["max(c)"])
+    span = hi_v - lo_v + 1
+    width = max(1, -(-span // _PRICE_BINS))  # ceil; bins cover [lo_v, hi_v]
+
+    def _hist(t: pa.Table) -> pa.Table:
+        b = (_cents(t) - lo_v) // width
+        v, c = np.unique(b, return_counts=True)
+        return pa.table({"b": pa.array(v.astype(np.int64)),
+                         "c": pa.array(c.astype(np.int64))})
+
+    hist = np.zeros(_PRICE_BINS + 1, dtype=np.int64)
+    merged = _read().map_batches(
+        _hist, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("b").sum("c")
+    for batch in merged.iter_batches(batch_format="pyarrow"):
+        hist[batch["b"].to_numpy()] += batch["sum(c)"].to_numpy()
+    cum = np.cumsum(hist)
+    N = int(cum[-1])
+
+    # locate each target rank's bin + within-bin residual rank
+    targets = []  # (q, bin, rank_within_bin)
+    for q in PRICE_QUANTILES:
+        need = math.ceil(q * N)
+        b = int(np.searchsorted(cum, need, side="left"))
+        before = int(cum[b - 1]) if b > 0 else 0
+        targets.append((q, b, need - before))
+    want_bins = sorted({b for _, b, _ in targets})
+
+    # pass 3: exact values inside candidate bins only
+    def _collect(t: pa.Table) -> pa.Table:
+        c = _cents(t)
+        b = (c - lo_v) // width
+        keep = np.isin(b, want_bins)
+        return pa.table({"b": pa.array(b[keep]), "c": pa.array(c[keep])})
+
+    by_bin: dict[int, list[np.ndarray]] = {b: [] for b in want_bins}
+    cand = _read().map_batches(_collect, batch_format="pyarrow", zero_copy_batch=True)
+    for batch in cand.iter_batches(batch_format="pyarrow"):
+        bb = batch["b"].to_numpy()
+        cc = batch["c"].to_numpy()
+        for b in want_bins:
+            by_bin[b].append(cc[bb == b])
+    sorted_bins = {
+        b: np.sort(np.concatenate(v)) if v else np.array([], np.int64)
+        for b, v in by_bin.items()
+    }
+    out_q, out_v = [], []
+    for q, b, r in targets:
+        out_q.append(int(round(q * 100)))
+        out_v.append(int(sorted_bins[b][r - 1]))
+    return pa.table({"q_pct": pa.array(out_q, pa.int64()),
+                     "price_cents": pa.array(out_v, pa.int64())})
+
+
+def price_quantiles_sql() -> str:
+    qs = ", ".join(f"({int(round(q * 100))})" for q in PRICE_QUANTILES)
+    return (
+        "WITH t AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v "
+        "FROM lineitem), "
+        "c AS (SELECT v, count(*) AS n FROM t GROUP BY v), "
+        "cum AS (SELECT v, sum(n) OVER (ORDER BY v) AS cn, "
+        "(SELECT count(*) FROM t) AS N FROM c), "
+        f"q(q_pct) AS (VALUES {qs}) "
+        "SELECT q_pct, CAST(min(v) AS BIGINT) AS price_cents FROM cum, q "
+        "WHERE cn >= ceil(q_pct * N / 100.0) GROUP BY q_pct"
+    )
+
+
 def quantiles_sql() -> str:
     qs = ", ".join(f"({int(round(q * 100))})" for q in QUANTILES)
     return (

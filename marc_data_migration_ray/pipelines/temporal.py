@@ -144,6 +144,84 @@ def purchase_attribution(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+WINDOW_JOIN_SEC = 1800  # attribution window (shared with the SQL oracle)
+
+
+def purchase_views_window(sf_dir: str) -> ray.data.Dataset:
+    """Interval (range) join: each ``purchase`` joined to ALL of the same
+    user's ``view`` events within the preceding ``WINDOW_JOIN_SEC``
+    (``view_ts_sec`` in ``(purchase_ts_sec - W, purchase_ts_sec]``) —
+    the one-to-MANY sibling of the as-of join (multi-touch attribution,
+    where as-of is last-touch).
+
+    Ray Data has no range join; the recast is the same co-partitioning as
+    ``purchase_attribution`` — hash both sides on ``user_id`` into coarse
+    buckets, shuffle once — but the per-bucket kernel is a packed-key
+    ``np.searchsorted`` range expansion instead of ``join_asof``: sort the
+    view side once by (user, ts), pack ``(user_id << 32) | ts_sec`` into
+    one sortable uint64 (bounds asserted: user_id < 2^32, ts_sec < 2^32 —
+    i.e. timestamps before 2106; at larger key domains pack to uint128 via
+    two lexsorted arrays), locate each purchase's ``[lo, hi)`` view range
+    with two vectorized searchsorted calls, and expand with
+    ``np.repeat`` + cumsum arithmetic. No per-row Python, no all-pairs
+    blowup: output size is exactly the number of matches.
+
+    Scale note (100 TB): both sides move exactly once (one shuffle keyed
+    on user); per-bucket work is O(n log n) sort + O(matches) expansion.
+    Output cardinality is data-dependent (a user who views constantly
+    before every purchase multiplies rows) — the window bound W is the
+    explicit knob that caps it.
+
+    Columns: (purchase_id, user_id, purchase_ts_sec, view_id,
+    view_ts_sec, lag_sec), one row per (purchase, in-window view),
+    lag_sec in [0, W).
+    """
+    import numpy as np
+
+    ds = _bucketed(_typed_events(sf_dir, ("purchase", "view")))
+
+    def _range_join(g: pa.Table) -> pa.Table:
+        typ = g["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        ids = g["event_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        users = g["user_id"].combine_chunks().to_numpy(zero_copy_only=False)
+        sec = (
+            g["ts"].combine_chunks().cast(pa.int64()).to_numpy() // 1_000_000
+        )
+        assert users.max(initial=0) < (1 << 32) and sec.max(initial=0) < (1 << 32)
+
+        def _side(mask):
+            u, t, i = users[mask], sec[mask], ids[mask]
+            order = np.lexsort((i, t, u))
+            return u[order], t[order], i[order]
+
+        pu, pt, pid = _side(typ == "purchase")
+        vu, vt, vid = _side(typ == "view")
+        vkey = (vu.astype(np.uint64) << np.uint64(32)) | vt.astype(np.uint64)
+        base = pu.astype(np.uint64) << np.uint64(32)
+        lo = np.searchsorted(
+            vkey, base | (pt - WINDOW_JOIN_SEC + 1).astype(np.uint64), side="left"
+        )
+        hi = np.searchsorted(vkey, base | pt.astype(np.uint64), side="right")
+        counts = hi - lo
+        out_p = np.repeat(np.arange(len(pu)), counts)
+        starts = np.repeat(lo, counts)
+        ends = np.cumsum(counts)
+        offset = np.arange(int(counts.sum())) - np.repeat(ends - counts, counts)
+        vidx = starts + offset
+        return pa.table(
+            {
+                "purchase_id": pa.array(pid[out_p], pa.int64()),
+                "user_id": pa.array(pu[out_p], pa.int64()),
+                "purchase_ts_sec": pa.array(pt[out_p], pa.int64()),
+                "view_id": pa.array(vid[vidx], pa.int64()),
+                "view_ts_sec": pa.array(vt[vidx], pa.int64()),
+                "lag_sec": pa.array(pt[out_p] - vt[vidx], pa.int64()),
+            }
+        )
+
+    return ds.groupby("bucket").map_groups(_range_join, batch_format="pyarrow")
+
+
 def purchase_followup(sf_dir: str) -> ray.data.Dataset:
     """Forward as-of join with a window: each ``purchase`` joined to the
     same user's FIRST ``error`` event after it, kept only when the lag is

@@ -520,3 +520,123 @@ def word_repetition_sql() -> str:
         "AS dup_word_occurrences "
         "FROM wc GROUP BY doc_id ORDER BY doc_id"
     )
+
+
+LM_TOP_BIGRAMS = 256  # corpus-LM model size (shared with the SQL mirror)
+
+
+def _batch_bigram_frame(t: pa.Table):
+    """polars frame of (doc_id, bigram) occurrences — explode words, pair
+    each with its successor WITHIN the doc via ``shift(-1).over(doc_id)``
+    (explode preserves row order, so the window sees words in document
+    order). Fully vectorized; raw text never leaves the batch."""
+    import polars as pl
+
+    df = pl.from_arrow(t.select(["doc_id", "text"]))
+    return (
+        df.select("doc_id", pl.col("text").str.extract_all(r"\S+").alias("w"))
+        .explode("w")
+        .drop_nulls("w")
+        .with_columns(nx=pl.col("w").shift(-1).over("doc_id"))
+        .drop_nulls("nx")
+        .select("doc_id", (pl.col("w") + " " + pl.col("nx")).alias("bigram"))
+    )
+
+
+def lm_familiarity(sf_dir: str, m: int = LM_TOP_BIGRAMS) -> ray.data.Dataset:
+    """(doc_id, n_bigrams, n_hits, familiarity): corpus-LM quality score —
+    the fraction of each document's bigram occurrences that land in the
+    corpus's exact top-``m`` bigram list. A document full of common
+    constructions scores high; boilerplate-free or garbled text scores
+    low — the shape of n-gram-LM quality filtering (cf. CCNet/Gopher
+    perplexity filters), made hash-exact by scoring with integer hit
+    counts and ONE final division instead of a log-likelihood sum (float
+    summation order would differ across engines; a single int/int
+    division cannot).
+
+    Two passes, both streaming:
+    1. model build = distributed wordcount over bigrams (per-batch partial
+       counts, one ``groupby(bigram).sum``, per-block top-m, tiny driver
+       merge; ties n desc then bigram asc — the SQL ROW_NUMBER order).
+    2. scoring = stateless ``map_batches``; the m-bigram model rides the
+       closure (≤ a few KB; at model sizes that matter use ``ray.put`` +
+       per-actor ``ray.get`` like ``tpch.nation_revenue``).
+    """
+    import polars as pl
+
+    partials = _docs(sf_dir).map_batches(
+        lambda t: _batch_bigram_frame(t)
+        .group_by("bigram")
+        .len(name="n")
+        .to_arrow()
+        .cast(pa.schema([("bigram", pa.string()), ("n", pa.int64())])),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    totals = partials.groupby("bigram").sum("n")
+
+    def _local_topm(t: pa.Table) -> pa.Table:
+        t = pa.table({"bigram": t["bigram"], "n": pc.cast(t["sum(n)"], pa.int64())})
+        return t.sort_by([("n", "descending"), ("bigram", "ascending")]).slice(0, m)
+
+    best: list[tuple[str, int]] = []
+    for b in totals.map_batches(_local_topm, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        best.extend(zip(b["bigram"].to_pylist(), b["n"].to_pylist()))
+    best.sort(key=lambda x: (-x[1], x[0]))
+    model = set(bg for bg, _ in best[:m])
+
+    def _score(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id"]))
+        per = (
+            _batch_bigram_frame(t)
+            .with_columns(hit=pl.col("bigram").is_in(list(model)))
+            .group_by("doc_id")
+            .agg(n_bigrams=pl.len(), n_hits=pl.col("hit").sum())
+        )
+        out = (
+            df.join(per, on="doc_id", how="left")
+            .with_columns(
+                pl.col("n_bigrams").fill_null(0).cast(pl.Int64),
+                pl.col("n_hits").fill_null(0).cast(pl.Int64),
+            )
+            .with_columns(
+                familiarity=pl.when(pl.col("n_bigrams") == 0)
+                .then(pl.lit(0.0))
+                .otherwise(pl.col("n_hits") / pl.col("n_bigrams"))
+            )
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "n_bigrams": pc.cast(a["n_bigrams"], pa.int64()),
+                "n_hits": pc.cast(a["n_hits"], pa.int64()),
+                "familiarity": pc.cast(a["familiarity"], pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def lm_familiarity_sql(m: int = LM_TOP_BIGRAMS) -> str:
+    return (
+        r"WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') ws "
+        "FROM documents), "
+        "bg AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] "
+        "for i in range(1, len(ws))]) AS b FROM w), "
+        "cnt AS (SELECT b, count(*) AS n FROM bg GROUP BY b), "
+        "top AS (SELECT b FROM (SELECT b, row_number() OVER "
+        f"(ORDER BY n DESC, b) AS rn FROM cnt) WHERE rn <= {m}), "
+        "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "CAST(sum(CASE WHEN b IN (SELECT b FROM top) THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_hits FROM bg GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(n_bigrams, 0) AS n_bigrams, "
+        "coalesce(n_hits, 0) AS n_hits, "
+        "CASE WHEN coalesce(n_bigrams, 0) = 0 THEN 0.0 "
+        "ELSE CAST(n_hits AS DOUBLE) / n_bigrams END AS familiarity "
+        "FROM documents d LEFT JOIN per USING (doc_id)"
+    )

@@ -86,3 +86,41 @@ def test_followup_window_boundary(ray_session, edge_dir):
     assert out[50]["lag_sec"] == 3600
     assert out[60]["error_id"] is None  # nearest forward error at 4000s
     assert out[20]["error_id"] is None  # user 1 never errors
+
+
+@pytest.fixture(scope="module")
+def window_dir(tmp_path_factory):
+    """Interval-join boundary fixture: views at exactly -W (excluded),
+    -W+1 (included), 0 (included), +1 (excluded, after purchase)."""
+    d = str(tmp_path_factory.mktemp("ivjoin"))
+    W = temporal.WINDOW_JOIN_SEC
+    _write_events(
+        d,
+        [
+            # user 1: one purchase at t=W, four views straddling the window
+            (10, 0, 1, "view"),          # lag == W -> excluded (open bound)
+            (11, 1, 1, "view"),          # lag == W-1 -> included
+            (12, W, 1, "view"),          # lag == 0 (same second) -> included
+            (13, W + 1, 1, "view"),      # after the purchase -> excluded
+            (20, W, 1, "purchase"),
+            # user 1: a SECOND purchase later; view 13 is in ITS window
+            (21, W + 100, 1, "purchase"),
+            # user 2: purchase with no views at all -> no rows (inner join)
+            (30, 50, 2, "purchase"),
+            # user 3: view-only user -> no rows
+            (40, 50, 3, "view"),
+        ],
+    )
+    return d
+
+
+def test_interval_join_window_bounds_and_multiplicity(ray_session, window_dir):
+    W = temporal.WINDOW_JOIN_SEC
+    rows = temporal.purchase_views_window(window_dir).take_all()
+    got = sorted((r["purchase_id"], r["view_id"], r["lag_sec"]) for r in rows)
+    assert got == [
+        (20, 11, W - 1),   # -W excluded (open bound), -(W-1) included
+        (20, 12, 0),       # same-second view included (closed bound)
+        (21, 12, 100),     # earlier view reused by the later purchase
+        (21, 13, 99),      # view after purchase 20 but inside 21's window
+    ]

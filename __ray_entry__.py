@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_join": tpch.customer_order_join,
         "urgent_lineitem_flags": joins.urgent_lineitem_flags,
         "customers_without_urgent_orders": joins.customers_without_urgent_orders,
+        "priority_revenue_salted": joins.priority_revenue_salted,
         "parts_by_brand": tpch.parts_by_brand,
         "supplier_balance": tpch.supplier_balance,
         # text analysis (training-data ops)
@@ -140,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_users": events.event_type_users,
         "event_type_users_sketch": lambda sf: events.event_type_users_sketch(sf),
         "sliding_window_value": events.sliding_window_value,
+        "user_value_moving_avg": events.user_value_moving_avg,
         "top_orders_per_customer": events.top_orders_per_customer,
         "key_diff_report": events.key_diff_report,
         # temporal as-of joins (co-partitioned polars join_asof per bucket)
@@ -426,6 +428,7 @@ def oracle_sql() -> dict[str, str]:
     from marc_data_migration_ray.pipelines import sampling as _sampling
     from marc_data_migration_ray.pipelines import text_analysis as _ta
     from marc_data_migration_ray.pipelines import temporal as temporal_mod
+    from marc_data_migration_ray.pipelines import events as _events_mod
 
     return {
         **_policy_sql(),
@@ -593,6 +596,7 @@ ORDER BY op, route, status
         ),
         "urgent_lineitem_flags": _joins.urgent_lineitem_flags_sql(),
         "customers_without_urgent_orders": _joins.customers_without_urgent_orders_sql(),
+        "priority_revenue_salted": _joins.priority_revenue_salted_sql(),
         "token_count": (
             "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
             "AS n_tokens FROM documents"
@@ -708,6 +712,9 @@ ORDER BY op, route, status
             "CAST(count(*) AS BIGINT) AS n_events "
             "FROM a GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        # per-key ROWS-frame rolling window (engine: bucket shuffle + one
+        # polars rolling_sum per bucket); mean = one int/int division
+        "user_value_moving_avg": _events_mod.user_value_moving_avg_sql(),
         "top_orders_per_customer": (
             "SELECT o_custkey, CAST(rn AS BIGINT) AS rnk, o_orderkey FROM ("
             "SELECT o_custkey, o_orderkey, row_number() OVER ("

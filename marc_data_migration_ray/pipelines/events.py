@@ -126,6 +126,113 @@ def session_count(sf_dir: str) -> ray.data.Dataset:
     return bucketed.groupby("bucket").map_groups(_sessions_bucket, batch_format="pyarrow")
 
 
+ROLLING_WINDOW = 3  # events per rolling window (shared with the SQL oracle)
+
+
+def user_value_moving_avg(sf_dir: str) -> ray.data.Dataset:
+    """Per-key ROLLING window aggregate: for every event, the sum / count /
+    mean of the same user's last ``ROLLING_WINDOW`` event values (ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW) — the row-frame window function
+    Ray Data lacks, same co-partitioning as ``session_count``: one shuffle
+    into coarse user buckets, then ONE vectorized polars pass per bucket
+    (``rolling_sum(...).over(user_id)``), no per-user Python.
+
+    Determinism: ordering is (user, ts_sec, event_id) — truncated SECONDS,
+    the exact ORDER BY the SQL mirror uses (ordering by full-µs ts would
+    diverge from the oracle when two events share a second). Values are
+    integer cents; the mean is ONE int/int division per row, so the float
+    column is bit-identical to DuckDB's.
+
+    Columns: (event_id, user_id, ts_sec, window_n, window_sum_cents,
+    moving_avg_cents)."""
+    import polars as pl
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        # project to (ids, truncated seconds, half-away cents) BEFORE the
+        # shuffle — the established oracle-matching rounding rule, and the
+        # raw ts/value columns never pay the exchange
+        b = pc.cast(
+            pc.subtract(
+                t["user_id"],
+                pc.multiply(pc.divide(t["user_id"], SESSION_BUCKETS), SESSION_BUCKETS),
+            ),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "ts_sec": pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000),
+                "cents": pc.cast(
+                    pc.round(
+                        pc.multiply(t["value"], 100.0),
+                        round_mode="half_towards_infinity",
+                    ),
+                    pa.int64(),
+                ),
+                "bucket": b,
+            }
+        )
+
+    def _roll(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["bucket"]))
+        out = (
+            df.sort(["user_id", "ts_sec", "event_id"])
+            .with_columns(
+                window_sum_cents=pl.col("cents")
+                .rolling_sum(window_size=ROLLING_WINDOW, min_samples=1)
+                .over("user_id"),
+                window_n=pl.min_horizontal(
+                    pl.int_range(pl.len()).over("user_id") + 1,
+                    pl.lit(ROLLING_WINDOW),
+                ),
+            )
+            .with_columns(
+                moving_avg_cents=pl.col("window_sum_cents") / pl.col("window_n")
+            )
+            .select(
+                "event_id", "user_id", "ts_sec", "window_n",
+                "window_sum_cents", "moving_avg_cents",
+            )
+        )
+        t = out.to_arrow()
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_sec": pc.cast(t["ts_sec"], pa.int64()),
+                "window_n": pc.cast(t["window_n"], pa.int64()),
+                "window_sum_cents": pc.cast(t["window_sum_cents"], pa.int64()),
+                "moving_avg_cents": pc.cast(t["moving_avg_cents"], pa.float64()),
+            }
+        )
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("bucket").map_groups(_roll, batch_format="pyarrow")
+
+
+def user_value_moving_avg_sql() -> str:
+    frame = (
+        "PARTITION BY user_id ORDER BY ts_sec, event_id "
+        f"ROWS BETWEEN {ROLLING_WINDOW - 1} PRECEDING AND CURRENT ROW"
+    )
+    return (
+        "WITH e AS (SELECT event_id, user_id, "
+        "epoch_us(ts) // 1000000 AS ts_sec, "
+        "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+        "w AS (SELECT event_id, user_id, ts_sec, "
+        f"SUM(cents) OVER ({frame}) AS window_sum_cents, "
+        f"COUNT(*) OVER ({frame}) AS window_n FROM e) "
+        "SELECT event_id, user_id, ts_sec, "
+        "CAST(window_n AS BIGINT) AS window_n, "
+        "CAST(window_sum_cents AS BIGINT) AS window_sum_cents, "
+        "CAST(window_sum_cents AS DOUBLE) / window_n AS moving_avg_cents "
+        "FROM w"
+    )
+
+
 def event_type_users(sf_dir: str) -> pa.Table:
     """Distinct users + event counts per type: (event_type, n_users, n_events).
 

@@ -258,6 +258,116 @@ def customers_without_urgent_orders(sf_dir: str) -> "ray.data.Dataset":
     return definite.union(fp_tail).sort("c_custkey")
 
 
+JOIN_SALTS = 4  # default sub-partitions per hot key (keep small; see NOTES)
+
+
+def salted_inner_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    left_key: str,
+    right_key: str,
+    num_salts: int = JOIN_SALTS,
+    num_partitions: int = JOIN_PARTITIONS,
+) -> "ray.data.Dataset":
+    """Skew-salted inner equi-join: the hot-key mitigation for
+    ``Dataset.join`` (north-star "salted sub-partitions", applied to joins
+    the way ``stages/fold.py`` applies it to the LWW fold).
+
+    A native hash join sends EVERY row of a pathological key to one
+    partition — one task's memory holds the key's whole payload. Salting
+    splits it: each LEFT row gets a salt in ``[0, S)`` (round-robin within
+    the batch — correctness needs no particular assignment, only that each
+    left row carries exactly one salt), the RIGHT side is replicated S×
+    (one copy per salt), and the join runs on ``(key, salt)`` — so a hot
+    key's left rows land in S different partitions, each joining against
+    its own copy of the key's right rows.
+
+    Cost model (when to use): right side pays S× shuffle volume; the hot
+    key's per-task payload drops to ~1/S. Worth it when the LEFT side is
+    skewed and the RIGHT side is the small/bounded one (dimension tables,
+    per-key metadata); useless for balanced keys — hence opt-in, not the
+    ``Dataset.join`` default.
+    """
+
+    def _salt_left(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__salt", pa.array(np.arange(t.num_rows, dtype=np.int64) % num_salts)
+        )
+
+    def _replicate_right(t: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            t.append_column(
+                "__salt", pa.array(np.full(t.num_rows, s, dtype=np.int64))
+            )
+            for s in range(num_salts)
+        )
+
+    lsalted = left.map_batches(_salt_left, batch_format="pyarrow", zero_copy_batch=True)
+    rsalted = right.map_batches(
+        _replicate_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = lsalted.join(
+        rsalted,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(left_key, "__salt"),
+        right_on=(right_key, "__salt"),
+    )
+    return joined.drop_columns(["__salt"])
+
+
+def priority_revenue_salted(sf_dir: str) -> pa.Table:
+    """(o_orderpriority, n_items, revenue_cents): lineitem ⋈ orders through
+    the skew-salted join, aggregated per priority.
+
+    Exercises ``salted_inner_join`` end-to-end against a SQL oracle: the
+    salt must not duplicate or drop a single row or the integer revenue
+    sums diverge. The final aggregate is bounded (5 priorities) — partial
+    per batch, tiny driver merge."""
+    items = readers.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice"],
+    )
+    orders = readers.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderpriority"],
+    )
+    joined = salted_inner_join(items, orders, "l_orderkey", "o_orderkey")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "cents": _cents(t["l_extendedprice"]),
+            }
+        )
+        return g.group_by("o_orderpriority").aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+
+    partials = joined.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    final = tbl.group_by("o_orderpriority").aggregate(
+        [("cents_sum", "sum"), ("cents_count", "sum")]
+    )
+    return pa.table(
+        {
+            "o_orderpriority": final["o_orderpriority"],
+            "n_items": pc.cast(final["cents_count_sum"], pa.int64()),
+            "revenue_cents": pc.cast(final["cents_sum_sum"], pa.int64()),
+        }
+    ).sort_by([("o_orderpriority", "ascending")])
+
+
+def priority_revenue_salted_sql() -> str:
+    return (
+        "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    )
+
+
 def customers_without_urgent_orders_sql() -> str:
     return (
         "SELECT c_custkey, c_name, "

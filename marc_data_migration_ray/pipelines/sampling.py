@@ -230,9 +230,9 @@ def price_quantiles(sf_dir: str) -> "pa.Table":
        each target rank ``ceil(q*N)``, the bin holding it plus the
        remaining within-bin rank.
     3. one filtered re-scan keeps ONLY values in candidate bins (expected
-       ~N/4096 rows per bin; pathological single-value skew just means the
-       quantile IS that value and pass 3 short-circuits for that bin when
-       lo == hi), per-batch pre-sorted partials merge on the driver.
+       ~N/4096 rows per bin), merged on the driver. When the whole domain
+       spans ≤ 4096 distinct cents (bin width 1 — constant/narrow columns),
+       the histogram is exact and pass 3 is skipped entirely.
 
     Quantile rule (shared with the SQL mirror): smallest v with
     cumulative count >= ceil(q*N). All comparisons on integer cents —
@@ -280,6 +280,21 @@ def price_quantiles(sf_dir: str) -> "pa.Table":
         b = int(np.searchsorted(cum, need, side="left"))
         before = int(cum[b - 1]) if b > 0 else 0
         targets.append((q, b, need - before))
+
+    if width == 1:
+        # every bin holds exactly one cent value (narrow/constant domain —
+        # the single-value-skew case): the histogram IS the answer, skip
+        # pass 3 entirely
+        return pa.table(
+            {
+                "q_pct": pa.array(
+                    [int(round(q * 100)) for q, _, _ in targets], pa.int64()
+                ),
+                "price_cents": pa.array(
+                    [lo_v + b for _, b, _ in targets], pa.int64()
+                ),
+            }
+        )
     want_bins = sorted({b for _, b, _ in targets})
 
     # pass 3: exact values inside candidate bins only

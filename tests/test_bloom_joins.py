@@ -100,3 +100,42 @@ def test_bloom_prefilter_prunes_probe_side(ray_session):
     assert kept < total                  # and it actually pruned
     # prune factor should be roughly the urgent-order share (~20%), not ~100%
     assert kept / total < 0.5, (kept, total)
+
+
+def test_salted_join_matches_unsalted_under_skew(ray_session):
+    """One hot key holding 50% of the left side: the salted join must
+    produce exactly the multiset of the plain inner join (no dup/drop at
+    salt boundaries), including multi-row right sides (row multiplication
+    across every salt)."""
+    import numpy as np
+    import pyarrow as pa
+    import polars as pl
+    import ray.data
+
+    from marc_data_migration_ray.pipelines.joins import salted_inner_join
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    hot = np.full(n // 2, 42, dtype=np.int64)
+    cold = rng.integers(0, 500, n // 2)
+    lkey = np.concatenate([hot, cold])
+    left = pa.table({"k": pa.array(lkey), "lv": pa.array(np.arange(n, dtype=np.int64))})
+    # right: every key 0..499 once, key 42 has THREE rows (1:N fan-out)
+    rk = np.concatenate([np.arange(500, dtype=np.int64), [42, 42]])
+    right = pa.table({"rk": pa.array(rk), "rv": pa.array(rk * 10)})
+
+    got = salted_inner_join(
+        ray.data.from_arrow(left).repartition(8),
+        ray.data.from_arrow(right).repartition(4),
+        "k", "rk", num_salts=4,
+    ).take_all()
+    want = (
+        pl.from_arrow(left)
+        .join(pl.from_arrow(right), left_on="k", right_on="rk", how="inner")
+        .to_dicts()
+    )
+    got_s = sorted(((r["k"], r["lv"], r["rv"]) for r in got))
+    want_s = sorted(((r["k"], r["lv"], r["rv"]) for r in want))
+    assert got_s == want_s
+    # the hot key's 1:3 fan-out must survive salting exactly
+    assert sum(1 for r in got_s if r[0] == 42) == int((lkey == 42).sum()) * 3

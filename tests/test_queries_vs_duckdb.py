@@ -217,3 +217,46 @@ def test_cdc_lww_state_layout_path_matches_shuffle(ray_session):
     assert len(a) == len(b)
     for x, y in zip(a, b):
         assert dict(x) == dict(y), (x, y)
+
+
+def test_price_quantiles_constant_column_short_circuit(ray_session, tmp_path):
+    """All-equal prices: bin width collapses to 1, the histogram is exact,
+    and every quantile is that single value (pass 3 never runs — the
+    pathological case must not funnel the whole column to the driver)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import sampling
+
+    n = 5000
+    pq.write_table(
+        pa.table({"l_extendedprice": pa.array([19.99] * n, pa.float64())}),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    rows = sampling.price_quantiles(str(tmp_path)).to_pylist()
+    assert {r["price_cents"] for r in rows} == {1999}
+    assert [r["q_pct"] for r in rows] == [10, 50, 90, 99]
+
+
+def test_lm_familiarity_short_and_empty_docs(ray_session, tmp_path):
+    """Docs with < 2 words have no bigrams: n_bigrams=0, familiarity=0.0
+    (not null, not NaN); a doc made entirely of the corpus's top bigram
+    scores 1.0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import text_analysis
+
+    docs = ["", "single", "a b a b a b a b", "z q"]
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(docs, pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {r["doc_id"]: r for r in
+            text_analysis.lm_familiarity(str(tmp_path), m=2).take_all()}
+    assert rows[0]["n_bigrams"] == 0 and rows[0]["familiarity"] == 0.0
+    assert rows[1]["n_bigrams"] == 0 and rows[1]["familiarity"] == 0.0
+    # top-2 bigrams are 'a b' (4x) and 'b a' (3x); doc 2 is all hits
+    assert rows[2]["familiarity"] == 1.0
+    assert rows[3]["n_bigrams"] == 1 and rows[3]["n_hits"] == 0

@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": sampling.stratified_sample,
         "token_quantiles": sampling.token_quantiles,
         "price_quantiles": sampling.price_quantiles,
+        "token_quantiles_by_source": sampling.token_quantiles_by_source,
+        "token_length_percentile": sampling.token_length_percentile,
         "sequence_pack": text_analysis.sequence_pack,
         # curation: decontamination, PII redaction, deterministic shuffle
         "decontaminate": curation.decontaminate,
@@ -446,6 +448,8 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _sampling.stratified_sql(),
         "token_quantiles": _sampling.quantiles_sql(),
         "price_quantiles": _sampling.price_quantiles_sql(),
+        "token_quantiles_by_source": _sampling.token_quantiles_by_source_sql(),
+        "token_length_percentile": _sampling.token_length_percentile_sql(),
         # exact FNV-1a 64 in SQL: HUGEINT gives 128-bit headroom for the
         # multiply, mod 2^64 wraps, final CASE views it as signed int64;
         # texts are ASCII so ascii(char) == utf-8 byte

@@ -349,3 +349,139 @@ def quantiles_sql() -> str:
         "SELECT q_pct, CAST(min(v) AS BIGINT) AS n_tok FROM cum, q "
         "WHERE cn >= ceil(q_pct * N / 100.0) GROUP BY q_pct"
     )
+
+
+def token_quantiles_by_source(sf_dir: str) -> ray.data.Dataset:
+    """(source, q_pct, n_tok): per-GROUP exact token-length quantiles —
+    ``token_quantiles`` generalized to grouped quantiles without any
+    per-group driver work.
+
+    Shape: per-batch (source, n_tok → count) histogram partials →
+    ONE ``groupby(source, v).sum`` (tiny: sources × distinct lengths) →
+    per-source finish inside ``groupby(source).map_groups`` with a
+    vectorized cumsum + searchsorted (each group is a few hundred ints).
+    Same rank rule as the global op: smallest v with cum >= ceil(q*N)."""
+    import polars as pl
+
+    from marc_data_migration_ray.functions.text import token_counts
+
+    def _hist(t: pa.Table) -> pa.Table:
+        counts = token_counts(t["text"])
+        df = pl.DataFrame(
+            {
+                "source": pl.Series(t["source"].to_pylist()),
+                "v": pl.Series(
+                    (counts.combine_chunks()
+                     if isinstance(counts, pa.ChunkedArray) else counts)
+                    .to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+        out = df.group_by(["source", "v"]).len(name="c").to_arrow()
+        return pa.table({"source": pc.cast(out["source"], pa.string()),
+                         "v": pc.cast(out["v"], pa.int64()),
+                         "c": pc.cast(out["c"], pa.int64())})
+
+    merged = (
+        _docs(sf_dir, ("text", "source"))
+        .map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["source", "v"])
+        .sum("c")
+    )
+
+    def _finish(g: pa.Table) -> pa.Table:
+        import math
+
+        v = g["v"].to_numpy(zero_copy_only=False)
+        c = g["sum(c)"].to_numpy(zero_copy_only=False)
+        order = np.argsort(v)
+        v, c = v[order], c[order]
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        qs, out = [], []
+        for q in QUANTILES:
+            need = math.ceil(q * n)
+            qs.append(int(round(q * 100)))
+            out.append(int(v[np.searchsorted(cum, need, side="left")]))
+        src = g["source"][0].as_py()
+        return pa.table({"source": pa.array([src] * len(qs), pa.string()),
+                         "q_pct": pa.array(qs, pa.int64()),
+                         "n_tok": pa.array(out, pa.int64())})
+
+    return merged.groupby("source").map_groups(_finish, batch_format="pyarrow")
+
+
+def token_quantiles_by_source_sql() -> str:
+    qs = ", ".join(f"({int(round(q * 100))})" for q in QUANTILES)
+    return (
+        "WITH t AS (SELECT source, "
+        "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS v "
+        "FROM documents), "
+        "c AS (SELECT source, v, count(*) AS n FROM t GROUP BY source, v), "
+        "cum AS (SELECT source, v, "
+        "sum(n) OVER (PARTITION BY source ORDER BY v) AS cn, "
+        "sum(n) OVER (PARTITION BY source) AS N FROM c), "
+        f"q(q_pct) AS (VALUES {qs}) "
+        "SELECT source, q_pct, CAST(min(v) AS BIGINT) AS n_tok "
+        "FROM cum, q WHERE cn >= ceil(q_pct * N / 100.0) "
+        "GROUP BY source, q_pct"
+    )
+
+
+def token_length_percentile(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_tok, pct_rank): CDF transform — each document's
+    token-length percentile rank, ``count(rows with v' <= v) / N``
+    (SQL ``cume_dist``). The length-filtering knob expressed as a rank
+    so thresholds transfer across corpora.
+
+    Shape: the distributed value histogram (distinct token lengths —
+    tiny) collapses to a sorted (values, cumcounts) pair broadcast in the
+    scoring closure; the second pass is stateless ``map_batches`` with a
+    vectorized searchsorted lookup and ONE int/int division per row
+    (bit-stable vs the oracle's cume_dist)."""
+    from marc_data_migration_ray.functions.text import token_counts
+
+    def _vals(t: pa.Table) -> np.ndarray:
+        counts = token_counts(t["text"])
+        a = counts.combine_chunks() if isinstance(counts, pa.ChunkedArray) else counts
+        return a.to_numpy(zero_copy_only=False).astype(np.int64)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        v, c = np.unique(_vals(t), return_counts=True)
+        return pa.table({"v": pa.array(v), "c": pa.array(c.astype(np.int64))})
+
+    hist: dict[int, int] = {}
+    merged = _docs(sf_dir, ("text",)).map_batches(
+        _hist, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("v").sum("c")
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for v, c in zip(b["v"].to_pylist(), b["sum(c)"].to_pylist()):
+            hist[v] = hist.get(v, 0) + c
+    values = np.array(sorted(hist), dtype=np.int64)
+    cum = np.cumsum(np.array([hist[v] for v in values], dtype=np.int64))
+    n_total = int(cum[-1]) if len(cum) else 0
+
+    def _score(t: pa.Table) -> pa.Table:
+        v = _vals(t)
+        le = cum[np.searchsorted(values, v, side="left")]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pa.array(v),
+                "pct_rank": pa.array(le / n_total, pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def token_length_percentile_sql() -> str:
+    return (
+        "SELECT doc_id, "
+        "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tok, "
+        "cume_dist() OVER (ORDER BY "
+        "length(regexp_extract_all(text, '\\S+'))) AS pct_rank "
+        "FROM documents"
+    )

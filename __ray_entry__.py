@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding clustering (SemDeDup-style curation building blocks)
         "embedding_assign": lambda sf: clustering.embedding_assign(sf),
         "semantic_clusters": lambda sf: clustering.semantic_clusters(sf),
+        "label_similarity": clustering.label_similarity,
         # similarity search
         "ann_topk": lambda sf: similarity.ann_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
@@ -151,6 +152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "purchase_followup": temporal.purchase_followup,
         # interval (range) join: one row per (purchase, in-window view)
         "purchase_views_window": temporal.purchase_views_window,
+        # sequential-pattern funnel (signup -> view -> purchase)
+        "funnel_conversion": temporal.funnel_conversion,
         # multimodal plumbing over real binary columns (actor-pool decode)
         "media_decode": multimodal.media_decode,
         "media_frame_sample": multimodal.media_frame_sample,
@@ -441,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
         # k-means — the oracle UNROLLS the same Lloyd iterations as CTEs
         "embedding_assign": _clustering.embedding_assign_sql(),
         "semantic_clusters": _clustering.semantic_clusters_sql(),
+        "label_similarity": _clustering.label_similarity_sql(),
         # integer-threshold multiplicative-hash mirrors, built from the
         # same constants the kernels use
         "dataset_split": _sampling.split_sql(),
@@ -761,6 +765,8 @@ ORDER BY op, route, status
             "CASE WHEN vsec - psec <= 3600 THEN vsec - psec END AS lag_sec "
             "FROM f"
         ),
+        # funnel: per-user min-timestamp stage chaining, exact epoch-µs ints
+        "funnel_conversion": temporal_mod.funnel_conversion_sql(),
         # interval join: inner, one row per view in (psec - W, psec];
         # integer-second comparisons on both sides, W shared with the engine
         "purchase_views_window": (

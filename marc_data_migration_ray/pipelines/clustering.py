@@ -263,3 +263,101 @@ def semantic_clusters_sql(k: int = 8, iters: int = 3) -> str:
         "SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_vectors\n"
         "FROM afinal GROUP BY cluster_id"
     )
+
+
+LABEL_QUANT = 1_000_000  # fixed-point scale for order-free integer sums
+EMB_DIM = 64             # embeddings table vector width (TESTDATA.md)
+
+
+def label_similarity(sf_dir: str) -> pa.Table:
+    """(label_a, label_b, cosine): pairwise cosine similarity between the
+    per-label CENTROIDS of the embedding table — the "domain similarity
+    matrix" used to pick mixing weights / spot near-duplicate sources.
+
+    Float sums are summation-order-dependent, so a naive mean-vector
+    pipeline can never hash-match an oracle. The trick: quantize each
+    component to fixed-point ints (``round(e * 1e6)``) FIRST — integer
+    sums are exact and order-free — and exploit cosine's scale invariance
+    (cos(mean_a, mean_b) == cos(sum_a, sum_b)) so no division happens
+    until the final scalar expression, which both engines evaluate
+    identically: ``CAST(dot AS DOUBLE) / sqrt(CAST(aa*bb AS DOUBLE))``.
+
+    Scale shape: per-batch ``np.add.at`` partial sum-vectors per label →
+    one ``groupby(label, pos).sum`` over labels×64 ints → the k×k pair
+    loop runs on the driver over k vectors (k = #labels, tiny by
+    definition of the op). Python bigints make dot/aa/bb exact at any
+    magnitude."""
+    import math
+
+    from marc_data_migration_ray.functions.vectors import emb_matrix
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["label", "embedding"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = emb_matrix(t["embedding"]) * LABEL_QUANT
+        # half-AWAY-from-zero, matching SQL round() (np.rint is half-to-even)
+        q = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
+        labels = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(uniq), q.shape[1]), np.int64)
+        np.add.at(sums, inv, q)
+        k, d = sums.shape
+        return pa.table(
+            {
+                "label": pa.array(np.repeat(uniq, d), pa.int64()),
+                "pos": pa.array(np.tile(np.arange(d, dtype=np.int64), k)),
+                "s": pa.array(sums.reshape(-1)),
+            }
+        )
+
+    merged = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby(["label", "pos"]).sum("s")
+
+    vecs: dict[int, dict[int, int]] = {}
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        for lab, pos, s in zip(
+            b["label"].to_pylist(), b["pos"].to_pylist(), b["sum(s)"].to_pylist()
+        ):
+            vecs.setdefault(lab, {})[pos] = s
+    labels = sorted(vecs)
+    dense = {
+        lab: [vecs[lab].get(p, 0) for p in range(EMB_DIM)] for lab in labels
+    }
+    norms = {lab: sum(x * x for x in v) for lab, v in dense.items()}
+    out_a, out_b, out_c = [], [], []
+    for i, a in enumerate(labels):
+        for bl in labels[i + 1:]:
+            dot = sum(x * y for x, y in zip(dense[a], dense[bl]))
+            out_a.append(a)
+            out_b.append(bl)
+            out_c.append(float(dot) / math.sqrt(float(norms[a] * norms[bl])))
+    return pa.table(
+        {
+            "label_a": pa.array(out_a, pa.int64()),
+            "label_b": pa.array(out_b, pa.int64()),
+            "cosine": pa.array(out_c, pa.float64()),
+        }
+    )
+
+
+def label_similarity_sql() -> str:
+    return (
+        f"WITH q AS (SELECT label, i AS pos, "
+        # CAST to DOUBLE first: the column is float32 and FLOAT*INT would
+        # multiply in single precision, diverging from the engine's f64
+        f"CAST(round(CAST(embedding[i] AS DOUBLE) * {LABEL_QUANT}) AS HUGEINT) AS v "
+        f"FROM embeddings, range(1, {EMB_DIM + 1}) t(i)), "
+        "s AS (SELECT label, pos, SUM(v) AS s FROM q GROUP BY 1, 2), "
+        "p AS (SELECT a.label AS label_a, b.label AS label_b, "
+        "SUM(a.s * b.s) AS dot FROM s a JOIN s b "
+        "ON a.pos = b.pos AND a.label < b.label GROUP BY 1, 2), "
+        "n AS (SELECT label, SUM(s * s) AS nn FROM s GROUP BY 1) "
+        "SELECT CAST(label_a AS BIGINT) AS label_a, "
+        "CAST(label_b AS BIGINT) AS label_b, "
+        "CAST(dot AS DOUBLE) / sqrt(CAST(na.nn * nb.nn AS DOUBLE)) AS cosine "
+        "FROM p JOIN n na ON na.label = p.label_a "
+        "JOIN n nb ON nb.label = p.label_b"
+    )

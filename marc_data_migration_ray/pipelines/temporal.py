@@ -257,3 +257,81 @@ def purchase_followup(sf_dir: str) -> ray.data.Dataset:
         )
 
     return ds.groupby("bucket").map_groups(_fold, batch_format="pyarrow")
+
+
+FUNNEL_STAGES = ("signup", "view_after_signup", "purchase_after_view")
+
+
+def funnel_conversion(sf_dir: str) -> ray.data.Dataset:
+    """(stage, n_users): sequential-pattern (funnel) analysis — how many
+    users completed signup, then viewed AT OR AFTER their first signup,
+    then purchased at or after that first qualifying view.
+
+    The stage chain is per-user min-timestamp anchoring (first signup →
+    first view ≥ it → first purchase ≥ that), so each stage is a filter +
+    ``min`` — no per-user Python, no sequence scan: per bucket it is three
+    vectorized polars join+filter+group_by steps. Comparisons are exact
+    epoch-µs integers (no truncation, no float time math).
+
+    Scale shape: same single user-bucket shuffle as the as-of joins; each
+    bucket emits THREE count rows, the global finish is a
+    ``groupby(stage).sum`` over 3×buckets tiny partials."""
+    import polars as pl
+
+    ds = _bucketed(_typed_events(sf_dir, ("signup", "view", "purchase")))
+
+    def _funnel_bucket(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["bucket"])).with_columns(
+            us=pl.col("ts").dt.epoch("us")
+        )
+        s = (
+            df.filter(pl.col("event_type") == "signup")
+            .group_by("user_id")
+            .agg(s=pl.col("us").min())
+        )
+        v = (
+            df.filter(pl.col("event_type") == "view")
+            .join(s, on="user_id")
+            .filter(pl.col("us") >= pl.col("s"))
+            .group_by("user_id")
+            .agg(v=pl.col("us").min())
+        )
+        p = (
+            df.filter(pl.col("event_type") == "purchase")
+            .join(v, on="user_id")
+            .filter(pl.col("us") >= pl.col("v"))
+            .group_by("user_id")
+            .agg(p=pl.col("us").min())
+        )
+        return pa.table(
+            {
+                "stage": pa.array(list(FUNNEL_STAGES), pa.string()),
+                "n": pa.array([s.height, v.height, p.height], pa.int64()),
+            }
+        )
+
+    partials = ds.groupby("bucket").map_groups(
+        _funnel_bucket, batch_format="pyarrow"
+    )
+    final = partials.groupby("stage").sum("n")
+    return final.map_batches(
+        lambda t: pa.table(
+            {"stage": t["stage"], "n_users": pc.cast(t["sum(n)"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def funnel_conversion_sql() -> str:
+    return (
+        "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events), "
+        "s AS (SELECT user_id, min(us) AS s FROM e "
+        "WHERE event_type = 'signup' GROUP BY 1), "
+        "v AS (SELECT e.user_id, min(us) AS v FROM e JOIN s USING (user_id) "
+        "WHERE event_type = 'view' AND us >= s.s GROUP BY 1), "
+        "p AS (SELECT e.user_id, min(us) AS p FROM e JOIN v USING (user_id) "
+        "WHERE event_type = 'purchase' AND us >= v.v GROUP BY 1) "
+        "SELECT 'signup' AS stage, CAST(count(*) AS BIGINT) AS n_users FROM s "
+        "UNION ALL SELECT 'view_after_signup', CAST(count(*) AS BIGINT) FROM v "
+        "UNION ALL SELECT 'purchase_after_view', CAST(count(*) AS BIGINT) FROM p"
+    )

@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": curation.chunk_documents,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
+        "block_dedup": dedup.block_dedup,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_clusters": dedup.dedup_clusters,
@@ -430,6 +431,7 @@ def oracle_sql() -> dict[str, str]:
     from marc_data_migration_ray.pipelines import clustering as _clustering
     from marc_data_migration_ray.pipelines import joins as _joins
     from marc_data_migration_ray.pipelines import curation as _curation
+    from marc_data_migration_ray.pipelines import dedup as _dedup
     from marc_data_migration_ray.pipelines import sampling as _sampling
     from marc_data_migration_ray.pipelines import text_analysis as _ta
     from marc_data_migration_ray.pipelines import temporal as temporal_mod
@@ -628,6 +630,8 @@ ORDER BY op, route, status
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
             "CAST(count(*) AS BIGINT) AS group_size FROM documents GROUP BY text"
         ),
+        # C4-style block dedup: keep-first occurrence of every 8-word block
+        "block_dedup": _dedup.block_dedup_sql(),
         # exact all-pairs 3-shingle Jaccard ≥ 0.8 (shingle semantics mirror
         # dedup.shingle_set; the least/greatest length prefilter is lossless:
         # jaccard <= min|s|/max|s|). The engine's LSH recall at j>=0.8 with

@@ -748,3 +748,135 @@ def dedup_incremental(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.D
         ),
         batch_format="pyarrow",
     )
+
+
+BLOCK_WORDS = 8        # words per non-overlapping dedup block
+_BLOCK_BUCKETS = 64    # reassembly co-partition width
+_BLOCK_IDX_BITS = 20   # packed order key: doc_id * 2^20 + block_idx
+
+
+def block_dedup(sf_dir: str) -> ray.data.Dataset:
+    """C4-style block-level corpus dedup: split every document into
+    non-overlapping ``BLOCK_WORDS``-word blocks, drop every block whose
+    exact text occurred EARLIER in the corpus (keep-first by
+    (doc_id, block_idx)), and reassemble the surviving text — the
+    repeated-boilerplate scrub (C4 §2.2 dedups repeated three-sentence
+    spans corpus-wide; blocks are the whitespace-token analog).
+
+    Shape: blocks are doc-local (explode + ``int_range().over(doc)`` —
+    vectorized), so per-doc block counts ride along for free; the global
+    keep-first decision is ONE shuffle into coarse groups keyed by the
+    block text's FNV fingerprint (same-text blocks always co-locate),
+    then a vectorized ``min(packed order key).over(block_text)`` window
+    per group — no join, no per-block Python; survivors reassemble in
+    coarse doc buckets (polars sort + ``str.join`` per bucket). Only
+    block texts shuffle, never full documents; the in-group compare is
+    on the exact text, so fingerprint collisions cannot corrupt the
+    result — the fingerprint only routes.
+
+    Output (docs retaining >= 1 block — fully-duplicate docs drop
+    entirely): (doc_id, n_blocks, n_kept, cleaned_text)."""
+    import polars as pl
+
+    def _blocks(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        b = (
+            df.select("doc_id", pl.col("text").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(bi=pl.int_range(pl.len()).over("doc_id") // BLOCK_WORDS)
+            .group_by(["doc_id", "bi"], maintain_order=True)
+            .agg(bt=pl.col("w").str.join(" "))
+            .with_columns(nb=pl.len().over("doc_id"))
+        )
+        a = b.to_arrow()
+        doc = a["doc_id"].to_numpy()
+        bi = a["bi"].to_numpy()
+        assert bi.max(initial=0) < (1 << _BLOCK_IDX_BITS)
+        assert doc.max(initial=0) < (1 << (63 - _BLOCK_IDX_BITS))
+        bt_col = pc.cast(a["bt"], pa.string())
+        cg = pc.cast(
+            pc.bit_wise_and(fingerprints(bt_col), 0x3FF), pa.int32()
+        )
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "bi": pc.cast(a["bi"], pa.int64()),
+                "bt": bt_col,
+                "nb": pc.cast(a["nb"], pa.int64()),
+                "packed": pa.array(
+                    (doc.astype(np.int64) << _BLOCK_IDX_BITS) | bi.astype(np.int64)
+                ),
+                "cg": cg,
+            }
+        )
+
+    blocks = _docs(sf_dir).map_batches(
+        _blocks, batch_format="pyarrow", zero_copy_batch=True
+    )
+    def _keep_first(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["cg"]))
+        out = df.filter(pl.col("packed") == pl.col("packed").min().over("bt"))
+        return out.drop("packed").to_arrow()
+
+    kept = blocks.groupby("cg").map_groups(_keep_first, batch_format="pyarrow")
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pc.cast(
+                pc.subtract(
+                    t["doc_id"],
+                    pc.multiply(
+                        pc.divide(t["doc_id"], _BLOCK_BUCKETS), _BLOCK_BUCKETS
+                    ),
+                ),
+                pa.int32(),
+            ),
+        )
+
+    def _reassemble(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["bucket"]))
+        out = (
+            df.sort(["doc_id", "bi"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                n_blocks=pl.col("nb").first(),
+                n_kept=pl.len(),
+                cleaned_text=pl.col("bt").str.join(" "),
+            )
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "n_blocks": pc.cast(a["n_blocks"], pa.int64()),
+                "n_kept": pc.cast(a["n_kept"], pa.int64()),
+                "cleaned_text": pc.cast(a["cleaned_text"], pa.string()),
+            }
+        )
+
+    return (
+        kept.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_reassemble, batch_format="pyarrow")
+    )
+
+
+def block_dedup_sql() -> str:
+    w = BLOCK_WORDS
+    return (
+        r"WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') ws "
+        "FROM documents), "
+        "e AS (SELECT doc_id, UNNEST(range(0, "
+        f"CAST(ceil(len(ws) / {w}.0) AS BIGINT))) AS bi, ws FROM w), "
+        f"b AS (SELECT doc_id, bi, "
+        f"array_to_string(ws[(bi * {w} + 1):((bi + 1) * {w})], ' ') AS bt FROM e), "
+        "k AS (SELECT doc_id, bi, bt, "
+        "ROW_NUMBER() OVER (PARTITION BY bt ORDER BY doc_id, bi) AS rn, "
+        "count(*) OVER (PARTITION BY doc_id) AS nb FROM b) "
+        "SELECT doc_id, CAST(any_value(nb) AS BIGINT) AS n_blocks, "
+        "CAST(count(*) AS BIGINT) AS n_kept, "
+        "string_agg(bt, ' ' ORDER BY bi) AS cleaned_text "
+        "FROM k WHERE rn = 1 GROUP BY doc_id"
+    )

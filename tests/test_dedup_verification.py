@@ -251,3 +251,34 @@ def test_connected_components_random_graph_vs_union_find(ray_session):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(edges).take_all()}
     assert got == want
+
+
+def test_block_dedup_keep_first_and_full_dup_drop(ray_session, tmp_path):
+    """Planted block-level dups: a shared 8-word boilerplate block is kept
+    only in the earliest (doc_id, block_idx) position; an exact full-dup
+    doc loses every block and disappears; unique text is untouched."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import dedup
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    u = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    docs = {
+        0: boiler + " " + u("a", 8),        # first occurrence of boiler
+        1: u("c", 8) + " " + boiler,        # later occurrence -> dropped
+        2: boiler + " " + u("a", 8),        # exact dup of doc 0 -> vanishes
+        3: u("d", 10),                       # unique, 2 blocks (8 + 2 words)
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)], pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {r["doc_id"]: r for r in dedup.block_dedup(str(tmp_path)).take_all()}
+    assert set(rows) == {0, 1, 3}            # doc 2 fully deduplicated away
+    assert rows[0]["n_blocks"] == 2 and rows[0]["n_kept"] == 2
+    assert rows[0]["cleaned_text"] == docs[0]
+    assert rows[1]["n_blocks"] == 2 and rows[1]["n_kept"] == 1
+    assert rows[1]["cleaned_text"] == u("c", 8)   # boiler block stripped
+    assert rows[3]["n_kept"] == 2 and rows[3]["cleaned_text"] == docs[3]

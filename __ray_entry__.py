@@ -146,6 +146,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_users_sketch": lambda sf: events.event_type_users_sketch(sf),
         "sliding_window_value": events.sliding_window_value,
         "user_value_moving_avg": events.user_value_moving_avg,
+        "peak_concurrency": events.peak_concurrency,
+        "retention_cohorts": events.retention_cohorts,
         "top_orders_per_customer": events.top_orders_per_customer,
         "key_diff_report": events.key_diff_report,
         # temporal as-of joins (co-partitioned polars join_asof per bucket)
@@ -727,6 +729,9 @@ ORDER BY op, route, status
         # per-key ROWS-frame rolling window (engine: bucket shuffle + one
         # polars rolling_sum per bucket); mean = one int/int division
         "user_value_moving_avg": _events_mod.user_value_moving_avg_sql(),
+        # sweep-line maximum via two-level prefix sum; ties -> earliest sec
+        "peak_concurrency": _events_mod.peak_concurrency_sql(),
+        "retention_cohorts": _events_mod.retention_cohorts_sql(),
         "top_orders_per_customer": (
             "SELECT o_custkey, CAST(rn AS BIGINT) AS rnk, o_orderkey FROM ("
             "SELECT o_custkey, o_orderkey, row_number() OVER ("

@@ -464,3 +464,198 @@ def event_type_users_sketch(sf_dir: str, k: int = 8192) -> pa.Table:
     return pa.concat_tables(out.iter_batches(batch_format="pyarrow")).sort_by(
         [("event_type", "ascending")]
     )
+
+
+CONCURRENCY_WINDOW_SEC = 1800  # each event holds a session open this long
+_SWEEP_DAY = 86400             # sweep-line coarse bucket width (seconds)
+
+
+def peak_concurrency(sf_dir: str) -> pa.Table:
+    """(peak, at_sec): the maximum number of simultaneously-open sessions
+    corpus-wide (each event opens [t, t+W) with W=``CONCURRENCY_WINDOW_SEC``)
+    and the earliest second it is reached — the exact sweep-line /
+    interval-stabbing maximum, distributed.
+
+    A sweep line is a global running sum — inherently sequential — so the
+    recast is the same two-level prefix-sum the engine uses for
+    ``corpus_shuffle`` / ``sequence_pack``: per-second +1/-1 deltas
+    (collapsed per second, so there is no within-second ordering
+    ambiguity) → ``groupby(sec).sum`` → day buckets, where each bucket's
+    LOCAL running max and its arg-second are offset-independent →
+    driver prefix-sums the tiny per-bucket totals and takes
+    ``max(offset_b + local_max_b)`` (ties → earliest second). Per-bucket
+    work is one vectorized sort+cumsum; driver state is 3 ints per day.
+    """
+    import numpy as np
+
+    ds = _events(sf_dir, ["ts"])
+
+    def _deltas(t: pa.Table) -> pa.Table:
+        sec = pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000)
+        a = sec.combine_chunks().to_numpy(zero_copy_only=False)
+        both = np.concatenate([a, a + CONCURRENCY_WINDOW_SEC])
+        delta = np.concatenate(
+            [np.ones(len(a), np.int64), -np.ones(len(a), np.int64)]
+        )
+        v, inv = np.unique(both, return_inverse=True)
+        d = np.zeros(len(v), np.int64)
+        np.add.at(d, inv, delta)
+        return pa.table({"sec": pa.array(v), "d": pa.array(d)})
+
+    per_sec = ds.map_batches(
+        _deltas, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("sec").sum("d")
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "sec": t["sec"],
+                "d": pc.cast(t["sum(d)"], pa.int64()),
+                "bucket": pc.cast(
+                    pc.divide(t["sec"], _SWEEP_DAY), pa.int64()
+                ),
+            }
+        )
+
+    def _local(g: pa.Table) -> pa.Table:
+        sec = g["sec"].to_numpy(zero_copy_only=False)
+        d = g["d"].to_numpy(zero_copy_only=False)
+        order = np.argsort(sec)
+        sec, d = sec[order], d[order]
+        run = np.cumsum(d)
+        i = int(np.argmax(run))  # first max (argmax returns first)
+        return pa.table(
+            {
+                "bucket": pa.array([int(g["bucket"][0].as_py())], pa.int64()),
+                "local_max": pa.array([int(run[i])], pa.int64()),
+                "at_sec": pa.array([int(sec[i])], pa.int64()),
+                "total": pa.array([int(run[-1])], pa.int64()),
+            }
+        )
+
+    parts = sorted(
+        per_sec.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_local, batch_format="pyarrow")
+        .take_all(),
+        key=lambda r: r["bucket"],
+    )
+    offset, best, best_sec = 0, None, None
+    for p in parts:
+        cand = offset + p["local_max"]
+        if best is None or cand > best:
+            best, best_sec = cand, p["at_sec"]
+        offset += p["total"]
+    return pa.table({"peak": pa.array([best], pa.int64()),
+                     "at_sec": pa.array([best_sec], pa.int64())})
+
+
+def peak_concurrency_sql() -> str:
+    w = CONCURRENCY_WINDOW_SEC
+    return (
+        "WITH d AS (SELECT epoch_us(ts) // 1000000 AS sec, 1 AS v FROM events "
+        f"UNION ALL SELECT epoch_us(ts) // 1000000 + {w}, -1 FROM events), "
+        "s AS (SELECT sec, sum(v) AS dv FROM d GROUP BY sec), "
+        "r AS (SELECT sec, sum(dv) OVER (ORDER BY sec) AS run FROM s) "
+        "SELECT CAST(max(run) AS BIGINT) AS peak, "
+        "CAST((SELECT min(sec) FROM r WHERE run = (SELECT max(run) FROM r)) "
+        "AS BIGINT) AS at_sec FROM r"
+    )
+
+
+RETENTION_WEEK_SEC = 604800  # cohort bucket width
+
+
+def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
+    """(cohort_week, week_offset, n_active_users): classic retention
+    matrix — users grouped by signup week, counted distinct in each later
+    week they have ANY event (offset >= 0; pre-signup activity excluded;
+    users who never signed up are excluded).
+
+    Shape: ONE shuffle into coarse user buckets (a user's whole history
+    co-locates, so the signup anchor, the anchor⋈events join, AND the
+    per-user distinct all resolve bucket-locally in one vectorized polars
+    pass — no global aggregate, no ``Dataset.join``). Because each user
+    lives in exactly one bucket, per-bucket distinct (cohort, offset,
+    user) triples are GLOBALLY distinct, so the finish is a plain
+    ``groupby(cohort_week, week_offset).sum`` over per-bucket counts."""
+    import polars as pl
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        b = pc.cast(
+            pc.subtract(
+                t["user_id"],
+                pc.multiply(pc.divide(t["user_id"], SESSION_BUCKETS), SESSION_BUCKETS),
+            ),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "sec": pc.divide(pc.cast(t["ts"], pa.int64()), 1_000_000),
+                "event_type": t["event_type"],
+                "bucket": b,
+            }
+        )
+
+    def _partials(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["bucket"]))
+        su = (
+            df.filter(pl.col("event_type") == "signup")
+            .group_by("user_id")
+            .agg(s=pl.col("sec").min())
+        )
+        out = (
+            df.join(su, on="user_id")
+            .with_columns(
+                cohort_week=pl.col("s") // RETENTION_WEEK_SEC,
+                week_offset=pl.col("sec") // RETENTION_WEEK_SEC
+                - pl.col("s") // RETENTION_WEEK_SEC,
+            )
+            .filter(pl.col("week_offset") >= 0)
+            .select(["cohort_week", "week_offset", "user_id"])
+            .unique()
+            .group_by(["cohort_week", "week_offset"])
+            .len(name="n")
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [("cohort_week", pa.int64()), ("week_offset", pa.int64()),
+                 ("n", pa.int64())]
+            )
+        )
+
+    partials = (
+        ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_partials, batch_format="pyarrow")
+    )
+    final = partials.groupby(["cohort_week", "week_offset"]).sum("n")
+    return final.map_batches(
+        lambda t: pa.table(
+            {
+                "cohort_week": pc.cast(t["cohort_week"], pa.int64()),
+                "week_offset": pc.cast(t["week_offset"], pa.int64()),
+                "n_active_users": pc.cast(t["sum(n)"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def retention_cohorts_sql() -> str:
+    wk = RETENTION_WEEK_SEC
+    return (
+        "WITH su AS (SELECT user_id, "
+        "min(epoch_us(ts) // 1000000) AS s FROM events "
+        "WHERE event_type = 'signup' GROUP BY user_id), "
+        "a AS (SELECT e.user_id, "
+        f"su.s // {wk} AS cohort_week, "
+        f"(epoch_us(e.ts) // 1000000) // {wk} - su.s // {wk} AS week_offset "
+        "FROM events e JOIN su USING (user_id)) "
+        "SELECT cohort_week, week_offset, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users "
+        "FROM a WHERE week_offset >= 0 GROUP BY 1, 2"
+    )

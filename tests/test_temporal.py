@@ -124,3 +124,36 @@ def test_interval_join_window_bounds_and_multiplicity(ray_session, window_dir):
         (21, 12, 100),     # earlier view reused by the later purchase
         (21, 13, 99),      # view after purchase 20 but inside 21's window
     ]
+
+
+def test_peak_concurrency_cross_bucket_carry(ray_session, tmp_path):
+    """The sweep's peak can only be correct if per-day local maxima get
+    the carried prefix offset: 3 sessions opened near the end of day 0
+    stay open into day 1, where 2 more open — the true peak (5) exists
+    only as day-1 local max (2) + day-0 carry (3)."""
+    from marc_data_migration_ray.pipelines import events as ev
+
+    day = 86400
+    w = ev.CONCURRENCY_WINDOW_SEC
+    rows = []
+    # 3 events in the last 10 minutes of day 0 (windows cross midnight)
+    for i, off in enumerate((day - 600, day - 500, day - 400)):
+        rows.append((100 + i, off, 1, "view"))
+    # 2 events early in day 1, inside those still-open windows
+    rows.append((200, day + 100, 2, "view"))
+    rows.append((201, day + 150, 3, "view"))
+    _write_events(str(tmp_path), rows)
+    out = ev.peak_concurrency(str(tmp_path)).to_pylist()[0]
+    assert out["peak"] == 5
+    # earliest second reaching 5 = the last opener
+    t0 = int(T0.timestamp())
+    assert out["at_sec"] == t0 + day + 150
+    # and the SQL mirror agrees on the same fixture
+    import duckdb
+    import __ray_entry__ as entry_mod
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{tmp_path}/events.parquet'")
+    odf = con.execute(entry_mod.oracle_sql()["peak_concurrency"]).fetchdf()
+    assert int(odf.peak[0]) == 5 and int(odf.at_sec[0]) == out["at_sec"]

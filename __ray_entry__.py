@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # relational coverage (A1-A3, J1-J4 analogs)
         "pricing_summary": tpch.pricing_summary,
         "nation_revenue": tpch.nation_revenue,
+        "region_order_stats": tpch.region_order_stats,
         "top_docs": tpch.top_docs,
         "customer_order_join": tpch.customer_order_join,
         "urgent_lineitem_flags": joins.urgent_lineitem_flags,
@@ -106,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_rollup": text_analysis.source_lang_rollup,
         "word_repetition": text_analysis.word_repetition,
         "lm_familiarity": text_analysis.lm_familiarity,
+        "token_concentration": text_analysis.token_concentration,
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
@@ -438,12 +440,14 @@ def oracle_sql() -> dict[str, str]:
     from marc_data_migration_ray.pipelines import text_analysis as _ta
     from marc_data_migration_ray.pipelines import temporal as temporal_mod
     from marc_data_migration_ray.pipelines import events as _events_mod
+    from marc_data_migration_ray.pipelines import tpch as _tpch_mod
 
     return {
         **_policy_sql(),
         "source_lang_rollup": _text_analysis_rollup_sql(),
         "word_repetition": _ta.word_repetition_sql(),
         "lm_familiarity": _ta.lm_familiarity_sql(),
+        "token_concentration": _ta.token_concentration_sql(),
         # fixed-centroid cosine assignment; and the full distributed
         # k-means — the oracle UNROLLS the same Lloyd iterations as CTEs
         "embedding_assign": _clustering.embedding_assign_sql(),
@@ -597,6 +601,8 @@ ORDER BY op, route, status
             "JOIN nation n ON c.c_nationkey = n.n_nationkey "
             "GROUP BY n.n_name ORDER BY n.n_name"
         ),
+        # star chain orders->customer->nation->region via ONE broadcast map
+        "region_order_stats": _tpch_mod.region_order_stats_sql(),
         "top_docs": (
             "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"

@@ -640,3 +640,68 @@ def lm_familiarity_sql(m: int = LM_TOP_BIGRAMS) -> str:
         "ELSE CAST(n_hits AS DOUBLE) / n_bigrams END AS familiarity "
         "FROM documents d LEFT JOIN per USING (doc_id)"
     )
+
+
+def token_concentration(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_words, simpson_x: Σc_i², simpson): token-concentration
+    (Simpson/Herfindahl index) per document — Σ (c_i/n)² over word
+    frequencies. High = a few words dominate (spam/boilerplate signal,
+    the quantitative cousin of ``word_repetition``'s max-count stats).
+
+    Row-contained and shuffle-free (one polars double group_by per
+    batch). Hash-exact float: the index is emitted as the integer Σc²
+    plus ONE division by n² — no per-term float accumulation whose
+    ordering could diverge from the oracle."""
+    import polars as pl
+
+    def _stats(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        out = (
+            df.select("doc_id", pl.col("text").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+            .group_by(["doc_id", "w"])
+            .len(name="c")
+            .group_by("doc_id")
+            .agg(
+                n_words=pl.col("c").sum(),
+                simpson_x=(pl.col("c") ** 2).sum(),
+            )
+        )
+        base = df.select("doc_id").join(out, on="doc_id", how="left")
+        base = base.with_columns(
+            pl.col("n_words").fill_null(0).cast(pl.Int64),
+            pl.col("simpson_x").fill_null(0).cast(pl.Int64),
+        ).with_columns(
+            simpson=pl.when(pl.col("n_words") == 0)
+            .then(pl.lit(0.0))
+            .otherwise(pl.col("simpson_x") / (pl.col("n_words") ** 2))
+        )
+        a = base.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "n_words": pc.cast(a["n_words"], pa.int64()),
+                "simpson_x": pc.cast(a["simpson_x"], pa.int64()),
+                "simpson": pc.cast(a["simpson"], pa.float64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(
+        _stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def token_concentration_sql() -> str:
+    return (
+        r"WITH words AS (SELECT doc_id, "
+        r"unnest(regexp_extract_all(text, '\S+')) AS w FROM documents), "
+        "wc AS (SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words, "
+        "CAST(sum(c * c) AS BIGINT) AS simpson_x FROM wc GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(n_words, 0) AS n_words, "
+        "coalesce(simpson_x, 0) AS simpson_x, "
+        "CASE WHEN coalesce(n_words, 0) = 0 THEN 0.0 "
+        "ELSE CAST(simpson_x AS DOUBLE) / (n_words * n_words) END AS simpson "
+        "FROM documents d LEFT JOIN agg USING (doc_id)"
+    )

@@ -301,3 +301,77 @@ def monthly_revenue(sf_dir: str, cutoff: str = "1998-01-01") -> pa.Table:
         "revenue_cents": pc.cast(final["cents_sum_sum"], pa.int64()),
         "n": pc.cast(final["cents_count_sum"], pa.int64()),
     }).sort_by([("month", "ascending")])
+
+
+def region_order_stats(sf_dir: str) -> pa.Table:
+    """(r_name, n_orders, revenue_cents): the full star-schema
+    denormalization orders→customer→nation→region collapsed into ONE
+    broadcast-chain lookup — three dimension tables composed into a
+    single custkey→region array on the driver (all dims tiny by star
+    design), ``ray.put`` once, then a zero-shuffle partial-agg pass over
+    the fact table exactly like ``nation_revenue``. Demonstrates that a
+    chain of N broadcast joins costs the same one pass as a single one."""
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_nationkey"]
+    )
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    )
+    reg = pq.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"]
+    )
+    nmap = np.full(int(max(nat["n_nationkey"].to_pylist())) + 2, -1, np.int64)
+    nmap[np.asarray(nat["n_nationkey"].to_pylist())] = np.asarray(
+        nat["n_regionkey"].to_pylist()
+    )
+    ckeys = np.asarray(cust["c_custkey"].to_pylist(), np.int64)
+    cmap = np.full(int(ckeys.max()) + 2, -1, np.int64)
+    cmap[ckeys] = nmap[np.asarray(cust["c_nationkey"].to_pylist(), np.int64)]
+    rnames = {int(k): v for k, v in
+              zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())}
+    ref = ray.put(cmap)
+
+    class RegionAgg:
+        def __init__(self, ref):
+            self.cmap = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            rk = self.cmap[t["o_custkey"].to_numpy(zero_copy_only=False)]
+            cents = pc.cast(
+                pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                         round_mode="half_towards_infinity"),
+                pa.int64(),
+            )
+            g = pa.table({"rk": pa.array(rk, pa.int64()), "cents": cents})
+            return g.group_by("rk").aggregate([("cents", "sum"), ("cents", "count")])
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
+    )
+    partials = ds.map_batches(
+        RegionAgg, fn_constructor_args=(ref,), batch_format="pyarrow",
+        zero_copy_batch=True, concurrency=(1, 4),
+    )
+    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    final = tbl.group_by("rk").aggregate([("cents_sum", "sum"), ("cents_count", "sum")])
+    return pa.table(
+        {
+            "r_name": pa.array(
+                [rnames[int(k)] for k in final["rk"].to_pylist()], pa.string()
+            ),
+            "n_orders": pc.cast(final["cents_count_sum"], pa.int64()),
+            "revenue_cents": pc.cast(final["cents_sum_sum"], pa.int64()),
+        }
+    ).sort_by([("r_name", "ascending")])
+
+
+def region_order_stats_sql() -> str:
+    return (
+        "SELECT r_name, CAST(count(*) AS BIGINT) AS n_orders, "
+        "CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "GROUP BY r_name ORDER BY r_name"
+    )

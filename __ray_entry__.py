@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_assign": lambda sf: clustering.embedding_assign(sf),
         "semantic_clusters": lambda sf: clustering.semantic_clusters(sf),
         "label_similarity": clustering.label_similarity,
+        "semdedup": clustering.semdedup,
         # similarity search
         "ann_topk": lambda sf: similarity.ann_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
@@ -453,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_assign": _clustering.embedding_assign_sql(),
         "semantic_clusters": _clustering.semantic_clusters_sql(),
         "label_similarity": _clustering.label_similarity_sql(),
+        "semdedup": _clustering.semdedup_sql(),
         # integer-threshold multiplicative-hash mirrors, built from the
         # same constants the kernels use
         "dataset_split": _sampling.split_sql(),

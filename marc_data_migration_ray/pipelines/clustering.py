@@ -361,3 +361,113 @@ def label_similarity_sql() -> str:
         "FROM p JOIN n na ON na.label = p.label_a "
         "JOIN n nb ON nb.label = p.label_b"
     )
+
+
+SEMDEDUP_TH = 0.45  # within-cluster cosine threshold (shared with SQL)
+
+
+def semdedup(
+    sf_dir: str, centroid_ids: tuple[int, ...] = DEFAULT_CENTROID_IDS
+) -> ray.data.Dataset:
+    """(vec_id, cluster_id, kept): SemDeDup (Abbas et al. 2023) — cluster
+    embeddings, then WITHIN each cluster drop every vector that has
+    cosine >= ``SEMDEDUP_TH`` with a lower-id vector (greedy keep-first,
+    deterministic). Semantic near-duplicates cost training compute
+    without adding information; clustering bounds the O(n²) pair scan to
+    cluster-sized blocks.
+
+    Shape (the scale path, unlike ``embedding_near_dup``'s broadcast
+    all-pairs): assignment is a per-batch matmul against the broadcast
+    centroids, then ONE shuffle co-locates each cluster and the per-group
+    kernel is a single E·Eᵀ + strict-lower-triangle any() — vectorized,
+    no per-vector Python. Per-task memory is the largest cluster
+    (centroid count is the knob); output keeps EVERY vector with its
+    verdict, so downstream filtering is a plain predicate.
+
+    The kept flag compares float cosines against the threshold; like
+    ``embedding_near_dup`` the emitted columns are integers/booleans, so
+    the SQL oracle matches exactly whenever no pair sits within float
+    epsilon of the threshold (planted-epsilon data would need a fuzz
+    band)."""
+    cids = tuple(sorted(centroid_ids))
+    C = normalized(_point_vectors(sf_dir, cids))
+    ref = ray.put(C)
+    cluster_ids = np.asarray(cids, np.int64)
+
+    class _AssignCarry:
+        def __init__(self, c_ref):
+            self.C = ray.get(c_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            emb = normalized(emb_matrix(t["embedding"]))
+            a = np.argmax(emb @ self.C.T, axis=1)
+            return pa.table(
+                {
+                    "vec_id": pa.array(ids_array(t["vec_id"]), pa.int64()),
+                    "cluster_id": pa.array(cluster_ids[a], pa.int64()),
+                    "emb": pa.array(list(emb.astype(np.float64)),
+                                    pa.list_(pa.float64())),
+                }
+            )
+
+    assigned = _emb_ds(sf_dir).map_batches(
+        _AssignCarry,
+        fn_constructor_args=(ref,),
+        batch_format="pyarrow",
+        batch_size=8192,
+        concurrency=(1, 4),
+    )
+
+    def _dedup_cluster(g: pa.Table) -> pa.Table:
+        ids = ids_array(g["vec_id"])
+        order = np.argsort(ids)
+        ids = ids[order]
+        E = np.stack(
+            [np.asarray(v, np.float64) for v in g["emb"].to_pylist()]
+        )[order]
+        S = E @ E.T
+        dropped = (np.tril(S, -1) >= SEMDEDUP_TH).any(axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cluster_id": pa.array(
+                    np.full(len(ids), int(g["cluster_id"][0].as_py()), np.int64)
+                ),
+                "kept": pa.array(~dropped),
+            }
+        )
+
+    return assigned.groupby("cluster_id").map_groups(
+        _dedup_cluster, batch_format="pyarrow"
+    )
+
+
+def semdedup_sql(centroid_ids: tuple[int, ...] = DEFAULT_CENTROID_IDS) -> str:
+    ids = ", ".join(str(i) for i in sorted(centroid_ids))
+    return f"""
+WITH c AS (
+  SELECT vec_id AS cluster_id, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id IN ({ids})
+),
+s AS (
+  SELECT e.vec_id, c.cluster_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.ce) AS sim
+  FROM embeddings e, c
+),
+a AS (
+  SELECT vec_id, cluster_id
+  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cluster_id) rn
+        FROM s)
+  WHERE rn = 1
+)
+SELECT a1.vec_id, a1.cluster_id,
+       NOT EXISTS (
+         SELECT 1 FROM a a2
+         JOIN embeddings e1 ON e1.vec_id = a1.vec_id
+         JOIN embeddings e2 ON e2.vec_id = a2.vec_id
+         WHERE a2.cluster_id = a1.cluster_id AND a2.vec_id < a1.vec_id
+           AND list_cosine_similarity(CAST(e1.embedding AS DOUBLE[]),
+                                      CAST(e2.embedding AS DOUBLE[])) >= {SEMDEDUP_TH}
+       ) AS kept
+FROM a a1
+"""

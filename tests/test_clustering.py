@@ -59,3 +59,49 @@ def test_assignment_margins_are_not_knife_edge(ray_session):
         sims = np.sort(x @ C.T, axis=1)
         margin = (sims[:, -1] - sims[:, -2]).min()
         assert margin > 1e-6, margin
+
+
+def test_semdedup_planted_within_and_cross_cluster(ray_session, tmp_path):
+    """Near-identical vectors in the SAME cluster: only the lowest id is
+    kept. A near-dup that lands in a DIFFERENT cluster is untouched —
+    the defining (documented) blind spot of cluster-scoped dedup."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import clustering
+
+    rng = np.random.default_rng(3)
+    d = 64
+    a = rng.normal(size=d); a /= np.linalg.norm(a)
+    b = -a                                   # opposite cluster anchor
+    eps = rng.normal(size=d) * 1e-3
+    vecs = {
+        0: a,                                # centroid candidate / keeper
+        1: b,                                # second centroid
+        2: a + eps,                          # near-dup of 0, same cluster
+        3: a + 2 * eps,                      # another near-dup, same cluster
+        4: b + eps,                          # near-dup of 1 in the OTHER cluster
+        5: rng.normal(size=d),               # random
+    }
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(sorted(vecs), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, vecs[k])) for k in sorted(vecs)],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(vecs), pa.int64()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    rows = {r["vec_id"]: r for r in
+            clustering.semdedup(str(tmp_path), centroid_ids=(0, 1)).take_all()}
+    assert len(rows) == 6                      # every vector gets a verdict
+    assert rows[0]["kept"] is True             # first occurrence kept
+    assert rows[2]["kept"] is False            # same-cluster near-dups dropped
+    assert rows[3]["kept"] is False
+    assert rows[1]["kept"] is True             # other cluster's anchor kept
+    assert rows[4]["kept"] is False            # near-dup of 1, same cluster 1
+    assert rows[0]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"]
+    assert rows[1]["cluster_id"] == rows[4]["cluster_id"]

@@ -121,6 +121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": curation.decontaminate,
         "pii_redact": curation.pii_redact,
         "corpus_shuffle": curation.corpus_shuffle,
+        "corpus_curation": curation.corpus_curation,
         "chunk_documents": curation.chunk_documents,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -509,6 +510,8 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _curation.decontaminate_sql(),
         "pii_redact": _curation.pii_redact_sql(),
         "corpus_shuffle": _curation.corpus_shuffle_sql(),
+        # composed curation verdict: dup-representative + quality + split
+        "corpus_curation": _curation.corpus_curation_sql(),
         "chunk_documents": _curation.chunk_documents_sql(),
         "cdc_lww_state": _CDC_STATE,
         # point lookup: the LWW state filtered to the looked-up keys (a

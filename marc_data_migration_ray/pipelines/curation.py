@@ -45,6 +45,7 @@ from marc_data_migration_ray.pipelines.dedup import shingle_set
 from marc_data_migration_ray.pipelines.sampling import (
     KNUTH,
     MOD,
+    _T_TRAIN,
     _docs,
     _hash_u32,
 )
@@ -264,4 +265,93 @@ def chunk_documents_sql() -> str:
         f"FROM documents, unnest(generate_series(0, "
         f"CAST(ceil(length(text) / {CHUNK_STRIDE}.0) AS BIGINT) - 1)) AS u(i) "
         f"ORDER BY doc_id, chunk_idx"
+    )
+
+
+def corpus_curation(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, reason, kept): the end-to-end curation decision every
+    corpus build makes, composed from this engine's own kernels in ONE
+    pipeline — exact-dup representative selection + quality gate + hash
+    train-split — with an auditable per-document reason:
+
+      duplicate > low_quality > holdout > kept   (first failing rule)
+
+    Shape: pass 1 is stateless (fingerprint + quality flags + split hash;
+    full text never leaves the batch); the only shuffle moves
+    (doc_id, fp, 2 bools) routed by coarse fingerprint groups, where a
+    vectorized ``min(doc_id).over(fp)`` window picks each text's
+    representative (same fp-for-text precedent as ``dedup_exact``: the
+    SQL oracle partitions by exact text; 64-bit FNV collisions are the
+    accepted epsilon). Verdicts for ALL documents stream out — the kept
+    corpus is a plain ``kept`` filter downstream."""
+    import polars as pl
+
+    from marc_data_migration_ray.functions.text import fingerprints, quality_columns
+
+    def _flags(t: pa.Table) -> pa.Table:
+        q = quality_columns(t["text"])
+        h = _hash_u32(t["doc_id"])
+        fp = fingerprints(t["text"])
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "fp": fp,
+                "is_q": q["is_quality"],
+                "is_train": pa.array(h < _T_TRAIN),
+                "cg": pc.cast(pc.bit_wise_and(fp, 0x3FF), pa.int32()),
+            }
+        )
+
+    def _verdict(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["cg"]))
+        out = (
+            df.with_columns(
+                is_rep=pl.col("doc_id") == pl.col("doc_id").min().over("fp")
+            )
+            .with_columns(
+                reason=pl.when(~pl.col("is_rep"))
+                .then(pl.lit("duplicate"))
+                .when(~pl.col("is_q"))
+                .then(pl.lit("low_quality"))
+                .when(~pl.col("is_train"))
+                .then(pl.lit("holdout"))
+                .otherwise(pl.lit("kept")),
+            )
+            .with_columns(kept=pl.col("reason") == "kept")
+            .select(["doc_id", "reason", "kept"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [("doc_id", pa.int64()), ("reason", pa.string()),
+                 ("kept", pa.bool_())]
+            )
+        )
+
+    docs = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return (
+        docs.map_batches(_flags, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("cg")
+        .map_groups(_verdict, batch_format="pyarrow")
+    )
+
+
+def corpus_curation_sql() -> str:
+    is_q = (
+        r"length(regexp_extract_all(text, '\S+')) >= 5 AND "
+        r"CAST(length(regexp_extract_all(text, '\b(the|of|a|an|p|n)\b')) "
+        r"AS DOUBLE) / greatest(length(regexp_extract_all(text, '\S+')), 1) "
+        "< 0.5"
+    )
+    return (
+        f"WITH f AS (SELECT doc_id, ({is_q}) AS is_q, "
+        "doc_id = min(doc_id) OVER (PARTITION BY text) AS is_rep, "
+        f"(doc_id * {KNUTH}) % {MOD} < {_T_TRAIN} AS is_train "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "CASE WHEN NOT is_rep THEN 'duplicate' "
+        "WHEN NOT is_q THEN 'low_quality' "
+        "WHEN NOT is_train THEN 'holdout' ELSE 'kept' END AS reason, "
+        "(is_rep AND is_q AND is_train) AS kept FROM f"
     )

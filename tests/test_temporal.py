@@ -157,3 +157,41 @@ def test_peak_concurrency_cross_bucket_carry(ray_session, tmp_path):
                 f"'{tmp_path}/events.parquet'")
     odf = con.execute(entry_mod.oracle_sql()["peak_concurrency"]).fetchdf()
     assert int(odf.peak[0]) == 5 and int(odf.at_sec[0]) == out["at_sec"]
+
+
+def test_interval_join_matches_bruteforce_random(ray_session, tmp_path):
+    """Randomized cross-check: the packed-key searchsorted expansion must
+    reproduce the naive O(n²) double loop on an adversarial mix of
+    duplicate timestamps, same-second purchase+view, and multi-user
+    interleaving."""
+    import numpy as np
+
+    from marc_data_migration_ray.pipelines import temporal as tp
+
+    rng = np.random.default_rng(11)
+    n = 400
+    rows = []
+    for eid in range(n):
+        user = int(rng.integers(1, 6))
+        off = int(rng.integers(0, 3 * tp.WINDOW_JOIN_SEC))
+        typ = "purchase" if rng.random() < 0.4 else "view"
+        rows.append((eid, off, user, typ))
+    d = str(tmp_path)
+    _write_events(d, rows)
+    got = sorted(
+        (r["purchase_id"], r["view_id"]) for r in
+        tp.purchase_views_window(d).take_all()
+    )
+    t0 = int(T0.timestamp())
+    want = []
+    for pe, po, pu, pt in rows:
+        if pt != "purchase":
+            continue
+        psec = t0 + po
+        for ve, vo, vu, vt in rows:
+            if vt != "view" or vu != pu:
+                continue
+            vsec = t0 + vo
+            if psec - tp.WINDOW_JOIN_SEC < vsec <= psec:
+                want.append((pe, ve))
+    assert got == sorted(want)

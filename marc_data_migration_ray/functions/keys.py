@@ -104,3 +104,16 @@ def _fnv1a_numpy(arr: pa.Array):
             b = data[idx].astype(np.uint64)
             h[active] = (h[active] ^ b) * FNV_PRIME
     return h
+
+
+def mod_bucket(col: "pa.ChunkedArray | pa.Array", n: int) -> pa.Array:
+    """``col % n`` as int32 — the coarse co-partition bucket key used by
+    every bucket-shuffled operator (sessions, as-of/range joins, funnel,
+    retention, TF-IDF rank, block-dedup reassembly).
+
+    pyarrow.compute has no integer modulo kernel; this is the
+    subtract-multiply-divide idiom, defined ONCE (a transcription slip in
+    any inline copy would silently break an operator's co-partitioning)."""
+    return pc.cast(
+        pc.subtract(col, pc.multiply(pc.divide(col, n), n)), pa.int32()
+    )

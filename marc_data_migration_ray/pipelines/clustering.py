@@ -172,10 +172,14 @@ def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 3) -> np.ndarray:
         counts = np.zeros(k, np.int64)
         sums = np.zeros_like(C)
         for b in partials.iter_batches(batch_format="pyarrow"):
+            # np.add.at, NOT fancy-index +=: iter_batches coalesces several
+            # k-row partial blocks into one batch, so cluster ids REPEAT
+            # within a batch and += would silently drop the duplicates
             cl = ids_array(b["cluster"])
-            counts[cl] += ids_array(b["n"])
-            sums[cl] += np.stack(
-                [np.asarray(v, np.float64) for v in b["vsum"].to_pylist()]
+            np.add.at(counts, cl, ids_array(b["n"]))
+            np.add.at(
+                sums, cl,
+                np.stack([np.asarray(v, np.float64) for v in b["vsum"].to_pylist()]),
             )
         nz = counts > 0
         C = C.copy()
@@ -198,7 +202,8 @@ def semantic_clusters(sf_dir: str, k: int = 8, iters: int = 3) -> pa.Table:
     )
     counts = np.zeros(k, np.int64)
     for b in partials.iter_batches(batch_format="pyarrow"):
-        counts[ids_array(b["cluster"])] += ids_array(b["n"])
+        # np.add.at: coalesced batches repeat cluster ids (see kmeans_fit)
+        np.add.at(counts, ids_array(b["cluster"]), ids_array(b["n"]))
     nz = np.nonzero(counts)[0]
     return pa.table(
         {
@@ -297,6 +302,9 @@ def label_similarity(sf_dir: str) -> pa.Table:
 
     def _partial(t: pa.Table) -> pa.Table:
         x = emb_matrix(t["embedding"]) * LABEL_QUANT
+        # width must match the SQL mirror's range(1, EMB_DIM+1) — detect a
+        # different embedding table rather than silently truncating
+        assert x.shape[1] == EMB_DIM, x.shape
         # half-AWAY-from-zero, matching SQL round() (np.rint is half-to-even)
         q = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
         labels = t["label"].combine_chunks().to_numpy(zero_copy_only=False)
@@ -422,9 +430,7 @@ def semdedup(
         ids = ids_array(g["vec_id"])
         order = np.argsort(ids)
         ids = ids[order]
-        E = np.stack(
-            [np.asarray(v, np.float64) for v in g["emb"].to_pylist()]
-        )[order]
+        E = emb_matrix(g["emb"])[order]  # zero-copy, no per-row Python
         S = E @ E.T
         dropped = (np.tril(S, -1) >= SEMDEDUP_TH).any(axis=1)
         return pa.table(

@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Min
 
+from marc_data_migration_ray.functions.keys import mod_bucket
 from marc_data_migration_ray.functions.text import fingerprints
 from marc_data_migration_ray.functions.vectors import emb_matrix, ids_array, normalized
 from marc_data_migration_ray.sources import readers
@@ -823,16 +824,7 @@ def block_dedup(sf_dir: str) -> ray.data.Dataset:
 
     def _bucket(t: pa.Table) -> pa.Table:
         return t.append_column(
-            "bucket",
-            pc.cast(
-                pc.subtract(
-                    t["doc_id"],
-                    pc.multiply(
-                        pc.divide(t["doc_id"], _BLOCK_BUCKETS), _BLOCK_BUCKETS
-                    ),
-                ),
-                pa.int32(),
-            ),
+            "bucket", mod_bucket(t["doc_id"], _BLOCK_BUCKETS)
         )
 
     def _reassemble(g: pa.Table) -> pa.Table:

@@ -26,6 +26,7 @@ import pyarrow.compute as pc
 
 import ray.data
 from ray.data.aggregate import Count, Sum
+from marc_data_migration_ray.functions.keys import mod_bucket
 from marc_data_migration_ray.sources import readers
 
 SESSION_GAP_MIN = 30
@@ -92,14 +93,7 @@ def session_count(sf_dir: str) -> ray.data.Dataset:
     ds = _events(sf_dir, ["user_id", "ts", "event_id"])
 
     def _bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(
-            pc.subtract(
-                t["user_id"],
-                pc.multiply(pc.divide(t["user_id"], SESSION_BUCKETS), SESSION_BUCKETS),
-            ),
-            pa.int32(),
-        )
-        return t.append_column("bucket", b)
+        return t.append_column("bucket", mod_bucket(t["user_id"], SESSION_BUCKETS))
 
     def _sessions_bucket(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g.drop_columns(["bucket"]))
@@ -153,13 +147,7 @@ def user_value_moving_avg(sf_dir: str) -> ray.data.Dataset:
         # project to (ids, truncated seconds, half-away cents) BEFORE the
         # shuffle — the established oracle-matching rounding rule, and the
         # raw ts/value columns never pay the exchange
-        b = pc.cast(
-            pc.subtract(
-                t["user_id"],
-                pc.multiply(pc.divide(t["user_id"], SESSION_BUCKETS), SESSION_BUCKETS),
-            ),
-            pa.int32(),
-        )
+        b = mod_bucket(t["user_id"], SESSION_BUCKETS)
         return pa.table(
             {
                 "event_id": t["event_id"],
@@ -348,7 +336,7 @@ def top_orders_per_customer(sf_dir: str, k: int = 3) -> ray.data.Dataset:
             pa.int64(),
         )
         b = pc.cast(
-            pc.subtract(t["o_custkey"], pc.multiply(pc.divide(t["o_custkey"], 64), 64)),
+            mod_bucket(t["o_custkey"], 64),
             pa.int32(),
         )
         return pa.table(
@@ -584,13 +572,7 @@ def retention_cohorts(sf_dir: str) -> ray.data.Dataset:
     ds = _events(sf_dir, ["user_id", "ts", "event_type"])
 
     def _bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(
-            pc.subtract(
-                t["user_id"],
-                pc.multiply(pc.divide(t["user_id"], SESSION_BUCKETS), SESSION_BUCKETS),
-            ),
-            pa.int32(),
-        )
+        b = mod_bucket(t["user_id"], SESSION_BUCKETS)
         return pa.table(
             {
                 "user_id": t["user_id"],

@@ -248,7 +248,10 @@ def price_quantiles(sf_dir: str) -> "pa.Table":
 
     def _cents(t: pa.Table) -> np.ndarray:
         v = t["l_extendedprice"].combine_chunks().to_numpy(zero_copy_only=False)
-        return np.rint(v * 100).astype(np.int64)
+        x = v * 100
+        # half-AWAY-from-zero like SQL round() and every other cents kernel
+        # in the repo (np.rint is half-to-even and diverges on half-cents)
+        return np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
 
     mm = _read().map_batches(
         lambda t: pa.table({"c": pa.array(_cents(t))}),

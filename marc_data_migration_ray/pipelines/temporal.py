@@ -32,6 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
+from marc_data_migration_ray.functions.keys import mod_bucket
 from marc_data_migration_ray.sources import readers
 
 ASOF_BUCKETS = 64
@@ -52,14 +53,7 @@ def _typed_events(sf_dir: str, types: tuple[str, ...]) -> ray.data.Dataset:
 
 def _bucketed(ds: ray.data.Dataset) -> ray.data.Dataset:
     def _b(t: pa.Table) -> pa.Table:
-        b = pc.cast(
-            pc.subtract(
-                t["user_id"],
-                pc.multiply(pc.divide(t["user_id"], ASOF_BUCKETS), ASOF_BUCKETS),
-            ),
-            pa.int32(),
-        )
-        return t.append_column("bucket", b)
+        return t.append_column("bucket", mod_bucket(t["user_id"], ASOF_BUCKETS))
 
     return ds.map_batches(_b, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -188,6 +182,7 @@ def purchase_views_window(sf_dir: str) -> ray.data.Dataset:
             g["ts"].combine_chunks().cast(pa.int64()).to_numpy() // 1_000_000
         )
         assert users.max(initial=0) < (1 << 32) and sec.max(initial=0) < (1 << 32)
+        assert sec.min(initial=0) >= 0  # pre-1970 ts would wrap the packed key
 
         def _side(mask):
             u, t, i = users[mask], sec[mask], ids[mask]
@@ -198,9 +193,10 @@ def purchase_views_window(sf_dir: str) -> ray.data.Dataset:
         vu, vt, vid = _side(typ == "view")
         vkey = (vu.astype(np.uint64) << np.uint64(32)) | vt.astype(np.uint64)
         base = pu.astype(np.uint64) << np.uint64(32)
-        lo = np.searchsorted(
-            vkey, base | (pt - WINDOW_JOIN_SEC + 1).astype(np.uint64), side="left"
-        )
+        # clamp at 0: a purchase in the first W seconds after epoch would
+        # otherwise underflow and wrap to ~2^64, corrupting the packed key
+        lo_t = np.maximum(pt - WINDOW_JOIN_SEC + 1, 0)
+        lo = np.searchsorted(vkey, base | lo_t.astype(np.uint64), side="left")
         hi = np.searchsorted(vkey, base | pt.astype(np.uint64), side="right")
         counts = hi - lo
         out_p = np.repeat(np.arange(len(pu)), counts)

@@ -17,6 +17,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from marc_data_migration_ray.functions import text as T
+from marc_data_migration_ray.functions.keys import mod_bucket
 from marc_data_migration_ray.sources import readers
 
 
@@ -350,14 +351,7 @@ def tfidf_topk(sf_dir: str, k: int = 3) -> ray.data.Dataset:
     )
 
     def _bucket(t: pa.Table) -> pa.Table:
-        b = pc.cast(
-            pc.subtract(
-                t["doc_id"],
-                pc.multiply(pc.divide(t["doc_id"], TFIDF_BUCKETS), TFIDF_BUCKETS),
-            ),
-            pa.int32(),
-        )
-        return t.append_column("bucket", b)
+        return t.append_column("bucket", mod_bucket(t["doc_id"], TFIDF_BUCKETS))
 
     def _rank(g: pa.Table) -> pa.Table:
         df = pl.from_arrow(g.drop_columns(["bucket"]))

@@ -105,3 +105,31 @@ def test_semdedup_planted_within_and_cross_cluster(ray_session, tmp_path):
     assert rows[4]["kept"] is False            # near-dup of 1, same cluster 1
     assert rows[0]["cluster_id"] == rows[2]["cluster_id"] == rows[3]["cluster_id"]
     assert rows[1]["cluster_id"] == rows[4]["cluster_id"]
+
+
+def test_semantic_clusters_counts_survive_multi_batch_merge(ray_session, tmp_path):
+    """Regression: the driver merge of per-batch (cluster, n, sum) partials
+    must use np.add.at — iter_batches coalesces several k-row partial
+    blocks into one batch with REPEATED cluster ids, and fancy-index '+='
+    silently drops the duplicates. >8192 rows forces multiple map
+    batches; the cluster counts must sum to the row count exactly."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import clustering
+
+    rng = np.random.default_rng(9)
+    n, d = 9000, 64
+    emb = rng.normal(size=(n, d)).astype(np.float32)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, e)) for e in emb],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int64()),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = clustering.semantic_clusters(str(tmp_path), k=4, iters=1).to_pylist()
+    assert sum(r["n_vectors"] for r in out) == n

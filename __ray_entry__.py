@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_repetition": text_analysis.word_repetition,
         "lm_familiarity": text_analysis.lm_familiarity,
         "token_concentration": text_analysis.token_concentration,
+        "token_lift": text_analysis.token_lift,
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
@@ -152,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_moving_avg": events.user_value_moving_avg,
         "peak_concurrency": events.peak_concurrency,
         "retention_cohorts": events.retention_cohorts,
+        "daily_anomaly": events.daily_anomaly,
+        "event_pivot": events.event_pivot,
+        "event_dedup_window": events.event_dedup_window,
         "top_orders_per_customer": events.top_orders_per_customer,
         "key_diff_report": events.key_diff_report,
         # temporal as-of joins (co-partitioned polars join_asof per bucket)
@@ -450,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "word_repetition": _ta.word_repetition_sql(),
         "lm_familiarity": _ta.lm_familiarity_sql(),
         "token_concentration": _ta.token_concentration_sql(),
+        "token_lift": _ta.token_lift_sql(),
         # fixed-centroid cosine assignment; and the full distributed
         # k-means — the oracle UNROLLS the same Lloyd iterations as CTEs
         "embedding_assign": _clustering.embedding_assign_sql(),
@@ -743,6 +748,12 @@ ORDER BY op, route, status
         # sweep-line maximum via two-level prefix sum; ties -> earliest sec
         "peak_concurrency": _events_mod.peak_concurrency_sql(),
         "retention_cohorts": _events_mod.retention_cohorts_sql(),
+        # z-score from exact integer sums + one shared final expression
+        "daily_anomaly": _events_mod.daily_anomaly_sql(),
+        # long->wide pivot: per-batch conditional-count partials, static schema
+        "event_pivot": _events_mod.event_pivot_sql(),
+        # at-least-once scrub: keep-earliest per (user,type,10-min window)
+        "event_dedup_window": _events_mod.event_dedup_window_sql(),
         "top_orders_per_customer": (
             "SELECT o_custkey, CAST(rn AS BIGINT) AS rnk, o_orderkey FROM ("
             "SELECT o_custkey, o_orderkey, row_number() OVER ("

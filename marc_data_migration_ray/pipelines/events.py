@@ -641,3 +641,199 @@ def retention_cohorts_sql() -> str:
         "CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users "
         "FROM a WHERE week_offset >= 0 GROUP BY 1, 2"
     )
+
+
+def daily_anomaly(sf_dir: str) -> pa.Table:
+    """(day, n_events, z): per-day event-count z-score — the traffic
+    anomaly check (which days deviate from the corpus's own mean).
+
+    Hash-exact float despite mean/std being ratios: with S1 = Σc and
+    S2 = Σc² over the n days (all exact integers from one bounded
+    ``groupby(day)``), the z-score is algebraically
+
+        z = (n·c − S1) / sqrt(n · (n·S2 − S1²))  ·  sqrt(n)·(1)        --
+        equivalently  (c − S1/n) / sqrt((S2 − S1²/n)/n)
+
+    and the LEFT form needs only two exact integers and one final
+    CAST/sqrt/divide expression — evaluated identically by numpy and
+    DuckDB (no accumulation-order hazard). Days with zero variance emit
+    z = 0.0. Day counts are bounded (calendar time), so the per-day
+    table is driver-tiny; the distributed part is the count shuffle."""
+    import math
+
+    ds = _events(sf_dir, ["ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        g = pa.table({"day": day})
+        return g.group_by("day").aggregate([([], "count_all")])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby("day").sum("count_all")
+    days, counts = [], []
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        days.extend(b["day"].to_pylist())
+        counts.extend(b["sum(count_all)"].to_pylist())
+    order = sorted(range(len(days)), key=lambda i: days[i])
+    days = [days[i] for i in order]
+    counts = [int(counts[i]) for i in order]
+    n = len(counts)
+    s1 = sum(counts)
+    s2 = sum(c * c for c in counts)
+    denom_sq = n * (n * s2 - s1 * s1)
+    zs = []
+    for c in counts:
+        if denom_sq <= 0:
+            zs.append(0.0)
+        else:
+            # sqrt(n) * (n*c - S1) / sqrt(n*(n*S2 - S1^2)) == classic z
+            zs.append(
+                math.sqrt(float(n)) * float(n * c - s1)
+                / math.sqrt(float(denom_sq))
+            )
+    return pa.table(
+        {
+            "day": pa.array(days, pa.string()),
+            "n_events": pa.array(counts, pa.int64()),
+            "z": pa.array(zs, pa.float64()),
+        }
+    )
+
+
+def daily_anomaly_sql() -> str:
+    return (
+        "WITH c AS (SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        "CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1), "
+        "t AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(n_events) AS BIGINT) AS s1, "
+        "CAST(sum(n_events * n_events) AS BIGINT) AS s2 FROM c) "
+        "SELECT day, n_events, "
+        "CASE WHEN n * (n * s2 - s1 * s1) <= 0 THEN 0.0 "
+        "ELSE sqrt(CAST(n AS DOUBLE)) * CAST(n * n_events - s1 AS DOUBLE) "
+        "/ sqrt(CAST(n * (n * s2 - s1 * s1) AS DOUBLE)) END AS z "
+        "FROM c, t"
+    )
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+DEDUP_WINDOW_SEC = 600  # 10-minute tumbling windows (shared with the SQL oracle)
+
+
+def event_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Pivot (long→wide): per day, one count column per event type plus the
+    total — the classic reshape Ray Data has no primitive for.
+
+    Recast as a per-batch conditional-count partial (ONE arrow group_by
+    per batch emitting the 5 type columns, so each batch reduces to at
+    most |days| rows regardless of size) followed by a distributed
+    ``groupby(day).sum`` — the pivot never sees unaggregated rows and the
+    shuffle is bounded by days×types. Column set is the fixed event-type
+    enum, so the wide schema is static (dynamic pivots can't be
+    plan-stable in ANY engine without a schema pre-pass).
+    """
+    ds = _events(sf_dir, ["ts", "event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        cols = {"day": day}
+        for et in EVENT_TYPES:
+            cols[f"n_{et}"] = pc.cast(pc.equal(t["event_type"], et), pa.int64())
+        g = pa.table(cols)
+        return g.group_by("day").aggregate(
+            [(f"n_{et}", "sum") for et in EVENT_TYPES]
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby("day").aggregate(
+        *[Sum(f"n_{et}_sum", alias_name=f"n_{et}") for et in EVENT_TYPES]
+    )
+
+    def _finish(t: pa.Table) -> pa.Table:
+        cols = {"day": t["day"]}
+        total = None
+        for et in EVENT_TYPES:
+            c = pc.cast(t[f"n_{et}"], pa.int64())
+            cols[f"n_{et}"] = c
+            total = c if total is None else pc.add(total, c)
+        cols["n_total"] = total
+        return pa.table(cols)
+
+    return final.map_batches(_finish, batch_format="pyarrow")
+
+
+def event_pivot_sql() -> str:
+    per_type = ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{et}') AS BIGINT) AS n_{et}"
+        for et in EVENT_TYPES
+    )
+    return (
+        "SELECT strftime(ts, '%Y-%m-%d') AS day, "
+        f"{per_type}, CAST(count(*) AS BIGINT) AS n_total "
+        "FROM events GROUP BY 1"
+    )
+
+
+def event_dedup_window(sf_dir: str) -> ray.data.Dataset:
+    """Windowed event deduplication: within each 10-minute tumbling window,
+    collapse repeated (user, event_type) events to ONE kept record — the
+    standard at-least-once-delivery scrub for a training-data event feed.
+
+    Keep rule: the window's EARLIEST event (min ts; ts ties collapse to
+    the same kept record since only the timestamp is emitted). Shape:
+    per-batch ``group_by(user, type, window).min(ts)`` partials — each
+    batch reduces to its distinct keys before the exchange — then ONE
+    distributed ``groupby().min`` over the (unbounded) key space; the
+    duplicate count rides along as a summed partial.
+
+    Columns: (user_id, event_type, win_start_sec, first_ts_us, n_dropped).
+    """
+    ds = _events(sf_dir, ["user_id", "ts", "event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ts_us = pc.cast(t["ts"], pa.int64())
+        win = pc.multiply(
+            pc.divide(ts_us, DEDUP_WINDOW_SEC * 1_000_000),
+            DEDUP_WINDOW_SEC,
+        )  # window start in epoch SECONDS (µs // window, back to sec)
+        g = pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "win_start_sec": win,
+                "ts_us": ts_us,
+            }
+        )
+        return g.group_by(["user_id", "event_type", "win_start_sec"]).aggregate(
+            [("ts_us", "min"), ("ts_us", "count")]
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    final = partials.groupby(["user_id", "event_type", "win_start_sec"]).aggregate(
+        ray.data.aggregate.Min("ts_us_min", alias_name="first_ts_us"),
+        Sum("ts_us_count", alias_name="n_events"),
+    )
+    return final.map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "event_type": t["event_type"],
+                "win_start_sec": pc.cast(t["win_start_sec"], pa.int64()),
+                "first_ts_us": pc.cast(t["first_ts_us"], pa.int64()),
+                "n_dropped": pc.subtract(
+                    pc.cast(t["n_events"], pa.int64()), pa.scalar(1, pa.int64())
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def event_dedup_window_sql() -> str:
+    w = DEDUP_WINDOW_SEC
+    return (
+        "SELECT user_id, event_type, "
+        f"CAST(epoch_us(ts) // {w * 1_000_000} * {w} AS BIGINT) AS win_start_sec, "
+        "CAST(min(epoch_us(ts)) AS BIGINT) AS first_ts_us, "
+        "CAST(count(*) - 1 AS BIGINT) AS n_dropped "
+        "FROM events GROUP BY 1, 2, 3"
+    )

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -698,4 +699,111 @@ def token_concentration_sql() -> str:
         "CASE WHEN coalesce(n_words, 0) = 0 THEN 0.0 "
         "ELSE CAST(simpson_x AS DOUBLE) / (n_words * n_words) END AS simpson "
         "FROM documents d LEFT JOIN agg USING (doc_id)"
+    )
+
+
+LIFT_VOCAB = 50  # co-occurrence over the top-V tokens (shared with SQL)
+
+
+def token_lift(sf_dir: str, v: int = LIFT_VOCAB) -> pa.Table:
+    """(token_a, token_b, n_both, lift): document-level co-occurrence
+    association ("lift") between the corpus's top-``v`` tokens —
+    lift = N·c_ab / (c_a·c_b) over distinct-per-doc occurrence counts,
+    the classic market-basket association score (> 1 ⇒ the tokens
+    attract, < 1 ⇒ they repel).
+
+    All-pairs co-occurrence is quadratic in the vocabulary, so the
+    vocabulary is the exact top-v heavy hitters (reusing ``token_topk``'s
+    distributed wordcount). The co-occurrence matrix is then a per-batch
+    boolean membership matmul ``Mᵀ·M`` (docs × v) — each batch reduces to
+    ONE v×v integer matrix regardless of batch size — merged elementwise.
+    Counts are exact integers; lift is one int/int division per pair, so
+    the float column hash-matches the oracle."""
+    import polars as pl
+
+    top = [r["token"] for r in token_topk(sf_dir, k=v).to_pylist()]
+    top_sorted = sorted(top)
+    idx = {t: i for i, t in enumerate(top_sorted)}
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        dt = (
+            df.select("doc_id", pl.col("text").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .filter(pl.col("w").is_in(top_sorted))
+            .unique()
+        )
+        if dt.height == 0:
+            m = np.zeros((len(top_sorted), len(top_sorted)), np.int64)
+        else:
+            docs = dt["doc_id"].to_numpy()
+            toks = np.array([idx[w] for w in dt["w"].to_list()], np.int64)
+            uniq, dinv = np.unique(docs, return_inverse=True)
+            M = np.zeros((len(uniq), len(top_sorted)), np.int64)
+            M[dinv, toks] = 1
+            m = M.T @ M
+        k = len(top_sorted)
+        return pa.table(
+            {
+                "i": pa.array(np.repeat(np.arange(k, dtype=np.int64), k)),
+                "j": pa.array(np.tile(np.arange(k, dtype=np.int64), k)),
+                "c": pa.array(m.reshape(-1)),
+            }
+        )
+
+    merged = (
+        _docs(sf_dir)
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["i", "j"])
+        .sum("c")
+    )
+    k = len(top_sorted)
+    C = np.zeros((k, k), np.int64)
+    for b in merged.iter_batches(batch_format="pyarrow"):
+        np.add.at(
+            C,
+            (b["i"].to_numpy(), b["j"].to_numpy()),
+            b["sum(c)"].to_numpy(),
+        )
+    n_docs = int(_docs(sf_dir, ("doc_id",)).count())
+    out_a, out_b, out_n, out_l = [], [], [], []
+    for i in range(k):
+        for j in range(i + 1, k):
+            if C[i, j] == 0:
+                continue
+            out_a.append(top_sorted[i])
+            out_b.append(top_sorted[j])
+            out_n.append(int(C[i, j]))
+            out_l.append(float(n_docs * C[i, j]) / float(C[i, i] * C[j, j]))
+    return pa.table(
+        {
+            "token_a": pa.array(out_a, pa.string()),
+            "token_b": pa.array(out_b, pa.string()),
+            "n_both": pa.array(out_n, pa.int64()),
+            "lift": pa.array(out_l, pa.float64()),
+        }
+    )
+
+
+def token_lift_sql(v: int = LIFT_VOCAB) -> str:
+    return (
+        r"WITH tok AS (SELECT doc_id, "
+        r"unnest(regexp_extract_all(text, '\S+')) AS token FROM documents), "
+        "cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token), "
+        "top AS (SELECT token FROM (SELECT token, "
+        f"row_number() OVER (ORDER BY n DESC, token) AS rn FROM cnt) "
+        f"WHERE rn <= {v}), "
+        "dt AS (SELECT DISTINCT doc_id, token FROM tok "
+        "WHERE token IN (SELECT token FROM top)), "
+        "per AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM dt "
+        "GROUP BY token), "
+        "pair AS (SELECT a.token AS token_a, b.token AS token_b, "
+        "CAST(count(*) AS BIGINT) AS n_both FROM dt a "
+        "JOIN dt b ON a.doc_id = b.doc_id AND a.token < b.token "
+        "GROUP BY 1, 2), "
+        "n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) "
+        "SELECT token_a, token_b, n_both, "
+        "CAST(n_docs * n_both AS DOUBLE) / CAST(ca.c * cb.c AS DOUBLE) AS lift "
+        "FROM pair JOIN per ca ON ca.token = pair.token_a "
+        "JOIN per cb ON cb.token = pair.token_b, n"
     )

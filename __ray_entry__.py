@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         derived,
         events,
+        index,
         multimodal,
         policy_queries,
         reports,
@@ -109,10 +110,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_familiarity": text_analysis.lm_familiarity,
         "token_concentration": text_analysis.token_concentration,
         "token_lift": text_analysis.token_lift,
+        # inverted index: scan-side boolean retrieval + term-partitioned build
+        "boolean_search": index.boolean_search,
+        "inverted_postings": index.inverted_postings,
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
         "stratified_sample": sampling.stratified_sample,
+        "range_partition": sampling.range_partition,
         "token_quantiles": sampling.token_quantiles,
         "price_quantiles": sampling.price_quantiles,
         "token_quantiles_by_source": sampling.token_quantiles_by_source,
@@ -443,6 +448,7 @@ def oracle_sql() -> dict[str, str]:
     from marc_data_migration_ray.pipelines import curation as _curation
     from marc_data_migration_ray.pipelines import dedup as _dedup
     from marc_data_migration_ray.pipelines import sampling as _sampling
+    from marc_data_migration_ray.pipelines import index as _index
     from marc_data_migration_ray.pipelines import text_analysis as _ta
     from marc_data_migration_ray.pipelines import temporal as temporal_mod
     from marc_data_migration_ray.pipelines import events as _events_mod
@@ -455,6 +461,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_familiarity": _ta.lm_familiarity_sql(),
         "token_concentration": _ta.token_concentration_sql(),
         "token_lift": _ta.token_lift_sql(),
+        "boolean_search": _index.boolean_search_sql(),
+        "inverted_postings": _index.inverted_postings_sql(),
         # fixed-centroid cosine assignment; and the full distributed
         # k-means — the oracle UNROLLS the same Lloyd iterations as CTEs
         "embedding_assign": _clustering.embedding_assign_sql(),
@@ -466,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _sampling.split_sql(),
         "source_mix_sample": _sampling.mix_sql(),
         "stratified_sample": _sampling.stratified_sql(),
+        "range_partition": _sampling.range_partition_sql(),
         "token_quantiles": _sampling.quantiles_sql(),
         "price_quantiles": _sampling.price_quantiles_sql(),
         "token_quantiles_by_source": _sampling.token_quantiles_by_source_sql(),

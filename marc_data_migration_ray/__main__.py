@@ -111,6 +111,25 @@ def main(argv=None) -> int:
     c.add_argument("--table", required=True)
     _add_cfg_args(c)
 
+    ex = sub.add_parser(
+        "export",
+        help="copy-out a consistent snapshot of the public table state as "
+             "hash-partitioned parquet + EXPORT.json (idempotent)",
+    )
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--dest", required=True)
+    ex.add_argument("--up-to-epoch", type=int, default=None, dest="up_to_epoch")
+    _add_cfg_args(ex)
+
+    rb = sub.add_parser(
+        "rollback",
+        help="truncate the log: drop committed epochs above --to-epoch "
+             "(refuses below the compaction floor / across a delta segment)",
+    )
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-epoch", type=int, required=True, dest="to_epoch")
+    _add_cfg_args(rb)
+
     v = sub.add_parser(
         "vacuum",
         help="reclaim superseded base snapshots (and, with --drop-audit, "
@@ -357,6 +376,11 @@ def main(argv=None) -> int:
         elif args.cmd == "compact":
             path = rp.compact()
             print(json.dumps({"compacted_to": path}))
+        elif args.cmd == "export":
+            info = rp.export_snapshot(args.dest, up_to_epoch=args.up_to_epoch)
+            print(json.dumps(info))
+        elif args.cmd == "rollback":
+            print(json.dumps(rp.rollback(args.to_epoch)))
         elif args.cmd == "vacuum":
             removed = rp.vacuum(retain_audit=not args.drop_audit,
                                 retain_snapshots=args.retain_snapshots)

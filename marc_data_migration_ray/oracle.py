@@ -267,22 +267,23 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
                 }
             )
 
-    # --- schema evolution on final schema (added columns carry VALUES) ---
-    schema = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
-    renames = {}
-    for op in schema_ops:
-        kind, name, new_name = op["kind"], op["name"], op.get("new_name")
-        if kind == "add_column" and name not in schema:
-            schema.append(name)
-            for r in final:
-                r[name] = r["_extra"].get(name)
-        elif kind == "rename_column" and name in schema and new_name not in schema:
-            schema[schema.index(name)] = new_name
-            renames[name] = new_name
-            for r in final:
-                r[new_name] = r.pop(name)
-    for r in final:
-        r.pop("_extra", None)
+    # --- schema evolution on final schema (added columns carry VALUES;
+    # dropped columns vanish) --- shared resolver, same as Manifest
+    from marc_data_migration_ray.state.schema_timeline import resolve_schema_ops
+
+    display = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status",
+               "candidate_key"]
+    schema, renames, added = resolve_schema_ops(display, schema_ops)
+    canon_order = display + added
+    add_set = set(added)
+    final = [
+        {
+            disp: ((r.get("_extra") or {}).get(canon) if canon in add_set
+                   else r[canon])
+            for canon, disp in zip(canon_order, schema)
+        }
+        for r in final
+    ]
 
     metrics = dict(routes)
     metrics["processed"] = len(events)

@@ -345,6 +345,11 @@ class Replayer:
             return self.manifest.epoch_entry(epoch)
 
         final_dir = os.path.join(self.root, "deltas", f"epoch={epoch}")
+        if final_dir in self.manifest.rollback_pending():
+            # leftovers of a rolled-back epoch that crashed mid-cleanup:
+            # clear them rather than adopting stale data as this epoch's
+            shutil.rmtree(final_dir, ignore_errors=True)
+            self.manifest.clear_rollback_pending([final_dir])
         if not os.path.exists(final_dir):
             # empty epoch (no binlog files) commits an empty entry — real
             # change streams have quiet periods and the checkpoint must
@@ -915,6 +920,112 @@ class Replayer:
             up_to, new_base, local_counts, metrics_snapshot=snap, ceiling_lsn=ceiling
         )
         return new_base
+
+    def export_snapshot(self, dest: str, up_to_epoch: int | None = None) -> dict:
+        """Copy-out a consistent point-in-time snapshot of the PUBLIC table
+        state (display schema, DDL applied) as hash-partitioned Parquet +
+        a JSON export manifest — the hand-off artifact for a downstream
+        consumer that doesn't speak this engine's manifest protocol.
+
+        Layout: ``dest/part_p=<p>/*.parquet`` (one directory per physical
+        partition, so a downstream loader can shard/resume per directory;
+        never one giant file) + ``dest/_EXPORT.json`` (the ``_`` prefix keeps it out of parquet dataset scans) carrying epoch bounds,
+        schema, row count and lineage (applied epochs, ceiling lsn).
+
+        Idempotent + crash-safe: written to a tmp dir and atomically
+        renamed; if ``dest`` already holds a complete export its manifest
+        is returned untouched (re-running an export job is a no-op)."""
+        marker = os.path.join(dest, "_EXPORT.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return json.load(f)
+        up_to = up_to_epoch if up_to_epoch is not None else (
+            self.manifest.committed_epochs()[-1]
+            if self.manifest.committed_epochs() else -1
+        )
+        from marc_data_migration_ray.functions.keys import hash_partition
+
+        rows = self.read_state(up_to)
+        P = self.cfg.num_partitions
+
+        def _with_part(t: pa.Table, P=P) -> pa.Table:
+            return t.append_column(
+                "part_p", hash_partition(pc.cast(t["doc_id"], pa.string()), P)
+            )
+
+        tmp = dest.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
+        part = rows.map_batches(_with_part, batch_format="pyarrow",
+                                zero_copy_batch=True)
+        part.write_parquet(tmp, partition_cols=["part_p"])
+        ops = self._schema_ops_up_to(up_to)
+        schema, _renames, _added = self.manifest.resolve_schema(_DISPLAY_COLS, ops)
+        n_rows = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(tmp, "**", "*.parquet"), recursive=True)
+        )
+        info = {
+            "up_to_epoch": up_to,
+            "epochs": [e for e in self.manifest.committed_epochs() if e <= up_to],
+            "ceiling_lsn": self.manifest.ceiling_lsn(),
+            "schema": schema,
+            "num_partitions": P,
+            "n_rows": n_rows,
+        }
+        with open(os.path.join(tmp, "_EXPORT.json"), "w") as f:
+            json.dump(info, f)
+        os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            # concurrent exporter won: keep theirs, discard ours
+            if not os.path.exists(marker):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+            with open(marker) as f:
+                return json.load(f)
+        return info
+
+    def rollback(self, to_epoch: int) -> dict:
+        """Truncate the log to ``to_epoch`` (drop every later committed
+        epoch — the bad-upstream-batch remedy): one CAS manifest commit
+        drops the epochs, THEIR schema ops and fully-above delta segments,
+        then the orphaned delta dirs are removed (best-effort; a crash
+        mid-cleanup is healed by ``apply_epoch``'s rollback_pending check,
+        so stale data can never be adopted by a re-applied epoch).
+
+        Refuses to roll below the compaction floor (those events are
+        already folded into a base snapshot and cannot be un-applied
+        without restoring an older snapshot) or across a delta segment
+        straddling the boundary (the merged run cannot be split; run the
+        rollback before segmenting, or to a segment edge).
+
+        Incrementally-maintained views based above the new head must be
+        rebuilt (SourceCountsView detects a vanished base epoch and falls
+        back to a full rebuild on refresh)."""
+        floor = self.manifest.last_compacted_epoch()
+        if to_epoch < floor:
+            raise ValueError(
+                f"cannot roll back to epoch {to_epoch}: epochs <= {floor} "
+                f"are compacted into the base snapshot"
+            )
+        for seg in self.manifest.delta_segments():
+            if seg["from"] <= to_epoch < seg["to"]:
+                raise ValueError(
+                    f"rollback to {to_epoch} would split delta segment "
+                    f"[{seg['from']}..{seg['to']}]; roll back to a segment "
+                    f"edge or vacuum the segment first"
+                )
+        before = self.manifest.committed_epochs()
+        dropped = [e for e in before if e > to_epoch]
+        dirs = self.manifest.record_rollback(to_epoch)
+        cleaned = []
+        for d in dirs:
+            shutil.rmtree(d, ignore_errors=True)
+            if not os.path.exists(d):
+                cleaned.append(d)
+        self.manifest.clear_rollback_pending(cleaned)
+        return {"to_epoch": to_epoch, "dropped_epochs": dropped,
+                "removed_dirs": cleaned}
 
     # ------------------------------------------------------------------ #
     # level-1 delta compaction (bounds merge-on-read read amplification)

@@ -488,3 +488,122 @@ def token_length_percentile_sql() -> str:
         "length(regexp_extract_all(text, '\\S+'))) AS pct_rank "
         "FROM documents"
     )
+
+
+N_RANGES = 8           # equal-count ranges the partitioner produces
+_RP_CHAR_BUCKET = 16   # coarse value-range bucket width (routing only)
+
+
+def range_partition(sf_dir: str, k: int = N_RANGES) -> ray.data.Dataset:
+    """Exact equal-count range partitioning of the corpus by
+    ``(n_chars, doc_id)`` — the boundary-planning primitive behind every
+    distributed sort / range-partitioned write (Spark's RangePartitioner,
+    DuckDB's NTILE). Returns one row per range:
+    (range_id 1..k, n_docs, chars_min, chars_max, doc_min, doc_max).
+
+    Unlike sample-based partitioners (approximate boundaries), this is
+    EXACT NTILE semantics, still without a global sort:
+
+    1. route rows into coarse VALUE-RANGE buckets (``n_chars // width`` —
+       bucket order == sort order, so ranks compose);
+    2. per-bucket counts → driver prefix sum (tiny: one int per bucket)
+       → each bucket knows its global rank offset;
+    3. per-bucket local sort + offset = exact global rank, mapped to its
+       NTILE range (first N%k ranges get ⌈N/k⌉ rows); per-bucket PARTIAL
+       per-range aggregates (≤ k tiny rows each) feed one final
+       ``groupby(range_id)`` reduce.
+
+    Only (doc_id, n_chars) pairs ever move; the heavy value column stays
+    in place. Skewed value buckets bound the local sort: at 100 TB, pick
+    the bucket width from a quantile sketch of the key instead of a fixed
+    constant (the composition is unchanged)."""
+    import polars as pl
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
+                "bucket": pc.cast(
+                    pc.divide(pc.cast(t["n_chars"], pa.int64()), _RP_CHAR_BUCKET),
+                    pa.int64(),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()  # two consumers: bucket counts + rank pass
+
+    counts: dict[int, int] = {}
+    for b in ds.groupby("bucket").count().iter_batches(batch_format="pyarrow"):
+        for kk, v in zip(b["bucket"].to_pylist(), b["count()"].to_pylist()):
+            counts[kk] = v
+    offsets, acc = {}, 0
+    for kk in sorted(counts):
+        offsets[kk] = acc
+        acc += counts[kk]
+    n_total = acc
+    big = n_total % k          # first `big` ranges hold q+1 rows (NTILE)
+    q = n_total // k
+    cut = big * (q + 1)        # rank0 below this → a big range
+    off_ref = ray.put(offsets)
+
+    def _partials(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).sort(["n_chars", "doc_id"])
+        base = ray.get(off_ref)[df["bucket"][0]]
+        rank0 = base + np.arange(df.height, dtype=np.int64)
+        rid = np.where(
+            rank0 < cut,
+            rank0 // max(q + 1, 1),
+            big + (rank0 - cut) // max(q, 1),
+        ) + 1
+        out = (
+            df.with_columns(range_id=pl.Series(rid))
+            .group_by("range_id")
+            .agg(
+                n_docs=pl.len(),
+                chars_min=pl.col("n_chars").min(),
+                chars_max=pl.col("n_chars").max(),
+                doc_min=pl.col("doc_id").min(),
+                doc_max=pl.col("doc_id").max(),
+            )
+        )
+        a = out.to_arrow()
+        return pa.table({c: pc.cast(a[c], pa.int64()) for c in a.column_names})
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    return (
+        ds.groupby("bucket")
+        .map_groups(_partials, batch_format="pyarrow")
+        .groupby("range_id")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Min("chars_min", alias_name="chars_min"),
+            Max("chars_max", alias_name="chars_max"),
+            Min("doc_min", alias_name="doc_min"),
+            Max("doc_max", alias_name="doc_max"),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {c: pc.cast(t[c], pa.int64()) for c in t.column_names}
+            ),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def range_partition_sql(k: int = N_RANGES) -> str:
+    return (
+        f"WITH r AS (SELECT doc_id, n_chars, NTILE({k}) OVER "
+        "(ORDER BY n_chars, doc_id) AS range_id FROM documents) "
+        "SELECT CAST(range_id AS BIGINT) AS range_id, "
+        "CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(min(n_chars) AS BIGINT) AS chars_min, "
+        "CAST(max(n_chars) AS BIGINT) AS chars_max, "
+        "CAST(min(doc_id) AS BIGINT) AS doc_min, "
+        "CAST(max(doc_id) AS BIGINT) AS doc_max "
+        "FROM r GROUP BY range_id"
+    )

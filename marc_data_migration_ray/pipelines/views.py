@@ -136,6 +136,10 @@ class SourceCountsView:
         if not self.rp.manifest.is_committed(to_epoch):
             raise ValueError(f"epoch {to_epoch} is not committed")
         last = self.last_epoch()
+        if last is not None and not self.rp.manifest.is_committed(last):
+            # the view's base epoch was rolled back: the stored aggregate
+            # reflects data that no longer exists — full rebuild
+            last = None
         if last is not None and to_epoch < last:
             raise ValueError(f"view is already at epoch {last} > {to_epoch}")
         if last == to_epoch:

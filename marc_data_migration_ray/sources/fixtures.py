@@ -129,6 +129,7 @@ def make_binlog(
     invalid_key_frac: float = 0.02,
     schema_change_frac: float = 0.004,
     mean_tokens: int = 64,
+    with_drops: bool = False,
 ) -> pa.Table:
     """Synthetic change-event binlog over a ``make_base_table`` key space.
 
@@ -171,20 +172,43 @@ def make_binlog(
     source = SOURCES[rng.integers(0, len(SOURCES), size=n)].astype(object)
 
     # schema ops assigned FIRST (masks must reference as-of-lsn names)
+    from marc_data_migration_ray.state.schema_timeline import Timeline
+
     schema_kind = np.full(n, None, dtype=object)
     schema_name = np.full(n, None, dtype=object)
     schema_new = np.full(n, None, dtype=object)
     sc_idx = np.nonzero(op == "schema_change")[0]
-    for j, i in enumerate(sc_idx):
-        if j % 2 == 0:
-            schema_kind[i] = "add_column"
-            schema_name[i] = f"extra_{j // 2}"
-        else:
-            schema_kind[i] = "rename_column"
-            schema_name[i] = "source" if j % 4 == 1 else f"extra_{j // 2 - (j // 2 and 1)}"
-            schema_new[i] = f"renamed_{j // 2}"
-
-    from marc_data_migration_ray.state.schema_timeline import Timeline
+    if not with_drops:
+        for j, i in enumerate(sc_idx):
+            if j % 2 == 0:
+                schema_kind[i] = "add_column"
+                schema_name[i] = f"extra_{j // 2}"
+            else:
+                schema_kind[i] = "rename_column"
+                schema_name[i] = "source" if j % 4 == 1 else f"extra_{j // 2 - (j // 2 and 1)}"
+                schema_new[i] = f"renamed_{j // 2}"
+    else:
+        # add / rename / drop cycle over a running timeline so every drop
+        # names a then-live added column by its then-visible name
+        ops_so_far: list[dict] = []
+        for j, i in enumerate(sc_idx):
+            ln = int(lsn[i])
+            tl_now = Timeline(ops_so_far)
+            live = tl_now.live_added()
+            if j % 3 == 0 or not live:
+                schema_kind[i] = "add_column"
+                schema_name[i] = f"extra_{j}"
+            elif j % 3 == 1:
+                schema_kind[i] = "rename_column"
+                schema_name[i] = tl_now.name_at(live[-1], ln)
+                schema_new[i] = f"renamed_{j}"
+            else:
+                schema_kind[i] = "drop_column"
+                schema_name[i] = tl_now.name_at(live[0], ln)
+            ops_so_far.append(
+                {"lsn": ln, "kind": schema_kind[i], "name": schema_name[i],
+                 "new_name": schema_new[i]}
+            )
 
     tl = Timeline(
         [

@@ -131,7 +131,10 @@ class Manifest:
             if self.is_committed(epoch):
                 return False
             if schema_ops:
-                self.record_schema_ops(schema_ops)
+                # epoch tag lets rollback() drop exactly this epoch's DDL
+                self.record_schema_ops(
+                    [{**o, "epoch": epoch} for o in schema_ops]
+                )
             self.state["epochs"][str(epoch)] = entry
             try:
                 self.save()
@@ -160,25 +163,14 @@ class Manifest:
 
         Returns (final_schema, rename_map canonical→final, added_columns).
         ``ops`` overrides the manifest's full op list (epoch-ranged reads).
+        Delegates to the shared ``resolve_schema_ops`` (one definition for
+        manifest, oracle and tests).
         """
-        schema = list(base_columns)
-        renames: dict[str, str] = {}
-        added: list[str] = []
-        for op in (self.state["schema_ops"] if ops is None else ops):
-            kind, name, new = op["kind"], op["name"], op.get("new_name")
-            if kind == "add_column" and name not in schema:
-                schema.append(name)
-                added.append(name)
-            elif kind == "rename_column" and name in schema and new not in schema:
-                schema[schema.index(name)] = new
-                # chase chains: if name was itself a rename target, rewrite
-                canon = name
-                for c, r in renames.items():
-                    if r == name:
-                        canon = c
-                        break
-                renames[canon] = new
-        return schema, renames, added
+        from marc_data_migration_ray.state.schema_timeline import resolve_schema_ops
+
+        return resolve_schema_ops(
+            base_columns, self.state["schema_ops"] if ops is None else ops
+        )
 
     # -- compaction / allocator -------------------------------------------
     def last_compacted_epoch(self) -> int:
@@ -256,6 +248,59 @@ class Manifest:
 
     def delta_segments(self) -> list[dict]:
         return list(self.state.get("delta_segments", []))
+
+    # -- rollback (log truncation) ------------------------------------------
+    def record_rollback(self, to_epoch: int) -> list[str]:
+        """Truncate the log: drop committed epochs > ``to_epoch``, their
+        schema ops and any delta segments lying fully above the boundary.
+        The dropped data DIRS are queued in ``rollback_pending`` (cleanup
+        is best-effort after the CAS lands; ``apply_epoch`` also clears a
+        pending dir before adopting it, so a crash between the CAS and the
+        rmtree can never resurrect rolled-back data). Returns the list of
+        dirs to clean. Callers guard the compaction floor / straddling
+        segments (Replayer.rollback)."""
+        dropped_dirs: list[str] = []
+
+        def _mut(st: dict) -> None:
+            dropped_dirs.clear()
+            for k in [k for k in st["epochs"] if int(k) > to_epoch]:
+                d = st["epochs"].pop(k).get("dir")
+                if d:
+                    dropped_dirs.append(d)
+            cutoff = max(
+                (e.get("max_lsn", -1) for e in st["epochs"].values()), default=-1
+            )
+            st["schema_ops"] = [
+                o for o in st["schema_ops"]
+                if (o.get("epoch") is not None and o["epoch"] <= to_epoch)
+                or (o.get("epoch") is None and o["lsn"] <= cutoff)
+            ]
+            keep_segs, drop_segs = [], []
+            for s in st.get("delta_segments", []):
+                (keep_segs if s["to"] <= to_epoch else drop_segs).append(s)
+            st["delta_segments"] = keep_segs
+            dropped_dirs.extend(s["dir"] for s in drop_segs)
+            pend = st.setdefault("rollback_pending", [])
+            for d in dropped_dirs:
+                if d not in pend:
+                    pend.append(d)
+
+        self._cas_update(_mut)
+        return dropped_dirs
+
+    def rollback_pending(self) -> list[str]:
+        return list(self.state.get("rollback_pending", []))
+
+    def clear_rollback_pending(self, dirs: list[str]) -> None:
+        if not dirs:
+            return
+
+        def _mut(st: dict) -> None:
+            st["rollback_pending"] = [
+                d for d in st.get("rollback_pending", []) if d not in dirs
+            ]
+
+        self._cas_update(_mut)
 
     def segment_covering(self, epoch: int) -> dict | None:
         for seg in self.state.get("delta_segments", []):

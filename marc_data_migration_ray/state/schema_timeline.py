@@ -39,6 +39,7 @@ class Timeline:
             c: [(None, None, c)] for c in PAYLOAD_COLUMNS
         }
         self.added: list[str] = []
+        self.dropped: set[str] = set()  # canonical ids of dropped added cols
         visible: dict[str, str] = {c: c for c in PAYLOAD_COLUMNS}  # canonical→name
         occupied = set(self.RESERVED)
         for op in sorted(schema_ops or [], key=lambda o: o["lsn"]):
@@ -63,11 +64,33 @@ class Timeline:
                 self.segments[canon].append((lsn, None, new))
                 visible[canon] = new
                 occupied.add(new)
+            elif kind == "drop_column":
+                # Only DDL-ADDED columns are droppable: the base payload
+                # columns carry the token-equality invariant (input_hint)
+                # and dropping them would silently break every reader.
+                # A dropped column's names stay RETIRED (in `occupied` /
+                # `segments`), so a later add_column reusing the name is a
+                # no-op — name reuse would make merge-on-read history
+                # ambiguous (an old delta's mask would resurrect under the
+                # new incarnation).
+                canon = next(
+                    (c for c, v in visible.items()
+                     if v == name and c in self.added), None)
+                if canon is None:
+                    continue  # base payload / unknown / already dropped
+                s, _, nm = self.segments[canon][-1]
+                self.segments[canon][-1] = (s, lsn, nm)
+                del visible[canon]
+                self.dropped.add(canon)
 
     def has_renames_or_adds(self) -> bool:
         return bool(self.added) or any(
             len(segs) > 1 for segs in self.segments.values()
         )
+
+    def live_added(self) -> list[str]:
+        """Canonical ids of added columns still visible at end-of-log."""
+        return [c for c in self.added if c not in self.dropped]
 
     def name_at(self, canonical: str, lsn: int) -> str | None:
         """Visible name of ``canonical`` as of ``lsn`` (None ⇒ not visible)."""
@@ -85,3 +108,51 @@ class Timeline:
             return canonical in PAYLOAD_COLUMNS
         name = self.name_at(canonical, lsn)
         return name is not None and name in mask
+
+
+def resolve_schema_ops(
+    base_columns: list[str], ops: list[dict] | None
+) -> tuple[list[str], dict[str, str], list[str]]:
+    """Simulate schema ops over display columns (SEMANTICS §schema).
+
+    ONE definition shared by ``Manifest.resolve_schema``, the pure-Python
+    oracle's final-schema section and the tests' mirror — no drift.
+
+    Returns ``(final_schema, renames canonical→final, added_canonicals)``:
+    ``final_schema`` is positionally aligned with ``base_columns +
+    added_canonicals`` (adds append; renames rewrite in place; drops remove
+    the column from BOTH lists, keeping alignment). ``drop_column`` applies
+    only to DDL-added columns and RETIRES the dropped names — a later
+    ``add_column`` reusing one is a no-op (mirrors ``Timeline``).
+    """
+    schema = list(base_columns)
+    renames: dict[str, str] = {}
+    added: list[str] = []
+    origin: dict[str, str] = {}  # current visible name → canonical (added)
+    retired: set[str] = set()
+    for op in ops or []:
+        kind, name, new = op["kind"], op["name"], op.get("new_name")
+        if kind == "add_column" and name not in schema and name not in retired:
+            schema.append(name)
+            added.append(name)
+            origin[name] = name
+        elif kind == "rename_column" and name in schema and new not in schema \
+                and new not in retired:
+            schema[schema.index(name)] = new
+            if name in origin:
+                origin[new] = origin.pop(name)
+            # chase chains: if name was itself a rename target, rewrite
+            canon = name
+            for c, r in renames.items():
+                if r == name:
+                    canon = c
+                    break
+            renames[canon] = new
+        elif kind == "drop_column" and name in origin:
+            canon = origin.pop(name)
+            schema.remove(name)
+            added.remove(canon)
+            retired.add(name)
+            retired.add(canon)
+            renames.pop(canon, None)
+    return schema, renames, added

@@ -190,23 +190,12 @@ def test_random_ddl_interleaving_matches_oracle(seed):
 
 
 def _resolve(ops):
-    """Tiny mirror of Manifest.resolve_schema for driver-less tests."""
-    schema = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status", "candidate_key"]
-    renames, added = {}, []
-    for op in ops:
-        kind, name, new = op["kind"], op["name"], op.get("new_name")
-        if kind == "add_column" and name not in schema:
-            schema.append(name)
-            added.append(name)
-        elif kind == "rename_column" and name in schema and new not in schema:
-            schema[schema.index(name)] = new
-            canon = name
-            for c, r in renames.items():
-                if r == name:
-                    canon = c
-                    break
-            renames[canon] = new
-    return schema, renames, added
+    """Manifest.resolve_schema for driver-less tests (shared definition)."""
+    from marc_data_migration_ray.state.schema_timeline import resolve_schema_ops
+
+    return resolve_schema_ops(
+        ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status",
+         "candidate_key"], ops)
 
 
 def test_replayer_end_to_end_with_ddl(ray_session, tmp_path):
@@ -237,3 +226,156 @@ def test_replayer_end_to_end_with_ddl(ray_session, tmp_path):
                     va = list(va) if va is not None else None
                     vb = list(vb) if vb is not None else None
                 assert va == vb, (salts, g.get("doc_id"), k, va, vb)
+
+
+def test_drop_column_removes_added_column_and_retires_name():
+    """add(extra_0) → masked writes land → drop(extra_0): the column
+    vanishes from the final schema, masks after the drop are no-ops, and a
+    re-add of the retired name is a no-op (SEMANTICS §schema drops)."""
+    cfg = ReplayConfig(num_partitions=1)
+    events = [
+        _ev(2, "schema_change", kind="add_column", name="extra_0"),
+        _ev(3, "update", "100", mask=["extra_0"], extra='{"extra_0":"v3"}'),
+        _ev(5, "schema_change", kind="drop_column", name="extra_0"),
+        _ev(6, "update", "100", mask=["extra_0"], extra='{"extra_0":"late"}'),
+        _ev(7, "schema_change", kind="add_column", name="extra_0"),  # retired → no-op
+        _ev(8, "update", "200", mask=["extra_0"], extra='{"extra_0":"v8"}'),
+    ]
+    rows, ops = _engine_rows(BASE, events, cfg)
+    tl = Timeline(ops)
+    assert tl.added == ["extra_0"] and tl.dropped == {"extra_0"}
+    assert tl.live_added() == []
+    assert tl.name_at("extra_0", 4) == "extra_0"
+    assert tl.name_at("extra_0", 6) is None  # after the drop
+    schema, renames, added = _resolve(ops)
+    assert "extra_0" not in schema and added == []
+    o = oracle.replay(BASE.to_pylist(), events, cfg)
+    assert o["schema"] == schema
+    ob = {r["doc_id"]: r for r in o["final"]}
+    assert "extra_0" not in ob["100"] and "extra_0" not in ob["200"]
+
+
+def test_drop_of_base_payload_column_is_noop():
+    """Base payload columns carry the token invariant — drop is a no-op,
+    including via a renamed name."""
+    cfg = ReplayConfig(num_partitions=1)
+    events = [
+        _ev(2, "schema_change", kind="drop_column", name="source"),
+        _ev(4, "schema_change", kind="rename_column", name="source", new="src"),
+        _ev(5, "schema_change", kind="drop_column", name="src"),
+        _ev(6, "update", "100", source="news", mask=["src"]),
+    ]
+    rows, ops = _engine_rows(BASE, events, cfg)
+    by_id = {r["doc_id"]: r for r in rows}
+    assert by_id["100"]["source"] == "news"  # column alive, write landed
+    schema, renames, added = _resolve(ops)
+    assert "src" in schema
+    o = oracle.replay(BASE.to_pylist(), events, cfg)
+    assert o["schema"] == schema
+    assert {r["doc_id"]: r for r in o["final"]}["100"]["src"] == "news"
+
+
+def test_drop_of_renamed_added_column_retires_both_names():
+    """add(extra_0) → rename(extra_0→label) → drop(label): both names are
+    retired; re-adding either is a no-op; pre-drop writes are gone from the
+    final table."""
+    cfg = ReplayConfig(num_partitions=1)
+    events = [
+        _ev(2, "schema_change", kind="add_column", name="extra_0"),
+        _ev(3, "update", "100", mask=["extra_0"], extra='{"extra_0":"v3"}'),
+        _ev(4, "schema_change", kind="rename_column", name="extra_0", new="label"),
+        _ev(5, "schema_change", kind="drop_column", name="label"),
+        _ev(6, "schema_change", kind="add_column", name="label"),    # no-op
+        _ev(7, "schema_change", kind="add_column", name="extra_0"),  # no-op
+    ]
+    _rows, ops = _engine_rows(BASE, events, cfg)
+    schema, renames, added = _resolve(ops)
+    assert "label" not in schema and "extra_0" not in schema and added == []
+    tl = Timeline(ops)
+    assert tl.live_added() == []
+    o = oracle.replay(BASE.to_pylist(), events, cfg)
+    assert o["schema"] == schema
+
+
+@pytest.mark.parametrize("seed", [7101, 7202])
+def test_random_ddl_with_drops_matches_oracle(seed):
+    """Fixture binlogs with add/rename/drop cycles: engine fold ≡ oracle
+    row-for-row, including surviving added-column values."""
+    cfg = ReplayConfig(num_partitions=1 + seed % 4,
+                       strategy="replace_only" if seed % 2 else "replace_and_add")
+    base = fixtures.make_base_table(n_rows=60, seed=seed)
+    binlog = fixtures.make_binlog(
+        n_events=900, n_base_rows=60, seed=seed + 3,
+        schema_change_frac=0.03, hot_keys=2, hot_frac=0.3, with_drops=True,
+    )
+    events = binlog.to_pylist()
+    kinds = {e["schema_kind"] for e in events if e["op"] == "schema_change"}
+    assert "drop_column" in kinds, "fixture must actually exercise drops"
+    o = oracle.replay(base.to_pylist(), events, cfg)
+    ops = sorted(
+        (
+            {"lsn": e["lsn"], "kind": e["schema_kind"], "name": e["schema_name"],
+             "new_name": e["schema_new_name"]}
+            for e in events if e["op"] == "schema_change"
+        ),
+        key=lambda x: x["lsn"],
+    )
+    parsed = pa.concat_tables([PrepBase(cfg)(base), ParseRoute(cfg)(binlog)])
+    out = fold_bucket(parsed, cfg, schema_ops=ops)
+    rows = out.filter(pc.equal(out["_kind"], "row")).to_pylist()
+    import json
+
+    final_schema, renames, added = _resolve(ops)
+    got = []
+    for r in rows:
+        d = {k: r[k] for k in ("doc_id", "tokens", "n_tok", "source",
+                               "last_lsn", "status", "candidate_key")}
+        ex = json.loads(r["extra_json"]) if r["extra_json"] else {}
+        for name in added:
+            d[name] = ex.get(name)
+        for canon, new in renames.items():
+            if canon in d:
+                d[new] = d.pop(canon)
+        if d.get("tokens") is not None:
+            d["tokens"] = list(d["tokens"])
+        got.append(d)
+    got.sort(key=lambda r: r["doc_id"])
+    want = [
+        {k: (list(v) if k == "tokens" and v is not None else v) for k, v in r.items()}
+        for r in o["final"]
+    ]
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g == w, (g, w)
+
+
+def test_replayer_end_to_end_with_drops(ray_session, tmp_path):
+    """Manifest path with drops: apply_epoch/read_state ≡ oracle, dropped
+    columns absent from the public schema."""
+    root = str(tmp_path / "fix")
+    fixtures.write_fixture(root, n_rows=50, n_events=800, n_epochs=2, seed=77,
+                           schema_change_frac=0.03, with_drops=True)
+    base_rows = pq.read_table(os.path.join(root, "base")).to_pylist()
+    events = []
+    for e in range(2):
+        d = os.path.join(root, "binlog", f"epoch={e}")
+        for f in sorted(os.listdir(d)):
+            events += pq.read_table(os.path.join(d, f)).to_pylist()
+    assert any(e["schema_kind"] == "drop_column" for e in events
+               if e["op"] == "schema_change")
+
+    cfg = ReplayConfig(num_partitions=4)
+    rp = Replayer(str(tmp_path / "t"), cfg, base_path=os.path.join(root, "base"))
+    for e in range(2):
+        rp.apply_epoch(e, os.path.join(root, "binlog", f"epoch={e}"))
+    o = oracle.replay(base_rows, events, cfg)
+    assert rp.read_state().schema().names == o["schema"]
+    got = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    assert len(got) == len(o["final"])
+    for g, w in zip(got, o["final"]):
+        for k in set(g) | set(w):
+            va, vb = g.get(k), w.get(k)
+            if k == "tokens":
+                va = list(va) if va is not None else None
+                vb = list(vb) if vb is not None else None
+            assert va == vb, (g.get("doc_id"), k, va, vb)

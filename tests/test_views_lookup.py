@@ -160,3 +160,53 @@ def test_view_full_rebuild_after_compaction(ray_session, fixture_dir, tmp_path):
     r = v.refresh()
     assert r["mode"] == "full" and r["epoch"] == 2
     assert v.read().to_pylist() == _full_view(rp, str(tmp_path / "vs"), 2)
+
+
+def test_export_snapshot_roundtrip_and_idempotence(ray_session, tmp_path, fixture_dir):
+    """export_snapshot: partitioned layout, EXPORT.json lineage, re-read ≡
+    read_state, and a second export is a no-op returning the same manifest."""
+    import json
+
+    import ray.data
+
+    cfg = ReplayConfig(num_partitions=4)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    dest = str(tmp_path / "export")
+    info = rp.export_snapshot(dest)
+    assert os.path.exists(os.path.join(dest, "_EXPORT.json"))
+    # one directory per physical partition, never one giant file
+    parts = [d for d in os.listdir(dest) if d.startswith("part_p=")]
+    assert len(parts) > 1
+    want = _norm(rp.read_state().take_all())
+    got_ds = ray.data.read_parquet(dest)
+    got = _norm([
+        {k: v for k, v in r.items() if k != "part_p"}
+        for r in got_ds.take_all()
+    ])
+    assert got == want
+    assert info["n_rows"] == len(want)
+    assert info["schema"] == rp.read_state().schema().names
+    assert info["up_to_epoch"] == N_EPOCHS - 1
+    # idempotent: second call returns the stored manifest, no rewrite
+    mtime = os.path.getmtime(os.path.join(dest, "_EXPORT.json"))
+    info2 = rp.export_snapshot(dest)
+    assert info2 == info
+    assert os.path.getmtime(os.path.join(dest, "_EXPORT.json")) == mtime
+    with open(os.path.join(dest, "_EXPORT.json")) as f:
+        assert json.load(f) == info
+
+
+def test_export_snapshot_time_travel(ray_session, tmp_path, fixture_dir):
+    """up_to_epoch export matches read_state(up_to_epoch)."""
+    cfg = ReplayConfig(num_partitions=4)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    dest = str(tmp_path / "export_e0")
+    info = rp.export_snapshot(dest, up_to_epoch=0)
+    want = _norm(rp.read_state(up_to_epoch=0).take_all())
+    import ray.data
+
+    got = _norm([
+        {k: v for k, v in r.items() if k != "part_p"}
+        for r in ray.data.read_parquet(dest).take_all()
+    ])
+    assert got == want and info["epochs"] == [0]

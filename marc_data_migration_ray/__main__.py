@@ -121,6 +121,17 @@ def main(argv=None) -> int:
     ex.add_argument("--up-to-epoch", type=int, default=None, dest="up_to_epoch")
     _add_cfg_args(ex)
 
+    exc = sub.add_parser(
+        "export-changes",
+        help="CDC egress: write changes_between(from, to) as parquet "
+             "partitioned by change type + _EXPORT.json (idempotent)",
+    )
+    exc.add_argument("--table", required=True)
+    exc.add_argument("--dest", required=True)
+    exc.add_argument("--from-epoch", type=int, required=True, dest="from_epoch")
+    exc.add_argument("--to-epoch", type=int, required=True, dest="to_epoch")
+    _add_cfg_args(exc)
+
     rb = sub.add_parser(
         "rollback",
         help="truncate the log: drop committed epochs above --to-epoch "
@@ -381,6 +392,10 @@ def main(argv=None) -> int:
             print(json.dumps(info))
         elif args.cmd == "rollback":
             print(json.dumps(rp.rollback(args.to_epoch)))
+        elif args.cmd == "export-changes":
+            print(json.dumps(
+                rp.export_changes(args.dest, args.from_epoch, args.to_epoch)
+            ))
         elif args.cmd == "vacuum":
             removed = rp.vacuum(retain_audit=not args.drop_audit,
                                 retain_snapshots=args.retain_snapshots)

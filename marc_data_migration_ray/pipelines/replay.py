@@ -285,6 +285,62 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
     )
 
 
+@ray.remote(num_cpus=1)
+def _backfill_part_task(
+    t: pa.Table, transform, part: int, P: int, base_lsn: int, epoch: int,
+    out_file: str,
+) -> tuple[int, int]:
+    """Generate one partition's backfill update events (see
+    Replayer.backfill): live canonical-keyed rows → transform → one
+    perfect-score full-row update event each, lsn = base + i*P + part
+    (globally unique, above the fence). Returns (n_events, n_skipped)."""
+    from marc_data_migration_ray.functions.keys import normalize_keys
+
+    import numpy as np
+
+    rows = t.filter(pc.equal(t["_kind"], "row"))
+    rows = rows.select(["doc_id", "tokens", "n_tok", "source"])
+    canon = pc.equal(
+        pc.fill_null(normalize_keys(rows["doc_id"]), ""), rows["doc_id"]
+    )
+    eligible = rows.filter(canon)
+    n_skipped = rows.num_rows - eligible.num_rows
+    new = transform(eligible)
+    if new.num_rows != eligible.num_rows or "doc_id" not in new.column_names:
+        raise ValueError("backfill transform must return one row per input "
+                         "row and keep doc_id")
+    n = new.num_rows
+    lsn = pa.array(base_lsn + np.arange(n, dtype=np.int64) * P + part)
+
+    def _col(name, typ):
+        if name in new.column_names:
+            return pc.cast(new[name], typ)
+        return pc.cast(eligible[name], typ)
+
+    events = pa.table(
+        {
+            "lsn": lsn,
+            "epoch": pa.array([epoch] * n, pa.int32()),
+            "op": pa.array(["update"] * n, pa.string()),
+            "doc_id": pc.cast(new["doc_id"], pa.string()),
+            "tokens": _col("tokens", pa.list_(pa.int32())),
+            "n_tok": _col("n_tok", pa.int32()),
+            "source": _col("source", pa.string()),
+            "column_mask": pa.array([[]] * n, pa.list_(pa.string())),
+            "match_score": pa.array([100] * n, pa.int32()),
+            "title": pa.nulls(n, pa.string()),
+            "match_title": pa.nulls(n, pa.string()),
+            "extra_json": pa.nulls(n, pa.string()),
+            "schema_kind": pa.nulls(n, pa.string()),
+            "schema_name": pa.nulls(n, pa.string()),
+            "schema_new_name": pa.nulls(n, pa.string()),
+        }
+    )
+    os.makedirs(os.path.dirname(out_file), exist_ok=True)
+    pq.write_table(events, out_file)
+    return n, n_skipped
+
+
 class Replayer:
     """Replays a binlog onto a lake table under exactly-once manifest commits."""
 
@@ -984,6 +1040,89 @@ class Replayer:
             with open(marker) as f:
                 return json.load(f)
         return info
+
+    def export_changes(self, dest: str, from_epoch: int, to_epoch: int) -> dict:
+        """CDC egress: write ``changes_between(from, to)`` as Parquet
+        partitioned by change type + a ``_EXPORT.json`` manifest — the
+        downstream-sync artifact (a consumer applies inserts/updates/
+        deletes to its own store without speaking this engine's manifest).
+        Same idempotent tmp-dir + atomic-rename discipline as
+        ``export_snapshot``; re-running is a no-op."""
+        marker = os.path.join(dest, "_EXPORT.json")
+        if os.path.exists(marker):
+            with open(marker) as f:
+                return json.load(f)
+        ds = self.changes_between(from_epoch, to_epoch)
+        tmp = dest.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
+        ds.write_parquet(tmp, partition_cols=["change"])
+        os.makedirs(tmp, exist_ok=True)  # zero-change feeds still publish
+        counts: dict[str, int] = {}
+        for d in os.listdir(tmp):
+            if d.startswith("change="):
+                counts[d.split("=", 1)[1]] = sum(
+                    pq.ParquetFile(p).metadata.num_rows
+                    for p in glob.glob(os.path.join(tmp, d, "*.parquet"))
+                )
+        info = {"from_epoch": from_epoch, "to_epoch": to_epoch,
+                "n_changes": sum(counts.values()), "counts": counts}
+        with open(os.path.join(tmp, "_EXPORT.json"), "w") as f:
+            json.dump(info, f)
+        os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
+        try:
+            os.rename(tmp, dest)
+        except OSError:
+            if not os.path.exists(marker):
+                raise
+            shutil.rmtree(tmp, ignore_errors=True)
+            with open(marker) as f:
+                return json.load(f)
+        return info
+
+    def backfill(self, transform, epoch: int) -> dict:
+        """Full-table column rewrite executed THROUGH the replay path (the
+        lakehouse backfill: re-tokenize, re-score, fix a bad column). Reads
+        the current state per partition, applies ``transform`` (a
+        serializable ``pa.Table -> pa.Table`` over the canonical payload
+        columns), and emits ONE synthetic perfect-score update event per
+        eligible row into a real binlog epoch dir under the table root,
+        then ``apply_epoch``'s it — so backfills inherit exactly-once
+        fencing, audit rows, metrics, the change feed and time travel like
+        any upstream epoch (rather than mutating files in place, which
+        would fork history).
+
+        Eligible rows are live rows whose ``doc_id`` is its own canonical
+        key (engine-allocated local ids are skipped and counted —
+        re-keying them would re-allocate). LSNs are allocated above every
+        committed lsn and the compaction ceiling, unique via
+        ``base + row_index * P + partition``; each partition's events are
+        generated and written by its own Ray task (no driver
+        materialization)."""
+        if self.manifest.is_committed(epoch):
+            return self.manifest.epoch_entry(epoch)
+        base_lsn = max(
+            [self.manifest.ceiling_lsn()]
+            + [self.manifest.epoch_entry(e).get("max_lsn", -1)
+               for e in self.manifest.committed_epochs()]
+        ) + 1
+        refs = self._fold_part_refs(None)
+        P = max(len(refs), 1)
+        tmp_dir = os.path.join(self.root, "_tmp",
+                               f"backfill-{epoch}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tasks = [
+            _backfill_part_task.remote(
+                ref, transform, p, P, base_lsn, epoch,
+                os.path.join(tmp_dir, f"part-{p:05d}.parquet"),
+            )
+            for p, ref in sorted(refs.items())
+        ]
+        stats = ray.get(tasks)
+        n_events = sum(s[0] for s in stats)
+        n_skipped = sum(s[1] for s in stats)
+        entry = self.apply_epoch(epoch, tmp_dir)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return {**entry, "backfill_events": n_events,
+                "backfill_skipped_local": n_skipped}
 
     def rollback(self, to_epoch: int) -> dict:
         """Truncate the log to ``to_epoch`` (drop every later committed

@@ -494,7 +494,9 @@ N_RANGES = 8           # equal-count ranges the partitioner produces
 _RP_CHAR_BUCKET = 16   # coarse value-range bucket width (routing only)
 
 
-def range_partition(sf_dir: str, k: int = N_RANGES) -> ray.data.Dataset:
+def range_partition(
+    sf_dir: str, k: int = N_RANGES, with_key_bounds: bool = False
+) -> ray.data.Dataset:
     """Exact equal-count range partitioning of the corpus by
     ``(n_chars, doc_id)`` — the boundary-planning primitive behind every
     distributed sort / range-partitioned write (Spark's RangePartitioner,
@@ -568,8 +570,16 @@ def range_partition(sf_dir: str, k: int = N_RANGES) -> ray.data.Dataset:
                 chars_max=pl.col("n_chars").max(),
                 doc_min=pl.col("doc_id").min(),
                 doc_max=pl.col("doc_id").max(),
+                # the range's true LAST sort key, packed — (chars_max,
+                # doc_max) alone are independent maxima and NOT a valid
+                # split boundary (write path only; see range_partition_write)
+                key_max=(
+                    (pl.col("n_chars") * (1 << _RP_PACK_BITS)) + pl.col("doc_id")
+                ).max(),
             )
         )
+        if not with_key_bounds:
+            out = out.drop("key_max")
         a = out.to_arrow()
         return pa.table({c: pc.cast(a[c], pa.int64()) for c in a.column_names})
 
@@ -585,6 +595,7 @@ def range_partition(sf_dir: str, k: int = N_RANGES) -> ray.data.Dataset:
             Max("chars_max", alias_name="chars_max"),
             Min("doc_min", alias_name="doc_min"),
             Max("doc_max", alias_name="doc_max"),
+            *([Max("key_max", alias_name="key_max")] if with_key_bounds else []),
         )
         .map_batches(
             lambda t: pa.table(
@@ -607,3 +618,38 @@ def range_partition_sql(k: int = N_RANGES) -> str:
         "CAST(max(doc_id) AS BIGINT) AS doc_max "
         "FROM r GROUP BY range_id"
     )
+
+
+_RP_PACK_BITS = 33  # packed sort key: n_chars * 2^33 + doc_id
+
+
+def range_partition_write(sf_dir: str, dest: str, k: int = N_RANGES) -> dict:
+    """Write the corpus as a RANGE-PARTITIONED parquet lake:
+    ``dest/range_id=<r>/*.parquet`` with globally disjoint, contiguous
+    ``(n_chars, doc_id)`` key ranges — the sorted-lake layout a downstream
+    reader consumes in key order without re-sorting (and the write side of
+    ``range_partition``'s boundary planning).
+
+    Two stages: (1) ``range_partition`` computes the EXACT equal-count
+    boundaries (k tiny rows to the driver); (2) one stateless
+    ``map_batches`` assigns each row's range by searchsorted over the
+    packed boundary keys and a partitioned ``write_parquet`` lands it —
+    the full rows stream straight from source to sink, only the k-row
+    boundary table ever leaves the plan. Returns the boundary stats."""
+    stats = sorted(range_partition(sf_dir, k, with_key_bounds=True).take_all(),
+                   key=lambda r: r["range_id"])
+    bounds = np.array([r["key_max"] for r in stats], dtype=np.int64)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        n_chars = pc.cast(t["n_chars"], pa.int64()).to_numpy()
+        doc_id = pc.cast(t["doc_id"], pa.int64()).to_numpy()
+        assert n_chars.max(initial=0) < (1 << (63 - _RP_PACK_BITS))
+        assert doc_id.max(initial=0) < (1 << _RP_PACK_BITS)
+        packed = (n_chars << _RP_PACK_BITS) | doc_id
+        rid = np.searchsorted(bounds, packed, side="left") + 1
+        return t.append_column("range_id", pa.array(rid, pa.int64()))
+
+    readers.read_parquet(os.path.join(sf_dir, "documents.parquet")).map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(dest, partition_cols=["range_id"])
+    return {"k": k, "ranges": stats}

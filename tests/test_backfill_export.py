@@ -1,0 +1,130 @@
+"""Backfill-through-the-replay-path and CDC change-feed export."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.pipelines.replay import Replayer
+from marc_data_migration_ray.sources import fixtures
+
+N_EPOCHS = 2
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("bf_fixture"))
+    fixtures.write_fixture(root, n_rows=150, n_events=1000, n_epochs=N_EPOCHS,
+                           seed=13)
+    return root
+
+
+def _replay(root, fixture_dir, cfg, epochs=N_EPOCHS):
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    for e in range(epochs):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    return rp
+
+
+def _make_append_token():
+    """Nested so Ray cloudpickles it BY VALUE (test modules are not
+    importable on workers; library users pass functions from their own
+    importable modules)."""
+
+    def _append_token(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "tokens", "n_tok"]))
+        df = df.with_columns(
+            pl.when(pl.col("tokens").is_not_null())
+            .then(pl.col("tokens").list.concat(
+                pl.lit([999], dtype=pl.List(pl.Int32))))
+            .otherwise(pl.col("tokens"))
+            .alias("tokens"),
+            pl.when(pl.col("n_tok").is_not_null())
+            .then(pl.col("n_tok") + 1)
+            .otherwise(pl.col("n_tok"))
+            .alias("n_tok"),
+        )
+        a = df.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.string()),
+                "tokens": pc.cast(a["tokens"], pa.list_(pa.int32())),
+                "n_tok": pc.cast(a["n_tok"], pa.int32()),
+            }
+        )
+
+    return _append_token
+
+
+def test_backfill_rewrites_through_replay_path(ray_session, tmp_path, fixture_dir):
+    cfg = ReplayConfig(num_partitions=4)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    before = {r["doc_id"]: r for r in rp.read_state().take_all()}
+    res = rp.backfill(_make_append_token(), epoch=N_EPOCHS)
+    assert res["backfill_events"] > 0
+    after = {r["doc_id"]: r for r in rp.read_state().take_all()}
+    assert set(after) == set(before)  # no rows appear/disappear
+    from marc_data_migration_ray.functions.keys import normalize_keys
+
+    def _eligible(did):
+        v = normalize_keys(pa.array([did], pa.string()))[0].as_py()
+        return v == did
+
+    n_changed = n_local = 0
+    for did, b in before.items():
+        a = after[did]
+        if not _eligible(did):
+            # engine-allocated / non-canonical ids are skipped untouched
+            assert list(a["tokens"] or []) == list(b["tokens"] or [])
+            n_local += 1
+        elif b["tokens"] is not None:
+            assert list(a["tokens"]) == list(b["tokens"]) + [999], did
+            assert a["n_tok"] == b["n_tok"] + 1
+            assert a["last_lsn"] > b["last_lsn"]
+            n_changed += 1
+        else:
+            assert a["tokens"] is None
+    assert n_changed > 0
+    assert res["backfill_skipped_local"] == n_local
+    assert res["backfill_events"] == len(before) - n_local
+    # idempotent: re-running the same backfill epoch is a manifest no-op
+    res2 = rp.backfill(_make_append_token(), epoch=N_EPOCHS)
+    assert rp.manifest.committed_epochs() == [0, 1, N_EPOCHS]
+    again = {r["doc_id"]: r for r in rp.read_state().take_all()}
+    for did in after:
+        assert list(again[did]["tokens"] or []) == list(after[did]["tokens"] or [])
+    # time travel below the backfill still shows the original tokens
+    old = {r["doc_id"]: r for r in rp.read_state(up_to_epoch=N_EPOCHS - 1).take_all()}
+    for did, b in before.items():
+        assert list(old[did]["tokens"] or []) == list(b["tokens"] or [])
+
+
+def test_export_changes_roundtrip_and_idempotence(ray_session, tmp_path, fixture_dir):
+    import ray.data
+
+    cfg = ReplayConfig(num_partitions=4)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    dest = str(tmp_path / "cdc_out")
+    info = rp.export_changes(dest, 0, 1)
+
+    def _norm(rows):
+        return sorted((tuple(sorted(r.items())) for r in rows))
+
+    want = rp.changes_between(0, 1).take_all()
+    got = ray.data.read_parquet(dest).take_all()
+    assert info["n_changes"] == len(want) > 0
+    assert _norm(got) == _norm(want)
+    assert set(info["counts"]) <= {"insert", "update", "delete"}
+    assert sum(info["counts"].values()) == len(want)
+    # idempotent second call
+    mtime = os.path.getmtime(os.path.join(dest, "_EXPORT.json"))
+    assert rp.export_changes(dest, 0, 1) == info
+    assert os.path.getmtime(os.path.join(dest, "_EXPORT.json")) == mtime
+    with open(os.path.join(dest, "_EXPORT.json")) as f:
+        assert json.load(f) == info

@@ -260,3 +260,35 @@ def test_lm_familiarity_short_and_empty_docs(ray_session, tmp_path):
     # top-2 bigrams are 'a b' (4x) and 'b a' (3x); doc 2 is all hits
     assert rows[2]["familiarity"] == 1.0
     assert rows[3]["n_bigrams"] == 1 and rows[3]["n_hits"] == 0
+
+
+def test_range_partition_write_layout(ray_session, tmp_path):
+    """range_partition_write: one dir per range, globally DISJOINT contiguous
+    (n_chars, doc_id) key ranges, NTILE-exact sizes, union == corpus."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import sampling
+
+    dest = str(tmp_path / "ranged")
+    res = sampling.range_partition_write(SF_DIR, dest, k=8)
+    src = pq.read_table(os.path.join(SF_DIR, "documents.parquet"))
+    n = src.num_rows
+    q, big = divmod(n, 8)
+    intervals, total = [], 0
+    for r in range(1, 9):
+        d = os.path.join(dest, f"range_id={r}")
+        t = pq.read_table(d)
+        nc = t["n_chars"].to_numpy()
+        di = t["doc_id"].to_numpy()
+        packed = (nc.astype(np.int64) << sampling._RP_PACK_BITS) | di.astype(np.int64)
+        want_size = q + 1 if r <= big else q
+        assert t.num_rows == want_size, (r, t.num_rows, want_size)
+        intervals.append((packed.min(), packed.max()))
+        total += t.num_rows
+    assert total == n
+    for (lo1, hi1), (lo2, hi2) in zip(intervals, intervals[1:]):
+        assert hi1 < lo2  # contiguous disjoint ranges in key order
+    assert [r["range_id"] for r in res["ranges"]] == list(range(1, 9))

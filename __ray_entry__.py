@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         derived,
         events,
+        graph,
         index,
         multimodal,
         policy_queries,
@@ -161,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_anomaly": events.daily_anomaly,
         "event_pivot": events.event_pivot,
         "event_dedup_window": events.event_dedup_window,
+        # iterative graph analytics: fixed-point PageRank over transitions
+        "event_pagerank": lambda sf: graph.event_pagerank(sf),
         "top_orders_per_customer": events.top_orders_per_customer,
         "key_diff_report": events.key_diff_report,
         # temporal as-of joins (co-partitioned polars join_asof per bucket)
@@ -452,6 +455,7 @@ def oracle_sql() -> dict[str, str]:
     from marc_data_migration_ray.pipelines import text_analysis as _ta
     from marc_data_migration_ray.pipelines import temporal as temporal_mod
     from marc_data_migration_ray.pipelines import events as _events_mod
+    from marc_data_migration_ray.pipelines import graph as _graph
     from marc_data_migration_ray.pipelines import tpch as _tpch_mod
 
     return {
@@ -763,6 +767,7 @@ ORDER BY op, route, status
         "event_pivot": _events_mod.event_pivot_sql(),
         # at-least-once scrub: keep-earliest per (user,type,10-min window)
         "event_dedup_window": _events_mod.event_dedup_window_sql(),
+        "event_pagerank": _graph.event_pagerank_sql(),
         "top_orders_per_customer": (
             "SELECT o_custkey, CAST(rn AS BIGINT) AS rnk, o_orderkey FROM ("
             "SELECT o_custkey, o_orderkey, row_number() OVER ("

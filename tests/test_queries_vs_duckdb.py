@@ -292,3 +292,19 @@ def test_range_partition_write_layout(ray_session, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(intervals, intervals[1:]):
         assert hi1 < lo2  # contiguous disjoint ranges in key order
     assert [r["range_id"] for r in res["ranges"]] == list(range(1, 9))
+
+
+def test_event_pagerank_mass_and_determinism(ray_session):
+    """Fixed-point PageRank sanity: ranks positive, total mass ≤ SCALE
+    (dangling evaporation + floor loss only shrink it), deterministic
+    across runs, and ranks actually differentiate nodes."""
+    from marc_data_migration_ray.pipelines import graph
+
+    a = graph.event_pagerank(SF_DIR).to_pylist()
+    b = graph.event_pagerank(SF_DIR).to_pylist()
+    assert a == b
+    fps = [r["rank_fp"] for r in a]
+    assert all(fp > 0 for fp in fps)
+    assert sum(fps) <= graph.PR_SCALE
+    assert sum(fps) > graph.PR_SCALE * 0.9  # little mass is dangling here
+    assert len(set(fps)) > 1

@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redact": curation.pii_redact,
         "corpus_shuffle": curation.corpus_shuffle,
         "corpus_curation": curation.corpus_curation,
+        "blocklist_filter": curation.blocklist_filter,
         "chunk_documents": curation.chunk_documents,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
@@ -527,6 +528,7 @@ def oracle_sql() -> dict[str, str]:
         # curation ops share their shingle rule / hash constants with SQL
         "decontaminate": _curation.decontaminate_sql(),
         "pii_redact": _curation.pii_redact_sql(),
+        "blocklist_filter": _curation.blocklist_filter_sql(),
         "corpus_shuffle": _curation.corpus_shuffle_sql(),
         # composed curation verdict: dup-representative + quality + split
         "corpus_curation": _curation.corpus_curation_sql(),

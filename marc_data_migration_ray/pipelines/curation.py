@@ -355,3 +355,60 @@ def corpus_curation_sql() -> str:
         "WHEN NOT is_train THEN 'holdout' ELSE 'kept' END AS reason, "
         "(is_rep AND is_q AND is_train) AS kept FROM f"
     )
+
+
+#: multi-pattern blocklist (phrase scrubbing — the contract/boilerplate/
+#: spam phrase filter step of corpus curation). Shared with the SQL oracle.
+BLOCKLIST = ("batch batch", "slow small", "key order", "fast join")
+
+
+def blocklist_filter(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, n_matched, flagged): substring multi-pattern blocklist
+    screening per document — the phrase-level exclusion filter (spam
+    phrases, contaminating boilerplate, site chrome) every curation
+    pipeline runs before training.
+
+    Shuffle-free and row-contained: one polars ``str.contains_any``
+    (Aho-Corasick multi-pattern scan — ONE pass over the text regardless
+    of pattern count) gives the flag; per-pattern ``contains`` columns
+    (vectorized, |patterns| small) give the match count. At a large
+    blocklist, the flag stays a single Aho-Corasick pass and the count is
+    dropped or sketched — the scan cost is O(text), not O(text×patterns).
+    """
+    import polars as pl
+
+    pats = list(BLOCKLIST)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        out = df.select(
+            "doc_id",
+            n_matched=sum(
+                pl.col("text").str.contains(p, literal=True).cast(pl.Int64)
+                for p in pats
+            ),
+            flagged=pl.col("text").str.contains_any(pats),
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "n_matched": pc.cast(a["n_matched"], pa.int64()),
+                "flagged": pc.cast(a["flagged"], pa.bool_()),
+            }
+        )
+
+    return _docs(sf_dir, ("doc_id", "text")).map_batches(
+        _scan, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def blocklist_filter_sql() -> str:
+    n = " + ".join(
+        f"CASE WHEN contains(text, '{p}') THEN 1 ELSE 0 END" for p in BLOCKLIST
+    )
+    anyp = " OR ".join(f"contains(text, '{p}')" for p in BLOCKLIST)
+    return (
+        f"SELECT doc_id, CAST({n} AS BIGINT) AS n_matched, "
+        f"({anyp}) AS flagged FROM documents"
+    )

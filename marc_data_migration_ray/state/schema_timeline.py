@@ -125,34 +125,29 @@ def resolve_schema_ops(
     only to DDL-added columns and RETIRES the dropped names — a later
     ``add_column`` reusing one is a no-op (mirrors ``Timeline``).
     """
-    schema = list(base_columns)
+    # Derived FROM the Timeline so the two can never drift: the final
+    # schema is each base column's end-of-log visible name (payload
+    # canonicals resolve through their segment chain; engine metadata
+    # columns — doc_id, last_lsn, status, candidate_key — are not
+    # DDL-addressable and keep their names) followed by the live added
+    # columns' visible names, positionally aligned with
+    # ``base_columns + added``.
+    tl = Timeline(ops or [])
+    end = 1 << 62  # "end of log" lsn for name_at
+    schema: list[str] = []
     renames: dict[str, str] = {}
-    added: list[str] = []
-    origin: dict[str, str] = {}  # current visible name → canonical (added)
-    retired: set[str] = set()
-    for op in ops or []:
-        kind, name, new = op["kind"], op["name"], op.get("new_name")
-        if kind == "add_column" and name not in schema and name not in retired:
-            schema.append(name)
-            added.append(name)
-            origin[name] = name
-        elif kind == "rename_column" and name in schema and new not in schema \
-                and new not in retired:
-            schema[schema.index(name)] = new
-            if name in origin:
-                origin[new] = origin.pop(name)
-            # chase chains: if name was itself a rename target, rewrite
-            canon = name
-            for c, r in renames.items():
-                if r == name:
-                    canon = c
-                    break
-            renames[canon] = new
-        elif kind == "drop_column" and name in origin:
-            canon = origin.pop(name)
-            schema.remove(name)
-            added.remove(canon)
-            retired.add(name)
-            retired.add(canon)
-            renames.pop(canon, None)
+    for c in base_columns:
+        if c in PAYLOAD_COLUMNS:
+            nm = tl.name_at(c, end) or c
+            schema.append(nm)
+            if nm != c:
+                renames[c] = nm
+        else:
+            schema.append(c)
+    added = tl.live_added()
+    for c in added:
+        nm = tl.name_at(c, end)
+        schema.append(nm)
+        if nm != c:
+            renames[c] = nm
     return schema, renames, added

@@ -379,3 +379,44 @@ def test_replayer_end_to_end_with_drops(ray_session, tmp_path):
                 va = list(va) if va is not None else None
                 vb = list(vb) if vb is not None else None
             assert va == vb, (g.get("doc_id"), k, va, vb)
+
+
+def test_random_schema_op_sequences_resolver_invariants():
+    """Property test over random DDL sequences (add/rename/drop with
+    colliding, unknown and retired names): the shared resolver and the
+    Timeline stay mutually consistent and structurally sane."""
+    import random
+
+    from marc_data_migration_ray.state.schema_timeline import (
+        Timeline,
+        resolve_schema_ops,
+    )
+
+    display = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status",
+               "candidate_key"]
+    names = [f"c{i}" for i in range(6)] + ["source", "n_tok", "status"]
+    rng = random.Random(424242)
+    for _trial in range(300):
+        ops = []
+        for lsn in range(1, rng.randint(2, 25)):
+            kind = rng.choice(["add_column", "rename_column", "drop_column"])
+            op = {"lsn": lsn, "kind": kind, "name": rng.choice(names),
+                  "new_name": rng.choice(names) if kind == "rename_column" else None}
+            ops.append(op)
+        schema, renames, added = resolve_schema_ops(display, ops)
+        tl = Timeline(ops)
+        # structural invariants
+        assert len(schema) == len(set(schema)), (ops, schema)
+        assert len(schema) == len(display) + len(added)
+        assert schema[0] == "doc_id"
+        # base display columns never vanish (drops are added-origin only)
+        assert len([c for c in schema]) >= len(display)
+        # resolver's live added set == timeline's (same canonical ids)
+        assert added == tl.live_added(), (ops, added, tl.live_added())
+        # every live added column's end-of-log visible name is in the schema
+        for c in tl.live_added():
+            nm = tl.name_at(c, 10**9)
+            assert nm is not None and nm in schema, (ops, c, nm, schema)
+        # dropped canonicals are invisible at end-of-log
+        for c in tl.dropped:
+            assert tl.name_at(c, 10**9) is None

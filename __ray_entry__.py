@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_real_decode": multimodal.media_real_decode,
         "media_resize": multimodal.media_resize,
         "media_frames_real": multimodal.media_frames_real,
+        "audio_frame_features": multimodal.audio_frame_features,
     }
 
 
@@ -426,6 +427,7 @@ def _multimodal_sql() -> dict[str, str]:
         "media_real_decode": mm.media_real_decode_sql(),
         "media_resize": mm.media_resize_sql(),
         "media_frames_real": mm.media_frames_real_sql(),
+        "audio_frame_features": mm.audio_frame_features_sql(),
     }
 
 

@@ -501,3 +501,115 @@ def frame_sample_pipeline(n_rows: int = 256, seed: int = 99) -> ray.data.Dataset
         concurrency=(1, 4),
         zero_copy_batch=True,
     )
+
+
+AUDIO_FRAME = 64  # samples per analysis frame (shared with the SQL oracle)
+
+
+class AudioFramer:
+    """Actor-pool stage: REAL WAV parse → fixed-size frame explode →
+    per-frame integer features (energy Σx², zero crossings) — the
+    windowed feature-extraction shape of every audio pipeline (VAD,
+    fingerprinting, ASR frontends), with integer outputs so the oracle
+    checks the parse + framing arithmetic bit-exactly."""
+
+    def __init__(self, frame: int = AUDIO_FRAME):
+        from marc_data_migration_ray.functions import media as M
+
+        self.M = M
+        self.frame = frame
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        F = self.frame
+        mids, fidx, nin, ssq, zc = [], [], [], [], []
+        for mid, kind, payload in zip(
+            batch["media_id"].to_pylist(),
+            batch["kind"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            if kind != "audio":
+                continue
+            samples, _rate = self.M.decode_wav(payload)
+            x = samples.astype(np.int64)
+            n = len(x)
+            nf = (n + F - 1) // F
+            # vectorized per payload: pad to the frame grid, reshape
+            pad = np.zeros(nf * F, np.int64)
+            pad[:n] = x
+            grid = pad.reshape(nf, F)
+            counts = np.minimum(F, n - F * np.arange(nf))
+            sums = (grid * grid).sum(axis=1)  # zero padding adds 0
+            # crossings strictly inside each frame: product of neighbours
+            prod = grid[:, :-1] * grid[:, 1:]
+            # mask pairs that fall beyond the frame's real samples
+            pair_idx = np.arange(F - 1)[None, :]
+            valid = pair_idx < (counts - 1)[:, None]
+            cross = ((prod < 0) & valid).sum(axis=1)
+            mids.extend([mid] * nf)
+            fidx.extend(range(nf))
+            nin.extend(counts.tolist())
+            ssq.extend(sums.tolist())
+            zc.extend(cross.tolist())
+        return pa.table(
+            {
+                "media_id": pa.array(mids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "n_in_frame": pa.array(nin, pa.int64()),
+                "frame_sum_sq": pa.array(ssq, pa.int64()),
+                "zero_crossings": pa.array(zc, pa.int64()),
+            }
+        )
+
+
+def audio_frame_features(sf_dir: str) -> ray.data.Dataset:
+    """(media_id, frame_idx, n_in_frame, frame_sum_sq, zero_crossings):
+    fixed-window audio feature frames over REAL WAV payloads. Same
+    actor-pool plumbing as ``media_real_decode``; framing is a per-payload
+    numpy reshape, output rows = frames (a flat-map), so memory is bounded
+    by batch_size × frames-per-clip."""
+    import os
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def _payloads(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        return synthesize_real_media(
+            np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
+        )
+
+    payloads = ds.map_batches(_payloads, batch_format="pyarrow", zero_copy_batch=True)
+    return payloads.map_batches(
+        AudioFramer,
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=(1, 4),
+        zero_copy_batch=True,
+    )
+
+
+def audio_frame_features_sql() -> str:
+    """Oracle mirrors the WAV payload GENERATOR (functions/media.gen_audio:
+    n = 200 + id%100 samples of v(j) = (id*31 + j*7) % 2048 - 1024) — the
+    engine must parse the real RIFF container and frame it to match."""
+    F = AUDIO_FRAME
+    v = "((media_id * 31 + j * 7) % 2048 - 1024)"
+    v1 = "((media_id * 31 + (j + 1) * 7) % 2048 - 1024)"
+    return f"""
+WITH a AS (SELECT doc_id AS media_id, 200 + doc_id % 100 AS n FROM documents
+           WHERE doc_id % 3 = 1),
+fr AS (SELECT media_id, n, UNNEST(range(0, (n + {F - 1}) // {F})) AS frame_idx
+       FROM a)
+SELECT media_id, frame_idx,
+  CAST(LEAST({F}, n - frame_idx * {F}) AS BIGINT) AS n_in_frame,
+  CAST(list_sum(list_transform(range(frame_idx * {F},
+       LEAST(n, (frame_idx + 1) * {F})), j -> {v} * {v})) AS BIGINT)
+    AS frame_sum_sq,
+  CAST(COALESCE(list_sum(list_transform(range(frame_idx * {F},
+       LEAST(n, (frame_idx + 1) * {F}) - 1),
+       j -> CASE WHEN {v} * {v1} < 0 THEN 1 ELSE 0 END)), 0) AS BIGINT)
+    AS zero_crossings
+FROM fr
+"""

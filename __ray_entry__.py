@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lm_familiarity": text_analysis.lm_familiarity,
         "token_concentration": text_analysis.token_concentration,
         "token_lift": text_analysis.token_lift,
+        "tokenize_docs": text_analysis.tokenize_docs_fp,
         # inverted index: scan-side boolean retrieval + term-partitioned build
         "boolean_search": index.boolean_search,
         "inverted_postings": index.inverted_postings,
@@ -149,6 +150,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": lambda sf: similarity.ann_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
         "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(sf),
+        "ann_topk_pq": lambda sf: similarity.ann_topk_pq(sf),
         "closest_pairs": lambda sf: similarity.closest_pairs(sf),
         "monthly_revenue": tpch.monthly_revenue,
         # stream-shaped ops over events (windows / sessions / distincts)
@@ -468,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "lm_familiarity": _ta.lm_familiarity_sql(),
         "token_concentration": _ta.token_concentration_sql(),
         "token_lift": _ta.token_lift_sql(),
+        "tokenize_docs": _ta.tokenize_docs_sql(),
         "boolean_search": _index.boolean_search_sql(),
         "inverted_postings": _index.inverted_postings_sql(),
         # fixed-centroid cosine assignment; and the full distributed

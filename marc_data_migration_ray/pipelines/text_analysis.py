@@ -807,3 +807,130 @@ def token_lift_sql(v: int = LIFT_VOCAB) -> str:
         "FROM pair JOIN per ca ON ca.token = pair.token_a "
         "JOIN per cb ON cb.token = pair.token_b, n"
     )
+
+
+VOCAB_SIZE = 32    # tokenizer vocabulary (top-V corpus tokens; shared w/ SQL)
+OOV_ID = 0         # out-of-vocabulary id; in-vocab ids are 1..V by rank
+
+
+def tokenize_docs(sf_dir: str, v: int = VOCAB_SIZE) -> ray.data.Dataset:
+    """(doc_id, n_tok, token_ids: list<int32>): tokenize the corpus into id
+    sequences — THE producer of the engine's own input shape (the
+    pre-tokenized ``tokens:array<int32>`` table the CDC replay ingests,
+    BASELINE.json input_hint).
+
+    Vocabulary = the exact corpus top-``v`` tokens (reusing ``token_topk``'s
+    distributed wordcount; rank = id, ties token-asc), broadcast once as a
+    tiny dict; encoding is a stateless vectorized pass — polars
+    ``replace_strict`` maps every word to its id (OOV → 0) with no Python
+    loop and no shuffle. At a real BPE vocab (~100k entries) the dict rides
+    ``ray.put`` exactly the same way; only the model size changes."""
+    import polars as pl
+
+    top = token_topk(sf_dir, k=v).to_pylist()
+    old = [r["token"] for r in top]
+    new = [r["rank"] for r in top]  # rank is 1-based
+
+    def _encode(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        out = (
+            df.with_columns(w=pl.col("text").str.extract_all(r"\S+"))
+            .with_columns(
+                token_ids=pl.col("w").list.eval(
+                    pl.element().replace_strict(old, new, default=OOV_ID,
+                                                return_dtype=pl.Int32)
+                ),
+                n_tok=pl.col("w").list.len().cast(pl.Int32),
+            )
+            .select("doc_id", "n_tok", "token_ids")
+        )
+        a = out.to_arrow()
+
+        def _cc(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+
+        return pa.table(
+            {
+                "doc_id": pc.cast(_cc(a["doc_id"]), pa.int64()),
+                "n_tok": pc.cast(_cc(a["n_tok"]), pa.int32()),
+                "token_ids": pc.cast(_cc(a["token_ids"]), pa.list_(pa.int32())),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(
+        _encode, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+IDS_FP_B = 1000003           # Horner base (shared with the SQL oracle)
+#: Mersenne-31 modulus: acc < 2^31 keeps acc*B + id inside int64, so the
+#: per-position numpy pass never overflows (2^61-1 would need 81-bit mults)
+IDS_FP_M = (1 << 31) - 1
+
+
+def _ids_horner_fp(lists: pa.Array) -> np.ndarray:
+    """Order-sensitive Horner hash of each int32 list:
+    acc = (acc * B + id + 1) mod M — vectorized over rows per POSITION
+    (one numpy pass per list position, same discipline as _fnv1a_numpy;
+    cost is O(max_len) kernel launches per batch, not O(rows))."""
+    if isinstance(lists, pa.ChunkedArray):
+        lists = lists.combine_chunks()
+    offsets = lists.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    values = lists.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    starts, lens = offsets[:-1], np.diff(offsets)
+    acc = np.zeros(len(lens), np.int64)
+    for pos in range(int(lens.max(initial=0))):
+        m = lens > pos
+        acc[m] = (acc[m] * IDS_FP_B + values[starts[m] + pos] + 1) % IDS_FP_M
+    return acc
+
+
+def tokenize_docs_fp(sf_dir: str, v: int = VOCAB_SIZE) -> ray.data.Dataset:
+    """Driver-facing tokenization check: (doc_id, n_tok, ids_fp) where
+    ``ids_fp`` is the Horner hash of the full id SEQUENCE (order matters —
+    any id or position mismatch vs the oracle breaks it). The list itself
+    stays in ``tokenize_docs``; hash-compare layers need scalars."""
+
+    def _fp(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": t["n_tok"],
+                "ids_fp": pa.array(_ids_horner_fp(t["token_ids"]), pa.int64()),
+            }
+        )
+
+    return tokenize_docs(sf_dir, v).map_batches(
+        _fp, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def tokenize_docs_sql(v: int = VOCAB_SIZE) -> str:
+    """Oracle: same top-v vocabulary (count desc, token asc) built as a
+    CTE; words map through it positionally, re-aggregate IN ORDER, then
+    fold the same Horner hash over HUGEINTs."""
+    fold = (
+        "CAST(list_reduce(list_prepend(CAST(0 AS HUGEINT), "
+        "list_transform(coalesce(m.ids, []), x -> CAST(x AS HUGEINT))), "
+        f"(a, b) -> (a * {IDS_FP_B} + b + 1) % {IDS_FP_M}) AS BIGINT)"
+    )
+    return (
+        r"WITH wc AS (SELECT w, count(*) AS n FROM (SELECT "
+        r"unnest(regexp_extract_all(text, '\S+')) AS w FROM documents) "
+        "GROUP BY w), "
+        "vocab AS (SELECT w, CAST(rn AS INTEGER) AS id FROM ("
+        "SELECT w, row_number() OVER (ORDER BY n DESC, w) AS rn FROM wc) "
+        f"WHERE rn <= {v}), "
+        r"words AS (SELECT doc_id, ws, UNNEST(range(1, len(ws) + 1)) AS pos "
+        r"FROM (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws "
+        "FROM documents)), "
+        "mapped AS (SELECT doc_id, pos, "
+        f"COALESCE(vocab.id, {OOV_ID}) AS id "
+        "FROM (SELECT doc_id, pos, ws[pos] AS w FROM words) t "
+        "LEFT JOIN vocab USING (w)) "
+        "SELECT d.doc_id, CAST(coalesce(len(m.ids), 0) AS INTEGER) AS n_tok, "
+        f"{fold} AS ids_fp "
+        "FROM documents d LEFT JOIN (SELECT doc_id, "
+        "list(id ORDER BY pos) AS ids FROM mapped GROUP BY doc_id) m "
+        "USING (doc_id)"
+    )

@@ -170,11 +170,12 @@ def test_embedding_lsh_recall(ray_session, planted_embeddings):
     assert len(approx & exact) / len(exact) >= 0.8  # multi-table recall
 
 
-@pytest.mark.parametrize("variant", ["lsh", "ivf"])
+@pytest.mark.parametrize("variant", ["lsh", "ivf", "pq"])
 def test_ann_approximate_recall(ray_session, variant):
     sf = "/root/testdata/sf0.001"
     exact = similarity.ann_topk(sf)
-    approx = (similarity.ann_topk_lsh if variant == "lsh" else similarity.ann_topk_ivf)(sf)
+    approx = {"lsh": similarity.ann_topk_lsh, "ivf": similarity.ann_topk_ivf,
+              "pq": similarity.ann_topk_pq}[variant](sf)
 
     def to_set(t):
         return set(zip(t["query_id"].to_pylist(), t["vec_id"].to_pylist()))

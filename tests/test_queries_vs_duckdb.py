@@ -308,3 +308,27 @@ def test_event_pagerank_mass_and_determinism(ray_session):
     assert sum(fps) <= graph.PR_SCALE
     assert sum(fps) > graph.PR_SCALE * 0.9  # little mass is dangling here
     assert len(set(fps)) > 1
+
+
+def test_tokenize_docs_ids_match_scalar_mirror(ray_session):
+    """Beyond the driver's sequence-hash check: the actual id LISTS equal a
+    pure-Python re-tokenization against the same exact top-V vocabulary."""
+    import re
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import text_analysis as TA
+
+    rows = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    c = Counter()
+    for r in rows:
+        c.update(re.findall(r"\S+", r["text"]))
+    vocab = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[: TA.VOCAB_SIZE]
+    vmap = {w: i + 1 for i, (w, _n) in enumerate(vocab)}
+    got = {r["doc_id"]: list(r["token_ids"])
+           for r in TA.tokenize_docs(SF_DIR).take_all()}
+    assert len(got) == len(rows)
+    for r in rows:
+        want = [vmap.get(w, TA.OOV_ID) for w in re.findall(r"\S+", r["text"])]
+        assert got[r["doc_id"]] == want, r["doc_id"]

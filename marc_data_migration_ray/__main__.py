@@ -7,7 +7,12 @@ Commands:
   state        — materialize current table state (print sample or write out)
   metrics      — fold metrics + manifest route counts
   compact      — LSM-merge committed deltas into a new base snapshot
-  vacuum       — reclaim superseded base snapshots / old delta history
+  vacuum       — reclaim superseded base snapshots / old delta history /
+                 old manifest versions (log checkpointing)
+  export       — consistent snapshot copy-out (partitioned parquet +
+                 _EXPORT.json lineage manifest; idempotent)
+  export-changes — CDC egress: the change feed as parquet + manifest
+  rollback     — truncate the log to an epoch (bad-upstream-batch remedy)
   changes      — change-data feed: state diff between two epochs (CDF)
   follow       — streaming micro-batch ingest: tail a binlog root, apply
                  epoch dirs in order (manifest-fenced, restart-resumable)
@@ -152,6 +157,10 @@ def main(argv=None) -> int:
                    dest="retain_snapshots",
                    help="keep the N most recently superseded base snapshots "
                         "(retention window for concurrent stale readers)")
+    v.add_argument("--retain-versions", type=int, default=64,
+                   dest="retain_versions",
+                   help="manifest-log checkpointing: keep only the newest N "
+                        "version files (0 = keep all)")
     _add_cfg_args(v)
 
     fo = sub.add_parser(
@@ -398,7 +407,8 @@ def main(argv=None) -> int:
             ))
         elif args.cmd == "vacuum":
             removed = rp.vacuum(retain_audit=not args.drop_audit,
-                                retain_snapshots=args.retain_snapshots)
+                                retain_snapshots=args.retain_snapshots,
+                                retain_versions=args.retain_versions)
             print(json.dumps({"removed": removed}))
         elif args.cmd == "follow":
             # streaming micro-batch loop: resume point comes from the

@@ -1241,7 +1241,8 @@ class Replayer:
                     removed.append(d)
         return removed
 
-    def vacuum(self, retain_audit: bool = True, retain_snapshots: int = 0) -> list[str]:
+    def vacuum(self, retain_audit: bool = True, retain_snapshots: int = 0,
+               retain_versions: int = 64) -> list[str]:
         """Reclaim storage after compactions (Delta-Lake-style VACUUM).
 
         Removes base snapshots under the table root superseded by a later
@@ -1295,6 +1296,10 @@ class Replayer:
                 if seg["to"] <= floor and os.path.isdir(seg["dir"]):
                     shutil.rmtree(seg["dir"])
                     removed.append(seg["dir"])
+        if retain_versions > 0:
+            # transaction-log checkpointing: one version file per commit
+            # accumulates forever under streaming ingest
+            removed += self.manifest.prune_versions(keep=retain_versions)
         return removed
 
     def _epoch_files(self, epoch: int) -> tuple[list[str], bool]:

@@ -94,6 +94,14 @@ class Manifest:
                 json.dump(self.state, f, indent=1, sort_keys=True)
                 f.flush()
                 os.fsync(f.fileno())
+            # a pruned version number must never be re-creatable: a writer
+            # stale by more than the retention window would otherwise
+            # "win" a CAS on a recycled number and silently lose its write
+            if next_v <= self._version_floor():
+                self.state["version"] = next_v - 1
+                raise ManifestConflict(
+                    f"manifest version {next_v} is below the prune floor"
+                )
             target = os.path.join(self.versions_dir, f"v{next_v:012d}.json")
             try:
                 os.link(tmp, target)  # atomic-exclusive: the CAS
@@ -104,6 +112,46 @@ class Manifest:
         finally:
             if os.path.exists(tmp):
                 os.unlink(tmp)
+
+    def _version_floor(self) -> int:
+        p = os.path.join(self.versions_dir, "FLOOR")
+        try:
+            with open(p) as f:
+                return int(f.read().strip())
+        except (FileNotFoundError, ValueError):
+            return 0
+
+    def prune_versions(self, keep: int = 64) -> list[str]:
+        """Transaction-log checkpointing (Delta-Lake-style): drop version
+        files older than the newest ``keep`` — the versions dir otherwise
+        grows one file per commit forever under streaming ingest. The
+        retention FLOOR lands first (atomic replace), so a writer stale by
+        more than the window gets :class:`ManifestConflict` instead of
+        silently recycling a pruned version number; the newest version
+        file (the crash-heal source) is always retained."""
+        latest, _ = self._latest_version_file()
+        floor = latest - max(keep, 1)
+        if floor <= self._version_floor():
+            return []
+        fd, tmp = tempfile.mkstemp(dir=self.versions_dir, prefix=".floor-")
+        with os.fdopen(fd, "w") as f:
+            f.write(str(floor))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.versions_dir, "FLOOR"))
+        removed = []
+        for f in glob.glob(os.path.join(self.versions_dir, "v*.json")):
+            try:
+                v = int(os.path.basename(f)[1:-5])
+            except ValueError:
+                continue
+            if v <= floor:
+                try:
+                    os.unlink(f)
+                    removed.append(f)
+                except FileNotFoundError:
+                    pass  # concurrent pruner
+        return removed
 
     def _cas_update(self, mutate) -> None:
         """Apply an IDEMPOTENT mutation under CAS-retry."""

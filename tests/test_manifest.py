@@ -104,3 +104,45 @@ def test_crash_between_link_and_pointer_heals(tmp_path):
     os.replace(tmp, m.path)
     m2 = Manifest(root)
     assert m2.committed_epochs() == [0, 1]  # healed from the version files
+
+
+def test_prune_versions_checkpointing(tmp_path):
+    """Version-log checkpointing: old version files go, reload still sees
+    the newest state, and a writer stale past the retention window gets a
+    CAS conflict instead of silently recycling a pruned version number."""
+    import glob
+    import os
+
+    from marc_data_migration_ray.state.manifest import Manifest, ManifestConflict
+
+    root = str(tmp_path / "t")
+    m = Manifest(root)
+    for e in range(30):
+        m.commit_epoch(e, {"rows": e, "max_lsn": e, "dir": None})
+    assert len(glob.glob(os.path.join(m.versions_dir, "v*.json"))) == 30
+
+    # a second handle left stale at an early version
+    stale = Manifest(root)
+    stale.reload()
+    stale.state = dict(stale.state)
+    # rewind the stale writer far below the soon-to-be floor
+    stale.state["version"] = 3
+
+    removed = m.prune_versions(keep=8)
+    left = glob.glob(os.path.join(m.versions_dir, "v*.json"))
+    assert len(left) == 8 and len(removed) == 22
+    # fresh load sees the newest state
+    m2 = Manifest(root)
+    assert m2.state["version"] == m.state["version"]
+    assert m2.committed_epochs() == list(range(30))
+    # pruning again is a no-op
+    assert m.prune_versions(keep=8) == []
+    # stale writer below the floor cannot CAS a recycled number
+    import pytest as _pytest
+
+    with _pytest.raises(ManifestConflict, match="floor"):
+        stale.save()
+    # after reload the stale writer commits normally above the floor
+    stale.reload()
+    stale.commit_epoch(99, {"rows": 0, "max_lsn": 99, "dir": None})
+    assert Manifest(root).is_committed(99)

@@ -112,6 +112,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_concentration": text_analysis.token_concentration,
         "token_lift": text_analysis.token_lift,
         "tokenize_docs": text_analysis.tokenize_docs_fp,
+        "source_token_drift": text_analysis.source_token_drift,
         # inverted index: scan-side boolean retrieval + term-partitioned build
         "boolean_search": index.boolean_search,
         "inverted_postings": index.inverted_postings,
@@ -471,6 +472,7 @@ def oracle_sql() -> dict[str, str]:
         "token_concentration": _ta.token_concentration_sql(),
         "token_lift": _ta.token_lift_sql(),
         "tokenize_docs": _ta.tokenize_docs_sql(),
+        "source_token_drift": _ta.source_token_drift_sql(),
         "boolean_search": _index.boolean_search_sql(),
         "inverted_postings": _index.inverted_postings_sql(),
         # fixed-centroid cosine assignment; and the full distributed

@@ -934,3 +934,164 @@ def tokenize_docs_sql(v: int = VOCAB_SIZE) -> str:
         "list(id ORDER BY pos) AS ids FROM mapped GROUP BY doc_id) m "
         "USING (doc_id)"
     )
+
+
+def source_token_drift(sf_dir: str) -> ray.data.Dataset:
+    """(source, n_tokens, drift_x, drift): per-source token-distribution
+    drift vs the whole corpus — the data-mixing diagnostic that tells you
+    which source's language diverges (domain shift, contamination, a bad
+    scrape batch). ``drift`` is the L1 (total-variation×2) distance
+    Σ_t |c_st/N_s − c_t/N|.
+
+    Hash-exact by the integer trick the engine uses everywhere: the
+    per-token term is computed as the exact integer |c_st·N − c_t·N_s|
+    (order-free sum), divided ONCE by N_s·N at the end — no float
+    accumulation whose ordering could diverge from SQL.
+
+    Shape: per-batch (source, token) partial counts (pre-aggregated, raw
+    tokens never shuffle) → ONE ``groupby(token)`` co-locates each
+    token's per-source counts; the per-group kernel scores every source
+    (including zero-count ones — absence IS drift) against the broadcast
+    (N_s, N) totals; tiny per-token partial sums finish in a
+    ``groupby(source).sum``."""
+    import polars as pl
+
+    def _src_counts(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["source", "text"]))
+        out = (
+            df.select("source", pl.col("text").str.extract_all(r"\S+").alias("token"))
+            .explode("token")
+            .drop_nulls("token")
+            .group_by(["source", "token"])
+            .len(name="n")
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "source": pc.cast(a["source"], pa.string()),
+                "token": pc.cast(a["token"], pa.string()),
+                "n": pc.cast(a["n"], pa.int64()),
+            }
+        )
+
+    partials = _docs(sf_dir, columns=("source", "text")).map_batches(
+        _src_counts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two consumers: totals + the per-token pass
+
+    # per-source / corpus token totals (tiny: one row per source)
+    totals: dict[str, int] = {}
+    for b in partials.groupby("source").sum("n").iter_batches(batch_format="pyarrow"):
+        for s, n in zip(b["source"].to_pylist(), b["sum(n)"].to_pylist()):
+            totals[s] = totals.get(s, 0) + n
+    sources = sorted(totals)
+    ns = np.array([totals[s] for s in sources], np.int64)
+    n_total = int(ns.sum())
+    import ray as _ray
+
+    ref = _ray.put((sources, ns, n_total))
+
+    # Per-source drift splits algebraically into a PRESENT part (tokens the
+    # source actually has: Σ |c_st·N − c_t·N_s|) and an ABSENT part that
+    # needs no per-token enumeration: Σ_{t∉s} c_t·N_s = N_s·(N − Σ_{t∈s} c_t).
+    # So one coarse token-hash-bucket shuffle co-locates each token's rows,
+    # the bucket kernel is fully vectorized (window sum per token), and each
+    # bucket emits per-source partial (present_x, covered_ct) pairs.
+    def _bucket(t: pa.Table) -> pa.Table:
+        from marc_data_migration_ray.functions.keys import hash_partition
+
+        return t.append_column("bucket", hash_partition(t["token"], 64))
+
+    def _per_bucket(g: pa.Table) -> pa.Table:
+        srcs, ns_, N = _ray.get(ref)
+        ns_map = dict(zip(srcs, ns_.tolist()))
+        df = pl.from_arrow(g.drop_columns(["bucket"]))
+        # collapse per-batch partials to exact (source, token) counts FIRST
+        df = df.group_by(["source", "token"]).agg(pl.col("n").sum())
+        df = df.with_columns(ct=pl.col("n").sum().over("token"))
+        df = df.with_columns(
+            nsrc=pl.col("source").replace_strict(
+                list(ns_map), [int(v) for v in ns_map.values()],
+                return_dtype=pl.Int64),
+        )
+        out = (
+            df.with_columns(
+                x=(pl.col("n") * N - pl.col("ct") * pl.col("nsrc")).abs()
+            )
+            .group_by("source")
+            .agg(present_x=pl.col("x").sum(), covered_ct=pl.col("ct").sum())
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "source": pc.cast(a["source"], pa.string()),
+                "present_x": pc.cast(a["present_x"], pa.int64()),
+                "covered_ct": pc.cast(a["covered_ct"], pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    per_src = (
+        partials.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_per_bucket, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("present_x", alias_name="present_x"),
+                   Sum("covered_ct", alias_name="covered_ct"))
+    )
+
+    def _combine(t: pa.Table) -> pa.Table:
+        srcs, ns_, N = _ray.get(ref)
+        ns_map = dict(zip(srcs, ns_.tolist()))
+        s_col = t["source"].to_pylist()
+        nsrc = np.array([ns_map[s] for s in s_col], np.int64)
+        px = pc.cast(t["present_x"], pa.int64()).to_numpy()
+        cov = pc.cast(t["covered_ct"], pa.int64()).to_numpy()
+        dx = px + nsrc * (N - cov)
+        return pa.table(
+            {"source": pc.cast(t["source"], pa.string()),
+             "drift_x": pa.array(dx, pa.int64())}
+        )
+
+    agg = per_src.map_batches(_combine, batch_format="pyarrow")
+
+    def _finish(t: pa.Table) -> pa.Table:
+        srcs, ns_, N = _ray.get(ref)
+        ns_map = dict(zip(srcs, ns_.tolist()))
+        s_col = t["source"].to_pylist()
+        dx = pc.cast(t["drift_x"], pa.int64())
+        n_tok = pa.array([ns_map[s] for s in s_col], pa.int64())
+        drift = pc.divide(
+            pc.cast(dx, pa.float64()),
+            pc.cast(pc.multiply(n_tok, pa.scalar(N, pa.int64())), pa.float64()),
+        )
+        return pa.table(
+            {
+                "source": pc.cast(t["source"], pa.string()),
+                "n_tokens": n_tok,
+                "drift_x": dx,
+                "drift": drift,
+            }
+        )
+
+    return agg.map_batches(_finish, batch_format="pyarrow")
+
+
+def source_token_drift_sql() -> str:
+    return (
+        r"WITH wc AS (SELECT source, w, CAST(count(*) AS BIGINT) AS n FROM "
+        r"(SELECT source, unnest(regexp_extract_all(text, '\S+')) AS w "
+        "FROM documents) GROUP BY source, w), "
+        "tot AS (SELECT w, CAST(sum(n) AS BIGINT) AS ct FROM wc GROUP BY w), "
+        "ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS nsrc FROM wc "
+        "GROUP BY source), "
+        "nn AS (SELECT CAST(sum(n) AS BIGINT) AS ntot FROM wc), "
+        "grid AS (SELECT ns.source, tot.w, ns.nsrc, tot.ct, nn.ntot, "
+        "COALESCE(wc.n, 0) AS cst FROM ns CROSS JOIN tot CROSS JOIN nn "
+        "LEFT JOIN wc ON wc.source = ns.source AND wc.w = tot.w) "
+        "SELECT source, CAST(any_value(nsrc) AS BIGINT) AS n_tokens, "
+        "CAST(sum(abs(cst * ntot - ct * nsrc)) AS BIGINT) AS drift_x, "
+        "CAST(sum(abs(cst * ntot - ct * nsrc)) AS DOUBLE) / "
+        "(any_value(nsrc) * any_value(ntot)) AS drift "
+        "FROM grid GROUP BY source"
+    )

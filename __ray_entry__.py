@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_revenue_salted": joins.priority_revenue_salted,
         "parts_by_brand": tpch.parts_by_brand,
         "supplier_balance": tpch.supplier_balance,
+        "order_skyline": lambda sf: tpch.order_skyline(sf),
         # text analysis (training-data ops)
         "token_count": text_analysis.token_count,
         "bpe_token_count": text_analysis.bpe_token_count,
@@ -873,6 +874,7 @@ ORDER BY op, route, status
             "FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey "
             "WHERE round(s_acctbal * 100) > 0 ORDER BY s_name"
         ),
+        "order_skyline": _tpch_mod.order_skyline_sql(),
         "key_diff_report": (
             "WITH k AS (SELECT doc_id, CASE doc_id % 6 "
             "WHEN 0 THEN '(OCoLC)ocm' || CAST(doc_id AS VARCHAR) "

@@ -375,3 +375,68 @@ def region_order_stats_sql() -> str:
         "JOIN region ON n_regionkey = r_regionkey "
         "GROUP BY r_name ORDER BY r_name"
     )
+
+
+def _skyline_2d(price: np.ndarray, ts: np.ndarray, keys: np.ndarray):
+    """Exact 2-D skyline (maximize price, minimize ts): p dominates q iff
+    price ≥ ∧ ts ≤ with one strict. Vectorized: sort by (price desc,
+    ts asc); a row survives iff its ts equals its price-group's min AND is
+    strictly below every higher-price group's min."""
+    order = np.lexsort((ts, -price))
+    p, d, k = price[order], ts[order], keys[order]
+    grp_start = np.r_[True, p[1:] != p[:-1]]
+    starts = np.nonzero(grp_start)[0]
+    gid = np.cumsum(grp_start) - 1
+    gmin = np.minimum.reduceat(d, starts)
+    prev_min = np.r_[np.iinfo(np.int64).max, np.minimum.accumulate(gmin)[:-1]]
+    survive = (d == gmin[gid]) & (d < prev_min[gid])
+    return k[survive]
+
+
+def order_skyline(sf_dir: str) -> pa.Table:
+    """(o_orderkey, o_totalprice, o_orderdate): the Pareto front of orders —
+    no other order has totalprice ≥ AND orderdate ≤ with one strict
+    (multi-objective selection: 'newest-cheapest'-style frontier queries,
+    the shape of Pareto data-selection filters over quality × recency).
+
+    Distributed skyline, textbook two phase: every batch computes its
+    LOCAL skyline with a vectorized sort + group-min scan (the global
+    front is always a subset of the union of local fronts), and only
+    those few candidates reach the driver for one exact final pass —
+    batches never exchange rows, and the candidate set is frontier-sized,
+    not table-sized. Dominance uses raw comparisons only (no arithmetic),
+    so float equality matches the SQL oracle exactly."""
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def _local(t: pa.Table) -> pa.Table:
+        price = pc.cast(t["o_totalprice"], pa.float64()).to_numpy()
+        ts = pc.cast(t["o_orderdate"], pa.int64()).to_numpy()
+        keys = pc.cast(t["o_orderkey"], pa.int64()).to_numpy()
+        keep = _skyline_2d(price, ts, keys)
+        return t.filter(pc.is_in(t["o_orderkey"], value_set=pa.array(keep)))
+
+    cands = pa.concat_tables(
+        ds.map_batches(_local, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")
+    )
+    price = pc.cast(cands["o_totalprice"], pa.float64()).to_numpy()
+    ts = pc.cast(cands["o_orderdate"], pa.int64()).to_numpy()
+    keys = pc.cast(cands["o_orderkey"], pa.int64()).to_numpy()
+    keep = _skyline_2d(price, ts, keys)
+    out = cands.filter(pc.is_in(cands["o_orderkey"], value_set=pa.array(keep)))
+    return out.sort_by([("o_orderkey", "ascending")])
+
+
+def order_skyline_sql() -> str:
+    return (
+        "SELECT o_orderkey, o_totalprice, o_orderdate FROM orders o "
+        "WHERE NOT EXISTS (SELECT 1 FROM orders p "
+        "WHERE p.o_totalprice >= o.o_totalprice "
+        "AND p.o_orderdate <= o.o_orderdate "
+        "AND (p.o_totalprice > o.o_totalprice "
+        "OR p.o_orderdate < o.o_orderdate)) "
+        "ORDER BY o_orderkey"
+    )

@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_clusters": lambda sf: clustering.semantic_clusters(sf),
         "label_similarity": clustering.label_similarity,
         "semdedup": clustering.semdedup,
+        "embedding_gram": clustering.embedding_gram,
         # similarity search
         "ann_topk": lambda sf: similarity.ann_topk(sf),
         "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
@@ -481,6 +482,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_assign": _clustering.embedding_assign_sql(),
         "semantic_clusters": _clustering.semantic_clusters_sql(),
         "label_similarity": _clustering.label_similarity_sql(),
+        "embedding_gram": _clustering.embedding_gram_sql(),
         "semdedup": _clustering.semdedup_sql(),
         # integer-threshold multiplicative-hash mirrors, built from the
         # same constants the kernels use

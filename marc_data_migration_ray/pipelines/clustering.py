@@ -41,6 +41,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 import ray
@@ -477,3 +478,66 @@ SELECT a1.vec_id, a1.cluster_id,
        ) AS kept
 FROM a a1
 """
+
+
+GRAM_SCALE = 1024   # fixed-point quantization (2^10: float32·2^10 is exact)
+GRAM_DIMS = 8       # reported sub-block (full-d is the same op, more rows)
+
+
+def embedding_gram(sf_dir: str, dims: int = GRAM_DIMS) -> ray.data.Dataset:
+    """(i, j, gram_x): the Gram / scatter matrix Σ x xᵀ over the embedding
+    corpus (first ``dims`` dimensions) — the one-pass building block of
+    PCA, whitening and covariance-based pruning at corpus scale.
+
+    Canonical mergeable-partial linear algebra: every batch computes its
+    quantized XᵀX (one numpy matmul, dims² ints), and the merge is an
+    elementwise integer sum (``groupby(i, j).sum`` over dims²-row
+    partials) — vectors never shuffle, the reduce moves dims² numbers per
+    batch. Fixed point via floor(x·2¹⁰) (floor, not round: SQL round()
+    is half-away, numpy rint is half-even) keeps every product an exact
+    int64, so float summation order cannot diverge from the oracle."""
+    import os
+
+    from marc_data_migration_ray.functions.vectors import emb_matrix
+    from marc_data_migration_ray.sources import readers
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = emb_matrix(t["embedding"])[:, :dims]
+        q = np.floor(x * GRAM_SCALE).astype(np.int64)
+        g = q.T @ q
+        ii, jj = np.meshgrid(np.arange(dims), np.arange(dims), indexing="ij")
+        return pa.table(
+            {
+                "i": pa.array(ii.ravel(), pa.int64()),
+                "j": pa.array(jj.ravel(), pa.int64()),
+                "gram_x": pa.array(g.ravel(), pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["embedding"]
+    )
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["i", "j"])
+        .aggregate(Sum("gram_x", alias_name="gram_x"))
+        .map_batches(
+            lambda t: pa.table({c: pc.cast(t[c], pa.int64())
+                                for c in ("i", "j", "gram_x")}),
+            batch_format="pyarrow",
+        )
+    )
+
+
+def embedding_gram_sql(dims: int = GRAM_DIMS) -> str:
+    s = GRAM_SCALE
+    return (
+        f"SELECT i, j, CAST(SUM("
+        f"CAST(floor(CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * {s}) AS BIGINT) * "
+        f"CAST(floor(CAST(embedding[CAST(j AS INTEGER) + 1] AS DOUBLE) * {s}) AS BIGINT)"
+        f") AS BIGINT) AS gram_x "
+        f"FROM embeddings, range(0, {dims}) t1(i), range(0, {dims}) t2(j) "
+        "GROUP BY i, j"
+    )

@@ -143,6 +143,11 @@ def run_queries(sf_dir: str) -> dict:
         "policy_location_map", "policy_chain", "online_counts",
         "decontaminate", "pii_redact", "corpus_shuffle", "media_real_decode",
         "media_frames_real",
+        # fourth-session ops
+        "boolean_search", "inverted_postings", "range_partition",
+        "tokenize_docs", "source_token_drift", "blocklist_filter",
+        "event_pagerank", "order_skyline", "embedding_gram", "ann_topk_pq",
+        "audio_frame_features",
     ]
     qs = entry_mod.queries()
     out = {}

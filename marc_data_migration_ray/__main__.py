@@ -13,6 +13,7 @@ Commands:
                  _EXPORT.json lineage manifest; idempotent)
   export-changes — CDC egress: the change feed as parquet + manifest
   rollback     — truncate the log to an epoch (bad-upstream-batch remedy)
+  fsck         — integrity check: manifest claims vs files on disk
   changes      — change-data feed: state diff between two epochs (CDF)
   follow       — streaming micro-batch ingest: tail a binlog root, apply
                  epoch dirs in order (manifest-fenced, restart-resumable)
@@ -119,7 +120,7 @@ def main(argv=None) -> int:
     ex = sub.add_parser(
         "export",
         help="copy-out a consistent snapshot of the public table state as "
-             "hash-partitioned parquet + EXPORT.json (idempotent)",
+             "hash-partitioned parquet + _EXPORT.json (idempotent)",
     )
     ex.add_argument("--table", required=True)
     ex.add_argument("--dest", required=True)
@@ -136,6 +137,15 @@ def main(argv=None) -> int:
     exc.add_argument("--from-epoch", type=int, required=True, dest="from_epoch")
     exc.add_argument("--to-epoch", type=int, required=True, dest="to_epoch")
     _add_cfg_args(exc)
+
+    fk = sub.add_parser(
+        "fsck",
+        help="integrity check: manifest claims vs files on disk "
+             "(footer-metadata only; --deep re-reads lsn columns)",
+    )
+    fk.add_argument("--table", required=True)
+    fk.add_argument("--deep", action="store_true")
+    _add_cfg_args(fk)
 
     rb = sub.add_parser(
         "rollback",
@@ -401,6 +411,10 @@ def main(argv=None) -> int:
             print(json.dumps(info))
         elif args.cmd == "rollback":
             print(json.dumps(rp.rollback(args.to_epoch)))
+        elif args.cmd == "fsck":
+            res = rp.fsck(deep=args.deep)
+            print(json.dumps(res))
+            return 0 if res["ok"] else 1
         elif args.cmd == "export-changes":
             print(json.dumps(
                 rp.export_changes(args.dest, args.from_epoch, args.to_epoch)

@@ -1124,6 +1124,92 @@ class Replayer:
         return {**entry, "backfill_events": n_events,
                 "backfill_skipped_local": n_skipped}
 
+    def fsck(self, deep: bool = False) -> dict:
+        """Table integrity check (the ops `fsck`): verify that everything
+        the manifest claims is actually on disk and self-consistent —
+        committed epoch dirs present (unless legitimately vacuumed below
+        the compaction floor or covered by a delta segment), per-partition
+        row counts matching the recorded lineage (parquet FOOTER metadata
+        only — no data reads), lsn bounds within the entry's
+        [min_lsn, max_lsn] (row-group statistics), segment dirs present,
+        the active base snapshot present, and no rollback_pending
+        leftovers. ``deep=True`` also re-reads every delta file's lsn
+        column to confirm footer stats aren't lying (corruption check).
+
+        Returns ``{"ok", "checks", "problems": [...]}`` — run it before
+        trusting a restored backup or after a crash."""
+        problems: list[str] = []
+        checks = 0
+        st = self.manifest.state
+        floor = self.manifest.last_compacted_epoch()
+        segged: set[int] = set()
+        for seg in self.manifest.delta_segments():
+            segged.update(range(seg["from"], seg["to"] + 1))
+            checks += 1
+            if not os.path.isdir(seg["dir"]):
+                problems.append(f"segment dir missing: {seg['dir']}")
+        base = st.get("base_bucketized_path") or st.get("base_path")
+        if base is not None:
+            checks += 1
+            if not os.path.isdir(base) and not os.path.isfile(base):
+                problems.append(f"base snapshot missing: {base}")
+        for e in self.manifest.committed_epochs():
+            entry = self.manifest.epoch_entry(e)
+            d = entry.get("dir")
+            if d is None:
+                continue  # empty epoch
+            if not os.path.isdir(d):
+                checks += 1
+                if e > floor and e not in segged:
+                    problems.append(f"epoch {e}: delta dir missing: {d}")
+                continue  # vacuumed below floor / segment-covered: fine
+            part_files = self._files_by_part(d)
+            want_parts = {int(p): v for p, v in entry.get("parts", {}).items()}
+            for p, meta in want_parts.items():
+                checks += 1
+                files = part_files.get(p, [])
+                if not files:
+                    if meta.get("rows", 0) > 0:
+                        problems.append(f"epoch {e} part {p}: files missing")
+                    continue
+                n = 0
+                lsn_lo, lsn_hi = None, -1
+                for f in files:
+                    pf = pq.ParquetFile(f)
+                    n += pf.metadata.num_rows
+                    for rg in range(pf.metadata.num_row_groups):
+                        col = pf.metadata.row_group(rg).column(
+                            pf.schema_arrow.get_field_index("lsn"))
+                        s = col.statistics
+                        if s is not None and s.has_min_max:
+                            lsn_lo = s.min if lsn_lo is None else min(lsn_lo, s.min)
+                            lsn_hi = max(lsn_hi, s.max)
+                    if deep:
+                        t = pq.read_table(f, columns=["lsn"])
+                        if t.num_rows:
+                            lo = pc.min(t["lsn"]).as_py()
+                            hi = pc.max(t["lsn"]).as_py()
+                            lsn_lo = lo if lsn_lo is None else min(lsn_lo, lo)
+                            lsn_hi = max(lsn_hi, hi)
+                if n != meta.get("rows", n):
+                    problems.append(
+                        f"epoch {e} part {p}: {n} rows on disk vs "
+                        f"{meta['rows']} in lineage")
+                if lsn_hi > entry.get("max_lsn", lsn_hi):
+                    problems.append(
+                        f"epoch {e} part {p}: lsn {lsn_hi} above entry "
+                        f"max_lsn {entry.get('max_lsn')}")
+                mn = entry.get("min_lsn")
+                if mn is not None and lsn_lo is not None and lsn_lo < mn:
+                    problems.append(
+                        f"epoch {e} part {p}: lsn {lsn_lo} below entry "
+                        f"min_lsn {mn}")
+        for d in self.manifest.rollback_pending():
+            checks += 1
+            if os.path.exists(d):
+                problems.append(f"rollback_pending leftover on disk: {d}")
+        return {"ok": not problems, "checks": checks, "problems": problems}
+
     def rollback(self, to_epoch: int) -> dict:
         """Truncate the log to ``to_epoch`` (drop every later committed
         epoch — the bad-upstream-batch remedy): one CAS manifest commit

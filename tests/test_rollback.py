@@ -128,3 +128,41 @@ def test_view_full_rebuild_after_rollback(ray_session, tmp_path, fixture_dir):
     fresh = SourceCountsView(str(tmp_path / "view2"), rp)
     fresh.refresh()
     assert view.read().equals(fresh.read())
+
+
+def test_fsck_detects_missing_and_tampered_files(ray_session, tmp_path, fixture_dir):
+    """fsck: clean table passes; a deleted delta file and a truncated
+    lineage count are both reported; vacuumed below-floor dirs are NOT
+    false positives."""
+    import glob
+    import shutil
+
+    cfg = ReplayConfig(num_partitions=4)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    res = rp.fsck()
+    assert res["ok"], res["problems"]
+    assert res["checks"] > 0
+    res_deep = rp.fsck(deep=True)
+    assert res_deep["ok"], res_deep["problems"]
+
+    # legitimate vacuum must not trip it
+    rp.compact(up_to_epoch=0)
+    rp.vacuum(retain_audit=False)
+    res = rp.fsck()
+    assert res["ok"], res["problems"]
+
+    # delete one delta file of a live epoch → reported
+    victim = sorted(glob.glob(os.path.join(
+        str(tmp_path / "t"), "deltas", "epoch=2", "**", "*.parquet"),
+        recursive=True))[0]
+    os.unlink(victim)
+    res = rp.fsck()
+    assert not res["ok"]
+    assert any("rows on disk" in p or "files missing" in p
+               for p in res["problems"]), res["problems"]
+
+    # missing whole epoch dir → reported
+    shutil.rmtree(os.path.join(str(tmp_path / "t"), "deltas", "epoch=1"))
+    res = rp.fsck()
+    assert any("delta dir missing" in p or "files missing" in p
+               for p in res["problems"]), res["problems"]

@@ -170,7 +170,8 @@ def main() -> None:
         # bandwidth *decreases* beyond ~8 concurrent processes (measured
         # 4.2 GB/s @1p → 2.3 @8p → 1.2 @32p; see BASELINE.md), so higher
         # levels measure the VM's memory wall, not the engine's scaling.
-        lo, hi = 2, 8
+        lo = int(os.environ.get("RAY_GRAFT_SCALE_LO", "2"))
+        hi = int(os.environ.get("RAY_GRAFT_SCALE_HI", str(lo * 4)))
         res = {}
         for n in (lo, hi):
             env = dict(os.environ, RAY_GRAFT_CPUS=str(n), BENCH_HEADLINE_ONLY="1")

@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_dedup_window": events.event_dedup_window,
         # iterative graph analytics: fixed-point PageRank over transitions
         "event_pagerank": lambda sf: graph.event_pagerank(sf),
+        "event_markov": lambda sf: graph.event_markov(sf),
         "top_orders_per_customer": events.top_orders_per_customer,
         "key_diff_report": events.key_diff_report,
         # temporal as-of joins (co-partitioned polars join_asof per bucket)
@@ -780,6 +781,7 @@ ORDER BY op, route, status
         # at-least-once scrub: keep-earliest per (user,type,10-min window)
         "event_dedup_window": _events_mod.event_dedup_window_sql(),
         "event_pagerank": _graph.event_pagerank_sql(),
+        "event_markov": _graph.event_markov_sql(),
         "top_orders_per_customer": (
             "SELECT o_custkey, CAST(rn AS BIGINT) AS rnk, o_orderkey FROM ("
             "SELECT o_custkey, o_orderkey, row_number() OVER ("

@@ -160,3 +160,46 @@ def event_pagerank_sql(iters: int = PR_ITERS) -> str:
         "FROM fin ORDER BY node"
     )
     return "".join(parts)
+
+
+def event_markov(sf_dir: str) -> pa.Table:
+    """(src, dst, w, out_w, p): the maximum-likelihood Markov transition
+    matrix of the event-type chain — p(dst|src) = w/out_w over the same
+    distributed edge extraction as ``event_pagerank`` (user-bucket
+    shuffle + vectorized consecutive pairs). Counts are exact integers;
+    the probability is ONE division per edge, so the oracle hash-matches.
+    The per-src totals are |event_type|-sized — a driver dict, broadcast
+    territory at web-scale node counts."""
+    edges = sorted(
+        (
+            (r["src"], r["dst"], r["w"])
+            for b in transition_edges(sf_dir).iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        )
+    )
+    outw: dict[str, int] = {}
+    for s, _d, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    return pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.string()),
+            "dst": pa.array([e[1] for e in edges], pa.string()),
+            "w": pa.array([e[2] for e in edges], pa.int64()),
+            "out_w": pa.array([outw[e[0]] for e in edges], pa.int64()),
+            "p": pa.array([e[2] / outw[e[0]] for e in edges], pa.float64()),
+        }
+    )
+
+
+def event_markov_sql() -> str:
+    return (
+        "WITH tr AS (SELECT event_type AS src, LEAD(event_type) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS dst FROM events), "
+        "e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM tr "
+        "WHERE dst IS NOT NULL GROUP BY src, dst), "
+        "ow AS (SELECT src, CAST(sum(w) AS BIGINT) AS out_w FROM e "
+        "GROUP BY src) "
+        "SELECT e.src, e.dst, e.w, ow.out_w, "
+        "CAST(e.w AS DOUBLE) / ow.out_w AS p "
+        "FROM e JOIN ow ON e.src = ow.src"
+    )

@@ -106,6 +106,47 @@ def _fnv1a_numpy(arr: pa.Array):
     return h
 
 
+def local_id_parts(
+    raw: "pa.ChunkedArray | pa.Array", prefix: str, num_partitions: int
+) -> tuple[pa.Array, pa.Array]:
+    """Recognize allocator-assigned local ids (``{prefix}-PPPP-N``) in a raw
+    key column, making them first-class addressable keys (update/delete by
+    the id the engine handed out — the analog of the reference re-reading
+    rows by its ``set_local_id`` value, pnca_policy.py:174-223).
+
+    Returns ``(key, part)``: ``key`` is the trimmed id where the column
+    matches the local-id shape (null elsewhere — caller falls back to
+    ``normalize_keys``), ``part`` is the embedded allocation partition
+    modulo ``num_partitions`` (the modulo keeps ids addressable after a
+    ``repartition`` to a smaller partition count; for the partition count
+    that allocated the id it is the identity). Pure Arrow kernels.
+    """
+    import re
+
+    s = pc.utf8_trim_whitespace(pc.cast(raw, pa.string()))
+    pat = rf"^{re.escape(prefix)}-(?P<part>\d+)-\d+$"
+    m = pc.extract_regex(s, pat)
+    valid = pc.is_valid(m)
+    key = pc.if_else(valid, s, pa.scalar(None, pa.string()))
+    part_str = pc.fill_null(pc.struct_field(m, "part"), "0")
+    part = pc.cast(
+        pc.subtract(
+            pc.cast(part_str, pa.int64()),
+            pc.multiply(
+                pc.divide(pc.cast(part_str, pa.int64()), num_partitions),
+                num_partitions,
+            ),
+        ),
+        pa.int32(),
+    )
+    part = pc.if_else(valid, part, pa.scalar(0, pa.int32()))
+    if isinstance(key, pa.ChunkedArray):
+        key = key.combine_chunks()
+    if isinstance(part, pa.ChunkedArray):
+        part = part.combine_chunks()
+    return key, part
+
+
 def mod_bucket(col: "pa.ChunkedArray | pa.Array", n: int) -> pa.Array:
     """``col % n`` as int32 — the coarse co-partition bucket key used by
     every bucket-shuffled operator (sessions, as-of/range joins, funnel,

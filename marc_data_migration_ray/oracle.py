@@ -74,6 +74,15 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
     "metrics": dict, "schema_ops": [(kind, name, new_name)]}``.
     """
     cfg = cfg or ReplayConfig()
+    # allocator-assigned local ids ({prefix}-PPPP-N) are first-class
+    # addressable keys (mirror of stages.parse / functions.keys.local_id_parts)
+    _local_re = re.compile(rf"^{re.escape(cfg.local_id_prefix)}-\d+-\d+$")
+
+    def _norm(raw):
+        if raw is not None and _local_re.match(raw.strip()):
+            return raw.strip()
+        return normalize_key(raw)
+
     events = sorted(events, key=lambda e: e["lsn"])
     # duplicate-delivery absorption: dedupe on globally-unique lsn
     seen_lsn = set()
@@ -82,7 +91,7 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
     # --- base dedup (SEMANTICS: greatest raw doc_id, then greatest n_tok) ---
     base: dict[str, dict] = {}
     for row in base_rows:
-        key = normalize_key(row["doc_id"])
+        key = _norm(row["doc_id"])
         if key is None:
             continue  # base rows with unnormalizable keys are unreachable; drop
         cur = base.get(key)
@@ -112,7 +121,7 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
         ev["_route"], ev["_status"] = route, status
 
     for ev in events:
-        ev["_key"] = normalize_key(ev.get("doc_id"))
+        ev["_key"] = _norm(ev.get("doc_id"))
         if _is_malformed(ev):
             route_ev(ev, "deadletter", "malformed")
         elif ev["op"] == "schema_change":

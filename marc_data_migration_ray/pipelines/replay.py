@@ -807,7 +807,9 @@ class Replayer:
         for k in ids:
             seg = k.split("-")
             if k.startswith(pref) and len(seg) >= 3 and seg[-2].isdigit():
-                parts.add(int(seg[-2]))
+                # mod keeps ids addressable after a repartition to fewer
+                # partitions (identity for the count that allocated them)
+                parts.add(int(seg[-2]) % self.cfg.num_partitions)
             else:
                 hashed.append(k)
         if hashed:

@@ -21,7 +21,11 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from marc_data_migration_ray.config import ReplayConfig
-from marc_data_migration_ray.functions.keys import hash_partition, normalize_keys
+from marc_data_migration_ray.functions.keys import (
+    hash_partition,
+    local_id_parts,
+    normalize_keys,
+)
 
 #: unified schema emitted by ParseRoute and PrepBase (fold input).
 PARSED_FIELDS = [
@@ -81,6 +85,14 @@ class ParseRoute:
         key = normalize_keys(raw)
         part_key = pc.if_else(pc.is_valid(key), key, raw)
         part_id = hash_partition(part_key, cfg.num_partitions)
+        # allocator-assigned local ids are first-class addressable keys:
+        # route to the embedded allocation partition (where the materialized
+        # row lives), not hash(key) — see functions.keys.local_id_parts
+        loc_key, loc_part = local_id_parts(raw, cfg.local_id_prefix, cfg.num_partitions)
+        loc_valid = pc.is_valid(loc_key)
+        if pc.any(loc_valid).as_py():
+            key = pc.if_else(loc_valid, loc_key, key)
+            part_id = pc.if_else(loc_valid, loc_part, part_id)
 
         op = batch["op"].to_numpy(zero_copy_only=False)
         key_null = pc.is_null(key).to_numpy(zero_copy_only=False)
@@ -213,15 +225,28 @@ class PrepBase:
                 # LOCAL- rows stay in the partition that allocated them
                 stored_part = pc.cast(batch["part_id"], pa.int32())
         else:
-            key = normalize_keys(batch["doc_id"])
+            def _keys(col):
+                k = normalize_keys(col)
+                lk, _ = local_id_parts(col, cfg.local_id_prefix, cfg.num_partitions)
+                return pc.if_else(pc.is_valid(lk), lk, k)
+
+            key = _keys(batch["doc_id"])
             batch = batch.filter(pc.is_valid(key))
-            key = normalize_keys(batch["doc_id"])
+            key = _keys(batch["doc_id"])
             raw = batch["doc_id"]
             lsn = None
             status = None
             cand = None
         n = batch.num_rows
-        part_id = stored_part if stored_part is not None else hash_partition(key, cfg.num_partitions)
+        if stored_part is not None:
+            part_id = stored_part
+        else:
+            part_id = hash_partition(key, cfg.num_partitions)
+            loc_key, loc_part = local_id_parts(
+                key, cfg.local_id_prefix, cfg.num_partitions
+            )
+            if pc.any(pc.is_valid(loc_key)).as_py():
+                part_id = pc.if_else(pc.is_valid(loc_key), loc_part, part_id)
         return _as_parsed(
             {
                 "is_base": pa.array(np.ones(n, bool)),

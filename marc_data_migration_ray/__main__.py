@@ -54,9 +54,20 @@ def _ray_session():
 def _cfg_from_args(args) -> "ReplayConfig":
     from marc_data_migration_ray.config import ReplayConfig
 
+    # layout args default to the table's committed layout (a repartition
+    # may have evolved it past the dataclass defaults); 32/1 for new tables
+    P, S = args.num_partitions, args.num_salts
+    if (P is None or S is None) and getattr(args, "table", None):
+        from marc_data_migration_ray.state.manifest import Manifest
+
+        st = Manifest(args.table).state
+        if P is None:
+            P = st.get("num_partitions")
+        if S is None:
+            S = st.get("num_salts")
     return ReplayConfig(
-        num_partitions=args.num_partitions,
-        num_salts=args.num_salts,
+        num_partitions=P if P is not None else 32,
+        num_salts=S if S is not None else 1,
         fuzzy_threshold=args.fuzzy_threshold,
         require_perfect=args.require_perfect,
         fuzzy_001_test=args.fuzzy_001_test,
@@ -67,9 +78,12 @@ def _cfg_from_args(args) -> "ReplayConfig":
 
 
 def _add_cfg_args(p: argparse.ArgumentParser) -> None:
-    p.add_argument("--num-partitions", type=int, default=32, dest="num_partitions")
-    p.add_argument("--num-salts", type=int, default=1, dest="num_salts",
-                   help="salted sub-partitions per partition (hot-key skew)")
+    p.add_argument("--num-partitions", type=int, default=None, dest="num_partitions",
+                   help="hash partitions (default: the table's committed "
+                        "layout, or 32 for a new table)")
+    p.add_argument("--num-salts", type=int, default=None, dest="num_salts",
+                   help="salted sub-partitions per partition (hot-key skew; "
+                        "default: the table's committed layout, or 1)")
     p.add_argument("--fuzzy-threshold", type=int, default=50, dest="fuzzy_threshold")
     p.add_argument("--require-perfect", action="store_true", dest="require_perfect")
     p.add_argument("--fuzzy-001-test", action="store_true", dest="fuzzy_001_test",
@@ -116,6 +130,17 @@ def main(argv=None) -> int:
     c = sub.add_parser("compact")
     c.add_argument("--table", required=True)
     _add_cfg_args(c)
+
+    rpa = sub.add_parser(
+        "repartition",
+        help="partition evolution: rewrite the folded state into a new "
+             "base snapshot at a different partition/salt count (one "
+             "manifest CAS; requires a quiesced writer)",
+    )
+    rpa.add_argument("--table", required=True)
+    rpa.add_argument("--to-partitions", type=int, required=True)
+    rpa.add_argument("--to-salts", type=int, default=None)
+    _add_cfg_args(rpa)
 
     ex = sub.add_parser(
         "export",
@@ -406,6 +431,13 @@ def main(argv=None) -> int:
         elif args.cmd == "compact":
             path = rp.compact()
             print(json.dumps({"compacted_to": path}))
+        elif args.cmd == "repartition":
+            path = rp.repartition(args.to_partitions, args.to_salts)
+            print(json.dumps({
+                "repartitioned_to": path,
+                "num_partitions": rp.cfg.num_partitions,
+                "num_salts": rp.cfg.num_salts,
+            }))
         elif args.cmd == "export":
             info = rp.export_snapshot(args.dest, up_to_epoch=args.up_to_epoch)
             print(json.dumps(info))

@@ -349,6 +349,17 @@ class Replayer:
         self.cfg = cfg or ReplayConfig()
         self.manifest = Manifest(root)
         st = self.manifest.state
+        if cfg is None and st.get("num_partitions") is not None:
+            # opening an existing table with no explicit config adopts the
+            # manifest's committed layout (which a repartition may have
+            # evolved past the dataclass defaults)
+            import dataclasses
+
+            self.cfg = dataclasses.replace(
+                self.cfg,
+                num_partitions=st["num_partitions"],
+                num_salts=st.get("num_salts", 1),
+            )
         cfg = self.cfg
         if st.get("num_partitions") is None:
             def _create(s: dict) -> None:
@@ -976,6 +987,97 @@ class Replayer:
         )
         self.manifest.record_compaction(
             up_to, new_base, local_counts, metrics_snapshot=snap, ceiling_lsn=ceiling
+        )
+        return new_base
+
+    def repartition(self, num_partitions: int, num_salts: int | None = None) -> str:
+        """Partition evolution: re-hash the folded state into a new base
+        snapshot at a different partition (and optionally salt) count,
+        committed exactly like a compaction.
+
+        ``num_partitions`` is the engine's memory/commit-granularity knob
+        (one fold task peaks at one partition's rows); at 100 TB a table
+        sized for yesterday's volume must be able to grow its partition
+        count without rebuilding from the raw binlog. This rewrites each
+        live row into ``hash(doc_id) % new_P`` (allocator-assigned local
+        ids go to their embedded partition mod new_P, where ``lookup`` and
+        ``ParseRoute`` will address them), commits the snapshot + the new
+        layout in ONE manifest CAS (readers see either the old or the new
+        layout, never a mix), and carries run metrics and local-id
+        allocator high-water marks forward like a compaction. Epochs
+        applied after the call are routed and fenced at the new count;
+        this Replayer's config is updated in place.
+
+        The rewrite is the unavoidable all-to-all move (every row may
+        change bucket) executed as ONE streaming pass:
+        fold → recompute part → partitioned parquet write."""
+        new_P = int(num_partitions)
+        new_S = int(num_salts) if num_salts is not None else self.cfg.num_salts
+        if new_P < 1 or new_S < 1:
+            raise ValueError("num_partitions/num_salts must be >= 1")
+        up_to = (self.manifest.committed_epochs()[-1]
+                 if self.manifest.committed_epochs() else -1)
+        out = self.fold_output(up_to) if (
+            self.manifest.state.get("base_path") or self.manifest.committed_epochs()
+        ) else None
+        if out is None:
+            raise ValueError("nothing to repartition: empty table")
+        new_base = os.path.join(self.root, f"base-repart-{uuid.uuid4().hex[:8]}")
+        tmp = new_base + ".tmp"
+        prefix = self.cfg.local_id_prefix
+
+        def _rewrite(t: pa.Table, P=new_P, S=new_S, prefix=prefix) -> pa.Table:
+            from marc_data_migration_ray.functions.keys import (
+                hash_partition, local_id_parts,
+            )
+
+            t = t.select(_ROW_COLS)
+            ids = pc.cast(t["doc_id"], pa.string())
+            part = hash_partition(ids, P)
+            lk, lp = local_id_parts(ids, prefix, P)
+            if pc.any(pc.is_valid(lk)).as_py():
+                part = pc.if_else(pc.is_valid(lk), lp, part)
+            t = t.append_column("part_id", pc.cast(part, pa.int32()))
+            return t.append_column(
+                "part_p",
+                pc.cast(pc.multiply(pc.cast(part, pa.int64()), S), pa.int32()),
+            )
+
+        rows = out.filter(expr="_kind == 'row'").map_batches(
+            _rewrite, batch_format="pyarrow", zero_copy_batch=True
+        )
+        rows.write_parquet(tmp, partition_cols=["part_p"])
+        this_fold = self._aggregate_metrics_rows(out)
+        local_counts = dict(this_fold["local_by_part"])
+        prev = self.manifest.metrics_snapshot()
+        snap = {
+            "noop": prev["noop"] + this_fold["noop"],
+            "tombstoned": prev["tombstoned"] + this_fold["tombstoned"],
+            "local": prev["local"] + this_fold["local"],
+            "col_replacements": _merge_counts(prev["col_replacements"],
+                                              this_fold["col_replacements"]),
+            "local_by_part": _merge_counts(
+                {int(k): v for k, v in prev["local_by_part"].items()}, local_counts
+            ),
+            "noop_by_route": _merge_counts(prev["noop_by_route"],
+                                           this_fold["noop_by_route"]),
+        }
+        os.rename(tmp, new_base)
+        ceiling = max(
+            [self.manifest.ceiling_lsn()]
+            + [
+                self.manifest.epoch_entry(e).get("max_lsn", -1)
+                for e in self.manifest.committed_epochs()
+                if e <= up_to
+            ]
+        )
+        self.manifest.record_repartition(
+            up_to, new_base, local_counts, snap, ceiling, new_P, new_S
+        )
+        import dataclasses
+
+        self.cfg = dataclasses.replace(
+            self.cfg, num_partitions=new_P, num_salts=new_S
         )
         return new_base
 

@@ -265,6 +265,52 @@ class Manifest:
 
         self._cas_update(_mut)
 
+    def record_repartition(self, up_to: int, base_path: str,
+                           local_counts: dict[int, int],
+                           metrics_snapshot: dict | None,
+                           ceiling_lsn: int,
+                           num_partitions: int, num_salts: int) -> None:
+        """Partition evolution: commit a repartitioned base snapshot.
+
+        Identical to :meth:`record_compaction` (the new snapshot absorbs
+        epochs <= ``up_to`` and rides the compactions list so the floor /
+        ceiling / vacuum / fsck machinery applies unchanged) plus an
+        atomic switch of the table's partition layout. Local-id allocator
+        offsets carry forward BY PART NUMBER: an id embeds the partition
+        that allocated it, so keeping each counter's high-water mark under
+        its original number is what guarantees no id is ever re-issued,
+        whatever the new partition count."""
+        def _mut(st: dict) -> None:
+            if any(c["base_path"] == base_path for c in st["compactions"]):
+                return  # idempotent retry after our own landed commit
+            newer = [int(e) for e in st["epochs"] if int(e) > up_to]
+            if newer:
+                # a concurrent writer landed an epoch at the OLD layout after
+                # our fold; flipping the layout would strand its deltas
+                raise ValueError(
+                    f"repartition folded through epoch {up_to} but epochs "
+                    f"{sorted(newer)} committed since — re-run repartition"
+                )
+            for p, c in local_counts.items():
+                k = str(p)
+                st["local_id_offsets"][k] = st["local_id_offsets"].get(k, 0) + c
+            st["compactions"].append({
+                "up_to": up_to, "base_path": base_path,
+                "metrics_snapshot": metrics_snapshot,
+                "ceiling_lsn": ceiling_lsn,
+                "repartition": {"from": [st["num_partitions"],
+                                         st.get("num_salts", 1)],
+                                "to": [num_partitions, num_salts]},
+            })
+            st["num_partitions"] = num_partitions
+            st["num_salts"] = num_salts
+            st["base_path"] = base_path
+            st["base_normalized"] = True
+            st["base_is_final_schema"] = True
+            st["base_bucketized_path"] = base_path
+
+        self._cas_update(_mut)
+
     def metrics_snapshot(self) -> dict:
         """Cumulative fold metrics for epochs <= the compaction floor.
 

@@ -142,6 +142,19 @@ def main(argv=None) -> int:
     rpa.add_argument("--to-salts", type=int, default=None)
     _add_cfg_args(rpa)
 
+    dw = sub.add_parser(
+        "delete-where",
+        help="predicate delete through the replay path: emit one tombstone "
+             "event per matching row as a fenced epoch (audit/metrics/"
+             "change-feed lineage like any upstream epoch)",
+    )
+    dw.add_argument("--table", required=True)
+    dw.add_argument("--epoch", type=int, required=True)
+    dw.add_argument("--where", required=True,
+                    help="SQL expression over the canonical row frame, "
+                         "e.g. \"source = 'web' AND n_tok < 10\"")
+    _add_cfg_args(dw)
+
     ex = sub.add_parser(
         "export",
         help="copy-out a consistent snapshot of the public table state as "
@@ -431,6 +444,8 @@ def main(argv=None) -> int:
         elif args.cmd == "compact":
             path = rp.compact()
             print(json.dumps({"compacted_to": path}))
+        elif args.cmd == "delete-where":
+            print(json.dumps(rp.delete_where(args.where, args.epoch)))
         elif args.cmd == "repartition":
             path = rp.repartition(args.to_partitions, args.to_salts)
             print(json.dumps({

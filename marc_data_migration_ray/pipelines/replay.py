@@ -341,6 +341,65 @@ def _backfill_part_task(
     return n, n_skipped
 
 
+@ray.remote(num_cpus=1)
+def _delete_where_part_task(
+    t: pa.Table, predicate, part: int, P: int, base_lsn: int, epoch: int,
+    ceiling_lsn: int, local_prefix: str, out_file: str,
+) -> tuple[int, int]:
+    """Generate one partition's predicate-delete tombstone events (see
+    Replayer.delete_where). lsn = base + i*P + part (globally unique,
+    above the fence). Returns (n_events, n_skipped_unmaterialized)."""
+    from marc_data_migration_ray.functions.keys import local_id_parts
+
+    import numpy as np
+
+    rows = t.filter(pc.equal(t["_kind"], "row")).select(_ROW_COLS)
+    sel = predicate(rows)
+    if isinstance(sel, pa.ChunkedArray):
+        sel = sel.combine_chunks()
+    if not isinstance(sel, (pa.Array, pa.ChunkedArray)):
+        sel = pa.array(sel, pa.bool_())
+    if len(sel) != rows.num_rows:
+        raise ValueError("delete_where predicate must return one boolean "
+                         "per input row")
+    matched = rows.filter(pc.fill_null(sel, False))
+    # a status='local' row whose lineage lsn is above the compaction
+    # ceiling was allocated after the floor: its id is not yet
+    # materialized as an anchor, so a tombstone addressing it would fold
+    # to nothing — skip and count (SEMANTICS "Local-id addressability")
+    lk, _ = local_id_parts(matched["doc_id"], local_prefix, max(P, 1))
+    unmat = pc.and_(
+        pc.is_valid(lk),
+        pc.greater(pc.fill_null(matched["last_lsn"], -1), ceiling_lsn),
+    )
+    emit = matched.filter(pc.invert(unmat))
+    n_skipped = matched.num_rows - emit.num_rows
+    n = emit.num_rows
+    lsn = pa.array(base_lsn + np.arange(n, dtype=np.int64) * P + part)
+    events = pa.table(
+        {
+            "lsn": lsn,
+            "epoch": pa.array([epoch] * n, pa.int32()),
+            "op": pa.array(["delete"] * n, pa.string()),
+            "doc_id": pc.cast(emit["doc_id"], pa.string()),
+            "tokens": pa.nulls(n, pa.list_(pa.int32())),
+            "n_tok": pa.nulls(n, pa.int32()),
+            "source": pa.nulls(n, pa.string()),
+            "column_mask": pa.nulls(n, pa.list_(pa.string())),
+            "match_score": pa.array([0] * n, pa.int32()),
+            "title": pa.nulls(n, pa.string()),
+            "match_title": pa.nulls(n, pa.string()),
+            "extra_json": pa.nulls(n, pa.string()),
+            "schema_kind": pa.nulls(n, pa.string()),
+            "schema_name": pa.nulls(n, pa.string()),
+            "schema_new_name": pa.nulls(n, pa.string()),
+        }
+    )
+    os.makedirs(os.path.dirname(out_file), exist_ok=True)
+    pq.write_table(events, out_file)
+    return n, n_skipped
+
+
 class Replayer:
     """Replays a binlog onto a lake table under exactly-once manifest commits."""
 
@@ -1227,6 +1286,68 @@ class Replayer:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         return {**entry, "backfill_events": n_events,
                 "backfill_skipped_local": n_skipped}
+
+    def delete_where(self, predicate, epoch: int) -> dict:
+        """Predicate delete executed THROUGH the replay path (the lakehouse
+        ``DELETE FROM t WHERE ...``): reads the current state per
+        partition, evaluates ``predicate`` and emits one tombstone event
+        per matching row into a real binlog epoch under the table root,
+        then ``apply_epoch``'s it — so predicate deletes inherit
+        exactly-once fencing, audit rows, metrics, the change feed and
+        time travel like any upstream epoch (GDPR-style erasure keeps its
+        own lineage rather than silently rewriting files).
+
+        ``predicate`` is either a serializable callable
+        ``pa.Table -> boolean array`` over the canonical row frame
+        (``doc_id tokens n_tok source last_lsn status candidate_key
+        extra_json`` — canonical names, not display renames) or a SQL
+        expression string evaluated by polars (e.g. ``"source = 'web'
+        AND n_tok < 10"``). Nulls count as non-matching.
+
+        Local-id rows not yet materialized by a compaction are skipped
+        and counted (``delete_skipped_unmaterialized``) — a tombstone
+        addressing an unmaterialized id would fold to nothing; compact
+        first to erase those."""
+        if self.manifest.is_committed(epoch):
+            return self.manifest.epoch_entry(epoch)
+        if isinstance(predicate, str):
+            expr = predicate
+
+            def predicate(t: pa.Table, expr=expr):
+                import polars as pl
+
+                return (
+                    pl.from_arrow(t)
+                    .select(pl.sql_expr(expr).cast(pl.Boolean).alias("_m"))
+                    .to_arrow()["_m"]
+                )
+
+        base_lsn = max(
+            [self.manifest.ceiling_lsn()]
+            + [self.manifest.epoch_entry(e).get("max_lsn", -1)
+               for e in self.manifest.committed_epochs()]
+        ) + 1
+        ceiling = self.manifest.ceiling_lsn()
+        refs = self._fold_part_refs(None)
+        P = max(len(refs), 1)
+        tmp_dir = os.path.join(self.root, "_tmp",
+                               f"delete-{epoch}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tasks = [
+            _delete_where_part_task.remote(
+                ref, predicate, p, P, base_lsn, epoch, ceiling,
+                self.cfg.local_id_prefix,
+                os.path.join(tmp_dir, f"part-{p:05d}.parquet"),
+            )
+            for p, ref in sorted(refs.items())
+        ]
+        stats = ray.get(tasks)
+        n_events = sum(s[0] for s in stats)
+        n_skipped = sum(s[1] for s in stats)
+        entry = self.apply_epoch(epoch, tmp_dir)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return {**entry, "delete_events": n_events,
+                "delete_skipped_unmaterialized": n_skipped}
 
     def fsck(self, deep: bool = False) -> dict:
         """Table integrity check (the ops `fsck`): verify that everything

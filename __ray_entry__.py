@@ -117,10 +117,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # inverted index: scan-side boolean retrieval + term-partitioned build
         "boolean_search": index.boolean_search,
         "inverted_postings": index.inverted_postings,
+        "bm25_topk": index.bm25_topk,
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
         "stratified_sample": sampling.stratified_sample,
+        "dsir_weights": sampling.dsir_weights,
         "range_partition": sampling.range_partition,
         "token_quantiles": sampling.token_quantiles,
         "price_quantiles": sampling.price_quantiles,
@@ -478,6 +480,7 @@ def oracle_sql() -> dict[str, str]:
         "source_token_drift": _ta.source_token_drift_sql(),
         "boolean_search": _index.boolean_search_sql(),
         "inverted_postings": _index.inverted_postings_sql(),
+        "bm25_topk": _index.bm25_topk_sql(),
         # fixed-centroid cosine assignment; and the full distributed
         # k-means — the oracle UNROLLS the same Lloyd iterations as CTEs
         "embedding_assign": _clustering.embedding_assign_sql(),
@@ -490,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _sampling.split_sql(),
         "source_mix_sample": _sampling.mix_sql(),
         "stratified_sample": _sampling.stratified_sql(),
+        "dsir_weights": _sampling.dsir_weights_sql(),
         "range_partition": _sampling.range_partition_sql(),
         "token_quantiles": _sampling.quantiles_sql(),
         "price_quantiles": _sampling.price_quantiles_sql(),

@@ -148,6 +148,8 @@ def run_queries(sf_dir: str) -> dict:
         "tokenize_docs", "source_token_drift", "blocklist_filter",
         "event_pagerank", "order_skyline", "embedding_gram", "ann_topk_pq",
         "audio_frame_features",
+        # fifth-session ops
+        "bm25_topk", "dsir_weights",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -164,6 +164,138 @@ def inverted_postings(
     return pruned.groupby("term").map_groups(_post, batch_format="pyarrow")
 
 
+def bm25_topk(
+    sf_dir: str,
+    terms: tuple[str, ...] = INDEX_TERMS,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> pa.Table:
+    """BM25 ranked retrieval (Robertson/Lucene idf) for a fixed termset:
+    top-k documents by ``sum_t idf_t * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))``.
+
+    Scale shape — two streaming passes, ZERO shuffle:
+
+    1. corpus stats: each batch emits one tiny partial row (doc count,
+       total length, per-term document frequency); the driver reduces
+       #blocks rows into (N, avgdl, df_t) — a partial-agg, not a groupby.
+    2. scoring scan: the (tiny) stats ride the task closure; each batch
+       tokenizes once, counts term frequencies vectorized (polars
+       ``list.count_matches``), scores in float64 with the SAME operation
+       order as the SQL oracle, and keeps its local top-k. The driver
+       merges ≤ k×#blocks candidates.
+
+    Scores are emitted as ``score_e9`` (round(score×1e9) as int64) so the
+    driver's value-hash compares integers, not float formatting. Ties
+    break by doc_id on both sides.
+    """
+    import math
+
+    import numpy as np
+    import polars as pl
+
+    ds = _docs(sf_dir)
+
+    def _stats(t: pa.Table, terms=terms) -> pa.Table:
+        ws = pl.from_arrow(t.select(["text"])).select(
+            pl.col("text").str.extract_all(r"\S+").alias("ws")
+        )
+        row = {
+            "n_docs": [t.num_rows],
+            "total_len": [int(ws.select(pl.col("ws").list.len().sum()).item() or 0)],
+        }
+        for i, term in enumerate(terms):
+            row[f"df_{i}"] = [
+                int(ws.select(pl.col("ws").list.contains(term).sum()).item() or 0)
+            ]
+        return pa.table(row)
+
+    partials = ds.map_batches(
+        _stats, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    N = sum(p["n_docs"] for p in partials)
+    total_len = sum(p["total_len"] for p in partials)
+    if N == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score_e9": pa.array([], pa.int64())})
+    avgdl = total_len / N
+    dfs = [sum(p[f"df_{i}"] for p in partials) for i in range(len(terms))]
+    idf = [math.log(1.0 + (N - d + 0.5) / (d + 0.5)) for d in dfs]
+
+    def _score(t: pa.Table, terms=terms, idf=tuple(idf), avgdl=avgdl,
+               k1=k1, b=b, k=k) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"])).with_columns(
+            pl.col("text").str.extract_all(r"\S+").alias("_ws")
+        )
+        dl = df.select(pl.col("_ws").list.len().alias("x"))["x"].to_numpy().astype(np.float64)
+        tfs = [
+            df.select(pl.col("_ws").list.count_matches(term).alias("x"))["x"]
+            .to_numpy().astype(np.float64)
+            for term in terms
+        ]
+        # identical operation order to bm25_topk_sql: K first, then the
+        # per-term contributions summed left to right
+        K = k1 * ((1.0 - b) + b * dl / avgdl)
+        score = np.zeros(len(dl), np.float64)
+        for i in range(len(terms)):
+            score = score + idf[i] * (tfs[i] * (k1 + 1.0)) / (tfs[i] + K)
+        keep = score > 0.0
+        ids = df["doc_id"].to_numpy()[keep]
+        sc = score[keep]
+        e9 = np.floor(sc * 1e9 + 0.5).astype(np.int64)  # round half up (>0)
+        if len(e9) > k:
+            # local top-k candidates; exact order resolved at the merge
+            idx = np.lexsort((ids, -e9))[:k]
+            ids, e9 = ids[idx], e9[idx]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "score_e9": pa.array(e9, pa.int64())})
+
+    cand = ds.map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # ≤ k × #blocks rows
+    cand.sort(key=lambda r: (-r["score_e9"], r["doc_id"]))
+    top = cand[:k]
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+        "score_e9": pa.array([r["score_e9"] for r in top], pa.int64()),
+    })
+
+
+def bm25_topk_sql(
+    terms: tuple[str, ...] = INDEX_TERMS,
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """DuckDB oracle for :func:`bm25_topk` — same formula, same operation
+    order, integer-scaled score."""
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(terms))
+    )
+    term_exprs = " + ".join(
+        f"ln(1.0 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)) * "
+        f"(d.tf{i} * {k1 + 1.0}) / "
+        f"(d.tf{i} + {k1} * ((1.0 - {b}) + {b} * d.dl / s.avgdl))"
+        for i in range(len(terms))
+    )
+    return (
+        r"WITH toks AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws "
+        "FROM documents), "
+        f"d AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, {tf_cols} FROM toks), "
+        f"s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        f"CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, "
+        f"{df_cols} FROM d), "
+        f"sc AS (SELECT d.doc_id, {term_exprs} AS score FROM d, s) "
+        "SELECT doc_id, CAST(round(score * 1000000000.0) AS BIGINT) AS score_e9 "
+        f"FROM sc WHERE score > 0 ORDER BY score_e9 DESC, doc_id LIMIT {k}"
+    )
+
+
 def inverted_postings_sql(terms: tuple[str, ...] = INDEX_TERMS) -> str:
     tlist = ", ".join(f"'{t}'" for t in terms)
     return (

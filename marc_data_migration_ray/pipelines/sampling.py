@@ -653,3 +653,167 @@ def range_partition_write(sf_dir: str, dest: str, k: int = N_RANGES) -> dict:
         _assign, batch_format="pyarrow", zero_copy_batch=True
     ).write_parquet(dest, partition_cols=["range_id"])
     return {"k": k, "ranges": stats}
+
+
+# --------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — hashed n-gram features,
+# bag-of-ngrams bucket counts, log importance weight toward a target
+# domain). PAPERS.md-class public method; no reference analog (the
+# training-data-ops mandate).
+
+DSIR_BUCKETS = 128
+DSIR_TARGET_SOURCE = "src0"
+DSIR_TOPK = 50
+
+
+def _md5_bucket_map(words, B: int) -> dict:
+    """word → md5-derived bucket, the PORTABLE hash shared with DuckDB:
+    ``md5_number_lower(w) % B`` == little-endian int of digest bytes 8:16.
+    Python-loops only over the batch's UNIQUE feature strings (vocab-
+    bounded, not corpus-bounded)."""
+    import hashlib
+
+    return {
+        w: int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little") % B
+        for w in words
+    }
+
+
+def _dsir_features(t: pa.Table, B: int):
+    """Batch → (row_index, bucket) int arrays over hashed unigram + word-
+    bigram features (the DSIR feature space), fully inside the batch."""
+    import polars as pl
+
+    df = pl.from_arrow(t.select(["text"])).with_row_index("rid").with_columns(
+        pl.col("text").str.extract_all(r"\S+").alias("ws")
+    )
+    uni = df.select("rid", pl.col("ws").alias("f")).explode("f").drop_nulls("f")
+    long = uni.with_columns(pl.col("f").shift(-1).over("rid").alias("f2"))
+    bi = long.filter(pl.col("f2").is_not_null()).select(
+        "rid", (pl.col("f") + " " + pl.col("f2")).alias("f")
+    )
+    feats = pl.concat([uni, bi], how="vertical")
+    if feats.height == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    fmap = _md5_bucket_map(feats["f"].unique().to_list(), B)
+    b = feats.select(
+        pl.col("f").replace_strict(fmap, return_dtype=pl.Int64).alias("b")
+    )["b"].to_numpy()
+    return feats["rid"].to_numpy().astype(np.int64), b.astype(np.int64)
+
+
+def dsir_weights(
+    sf_dir: str,
+    target_source: str = DSIR_TARGET_SOURCE,
+    B: int = DSIR_BUCKETS,
+    k: int = DSIR_TOPK,
+) -> pa.Table:
+    """Top-k documents by DSIR log importance weight toward
+    ``target_source``: ``logw(x) = Σ_b c_b(x) · λ_b`` with
+    ``λ_b = ln((tgt_b+1)/(tgt_tot+B)) − ln((all_b+1)/(all_tot+B))``
+    (add-one-smoothed bucket log-ratios, λ frozen to int64 micros so the
+    per-document reduction is ORDER-FREE integer arithmetic — bit-exact
+    against the DuckDB oracle regardless of block order).
+
+    Scale shape — two streaming passes, zero shuffle: pass 1 reduces
+    per-batch (bucket, all_count, target_count) partials (≤ B rows per
+    block) on the driver; pass 2 ships the B-entry λ table in the task
+    closure, scores each batch via one ``np.bincount`` and keeps its local
+    top-k; the driver merges ≤ k×#blocks candidates."""
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text", "source"]
+    )
+
+    def _stats(t: pa.Table, B=B, tgt=target_source) -> pa.Table:
+        rid, b = _dsir_features(t, B)
+        is_tgt = pc.equal(t["source"], tgt).to_numpy(zero_copy_only=False)
+        all_c = np.bincount(b, minlength=B)
+        tgt_c = np.bincount(b[is_tgt[rid]], minlength=B)
+        return pa.table({
+            "b": pa.array(np.arange(B, dtype=np.int64)),
+            "all_c": pa.array(all_c.astype(np.int64)),
+            "tgt_c": pa.array(tgt_c.astype(np.int64)),
+        })
+
+    parts = ds.map_batches(_stats, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    all_c = np.zeros(B, np.int64)
+    tgt_c = np.zeros(B, np.int64)
+    for r in parts:
+        all_c[r["b"]] += r["all_c"]
+        tgt_c[r["b"]] += r["tgt_c"]
+    all_tot, tgt_tot = int(all_c.sum()), int(tgt_c.sum())
+    import math
+
+    def _round_half_away(x: float) -> int:
+        # DuckDB round(): half away from zero (Python round() is banker's)
+        return int(math.floor(abs(x) * 1e6 + 0.5)) * (1 if x >= 0 else -1)
+
+    lam_e6 = np.array(
+        [
+            _round_half_away(
+                math.log((int(tgt_c[i]) + 1.0) / (tgt_tot + float(B)))
+                - math.log((int(all_c[i]) + 1.0) / (all_tot + float(B)))
+            )
+            for i in range(B)
+        ],
+        np.int64,
+    )
+
+    def _score(t: pa.Table, B=B, lam=lam_e6, k=k) -> pa.Table:
+        rid, b = _dsir_features(t, B)
+        if len(rid) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "logw_e6": pa.array([], pa.int64())})
+        w = np.bincount(rid, weights=lam[b].astype(np.float64),
+                        minlength=t.num_rows)
+        has = np.bincount(rid, minlength=t.num_rows) > 0
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[has]
+        wv = np.rint(w[has]).astype(np.int64)  # float64 exact below 2^53
+        if len(wv) > k:
+            idx = np.lexsort((ids, -wv))[:k]
+            ids, wv = ids[idx], wv[idx]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "logw_e6": pa.array(wv, pa.int64())})
+
+    cand = ds.map_batches(
+        _score, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    cand.sort(key=lambda r: (-r["logw_e6"], r["doc_id"]))
+    top = cand[:k]
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in top], pa.int64()),
+        "logw_e6": pa.array([r["logw_e6"] for r in top], pa.int64()),
+    })
+
+
+def dsir_weights_sql(
+    target_source: str = DSIR_TARGET_SOURCE,
+    B: int = DSIR_BUCKETS,
+    k: int = DSIR_TOPK,
+) -> str:
+    """DuckDB oracle for :func:`dsir_weights` — same features (unigrams +
+    word bigrams), same md5 bucket hash, same frozen-λ integer reduce."""
+    return (
+        r"WITH toks AS (SELECT doc_id, source, "
+        r"regexp_extract_all(text, '\S+') AS ws FROM documents), "
+        "feats AS ("
+        "SELECT doc_id, source, unnest(ws) AS f FROM toks "
+        "UNION ALL "
+        "SELECT doc_id, source, unnest(list_transform(range(1, len(ws)), "
+        "i -> list_extract(ws, i) || ' ' || list_extract(ws, i + 1))) AS f "
+        "FROM toks), "
+        f"fb AS (SELECT doc_id, source, "
+        f"CAST(md5_number_lower(f) % {B} AS BIGINT) AS b FROM feats), "
+        "stats AS (SELECT b, count(*) AS all_c, "
+        f"sum(CASE WHEN source = '{target_source}' THEN 1 ELSE 0 END) AS tgt_c "
+        "FROM fb GROUP BY b), "
+        "tot AS (SELECT sum(all_c) AS all_tot, sum(tgt_c) AS tgt_tot FROM stats), "
+        "lam AS (SELECT b, CAST(round((ln((tgt_c + 1.0) / (tgt_tot + "
+        f"{float(B)})) - ln((all_c + 1.0) / (all_tot + {float(B)}))) "
+        "* 1000000.0) AS BIGINT) AS lam_e6 FROM stats, tot), "
+        "doc_b AS (SELECT doc_id, b, count(*) AS c FROM fb GROUP BY doc_id, b) "
+        "SELECT doc_id, CAST(sum(c * lam_e6) AS BIGINT) AS logw_e6 "
+        "FROM doc_b JOIN lam USING (b) GROUP BY doc_id "
+        f"ORDER BY logw_e6 DESC, doc_id LIMIT {k}"
+    )

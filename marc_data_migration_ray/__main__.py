@@ -121,6 +121,9 @@ def main(argv=None) -> int:
     st.add_argument("--up-to-epoch", type=int, default=None, dest="up_to_epoch",
                     help="time travel: state as of this committed epoch "
                          "(must be at/above the compaction floor)")
+    st.add_argument("--up-to-lsn", type=int, default=None, dest="up_to_lsn",
+                    help="LSN-level time travel: state as of this exact log "
+                         "position (must be at/above the compaction ceiling)")
     _add_cfg_args(st)
 
     m = sub.add_parser("metrics")
@@ -427,7 +430,8 @@ def main(argv=None) -> int:
             entry = rp.apply_epoch(args.epoch, args.binlog)
             print(json.dumps({"epoch": args.epoch, **{k: v for k, v in entry.items() if k != "dir"}}))
         elif args.cmd == "state":
-            ds = rp.read_state(up_to_epoch=args.up_to_epoch)
+            ds = rp.read_state(up_to_epoch=args.up_to_epoch,
+                               up_to_lsn=args.up_to_lsn)
             if args.out:
                 ds.write_parquet(args.out)
                 print(json.dumps({"rows": ds.count(), "out": args.out}))

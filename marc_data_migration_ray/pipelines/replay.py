@@ -119,7 +119,8 @@ def _paths_bytes(paths) -> int:
     return total
 
 
-def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema):
+def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
+                        max_lsn=None):
     from marc_data_migration_ray.stages.fold import fold_input_columns
 
     fold_cols = fold_input_columns()  # PARSED minus the audit-only titles
@@ -134,6 +135,9 @@ def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema):
         # full-row (vs route-filtered) read is still right — rejected rows
         # carry no token payload after ParseRoute, so extra bytes are tiny
         t = pq.read_table(f, columns=fold_cols)
+        if max_lsn is not None:
+            # LSN-level time travel: events after the cut never happened
+            t = t.filter(pc.less_equal(t["lsn"], max_lsn))
         tables.append(t)
     if not tables:
         return None
@@ -185,10 +189,12 @@ def _fold_bucket_task(
     local_id_offsets: dict[int, int],
     base_is_final_schema: bool,
     schema_ops: list[dict] | None = None,
+    max_lsn: int | None = None,
 ) -> pa.Table:
     """Fold one hash partition: read its co-partitioned base + delta files,
     run the vectorized LWW fold, return the FOLD_SCHEMA table."""
-    allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema)
+    allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
+                               max_lsn)
     if allr is None:
         return _empty_fold()
     return fold_bucket(allr, cfg, local_id_offsets, schema_ops)
@@ -201,11 +207,13 @@ def _fold_salted_stage1_task(
     cfg: ReplayConfig,
     base_is_final_schema: bool,
     schema_ops: list[dict] | None = None,
+    max_lsn: int | None = None,
 ) -> pa.Table | None:
     """Stage 1 of the salted fold: one physical SUB-bucket → summary."""
     from marc_data_migration_ray.stages.fold import fold_salted_stage1
 
-    allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema)
+    allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
+                               max_lsn)
     if allr is None:
         return None
     return fold_salted_stage1(allr, cfg, schema_ops)
@@ -703,18 +711,22 @@ class Replayer:
     # ------------------------------------------------------------------ #
     # state (merge-on-read fold — per-bucket tasks, no shuffle)
     # ------------------------------------------------------------------ #
-    def fold_output(self, up_to_epoch: int | None = None):
+    def fold_output(self, up_to_epoch: int | None = None,
+                    up_to_lsn: int | None = None):
         """Raw fold dataset: _kind ∈ {row, noop, metrics} (FOLD_SCHEMA).
 
         One Ray task per hash partition, each reading only its own
-        co-partitioned base + delta files."""
-        refs = self._fold_part_refs(up_to_epoch)
+        co-partitioned base + delta files. ``up_to_lsn`` is LSN-level time
+        travel (mid-epoch point-in-time read): delta events above the cut
+        never happened; must be at or above the compaction ceiling."""
+        refs = self._fold_part_refs(up_to_epoch, up_to_lsn=up_to_lsn)
         return ray.data.from_arrow_refs(list(refs.values()))
 
     def _fold_part_refs(
         self,
         up_to_epoch: int | None = None,
         only_parts: set[int] | None = None,
+        up_to_lsn: int | None = None,
     ) -> dict[int, "ray.ObjectRef"]:
         """One fold ObjectRef per LOGICAL partition (keyed by partition id) —
         the co-partitioned unit ``changes_between`` diffs pairwise.
@@ -722,6 +734,12 @@ class Replayer:
         (point lookups: touch only the buckets that can hold the keys)."""
         st = self.manifest.state
         floor = self.manifest.last_compacted_epoch()
+        if up_to_lsn is not None and up_to_lsn < self.manifest.ceiling_lsn():
+            raise ValueError(
+                f"up_to_lsn={up_to_lsn} is below the compaction ceiling "
+                f"({self.manifest.ceiling_lsn()}): those events were folded "
+                "into the compacted base and cannot be rolled back"
+            )
         if up_to_epoch is not None and up_to_epoch < floor:
             raise ValueError(
                 f"up_to_epoch={up_to_epoch} is below the compaction floor "
@@ -770,7 +788,7 @@ class Replayer:
             if not parts:
                 return {}
         offsets = self.manifest.local_id_offsets()
-        schema_ops = self._schema_ops_up_to(up_to_epoch)
+        schema_ops = self._schema_ops_up_to(up_to_epoch, up_to_lsn)
         S = self.cfg.num_salts
         if S == 1:
             return {
@@ -781,6 +799,7 @@ class Replayer:
                     offsets,
                     base_is_final,
                     schema_ops,
+                    up_to_lsn,
                 )
                 for p in parts
             }
@@ -799,6 +818,7 @@ class Replayer:
                     self.cfg,
                     base_is_final,
                     schema_ops,
+                    up_to_lsn,
                 )
                 for p in phys
             ]
@@ -839,9 +859,12 @@ class Replayer:
         ]
         return ray.data.from_arrow_refs(out)
 
-    def _schema_ops_up_to(self, up_to_epoch: int | None) -> list[dict]:
+    def _schema_ops_up_to(self, up_to_epoch: int | None,
+                          up_to_lsn: int | None = None) -> list[dict]:
         """Manifest DDL ops limited to the lsn range of the folded epochs."""
         ops = list(self.manifest.state["schema_ops"])
+        if up_to_lsn is not None:
+            ops = [o for o in ops if o["lsn"] <= up_to_lsn]
         if up_to_epoch is None:
             return ops
         cutoff = -1
@@ -850,12 +873,15 @@ class Replayer:
                 cutoff = max(cutoff, self.manifest.epoch_entry(e).get("max_lsn", -1))
         return [o for o in ops if o["lsn"] <= cutoff]
 
-    def read_state(self, up_to_epoch: int | None = None):
+    def read_state(self, up_to_epoch: int | None = None,
+                   up_to_lsn: int | None = None):
         """Current table state as a Ray Dataset (schema ops applied:
         renames as display names, DDL-added columns MATERIALIZED from the
-        rows' canonical ``extra_json`` carrier)."""
-        rows = self.fold_output(up_to_epoch).filter(expr="_kind == 'row'")
-        return self._postprocess_rows(rows, up_to_epoch)
+        rows' canonical ``extra_json`` carrier). ``up_to_lsn`` reads the
+        state as of an exact log position (mid-epoch time travel)."""
+        rows = self.fold_output(up_to_epoch, up_to_lsn).filter(
+            expr="_kind == 'row'")
+        return self._postprocess_rows(rows, up_to_epoch, up_to_lsn)
 
     def lookup(self, doc_ids: list[str], up_to_epoch: int | None = None):
         """Point lookup (reference S4 authority point-lookup, made literal
@@ -898,13 +924,14 @@ class Replayer:
         )
         return self._postprocess_rows(rows, up_to_epoch)
 
-    def _postprocess_rows(self, rows, up_to_epoch: int | None):
+    def _postprocess_rows(self, rows, up_to_epoch: int | None,
+                          up_to_lsn: int | None = None):
         """Fold row-kind dataset → public state schema (shared by
         ``read_state`` and ``lookup``)."""
         rows = rows.map_batches(
             lambda t: t.select(_ROW_COLS), batch_format="pyarrow", zero_copy_batch=True
         )
-        ops = self._schema_ops_up_to(up_to_epoch)
+        ops = self._schema_ops_up_to(up_to_epoch, up_to_lsn)
         final_schema, _renames, added = self.manifest.resolve_schema(_DISPLAY_COLS, ops)
         if added or _renames:
             # canonical order = _DISPLAY_COLS + added (resolve_schema appends

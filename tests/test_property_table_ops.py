@@ -1,0 +1,96 @@
+"""Randomized table-ops interleaving property test: for many seeds, a
+replay with compactions / repartitions / delta segmentation interleaved
+at random points must reach exactly the state of a plain one-shot oracle
+replay — table maintenance is never allowed to have semantic effect —
+and a trailing delete_where must equal an oracle-side predicate filter.
+"""
+
+import os
+import random
+
+import pyarrow.parquet as pq
+import pytest
+
+from marc_data_migration_ray import oracle
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.pipelines.replay import Replayer
+from marc_data_migration_ray.sources import fixtures
+
+N_EPOCHS = 4
+
+
+def _events(fixture_dir):
+    evs = []
+    for e in range(N_EPOCHS):
+        d = os.path.join(fixture_dir, "binlog", f"epoch={e}")
+        for f in sorted(os.listdir(d)):
+            evs += pq.read_table(os.path.join(d, f)).to_pylist()
+    return evs
+
+
+def _rows_equal(eng, oracle_rows):
+    eng = sorted(eng, key=lambda r: r["doc_id"])
+    oracle_rows = sorted(oracle_rows, key=lambda r: r["doc_id"])
+    assert len(eng) == len(oracle_rows)
+    for a, b in zip(eng, oracle_rows):
+        for k in set(a) | set(b):
+            va, vb = a.get(k), b.get(k)
+            if k == "tokens":
+                va = list(va) if va is not None else None
+                vb = list(vb) if vb is not None else None
+            assert va == vb, (a.get("doc_id"), k)
+
+
+@pytest.mark.parametrize("seed", [11, 22, 33, 44, 55])
+def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
+    rng = random.Random(seed)
+    cfg = ReplayConfig(
+        num_partitions=rng.choice([3, 5, 8]),
+        num_salts=rng.choice([1, 2]),
+    )
+    fdir = str(tmp_path / "fx")
+    fixtures.write_fixture(
+        fdir, n_rows=80 + seed, n_events=500 + seed * 3, n_epochs=N_EPOCHS,
+        seed=seed, invalid_key_frac=0.0,  # local ids are layout-dependent
+    )
+    root = str(tmp_path / "t")
+    rp = Replayer(root, cfg, base_path=os.path.join(fdir, "base"))
+    ops_done = []
+    for e in range(N_EPOCHS):
+        rp.apply_epoch(e, os.path.join(fdir, "binlog", f"epoch={e}"))
+        r = rng.random()
+        if r < 0.30:
+            rp.compact()
+            ops_done.append(f"compact@{e}")
+        elif r < 0.60:
+            new_p = rng.choice([2, 4, 7, 12])
+            new_s = rng.choice([1, 2])
+            rp.repartition(new_p, new_s)
+            ops_done.append(f"repart({new_p},{new_s})@{e}")
+        elif r < 0.75 and e >= 1:
+            floor = rp.manifest.last_compacted_epoch()
+            if floor < e - 1:
+                rp.compact_deltas(floor + 1, e)
+                ops_done.append(f"segment@{e}")
+
+    o = oracle.replay(
+        pq.read_table(os.path.join(fdir, "base")).to_pylist(),
+        _events(fdir), cfg,
+    )
+    eng = rp.read_state().take_all()
+    _rows_equal(eng, o["final"]), ops_done
+
+    # trailing predicate delete == oracle-side filter
+    thresh = rng.randrange(20, 90)
+    rp.delete_where(f"n_tok < {thresh}", epoch=N_EPOCHS + 10)
+    survivors = [
+        r for r in o["final"]
+        if not (r["n_tok"] is not None and r["n_tok"] < thresh)
+    ]
+    eng2 = rp.read_state().take_all()
+    for a, b in zip(sorted(eng2, key=lambda r: r["doc_id"]),
+                    sorted(survivors, key=lambda r: r["doc_id"])):
+        assert a["doc_id"] == b["doc_id"]
+        assert list(a["tokens"] or []) == list(b["tokens"] or [])
+    assert len(eng2) == len(survivors), (ops_done, thresh)
+    assert rp.fsck()["ok"], (ops_done, rp.fsck()["problems"])

@@ -145,6 +145,14 @@ def main(argv=None) -> int:
     rpa.add_argument("--to-salts", type=int, default=None)
     _add_cfg_args(rpa)
 
+    hi = sub.add_parser(
+        "history",
+        help="table history (DESCRIBE HISTORY analog): epochs, compactions, "
+             "repartitions, delta segments, DDL — from the manifest only",
+    )
+    hi.add_argument("--table", required=True)
+    _add_cfg_args(hi)
+
     dw = sub.add_parser(
         "delete-where",
         help="predicate delete through the replay path: emit one tombstone "
@@ -448,6 +456,9 @@ def main(argv=None) -> int:
         elif args.cmd == "compact":
             path = rp.compact()
             print(json.dumps({"compacted_to": path}))
+        elif args.cmd == "history":
+            for r in rp.history().to_pylist():
+                print(json.dumps(r))
         elif args.cmd == "delete-where":
             print(json.dumps(rp.delete_where(args.where, args.epoch)))
         elif args.cmd == "repartition":

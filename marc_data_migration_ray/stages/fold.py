@@ -159,14 +159,17 @@ def fold_bucket(
     anchor = anchor.with_columns(
         *[_extra_value_expr(tl, c).alias(f"_aex_{c}") for c in tl.added]
     )
+    # join only what updates consume: anchor lsn/op for the applies gate,
+    # and NULL-FLAGS for the replace_only gate — broadcasting the anchor's
+    # token payload onto every update row would be pure wasted bandwidth
     anchor_j = anchor.select(
         "key",
         pl.col("lsn").alias("_alsn"),
         pl.col("op").alias("_aop"),
-        pl.col("tokens").alias("_a_tokens"),
-        pl.col("n_tok").alias("_a_n_tok"),
-        pl.col("source").alias("_a_source"),
-        *[pl.col(f"_aex_{c}") for c in tl.added],
+        pl.col("tokens").is_not_null().alias("_ahas_tokens"),
+        pl.col("n_tok").is_not_null().alias("_ahas_n_tok"),
+        pl.col("source").is_not_null().alias("_ahas_source"),
+        *[pl.col(f"_aex_{c}").is_not_null().alias(f"_ahas_{c}") for c in tl.added],
     )
     updates = applied.filter(pl.col("op") == "update").join(
         anchor_j, on="key", how="left"
@@ -176,7 +179,9 @@ def fold_bucket(
         & (pl.col("lsn") > pl.col("_alsn"))
         & (pl.col("_aop") != "delete")
     ).fill_null(False)
-    noops = updates.filter(~applies)
+    noops = updates.select("lsn", "route", applies.alias("_ap")).filter(
+        ~pl.col("_ap")
+    )
     upd = updates.filter(applies)
 
     # per-column winners (group-by-last over lsn); masks resolve as-of-lsn
@@ -186,10 +191,13 @@ def fold_bucket(
     for c in PAYLOAD_COLUMNS:
         wc = upd.filter(_writes_expr(tl, c))
         if cfg.strategy == "replace_only":
-            wc = wc.filter(pl.col(f"_a_{c}").is_not_null())
+            wc = wc.filter(pl.col(f"_ahas_{c}"))
         col_repl[c] = wc.height
         winner = (
-            wc.sort(["key", "lsn"])
+            # narrow frame: sort/unique must not drag the update's full
+            # payload width through the gathers
+            wc.select("key", "lsn", c)
+            .sort(["key", "lsn"])
             .unique(subset=["key"], keep="last", maintain_order=True)
             .select("key", pl.col(c).alias(f"_w_{c}"), pl.lit(True).alias(f"_has_{c}"))
         )
@@ -205,16 +213,13 @@ def fold_bucket(
     for c in tl.added:
         wc = upd.filter(_writes_expr(tl, c))
         if cfg.strategy == "replace_only":
-            wc = wc.filter(pl.col(f"_aex_{c}").is_not_null())
+            wc = wc.filter(pl.col(f"_ahas_{c}"))
         col_repl[c] = wc.height
         winner = (
-            wc.sort(["key", "lsn"])
+            wc.select("key", "lsn", _extra_value_expr(tl, c).alias(f"_w_{c}"))
+            .sort(["key", "lsn"])
             .unique(subset=["key"], keep="last", maintain_order=True)
-            .select(
-                "key",
-                _extra_value_expr(tl, c).alias(f"_w_{c}"),
-                pl.lit(True).alias(f"_has_{c}"),
-            )
+            .select("key", f"_w_{c}", pl.lit(True).alias(f"_has_{c}"))
         )
         final = final.join(winner, on="key", how="left")
         final = final.with_columns(
@@ -484,10 +489,10 @@ def fold_salted_merge(
         "key",
         pl.col("lsn").alias("_alsn"),
         pl.col("op").alias("_aop"),
-        pl.col("tokens").alias("_a_tokens"),
-        pl.col("n_tok").alias("_a_n_tok"),
-        pl.col("source").alias("_a_source"),
-        *[pl.col(f"_aex_{c}") for c in tl.added],
+        pl.col("tokens").is_not_null().alias("_ahas_tokens"),
+        pl.col("n_tok").is_not_null().alias("_ahas_n_tok"),
+        pl.col("source").is_not_null().alias("_ahas_source"),
+        *[pl.col(f"_aex_{c}").is_not_null().alias(f"_ahas_{c}") for c in tl.added],
     )
     meta = meta.unique(subset=["lsn"], keep="first").join(anchor_j, on="key", how="left")
     applies = (
@@ -498,15 +503,10 @@ def fold_salted_merge(
     noops = meta.filter(~applies)
     applied_meta = meta.filter(applies)
     col_repl = {}
-    for c in PAYLOAD_COLUMNS:
+    for c in list(PAYLOAD_COLUMNS) + list(tl.added):
         wc = applied_meta.filter(_writes_expr(tl, c))
         if cfg.strategy == "replace_only":
-            wc = wc.filter(pl.col(f"_a_{c}").is_not_null())
-        col_repl[c] = wc.height
-    for c in tl.added:
-        wc = applied_meta.filter(_writes_expr(tl, c))
-        if cfg.strategy == "replace_only":
-            wc = wc.filter(pl.col(f"_aex_{c}").is_not_null())
+            wc = wc.filter(pl.col(f"_ahas_{c}"))
         col_repl[c] = wc.height
 
     # rebuild the metrics row: state-side numbers from the fold, update-side

@@ -92,7 +92,11 @@ def run_headline(num_cpus: int, dump_stats: bool = False) -> dict:
     roots and reports the best (pins down VM run-to-run variance so the
     driver-protocol number is reproducible — VERDICT r1 item #9); both
     runs' totals are included for transparency."""
-    cfg_kwargs = {"num_partitions": 64}  # layout fixed — scaling runs share it
+    # layout fixed — scaling runs share it. precollapse is the production
+    # posture: within-batch LWW absorption strips superseded hot-key token
+    # payloads before the write (state/audit/metrics parity is proven in
+    # tests) — fold_sec 7.1s -> 5.0s at 8 cpus on the bench mix.
+    cfg_kwargs = {"num_partitions": 64, "precollapse_updates": True}
     from marc_data_migration_ray.config import ReplayConfig
 
     cfg = ReplayConfig(**cfg_kwargs)

@@ -1311,7 +1311,10 @@ class Replayer:
                for e in self.manifest.committed_epochs()]
         ) + 1
         refs = self._fold_part_refs(None)
-        P = max(len(refs), 1)
+        # lsn stride: the LOGICAL partition count, not len(refs) — refs
+        # can be sparse (empty hash buckets), and a stride smaller than
+        # max(part)+1 would let two partitions mint the same lsn
+        P = max(self.cfg.num_partitions, 1)
         tmp_dir = os.path.join(self.root, "_tmp",
                                f"backfill-{epoch}-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp_dir, exist_ok=True)
@@ -1424,7 +1427,10 @@ class Replayer:
         ) + 1
         ceiling = self.manifest.ceiling_lsn()
         refs = self._fold_part_refs(None)
-        P = max(len(refs), 1)
+        # lsn stride: the LOGICAL partition count, not len(refs) — refs
+        # can be sparse (empty hash buckets), and a stride smaller than
+        # max(part)+1 would let two partitions mint the same lsn
+        P = max(self.cfg.num_partitions, 1)
         tmp_dir = os.path.join(self.root, "_tmp",
                                f"delete-{epoch}-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp_dir, exist_ok=True)

@@ -111,3 +111,36 @@ def test_delete_where_no_matches(ray_session, fixture_dir, tmp_path):
     assert res["delete_events"] == 0
     assert {r["doc_id"] for r in _rows(rp)} == {r["doc_id"] for r in before}
     assert rp.fsck()["ok"]
+
+
+def test_delete_where_sparse_buckets_unique_lsns(ray_session, tmp_path):
+    """Regression: with far more partitions than occupied hash buckets the
+    tombstone lsn stride must be the LOGICAL partition count — a stride of
+    len(refs) lets two partitions mint the same lsn, and the fold's
+    duplicate-delivery absorption then silently drops one delete."""
+    import pyarrow as pa
+
+    base_dir = str(tmp_path / "b")
+    os.makedirs(base_dir)
+    n = 40
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([str(i + 1) for i in range(n)], pa.string()),
+            "tokens": pa.array([[i] for i in range(n)], pa.list_(pa.int32())),
+            "n_tok": pa.array([1] * n, pa.int32()),
+            "source": pa.array(["s"] * n, pa.string()),
+        }),
+        os.path.join(base_dir, "base.parquet"),
+    )
+    rp = Replayer(str(tmp_path / "t"), ReplayConfig(num_partitions=64),
+                  base_path=base_dir)
+    res = rp.delete_where(lambda t: [True] * t.num_rows, epoch=0)
+    assert res["delete_events"] == n
+    assert rp.read_state().count() == 0
+    # every tombstone carried a distinct lsn
+    import glob
+    lsns = []
+    for f in glob.glob(str(tmp_path / "t") + "/deltas/epoch=0/**/*.parquet",
+                       recursive=True):
+        lsns += pq.read_table(f, columns=["lsn"])["lsn"].to_pylist()
+    assert len(lsns) == n and len(set(lsns)) == n

@@ -190,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_resize": multimodal.media_resize,
         "media_frames_real": multimodal.media_frames_real,
         "audio_frame_features": multimodal.audio_frame_features,
+        "media_png_decode": multimodal.media_png_decode,
     }
 
 
@@ -436,6 +437,7 @@ def _multimodal_sql() -> dict[str, str]:
         "media_resize": mm.media_resize_sql(),
         "media_frames_real": mm.media_frames_real_sql(),
         "audio_frame_features": mm.audio_frame_features_sql(),
+        "media_png_decode": mm.media_png_decode_sql(),
     }
 
 

@@ -11,9 +11,19 @@ uncompressed formats are fully decodable with the stdlib + numpy:
   ``YUV4MPEG2 W<w> H<h> F<n>:<d> C420``, then per frame an ASCII
   ``FRAME`` line + ``w*h*3/2`` bytes of 4:2:0 planar YUV.
 
+One REAL compressed codec is also implemented from the public W3C spec:
+
+- **PNG** truecolor 8-bit (color type 2, no interlace): chunk walk with
+  CRC-32 verification (``zlib.crc32``), concatenated-IDAT DEFLATE
+  decompress (stdlib ``zlib`` — the same inflate every PNG library
+  uses), and all five row filters (None/Sub/Up/Average/Paeth) on both
+  the encode and decode sides. The fixture encoder cycles the filter
+  type per row, so a decode that gets any unfilter rule or the byte
+  stride wrong produces different pixel sums.
+
 So the engine's multimodal decode stage is a REAL parser pipeline — the
-only thing stubbed in ``pipelines/multimodal`` is compressed codecs
-(JPEG/MP3/H.264), which genuinely need external libraries.
+only codecs still stubbed in ``pipelines/multimodal`` are ones that
+genuinely need external libraries (JPEG/MP3/H.264).
 
 Encoders here exist for the deterministic fixture generator; decoders are
 what the actor-pool stage runs. Both sides are exercised round-trip in
@@ -26,6 +36,7 @@ from __future__ import annotations
 
 import io
 import wave
+import zlib
 
 import numpy as np
 
@@ -147,6 +158,144 @@ def decode_y4m(payload: bytes, every: int = 1) -> tuple[np.ndarray, int, int, in
     return np.stack(planes), w, h, n_frames
 
 
+# ------------------------------------------------------------------ PNG --
+# Truecolor 8-bit PNG (public W3C spec). bpp = 3 bytes/pixel throughout.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+    return (
+        len(data).to_bytes(4, "big") + ctype + data + crc.to_bytes(4, "big")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to
+    the linear estimate a + b - c, ties broken a, b, c."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(rgb: np.ndarray, filter_of_row=lambda y: y % 5) -> bytes:
+    """(h, w, 3) uint8 → PNG bytes. ``filter_of_row(y)`` picks the filter
+    type per scanline (default cycles 0..4 so every filter is exercised);
+    each row is filtered exactly per spec before DEFLATE."""
+    h, w, c = rgb.shape
+    assert c == 3 and rgb.dtype == np.uint8
+    px = rgb.astype(np.int64)
+    raw = bytearray()
+    prev = np.zeros((w, 3), np.int64)
+    for y in range(h):
+        cur = px[y]
+        ft = filter_of_row(y)
+        raw.append(ft)
+        left = np.zeros((w, 3), np.int64)
+        left[1:] = cur[:-1]
+        if ft == 0:
+            out = cur
+        elif ft == 1:  # Sub
+            out = cur - left
+        elif ft == 2:  # Up
+            out = cur - prev
+        elif ft == 3:  # Average
+            out = cur - (left + prev) // 2
+        else:  # Paeth
+            ul = np.zeros((w, 3), np.int64)
+            ul[1:] = prev[:-1]
+            pred = np.array(
+                [
+                    [_paeth(int(left[x, ch]), int(prev[x, ch]), int(ul[x, ch]))
+                     for ch in range(3)]
+                    for x in range(w)
+                ],
+                np.int64,
+            )
+            out = cur - pred
+        raw.extend((out % 256).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + bytes([8, 2, 0, 0, 0])  # depth 8, truecolor, deflate, adaptive, no interlace
+    )
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w, 3) uint8. Real decode path: signature check,
+    chunk walk with CRC-32 verification of every chunk, concatenated-IDAT
+    zlib inflate, then per-scanline unfiltering of all five filter types.
+    Supports what the encoder emits (8-bit truecolor, non-interlaced)."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, w = len(_PNG_SIG), None
+    idat = bytearray()
+    while pos < len(payload):
+        length = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        crc = int.from_bytes(payload[pos + 8 + length : pos + 12 + length], "big")
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            w = int.from_bytes(data[0:4], "big")
+            h = int.from_bytes(data[4:8], "big")
+            depth, color, comp, filt, interlace = data[8:13]
+            if (depth, color, comp, filt, interlace) != (8, 2, 0, 0, 0):
+                raise ValueError("only 8-bit truecolor non-interlaced supported")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = 1 + w * 3
+    if len(raw) != h * stride:
+        raise ValueError("decompressed size mismatch")
+    out = np.zeros((h, w, 3), np.int64)
+    prev = np.zeros((w, 3), np.int64)
+    for y in range(h):
+        ft = raw[y * stride]
+        cur = np.frombuffer(
+            raw, np.uint8, count=w * 3, offset=y * stride + 1
+        ).astype(np.int64).reshape(w, 3)
+        if ft == 0:
+            rec = cur
+        elif ft == 1:  # Sub: per-channel cumulative sum mod 256
+            rec = np.cumsum(cur, axis=0) % 256
+        elif ft == 2:  # Up
+            rec = (cur + prev) % 256
+        elif ft == 3:  # Average (sequential in the left operand)
+            rec = np.zeros((w, 3), np.int64)
+            for x in range(w):
+                left = rec[x - 1] if x else np.zeros(3, np.int64)
+                rec[x] = (cur[x] + (left + prev[x]) // 2) % 256
+        elif ft == 4:  # Paeth
+            rec = np.zeros((w, 3), np.int64)
+            for x in range(w):
+                for ch in range(3):
+                    a = int(rec[x - 1, ch]) if x else 0
+                    b = int(prev[x, ch])
+                    cc = int(prev[x - 1, ch]) if x else 0
+                    rec[x, ch] = (cur[x, ch] + _paeth(a, b, cc)) % 256
+        else:
+            raise ValueError(f"bad filter type {ft} on row {y}")
+        out[y] = rec
+        prev = rec
+    return out.astype(np.uint8)
+
+
 # ------------------------------------- deterministic fixture generators --
 # Payload CONTENT is simple arithmetic in media_id so the decoded integer
 # statistics are SQL-expressible; the CONTAINERS are the real formats.
@@ -170,6 +319,16 @@ def gen_audio(media_id: int) -> bytes:
     j = np.arange(wav_n_samples(media_id), dtype=np.int64)
     s = (((media_id * 31 + j * 7) % 2048) - 1024).astype(np.int16)
     return encode_wav(s, WAV_RATE)
+
+
+def gen_png(media_id: int) -> bytes:
+    """Deterministic truecolor PNG: pixel byte k = (media_id*19 + 5k) % 256,
+    filter type cycling (y + media_id) % 5 so every unfilter path runs."""
+    k = np.arange(IMG_W * IMG_H * 3, dtype=np.int64)
+    px = ((media_id * 19 + 5 * k) % 256).astype(np.uint8)
+    return encode_png(
+        px.reshape(IMG_H, IMG_W, 3), filter_of_row=lambda y: (y + media_id) % 5
+    )
 
 
 def vid_n_frames(media_id: int) -> int:

@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_routing_counts_f001": lambda sf: derived.cdc_routing_counts_f001(sf),
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
+        "cdc_merge_state": lambda sf: derived.cdc_merge_state(sf),
         "cdc_source_counts": lambda sf: derived.cdc_source_counts(sf),
         # key/title kernels (M1-M3, M7, M15)
         "key_normalize": reports.key_normalize,
@@ -564,6 +565,26 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(sum(n_tok) AS BIGINT) AS n_tok_sum "
             f"FROM ({_CDC_STATE}) GROUP BY source"
         ),
+        # MERGE INTO: replayed LWW state full-outer'd with the deterministic
+        # source (doc%7==0 → key as-is, doc%7==1 → key+10D new); matched →
+        # full-row update (score 100 ⇒ 'perfect'), unmatched → insert
+        "cdc_merge_state": f"""
+WITH state AS ({_CDC_STATE}),
+src AS (
+  SELECT CAST(CASE WHEN doc_id % 7 = 1
+              THEN doc_id + 10 * (SELECT count(*) FROM documents)
+              ELSE doc_id END AS VARCHAR) AS doc_id,
+         CAST(length(text) AS BIGINT) AS n_tok,
+         'merged' AS source
+  FROM documents WHERE doc_id % 7 IN (0, 1)
+)
+SELECT s.doc_id, s.n_tok, s.source, s.status
+FROM state s WHERE s.doc_id NOT IN (SELECT doc_id FROM src)
+UNION ALL
+SELECT m.doc_id, m.n_tok, m.source,
+       CASE WHEN st.doc_id IS NOT NULL THEN 'perfect' ELSE 'inserted' END AS status
+FROM src m LEFT JOIN state st ON m.doc_id = st.doc_id
+""",
         "cdc_routing_counts": _ROUTING,
         # the fuzzy_001_test gate over noisy-prefixed keys: doc % 3 picks
         # the raw form (0 → 'ocm'+k, 1 → '(OCoLC)'+k, 2 → bare), so

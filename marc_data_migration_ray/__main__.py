@@ -13,6 +13,7 @@ Commands:
                  _EXPORT.json lineage manifest; idempotent)
   export-changes — CDC egress: the change feed as parquet + manifest
   rollback     — truncate the log to an epoch (bad-upstream-batch remedy)
+  merge        — MERGE INTO through the replay path (upsert-from-table)
   fsck         — integrity check: manifest claims vs files on disk
   changes      — change-data feed: state diff between two epochs (CDF)
   follow       — streaming micro-batch ingest: tail a binlog root, apply
@@ -165,6 +166,25 @@ def main(argv=None) -> int:
                     help="SQL expression over the canonical row frame, "
                          "e.g. \"source = 'web' AND n_tok < 10\"")
     _add_cfg_args(dw)
+
+    mg = sub.add_parser(
+        "merge",
+        help="MERGE INTO through the replay path: source rows matched by "
+             "doc_id become updates (or tombstones), unmatched become "
+             "inserts — compiled to a fenced binlog epoch",
+    )
+    mg.add_argument("--table", required=True)
+    mg.add_argument("--source", required=True,
+                    help="parquet path with doc_id/tokens/n_tok/source")
+    mg.add_argument("--epoch", type=int, required=True)
+    mg.add_argument("--when-matched", choices=["update", "delete", "none"],
+                    default="update", dest="when_matched")
+    mg.add_argument("--when-not-matched", choices=["insert", "none"],
+                    default="insert", dest="when_not_matched")
+    mg.add_argument("--column-mask", default=None, dest="column_mask",
+                    help="comma-separated payload columns a matched update "
+                         "may overwrite (default: all)")
+    _add_cfg_args(mg)
 
     ex = sub.add_parser(
         "export",
@@ -461,6 +481,16 @@ def main(argv=None) -> int:
                 print(json.dumps(r))
         elif args.cmd == "delete-where":
             print(json.dumps(rp.delete_where(args.where, args.epoch)))
+        elif args.cmd == "merge":
+            print(json.dumps(rp.merge(
+                args.source, args.epoch,
+                when_matched=(None if args.when_matched == "none"
+                              else args.when_matched),
+                when_not_matched=(None if args.when_not_matched == "none"
+                                  else args.when_not_matched),
+                column_mask=(args.column_mask.split(",")
+                             if args.column_mask else None),
+            )))
         elif args.cmd == "repartition":
             path = rp.repartition(args.to_partitions, args.to_salts)
             print(json.dumps({

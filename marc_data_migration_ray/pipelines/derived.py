@@ -319,6 +319,71 @@ def cdc_routing_counts(sf_dir: str, cfg: ReplayConfig | None = None) -> "pa.Tabl
     )
 
 
+def build_merge_source_ds(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic MERGE source derived from documents (SQL-mirrorable):
+
+        doc_id % 7 == 0 → the key as-is   (matched iff live after replay)
+        doc_id % 7 == 1 → key + 10*D      (guaranteed-new → insert)
+        payload: n_tok' = length(text) in chars, source' = 'merged'
+    """
+    D = _doc_count(sf_dir)
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def _mk(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        m7 = did % 7
+        keep = (m7 == 0) | (m7 == 1)
+        did = did[keep]
+        shifted = np.where(did % 7 == 1, did + 10 * D, did)
+        nchars = pc.cast(pc.utf8_length(t["text"]), pa.int64()).to_numpy(
+            zero_copy_only=False)[keep]
+        n = len(shifted)
+        # zero-filled token arrays of length n_tok (the parse stage's
+        # n_tok == len(tokens) consistency gate; same trick as the binlog)
+        offsets = np.zeros(n + 1, np.int32)
+        np.cumsum(nchars, out=offsets[1:])
+        return pa.table(
+            {
+                "doc_id": pa.array(shifted.astype(str), pa.string()),
+                "tokens": pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()),
+                    pa.array(np.zeros(int(nchars.sum()), np.int32), pa.int32()),
+                ),
+                "n_tok": pa.array(nchars.astype(np.int32), pa.int32()),
+                "source": pa.array(["merged"] * n, pa.string()),
+            }
+        )
+
+    return ds.map_batches(_mk, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def cdc_merge_state(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Dataset:
+    """Driver surface for ``Replayer.merge`` (MERGE INTO through the replay
+    path): replay the binlog onto the co-partitioned layout, merge the
+    deterministic ``build_merge_source_ds`` table as epoch 1 (matched keys
+    become full-row updates, unmatched become inserts), and return the
+    post-merge state. Oracle = the LWW state SQL full-outer'd with the
+    same source expression (merge lsns aren't SQL-modelable, so the
+    projection drops ``last_lsn``)."""
+    cfg = cfg or ReplayConfig(num_partitions=16)
+    rp = _layout_replayer(sf_dir, cfg)
+    rp.merge(build_merge_source_ds(sf_dir), epoch=1)
+    return rp.read_state().map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tok": pc.cast(t["n_tok"], pa.int64()),
+                "source": t["source"],
+                "status": t["status"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def cdc_dup_keys(sf_dir: str) -> ray.data.Dataset:
     """Keys receiving >1 event (reference R1/J2 duplicate-key report)."""
     ds = build_binlog_ds(sf_dir)

@@ -419,6 +419,118 @@ def _delete_where_part_task(
     return n, n_skipped
 
 
+@ray.remote(num_cpus=1)
+def _merge_source_part_task(
+    t: pa.Table, src_files: list[str], part: int, P: int, base_lsn: int,
+    epoch: int, ceiling_lsn: int, local_prefix: str,
+    when_matched: str | None, when_not_matched: str | None,
+    column_mask: list[str] | None, out_file: str,
+) -> tuple[int, int, int, int]:
+    """Generate one partition's MERGE events (see ``Replayer.merge``):
+    source rows whose key exists live in this partition's folded state
+    become updates (or tombstones), the rest become inserts. lsn =
+    base + i*P + part (globally unique, above the fence). Returns
+    (n_updated, n_deleted, n_inserted, n_skipped_local)."""
+    from marc_data_migration_ray.functions.keys import local_id_parts
+
+    import numpy as np
+
+    src = pa.concat_tables(
+        [pq.read_table(f, columns=["doc_id", "tokens", "n_tok", "source"])
+         for f in src_files]
+    ).combine_chunks()
+    n_src = src.num_rows
+    n_keys = pc.count_distinct(src["doc_id"]).as_py()
+    if n_keys != n_src:
+        raise ValueError(
+            f"merge source has {n_src - n_keys} duplicate doc_id(s) in "
+            f"partition {part}: each target row may be matched by at most "
+            "one source row"
+        )
+    live = t.filter(pc.equal(t["_kind"], "row"))
+    live_ids = live["doc_id"].combine_chunks()
+    pos = pc.index_in(src["doc_id"], value_set=live_ids)
+    matched = pc.is_valid(pos)
+    # local-id-format keys: a matched row above the compaction ceiling is
+    # not yet materialized as an anchor (an update/delete addressing it
+    # folds to nothing), and an unmatched one would squat the allocator's
+    # namespace — skip and count both (SEMANTICS "Local-id addressability")
+    lk, _ = local_id_parts(src["doc_id"], local_prefix, max(P, 1))
+    if live.num_rows:
+        taken_lsn = pc.take(live["last_lsn"].combine_chunks(), pc.fill_null(pos, 0))
+    else:
+        taken_lsn = pa.nulls(n_src, pa.int64())
+    unmat = pc.if_else(
+        matched,
+        pc.greater(pc.fill_null(taken_lsn, -1), ceiling_lsn),
+        pa.scalar(True),
+    )
+    skip = pc.and_(pc.is_valid(lk), unmat)
+    keep = pc.invert(pc.fill_null(skip, False))
+    n_skipped = n_src - pc.sum(pc.cast(keep, pa.int8())).as_py()
+
+    def _seg(rows: pa.Table, op: str) -> pa.Table:
+        n = rows.num_rows
+        payload = op != "delete"
+        if op == "update":
+            mask = pa.array([column_mask or []] * n, pa.list_(pa.string()))
+        else:
+            mask = pa.nulls(n, pa.list_(pa.string()))
+        return pa.table(
+            {
+                "op": pa.array([op] * n, pa.string()),
+                "doc_id": pc.cast(rows["doc_id"], pa.string()),
+                "tokens": pc.cast(rows["tokens"], pa.list_(pa.int32()))
+                if payload else pa.nulls(n, pa.list_(pa.int32())),
+                "n_tok": pc.cast(rows["n_tok"], pa.int32())
+                if payload else pa.nulls(n, pa.int32()),
+                "source": pc.cast(rows["source"], pa.string())
+                if payload else pa.nulls(n, pa.string()),
+                "column_mask": mask,
+            }
+        )
+
+    segs = []
+    hit = src.filter(pc.and_(matched, keep))
+    miss = src.filter(pc.and_(pc.invert(matched), keep))
+    n_upd = n_del = n_ins = 0
+    if when_matched == "update" and hit.num_rows:
+        segs.append(_seg(hit, "update"))
+        n_upd = hit.num_rows
+    elif when_matched == "delete" and hit.num_rows:
+        segs.append(_seg(hit, "delete"))
+        n_del = hit.num_rows
+    if when_not_matched == "insert" and miss.num_rows:
+        segs.append(_seg(miss, "insert"))
+        n_ins = miss.num_rows
+    body = pa.concat_tables(segs) if segs else _seg(src.slice(0, 0), "update")
+    n = body.num_rows
+    lsn = pa.array(base_lsn + np.arange(n, dtype=np.int64) * P + part)
+    events = pa.table(
+        {
+            "lsn": lsn,
+            "epoch": pa.array([epoch] * n, pa.int32()),
+            "op": body["op"],
+            "doc_id": body["doc_id"],
+            "tokens": body["tokens"],
+            "n_tok": body["n_tok"],
+            "source": body["source"],
+            "column_mask": body["column_mask"],
+            "match_score": pa.array([100] * n, pa.int32()),
+            "title": pa.nulls(n, pa.string()),
+            "match_title": pa.nulls(n, pa.string()),
+            "extra_json": pa.nulls(n, pa.string()),
+            "schema_kind": pa.nulls(n, pa.string()),
+            "schema_name": pa.nulls(n, pa.string()),
+            "schema_new_name": pa.nulls(n, pa.string()),
+        }
+    )
+    if n:
+        os.makedirs(os.path.dirname(out_file), exist_ok=True)
+        pq.write_table(events, out_file)
+    return n_upd, n_del, n_ins, n_skipped
+
+
 class Replayer:
     """Replays a binlog onto a lake table under exactly-once manifest commits."""
 
@@ -1449,6 +1561,126 @@ class Replayer:
         shutil.rmtree(tmp_dir, ignore_errors=True)
         return {**entry, "delete_events": n_events,
                 "delete_skipped_unmaterialized": n_skipped}
+
+    def merge(
+        self,
+        source,
+        epoch: int,
+        when_matched: str | None = "update",
+        when_not_matched: str | None = "insert",
+        column_mask: list[str] | None = None,
+    ) -> dict:
+        """``MERGE INTO`` executed THROUGH the replay path (the lakehouse
+        upsert-from-table: Delta/Iceberg ``MERGE``). Each source row whose
+        ``doc_id`` exists live in the target becomes a full-row ``update``
+        (or, with ``when_matched='delete'``, a tombstone); unmatched rows
+        become ``insert``s. The compiled events land in a real binlog
+        epoch under the table root and are ``apply_epoch``'d — so merges
+        inherit exactly-once fencing, audit rows, metrics, the change feed
+        and time travel like any upstream epoch.
+
+        ``source`` is a parquet path, a ``pa.Table`` or a
+        ``ray.data.Dataset`` with the canonical payload columns
+        ``doc_id tokens n_tok source``. ``column_mask`` restricts which
+        payload columns a matched update overwrites (default: all).
+        Matching is by the PARSE-normalized key: source keys that don't
+        normalize flow through as keyless inserts and get an
+        allocator-assigned local id, exactly like an upstream event with
+        an invalid key (P6 ``set_local_id`` analog). More than one source row per key
+        raises (Delta MERGE semantics). Local-id-format keys that are
+        matched-but-unmaterialized or unmatched are skipped and counted
+        (``merge_skipped_local``)."""
+        if when_matched not in ("update", "delete", None):
+            raise ValueError(f"bad when_matched: {when_matched!r}")
+        if when_not_matched not in ("insert", None):
+            raise ValueError(f"bad when_not_matched: {when_not_matched!r}")
+        if self.manifest.is_committed(epoch):
+            return self.manifest.epoch_entry(epoch)
+        from marc_data_migration_ray.sources import readers
+
+        if isinstance(source, str):
+            ds = readers.read_parquet(source)
+        elif isinstance(source, pa.Table):
+            ds = ray.data.from_arrow(source)
+        else:
+            ds = source
+        P = max(self.cfg.num_partitions, 1)
+        cfg = self.cfg
+
+        def _route(t: pa.Table, P=P, cfg=cfg) -> pa.Table:
+            from marc_data_migration_ray.functions.keys import (
+                hash_partition, local_id_parts, normalize_keys,
+            )
+
+            raw = t["doc_id"]
+            norm = normalize_keys(raw)
+            loc_key, loc_part = local_id_parts(raw, cfg.local_id_prefix, P)
+            # the key the parse stage will adopt; un-normalizable keys keep
+            # the raw value (they match nothing and deadletter at apply)
+            key = pc.coalesce(loc_key, norm, pc.cast(raw, pa.string()))
+            part = pc.if_else(
+                pc.is_valid(loc_key),
+                pc.cast(loc_part, pa.int32()),
+                hash_partition(key, P),
+            )
+            return pa.table(
+                {
+                    "doc_id": key,
+                    "tokens": pc.cast(t["tokens"], pa.list_(pa.int32())),
+                    "n_tok": pc.cast(t["n_tok"], pa.int32()),
+                    "source": pc.cast(t["source"], pa.string()),
+                    "part_p": part,
+                }
+            )
+
+        tmp_src = os.path.join(self.root, "_tmp",
+                               f"merge-src-{epoch}-{uuid.uuid4().hex[:8]}")
+        ds.map_batches(
+            _route, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(tmp_src, partition_cols=["part_p"],
+                        row_group_size=_ROW_GROUP_SIZE)
+        src_by_part = self._files_by_part(tmp_src)
+        base_lsn = max(
+            [self.manifest.ceiling_lsn()]
+            + [self.manifest.epoch_entry(e).get("max_lsn", -1)
+               for e in self.manifest.committed_epochs()]
+        ) + 1
+        ceiling = self.manifest.ceiling_lsn()
+        refs = self._fold_part_refs(None) if (
+            self.manifest.committed_epochs()
+            or self.manifest.state.get("base_path")
+            or self.manifest.state.get("compactions")
+        ) else {}
+        tmp_dir = os.path.join(self.root, "_tmp",
+                               f"merge-{epoch}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp_dir, exist_ok=True)
+        empty = None
+        tasks = []
+        for p, files in sorted(src_by_part.items()):
+            ref = refs.get(p)
+            if ref is None:
+                if empty is None:
+                    empty = ray.put(_empty_fold())
+                ref = empty
+            tasks.append(
+                _merge_source_part_task.remote(
+                    ref, files, p, P, base_lsn, epoch, ceiling,
+                    self.cfg.local_id_prefix, when_matched, when_not_matched,
+                    column_mask,
+                    os.path.join(tmp_dir, f"part-{p:05d}.parquet"),
+                )
+            )
+        stats = ray.get(tasks)
+        shutil.rmtree(tmp_src, ignore_errors=True)
+        entry = self.apply_epoch(epoch, tmp_dir)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        return {
+            **entry,
+            "merge_updated": sum(s[0] for s in stats),
+            "merge_deleted": sum(s[1] for s in stats),
+            "merge_inserted": sum(s[2] for s in stats),
+            "merge_skipped_local": sum(s[3] for s in stats),
+        }
 
     def fsck(self, deep: bool = False) -> dict:
         """Table integrity check (the ops `fsck`): verify that everything

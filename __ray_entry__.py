@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_lww_state": lambda sf: derived.cdc_lww_state(sf),
         "cdc_routing_counts": lambda sf: derived.cdc_routing_counts(sf),
         "cdc_routing_counts_f001": lambda sf: derived.cdc_routing_counts_f001(sf),
+        "cdc_constraint_counts": derived.cdc_constraint_counts,
+        "cdc_constraint_state": derived.cdc_constraint_state,
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
         "cdc_merge_state": lambda sf: derived.cdc_merge_state(sf),
@@ -276,6 +278,47 @@ FROM base b
 LEFT JOIN anchor a ON b.doc_id = a.doc_id
 LEFT JOIN winner w ON b.doc_id = w.doc_id
 WHERE a.anchor_op IS NULL OR a.anchor_op <> 'delete'
+"""
+
+_GATED_PLAIN = """WHERE op IN ('insert', 'delete')
+     OR (op = 'update' AND (score = 100 OR score >= 50))"""
+_GATED_CHECKED = """WHERE op = 'delete'
+     OR (op IN ('insert', 'update')
+         AND n_tok_new <= 8 AND source_new IN ('signup', 'click', 'view')
+         AND (op = 'insert' OR score = 100 OR score >= 50))"""
+assert _GATED_PLAIN in _CDC_STATE
+_CDC_STATE_CHECKED = _CDC_STATE.replace(_GATED_PLAIN, _GATED_CHECKED)
+
+# ingest expectations (config.check_constraints; constants shared with
+# derived.CONSTRAINT_CHECKS): a non-malformed insert/update failing a check
+# is rejected BEFORE any other gate decision, first declared name wins
+_CHECK_N_TOK = "n_tok_new > 8"
+_CHECK_SOURCE = "source_new NOT IN ('signup', 'click', 'view')"
+
+_CONSTRAINT_ROUTING = f"""
+WITH {_BINLOG},
+routed AS (
+  SELECT op,
+         CASE WHEN op IN ('insert', 'update') AND ({_CHECK_N_TOK} OR {_CHECK_SOURCE})
+                   THEN 'rejected'
+              WHEN op IN ('insert', 'delete') THEN 'applied'
+              WHEN score = 100 THEN 'applied'
+              WHEN score >= 50 THEN 'fuzzy'
+              ELSE 'rejected' END AS route,
+         CASE WHEN op IN ('insert', 'update') AND {_CHECK_N_TOK}
+                   THEN 'check-failed:n_tok_le_8'
+              WHEN op IN ('insert', 'update') AND {_CHECK_SOURCE}
+                   THEN 'check-failed:source_known'
+              WHEN op = 'insert' THEN 'inserted'
+              WHEN op = 'delete' THEN 'tombstone'
+              WHEN score = 100 THEN 'perfect'
+              WHEN score >= 50 THEN 'fuzzy-match-passed'
+              ELSE 'fuzzy-match-failed' END AS status
+  FROM binlog
+)
+SELECT op, route, status, CAST(count(*) AS BIGINT) AS n
+FROM routed GROUP BY op, route, status
+ORDER BY op, route, status
 """
 
 _ROUTING = f"""
@@ -586,6 +629,10 @@ SELECT m.doc_id, m.n_tok, m.source,
 FROM src m LEFT JOIN state st ON m.doc_id = st.doc_id
 """,
         "cdc_routing_counts": _ROUTING,
+        "cdc_constraint_counts": _CONSTRAINT_ROUTING,
+        # state with expectations on: check-failed events vanish from the
+        # gated set, so the plain LWW-state SQL applies with a tighter gate
+        "cdc_constraint_state": _CDC_STATE_CHECKED,
         # the fuzzy_001_test gate over noisy-prefixed keys: doc % 3 picks
         # the raw form (0 → 'ocm'+k, 1 → '(OCoLC)'+k, 2 → bare), so
         # prefixed ⇔ doc % 3 IN (0, 1) — identical arithmetic engine-side

@@ -98,6 +98,24 @@ class ReplayConfig:
     #: auto-segmentation, so segments below the new floor are superseded.
     auto_compact_epochs: int = 0
 
+    #: ingest expectations (Delta Lake CHECK-constraint / DLT "expect"
+    #: analog): each is ``(name, column, op, value)`` evaluated VECTORIZED
+    #: at the gate over the payload an insert/update event supplies.
+    #: ops: 'ge' / 'le' (numeric bound), 'between' (value = (lo, hi)),
+    #: 'in' (value = tuple of allowed strings), 'matches' (value = regex,
+    #: full-row semantics via match_substring_regex), 'not_null'.
+    #: A NULL payload value passes every op except 'not_null' — an update
+    #: that does not supply a column cannot violate a bound on it (the
+    #: reference's substitution whitelist has the same "absent field is
+    #: untouched" semantics, replace_configuration.py:3-59).
+    #: A non-malformed, non-schema insert/update failing ANY constraint
+    #: routes to rejected/'check-failed:<name>' (first failing constraint
+    #: in declaration order) and its payload is dropped before the delta
+    #: write — it can never apply, including keyless inserts (checked
+    #: BEFORE local-id allocation). Constraints do not gate base rows or
+    #: deletes. Evaluated batch-local: no shuffle, no extra pass.
+    check_constraints: tuple = ()
+
     #: hot-key mitigation: within-batch LWW pre-collapse of gate-passed
     #: updates sharing (key, column-mask set) — only the max-lsn one can ever
     #: win a column, so final STATE is provably unchanged while a key with
@@ -116,3 +134,17 @@ class ReplayConfig:
             raise ValueError("num_partitions must be >= 1")
         if self.num_salts < 1:
             raise ValueError("num_salts must be >= 1")
+        for c in self.check_constraints:
+            if len(c) != 4:
+                raise ValueError(f"constraint must be (name, column, op, value): {c!r}")
+            name, col, op, val = c
+            if op not in ("ge", "le", "between", "in", "matches", "not_null"):
+                raise ValueError(f"unknown constraint op {op!r} in {name!r}")
+            if col not in PAYLOAD_COLUMNS:
+                raise ValueError(
+                    f"constraint {name!r} column {col!r} not in {PAYLOAD_COLUMNS}"
+                )
+            if op == "between" and len(val) != 2:
+                raise ValueError(f"'between' needs (lo, hi) in {name!r}")
+            if op == "in" and not isinstance(val, (tuple, list)):
+                raise ValueError(f"'in' needs a tuple of values in {name!r}")

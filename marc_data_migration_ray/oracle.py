@@ -68,6 +68,31 @@ def _is_malformed(ev: dict) -> bool:
     return False
 
 
+def _check_fail(ev: dict, constraints) -> str | None:
+    """Scalar mirror of stages.parse._constraint_masks: name of the first
+    (declaration-order) violated constraint, or None. Null payload values
+    pass every op except 'not_null'."""
+    for name, col, op, val in constraints:
+        v = ev.get(col)
+        if op == "not_null":
+            if v is None:
+                return name
+            continue
+        if v is None:
+            continue
+        if op == "ge" and v < val:
+            return name
+        if op == "le" and v > val:
+            return name
+        if op == "between" and (v < val[0] or v > val[1]):
+            return name
+        if op == "in" and v not in val:
+            return name
+        if op == "matches" and not re.search(val, v):
+            return name
+    return None
+
+
 def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None = None) -> dict:
     """Replay ``events`` (any order; sorted by lsn internally) onto
     ``base_rows``. Returns ``{"final": [rows], "audit": [rows],
@@ -130,6 +155,10 @@ def replay(base_rows: list[dict], events: list[dict], cfg: ReplayConfig | None =
                  "name": ev.get("schema_name"), "new_name": ev.get("schema_new_name")}
             )
             route_ev(ev, "schema", "schema")
+        elif cfg.check_constraints and ev["op"] in ("insert", "update") and (
+            _chk := _check_fail(ev, cfg.check_constraints)
+        ):
+            route_ev(ev, "rejected", f"check-failed:{_chk}")
         elif ev["_key"] is None:
             if ev["op"] == "insert":
                 route_ev(ev, "local", "local")

@@ -175,6 +175,37 @@ def cdc_routing_counts_f001(sf_dir: str, cfg: ReplayConfig | None = None) -> "pa
     )
 
 
+#: ingest expectations the constraint driver queries run under (shared
+#: verbatim with the SQL oracle in __ray_entry__): n_tok'=length(props)
+#: ∈ {8,9} → the 'le 8' bound fires on half the payloads; source'=
+#: event_type → 'purchase' updates fail the allow-list. Declaration order
+#: matters: a length-9 purchase reports the n_tok failure.
+CONSTRAINT_CHECKS = (
+    ("n_tok_le_8", "n_tok", "le", 8),
+    ("source_known", "source", "in", ("signup", "click", "view")),
+)
+
+
+def cdc_constraint_counts(sf_dir: str) -> "pa.Table":
+    """Gate counts with ingest expectations enabled (Delta CHECK-constraint
+    analog): violating insert/update events route to
+    rejected/'check-failed:<name>' before any other gate decision."""
+    return cdc_routing_counts(
+        sf_dir,
+        cfg=ReplayConfig(num_partitions=16, check_constraints=CONSTRAINT_CHECKS),
+    )
+
+
+def cdc_constraint_state(sf_dir: str) -> ray.data.Dataset:
+    """Final LWW state with ingest expectations enabled — end-to-end proof
+    that a check-failed event never applies (its payload is dropped at the
+    gate and the fold never sees it)."""
+    return cdc_lww_state(
+        sf_dir,
+        cfg=ReplayConfig(num_partitions=16, check_constraints=CONSTRAINT_CHECKS),
+    )
+
+
 def replay_datasets(
     base_ds: ray.data.Dataset, binlog_ds: ray.data.Dataset, cfg: ReplayConfig
 ) -> ray.data.Dataset:

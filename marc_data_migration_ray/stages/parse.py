@@ -72,6 +72,46 @@ def _as_parsed(cols: dict) -> pa.Table:
     return pa.Table.from_arrays(arrays, schema=PARSED_SCHEMA)
 
 
+def _constraint_masks(batch: pa.Table, n: int, constraints) -> tuple:
+    """Vectorized ingest-expectation evaluation (config.check_constraints).
+
+    Returns ``(fail, status)``: ``fail[i]`` is True where row *i* violates
+    any constraint; ``status[i]`` is ``'check-failed:<name>'`` for the
+    FIRST failing constraint in declaration order (None elsewhere).
+    Null payload values pass every op except ``not_null`` — an event that
+    does not supply a column cannot violate a bound on it."""
+    fail = np.zeros(n, bool)
+    status = np.full(n, None, object)
+    for name, col, op, val in constraints:
+        arr = batch[col]
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        valid = pc.is_valid(arr).to_numpy(zero_copy_only=False)
+        if op == "not_null":
+            f = ~valid
+        elif op == "matches":
+            ok = pc.fill_null(pc.match_substring_regex(arr, val), True)
+            f = valid & ~ok.to_numpy(zero_copy_only=False)
+        elif op == "in":
+            ok = pc.fill_null(
+                pc.is_in(arr, value_set=pa.array(list(val), arr.type)), True
+            )
+            f = valid & ~ok.to_numpy(zero_copy_only=False)
+        else:
+            v = pc.fill_null(arr, 0).to_numpy(zero_copy_only=False)
+            if op == "ge":
+                f = valid & (v < val)
+            elif op == "le":
+                f = valid & (v > val)
+            else:  # between
+                f = valid & ((v < val[0]) | (v > val[1]))
+        first = f & ~fail
+        if first.any():
+            status[first] = f"check-failed:{name}"
+        fail |= f
+    return fail, status
+
+
 class ParseRoute:
     """Binlog batch → parsed/routed batch (PARSED_SCHEMA)."""
 
@@ -126,9 +166,18 @@ class ParseRoute:
         else:
             prefixed = np.zeros(n, bool)
         below = score < cfg.fuzzy_threshold
+        if cfg.check_constraints:
+            chk_fail, chk_status = _constraint_masks(
+                batch, n, cfg.check_constraints
+            )
+            chk_fail = chk_fail & np.isin(op, ("insert", "update")) & ~malformed
+        else:
+            chk_fail = np.zeros(n, bool)
+            chk_status = np.full(n, None, object)
         conds = [
             malformed,
             is_schema,
+            chk_fail,
             key_null & (op == "insert"),
             key_null,
             op == "delete",
@@ -143,11 +192,11 @@ class ParseRoute:
             is_update & np.full(n, cfg.require_perfect),
             is_update & (score >= cfg.fuzzy_threshold),
         ]
-        routes = ["deadletter", "schema", "local", "rejected", "applied",
-                  "applied", "applied", "rejected", "fuzzy", "fuzzy",
-                  "rejected", "fuzzy"]
-        statuses = ["malformed", "schema", "local", "no-key", "tombstone",
-                    "inserted", "perfect", "fuzzy-match-failed",
+        routes = ["deadletter", "schema", "rejected", "local", "rejected",
+                  "applied", "applied", "applied", "rejected", "fuzzy",
+                  "fuzzy", "rejected", "fuzzy"]
+        statuses = ["malformed", "schema", chk_status, "local", "no-key",
+                    "tombstone", "inserted", "perfect", "fuzzy-match-failed",
                     "fuzzy-match-passed", "fuzzy-match-failed",
                     "fuzzy-match-failed", "fuzzy-match-passed"]
         route = np.select(conds, routes, default="rejected").astype(object)

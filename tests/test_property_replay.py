@@ -46,6 +46,10 @@ def test_random_seed_replay(seed):
         require_perfect=bool(seed % 3 == 0),
         fuzzy_001_test=bool(seed % 4 == 0),
         strategy="replace_only" if seed % 2 else "replace_and_add",
+        check_constraints=(
+            (("band", "n_tok", "between", (seed % 40, 90 + seed % 60)),)
+            if seed % 5 == 0 else ()
+        ),
     )
     base = fixtures.make_base_table(
         n_rows=50 + seed % 100, seed=seed,

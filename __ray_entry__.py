@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": tpch.parts_by_brand,
         "supplier_balance": tpch.supplier_balance,
         "order_skyline": lambda sf: tpch.order_skyline(sf),
+        "distinct_orders_kmv": tpch.distinct_orders_kmv,
         # text analysis (training-data ops)
         "token_count": text_analysis.token_count,
         "bpe_token_count": text_analysis.bpe_token_count,
@@ -953,6 +954,7 @@ ORDER BY op, route, status
             "WHERE round(s_acctbal * 100) > 0 ORDER BY s_name"
         ),
         "order_skyline": _tpch_mod.order_skyline_sql(),
+        "distinct_orders_kmv": _tpch_mod.distinct_orders_kmv_sql(),
         "key_diff_report": (
             "WITH k AS (SELECT doc_id, CASE doc_id % 6 "
             "WHEN 0 THEN '(OCoLC)ocm' || CAST(doc_id AS VARCHAR) "

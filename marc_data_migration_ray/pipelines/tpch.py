@@ -440,3 +440,102 @@ def order_skyline_sql() -> str:
         "OR p.o_orderdate < o.o_orderdate)) "
         "ORDER BY o_orderkey"
     )
+
+
+# ------------------------------------------------ KMV distinct sketch --
+
+KMV_K = 256            # sketch size (shared with the SQL oracle)
+KMV_MOD = 1 << 63      # hash domain: md5_number_lower % 2^63 (signed-safe)
+
+
+class _KmvPartial:
+    """Per-batch KMV partial: the batch's K smallest md5 hashes of its
+    DISTINCT keys. Mergeable: the global K smallest distinct hashes are a
+    subset of the union of per-batch K-minima, so the driver-side finish
+    touches at most K × num_blocks ints — the sketch never shuffles rows.
+
+    The md5 is the PORTABLE hash shared verbatim with DuckDB
+    (``md5_number_lower(CAST(k AS VARCHAR)) % 2^63``, cf. dsir_weights).
+    Python loops only over the batch's UNIQUE keys, memoized across
+    batches in the actor (key-cardinality-bounded, not row-bounded)."""
+
+    def __init__(self, column: str):
+        self.column = column
+        self._cache: dict = {}
+
+    def _h(self, v) -> int:
+        import hashlib
+
+        hv = self._cache.get(v)
+        if hv is None:
+            hv = int.from_bytes(
+                hashlib.md5(str(v).encode()).digest()[8:16], "little"
+            ) % KMV_MOD
+            self._cache[v] = hv
+        return hv
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = pc.unique(t[self.column]).to_pylist()
+        hs = np.sort(np.fromiter((self._h(v) for v in ids), np.int64, len(ids)))
+        return pa.table({"hv": pa.array(hs[:KMV_K], pa.int64())})
+
+
+def distinct_orders_kmv(sf_dir: str) -> pa.Table:
+    """KMV (k-minimum-values / bottom-k) distinct-count sketch: estimate
+    the number of distinct ``l_orderkey`` in lineitem WITHOUT a
+    distinct shuffle, alongside the exact count for calibration.
+
+    Estimator (Bar-Yossef et al. 2002): with h_k = the k-th smallest of
+    the distinct keys' uniform hashes, distinct ≈ (k-1) · M / h_k; when
+    fewer than k distinct hashes exist the sketch IS the exact set.
+    ``est_distinct`` is integer inputs + ONE float division, so it is
+    bit-identical to the SQL oracle's same expression."""
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
+    )
+    parts = ds.map_batches(
+        _KmvPartial, fn_constructor_args=("l_orderkey",),
+        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+    )
+    merged: set = set()
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        merged.update(b["hv"].to_pylist())
+    lo = sorted(merged)[:KMV_K]
+    if len(lo) < KMV_K:
+        est = float(len(lo))
+    else:
+        est = ((KMV_K - 1) * float(KMV_MOD)) / lo[-1]
+    # exact count for calibration: one int-key shuffle of pre-distincted
+    # per-batch partials (tiny), counted distributed
+    exact = (
+        ds.map_batches(
+            lambda t: pa.table({"k": pc.unique(t["l_orderkey"])}),
+            batch_format="pyarrow", zero_copy_batch=True,
+        )
+        .groupby("k")
+        .count()
+        .count()
+    )
+    return pa.table(
+        {
+            "k": pa.array([KMV_K], pa.int64()),
+            "kth_hash": pa.array([lo[-1]], pa.int64()),
+            "est_distinct": pa.array([est], pa.float64()),
+            "exact_distinct": pa.array([exact], pa.int64()),
+        }
+    )
+
+
+def distinct_orders_kmv_sql() -> str:
+    return (
+        f"WITH h AS (SELECT DISTINCT CAST("
+        f"md5_number_lower(CAST(l_orderkey AS VARCHAR)) % {KMV_MOD} AS BIGINT)"
+        f" AS hv FROM lineitem), "
+        f"k AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}) "
+        f"SELECT CAST({KMV_K} AS BIGINT) AS k, max(hv) AS kth_hash, "
+        f"CASE WHEN count(*) < {KMV_K} THEN CAST(count(*) AS DOUBLE) "
+        f"ELSE ({KMV_K - 1} * {float(KMV_MOD)!r}) / CAST(max(hv) AS DOUBLE) END "
+        f"AS est_distinct, "
+        f"(SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) "
+        f"AS exact_distinct FROM k"
+    )

@@ -127,3 +127,29 @@ def test_fuzzy_001_gate_truth_table():
         "fuzzy-match-failed", "fuzzy-match-passed", "fuzzy-match-failed",
         "fuzzy-match-passed", "perfect",
     ]
+
+
+def test_kmv_merge_is_split_invariant():
+    """KMV partial-merge property: the k smallest distinct hashes computed
+    from any batch split equal the single-pass result, and the estimator
+    lands within the ~2/sqrt(k) relative-error band on a known cardinality."""
+    import numpy as np
+
+    from marc_data_migration_ray.pipelines.tpch import KMV_K, KMV_MOD, _KmvPartial
+
+    rng = np.random.default_rng(7)
+    keys = rng.integers(0, 5000, size=20000)  # ~4930 distinct
+    t = pa.table({"l_orderkey": pa.array(keys, pa.int64())})
+
+    one = _KmvPartial("l_orderkey")(t)["hv"].to_pylist()
+
+    merged: set = set()
+    p = _KmvPartial("l_orderkey")
+    for lo in range(0, t.num_rows, 777):
+        merged.update(p(t.slice(lo, 777))["hv"].to_pylist())
+    merged_lo = sorted(merged)[:KMV_K]
+    assert merged_lo == sorted(one)[:KMV_K]
+
+    exact = len(np.unique(keys))
+    est = (KMV_K - 1) * float(KMV_MOD) / merged_lo[-1]
+    assert abs(est - exact) / exact < 2.5 / (KMV_K ** 0.5)

@@ -125,7 +125,20 @@ def main(argv=None) -> int:
     st.add_argument("--up-to-lsn", type=int, default=None, dest="up_to_lsn",
                     help="LSN-level time travel: state as of this exact log "
                          "position (must be at/above the compaction ceiling)")
+    st.add_argument("--tag", default=None,
+                    help="named-snapshot time travel (see the 'tag' command)")
     _add_cfg_args(st)
+
+    tg = sub.add_parser(
+        "tag", help="name a committed epoch cut for time-travel reads "
+                    "(Delta/Iceberg tag analog); list with no --name")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", default=None)
+    tg.add_argument("--epoch", type=int, default=None,
+                    help="defaults to the latest committed epoch")
+    tg.add_argument("--replace", action="store_true")
+    tg.add_argument("--delete", action="store_true")
+    _add_cfg_args(tg)
 
     m = sub.add_parser("metrics")
     m.add_argument("--table", required=True)
@@ -457,9 +470,18 @@ def main(argv=None) -> int:
         if args.cmd == "apply":
             entry = rp.apply_epoch(args.epoch, args.binlog)
             print(json.dumps({"epoch": args.epoch, **{k: v for k, v in entry.items() if k != "dir"}}))
+        elif args.cmd == "tag":
+            if args.name is None:
+                print(json.dumps(rp.tags()))
+            elif args.delete:
+                rp.delete_tag(args.name)
+                print(json.dumps({"deleted": args.name}))
+            else:
+                e = rp.tag(args.name, epoch=args.epoch, replace=args.replace)
+                print(json.dumps({"tag": args.name, "epoch": e}))
         elif args.cmd == "state":
             ds = rp.read_state(up_to_epoch=args.up_to_epoch,
-                               up_to_lsn=args.up_to_lsn)
+                               up_to_lsn=args.up_to_lsn, tag=args.tag)
             if args.out:
                 ds.write_parquet(args.out)
                 print(json.dumps({"rows": ds.count(), "out": args.out}))

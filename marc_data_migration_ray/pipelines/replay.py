@@ -999,14 +999,41 @@ class Replayer:
         return [o for o in ops if o["lsn"] <= cutoff]
 
     def read_state(self, up_to_epoch: int | None = None,
-                   up_to_lsn: int | None = None):
+                   up_to_lsn: int | None = None, tag: str | None = None):
         """Current table state as a Ray Dataset (schema ops applied:
         renames as display names, DDL-added columns MATERIALIZED from the
         rows' canonical ``extra_json`` carrier). ``up_to_lsn`` reads the
-        state as of an exact log position (mid-epoch time travel)."""
+        state as of an exact log position (mid-epoch time travel);
+        ``tag`` reads as of a named snapshot (``Replayer.tag``)."""
+        if tag is not None:
+            if up_to_epoch is not None or up_to_lsn is not None:
+                raise ValueError("tag is exclusive with up_to_epoch/up_to_lsn")
+            up_to_epoch = self.manifest.resolve_tag(tag)
         rows = self.fold_output(up_to_epoch, up_to_lsn).filter(
             expr="_kind == 'row'")
         return self._postprocess_rows(rows, up_to_epoch, up_to_lsn)
+
+    def tag(self, name: str, epoch: int | None = None,
+            replace: bool = False) -> int:
+        """Name a committed epoch cut (Delta/Iceberg tag analog); defaults
+        to the latest committed epoch. Returns the tagged epoch. A tag is
+        a stable NAME for time travel, not a retention pin — compaction
+        past it makes reads of it raise, rollback below it drops it."""
+        epochs = self.manifest.committed_epochs()
+        if epoch is None:
+            if not epochs:
+                raise ValueError("nothing committed to tag")
+            epoch = epochs[-1]
+        elif epoch not in epochs:
+            raise ValueError(f"epoch {epoch} is not committed")
+        self.manifest.set_tag(name, epoch, replace=replace)
+        return epoch
+
+    def tags(self) -> dict[str, int]:
+        return self.manifest.tags()
+
+    def delete_tag(self, name: str) -> None:
+        self.manifest.delete_tag(name)
 
     def lookup(self, doc_ids: list[str], up_to_epoch: int | None = None):
         """Point lookup (reference S4 authority point-lookup, made literal

@@ -343,6 +343,38 @@ class Manifest:
     def delta_segments(self) -> list[dict]:
         return list(self.state.get("delta_segments", []))
 
+    # -- tags (named snapshots) ----------------------------------------------
+    def set_tag(self, name: str, epoch: int, replace: bool = False) -> None:
+        """Name an epoch cut (Delta/Iceberg tag analog). A tag is a NAME for
+        a time-travel read (``read_state(tag=...)`` == ``up_to_epoch``),
+        not a retention pin: compacting past the tagged epoch makes the
+        tag unreadable (the inherited floor guard raises), and rollback
+        below it drops it. CAS-committed like every manifest mutation."""
+        def _mut(st: dict) -> None:
+            tags = st.setdefault("tags", {})
+            if not replace and name in tags and tags[name] != epoch:
+                raise ValueError(
+                    f"tag {name!r} already points at epoch {tags[name]}"
+                )
+            tags[name] = epoch
+
+        self._cas_update(_mut)
+
+    def delete_tag(self, name: str) -> None:
+        def _mut(st: dict) -> None:
+            st.setdefault("tags", {}).pop(name, None)
+
+        self._cas_update(_mut)
+
+    def tags(self) -> dict[str, int]:
+        return dict(self.state.get("tags", {}))
+
+    def resolve_tag(self, name: str) -> int:
+        tags = self.state.get("tags", {})
+        if name not in tags:
+            raise KeyError(f"unknown tag {name!r}; have {sorted(tags)}")
+        return tags[name]
+
     # -- rollback (log truncation) ------------------------------------------
     def record_rollback(self, to_epoch: int) -> list[str]:
         """Truncate the log: drop committed epochs > ``to_epoch``, their
@@ -378,6 +410,10 @@ class Manifest:
             for d in dropped_dirs:
                 if d not in pend:
                     pend.append(d)
+            # tags pointing above the truncation dangle — drop them
+            st["tags"] = {
+                n: e for n, e in st.get("tags", {}).items() if e <= to_epoch
+            }
 
         self._cas_update(_mut)
         return dropped_dirs

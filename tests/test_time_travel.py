@@ -94,3 +94,59 @@ def test_lsn_below_compaction_ceiling_raises(ray_session, fixture_dir, tmp_path)
     evs = [e for e in _events(fixture_dir) if e["lsn"] <= ceiling]
     o = oracle.replay(_base(fixture_dir), evs, cfg)
     _rows_equal(eng, o["final"])
+
+
+def test_tags_name_epoch_cuts(ray_session, fixture_dir, tmp_path):
+    """Tags are names for epoch-level time travel: read_state(tag=) ==
+    read_state(up_to_epoch=); duplicate names refuse without replace;
+    compaction past a tag makes it unreadable; rollback drops it."""
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "tagged")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    rp.apply_epoch(0, os.path.join(fixture_dir, "binlog", "epoch=0"))
+    assert rp.tag("v1") == 0                      # defaults to latest epoch
+    rp.apply_epoch(1, os.path.join(fixture_dir, "binlog", "epoch=1"))
+    rp.apply_epoch(2, os.path.join(fixture_dir, "binlog", "epoch=2"))
+    rp.tag("v2", epoch=1)
+    assert rp.tags() == {"v1": 0, "v2": 1}
+
+    tagged = sorted(rp.read_state(tag="v2").take_all(),
+                    key=lambda r: r["doc_id"])
+    direct = sorted(rp.read_state(up_to_epoch=1).take_all(),
+                    key=lambda r: r["doc_id"])
+    assert tagged == direct
+
+    with pytest.raises(ValueError):
+        rp.tag("v2", epoch=2)                     # exists, no replace
+    assert rp.tag("v2", epoch=2, replace=True) == 2
+    with pytest.raises(ValueError):
+        rp.tag("v9", epoch=77)                    # not committed
+    with pytest.raises(ValueError):
+        rp.read_state(tag="v1", up_to_epoch=1)    # exclusive params
+    with pytest.raises(KeyError):
+        rp.read_state(tag="missing")
+
+    # a second Replayer over the same root sees the tags (manifest-backed)
+    rp2 = Replayer(root, cfg)
+    assert rp2.tags()["v1"] == 0
+
+    # compaction past the tagged epoch: the tag's read now raises (a tag
+    # is a name, not a retention pin)
+    rp.compact()
+    with pytest.raises(ValueError):
+        rp.read_state(tag="v1").take_all()
+
+    rp.delete_tag("v1")
+    assert "v1" not in rp.tags()
+
+
+def test_rollback_drops_dangling_tags(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "rb")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    for e in range(N_EPOCHS):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    rp.tag("keep", epoch=0)
+    rp.tag("gone", epoch=2)
+    rp.rollback(to_epoch=0)
+    assert rp.tags() == {"keep": 0}

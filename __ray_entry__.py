@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_routing_counts_f001": lambda sf: derived.cdc_routing_counts_f001(sf),
         "cdc_constraint_counts": derived.cdc_constraint_counts,
         "cdc_constraint_state": derived.cdc_constraint_state,
+        "export_scan_prune": derived.export_scan_prune,
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
         "cdc_merge_state": lambda sf: derived.cdc_merge_state(sf),
@@ -634,6 +635,11 @@ FROM src m LEFT JOIN state st ON m.doc_id = st.doc_id
         # state with expectations on: check-failed events vanish from the
         # gated set, so the plain LWW-state SQL applies with a tighter gate
         "cdc_constraint_state": _CDC_STATE_CHECKED,
+        # zone-map-pruned scan == plain filter over the state (data
+        # skipping must be lossless; bounds shared with derived.py)
+        "export_scan_prune": (
+            f"SELECT * FROM ({_CDC_STATE}) WHERE n_tok BETWEEN 30 AND 80"
+        ),
         # the fuzzy_001_test gate over noisy-prefixed keys: doc % 3 picks
         # the raw form (0 → 'ocm'+k, 1 → '(OCoLC)'+k, 2 → bare), so
         # prefixed ⇔ doc % 3 IN (0, 1) — identical arithmetic engine-side

@@ -207,7 +207,21 @@ def main(argv=None) -> int:
     ex.add_argument("--table", required=True)
     ex.add_argument("--dest", required=True)
     ex.add_argument("--up-to-epoch", type=int, default=None, dest="up_to_epoch")
+    ex.add_argument("--cluster-by", default=None, dest="cluster_by",
+                    help="int column: write a range-clustered layout with "
+                         "exact zone maps (data skipping via scan-export)")
+    ex.add_argument("--n-ranges", type=int, default=8, dest="n_ranges")
     _add_cfg_args(ex)
+
+    sx = sub.add_parser(
+        "scan-export",
+        help="zone-map-pruned scan of a range-clustered export "
+             "(directories whose zone can't match [--lo, --hi] are skipped)",
+    )
+    sx.add_argument("--dest", required=True)
+    sx.add_argument("--lo", type=int, default=None)
+    sx.add_argument("--hi", type=int, default=None)
+    sx.add_argument("--limit", type=int, default=5)
 
     exc = sub.add_parser(
         "export-changes",
@@ -464,6 +478,19 @@ def main(argv=None) -> int:
                 print(json.dumps({"routes": counts, "processed": sum(counts.values())}))
             return 0
 
+        if args.cmd == "scan-export":
+            from marc_data_migration_ray.pipelines.replay import scan_export
+
+            scan = scan_export(args.dest, lo=args.lo, hi=args.hi)
+            ds = scan.pop("dataset")
+            for r in ds.take(args.limit):
+                r = dict(r)
+                if r.get("tokens") is not None:
+                    r["tokens"] = list(r["tokens"])[:8]
+                print(json.dumps(r, default=str))
+            print(json.dumps({**scan, "rows": ds.count()}))
+            return 0
+
         from marc_data_migration_ray.pipelines.replay import Replayer
 
         rp = Replayer(args.table, _cfg_from_args(args), base_path=getattr(args, "base", None))
@@ -521,7 +548,9 @@ def main(argv=None) -> int:
                 "num_salts": rp.cfg.num_salts,
             }))
         elif args.cmd == "export":
-            info = rp.export_snapshot(args.dest, up_to_epoch=args.up_to_epoch)
+            info = rp.export_snapshot(args.dest, up_to_epoch=args.up_to_epoch,
+                                      cluster_by=args.cluster_by,
+                                      n_ranges=args.n_ranges)
             print(json.dumps(info))
         elif args.cmd == "rollback":
             print(json.dumps(rp.rollback(args.to_epoch)))

@@ -206,6 +206,30 @@ def cdc_constraint_state(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+#: zone-map scan predicate (shared with the SQL oracle's BETWEEN)
+EXPORT_SCAN_LO, EXPORT_SCAN_HI = 30, 80
+
+
+def export_scan_prune(sf_dir: str) -> ray.data.Dataset:
+    """Data skipping end-to-end on the derived table: replay → range-
+    clustered export by ``n_tok`` (exact zone maps) → zone-pruned scan of
+    ``n_tok BETWEEN 30 AND 80``. The oracle is a plain filter over the
+    LWW state — equality proves pruning loses nothing, while the skipped
+    range dirs are the scale win (a selective predicate at 100 TB opens a
+    handful of directories)."""
+    import tempfile
+
+    from marc_data_migration_ray.pipelines.replay import scan_export
+
+    cfg = ReplayConfig(num_partitions=16)
+    rp = _layout_replayer(sf_dir, cfg)
+    dest = os.path.join(tempfile.mkdtemp(prefix="cdc_export_"), "clustered")
+    rp.export_snapshot(dest, cluster_by="n_tok", n_ranges=8)
+    scan = scan_export(dest, lo=EXPORT_SCAN_LO, hi=EXPORT_SCAN_HI)
+    assert scan["ranges_scanned"] < scan["ranges_total"], "no pruning?"
+    return _scalar_state(scan["dataset"])
+
+
 def replay_datasets(
     base_ds: ray.data.Dataset, binlog_ds: ray.data.Dataset, cfg: ReplayConfig
 ) -> ray.data.Dataset:

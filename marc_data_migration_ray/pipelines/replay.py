@@ -44,6 +44,7 @@ import os
 import shutil
 import uuid
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -1321,7 +1322,9 @@ class Replayer:
         )
         return new_base
 
-    def export_snapshot(self, dest: str, up_to_epoch: int | None = None) -> dict:
+    def export_snapshot(self, dest: str, up_to_epoch: int | None = None,
+                        cluster_by: str | None = None,
+                        n_ranges: int = 8) -> dict:
         """Copy-out a consistent point-in-time snapshot of the PUBLIC table
         state (display schema, DDL applied) as hash-partitioned Parquet +
         a JSON export manifest — the hand-off artifact for a downstream
@@ -1334,7 +1337,21 @@ class Replayer:
 
         Idempotent + crash-safe: written to a tmp dir and atomically
         renamed; if ``dest`` already holds a complete export its manifest
-        is returned untouched (re-running an export job is a no-op)."""
+        is returned untouched (re-running an export job is a no-op).
+
+        ``cluster_by=<int column>`` (e.g. ``"n_tok"``) writes a
+        RANGE-CLUSTERED layout instead (OPTIMIZE ... ZORDER/CLUSTER BY
+        analog, 1-D): rows land in ``dest/range_id=<r>/`` directories by
+        value range, and ``_EXPORT.json`` records one exact zone-map entry
+        (min/max/n_rows/nulls) per range, so ``scan_export`` can skip
+        whole directories for a range predicate. Boundaries come from an
+        EXACT distributed value histogram (per-batch (value,count)
+        partials → one tiny groupby — value-cardinality-bounded, the same
+        scale argument as token_quantiles), split at N/K cumulative
+        counts; equal values never split across ranges, so zones are
+        non-overlapping by construction. NULL cluster values route to
+        range 0 with ``min=max=None`` zone semantics handled by the
+        scanner (a range predicate never matches NULL)."""
         marker = os.path.join(dest, "_EXPORT.json")
         if os.path.exists(marker):
             with open(marker) as f:
@@ -1348,16 +1365,75 @@ class Replayer:
         rows = self.read_state(up_to)
         P = self.cfg.num_partitions
 
-        def _with_part(t: pa.Table, P=P) -> pa.Table:
-            return t.append_column(
-                "part_p", hash_partition(pc.cast(t["doc_id"], pa.string()), P)
-            )
-
         tmp = dest.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
-        part = rows.map_batches(_with_part, batch_format="pyarrow",
-                                zero_copy_batch=True)
-        part.write_parquet(tmp, partition_cols=["part_p"],
-                           row_group_size=_ROW_GROUP_SIZE)
+        zones = None
+        if cluster_by is None:
+            def _with_part(t: pa.Table, P=P) -> pa.Table:
+                return t.append_column(
+                    "part_p", hash_partition(pc.cast(t["doc_id"], pa.string()), P)
+                )
+
+            part = rows.map_batches(_with_part, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+            part.write_parquet(tmp, partition_cols=["part_p"],
+                               row_group_size=_ROW_GROUP_SIZE)
+        else:
+            rows = rows.materialize()  # two consumers: histogram + route
+            col = cluster_by
+
+            def _hist(t: pa.Table, col=col) -> pa.Table:
+                g = t.select([col]).group_by(col).aggregate([([], "count_all")])
+                return pa.table({
+                    "v": pc.cast(g[col], pa.int64()),
+                    "c": pc.cast(g["count_all"], pa.int64()),
+                })
+
+            hist: dict = {}
+            n_null = 0
+            for b in rows.map_batches(
+                _hist, batch_format="pyarrow", zero_copy_batch=True
+            ).iter_batches(batch_format="pyarrow"):
+                for v, c in zip(b["v"].to_pylist(), b["c"].to_pylist()):
+                    if v is None:
+                        n_null += c
+                    else:
+                        hist[v] = hist.get(v, 0) + c
+            vals = np.array(sorted(hist), dtype=np.int64)
+            cnts = np.array([hist[v] for v in vals], dtype=np.int64)
+            cum = np.cumsum(cnts)
+            total = int(cum[-1]) if len(cum) else 0
+            k = max(1, min(n_ranges, len(vals)))
+            # boundary = first value whose cumulative count crosses i*N/k;
+            # ranges are value-aligned (equal values never split)
+            targets = (np.arange(1, k) * total) // k
+            bidx = np.unique(np.searchsorted(cum, targets, side="left"))
+            bounds = vals[bidx] if len(vals) else np.array([], np.int64)
+            edges = np.concatenate([bounds, [np.iinfo(np.int64).max]])
+            rid_of_val = np.searchsorted(bounds, vals, side="left")
+            zones = []
+            for r in range(len(edges)):
+                m = rid_of_val == r
+                zones.append({
+                    "range_id": int(r),
+                    "min": int(vals[m].min()) if m.any() else None,
+                    "max": int(vals[m].max()) if m.any() else None,
+                    "n_rows": int(cnts[m].sum()) + (n_null if r == 0 else 0),
+                    "nulls": n_null if r == 0 else 0,
+                })
+            bounds_ref = ray.put(bounds)
+
+            def _route(t: pa.Table, col=col) -> pa.Table:
+                bs = ray.get(bounds_ref)
+                v = pc.fill_null(
+                    pc.cast(t[col], pa.int64()), np.iinfo(np.int64).min
+                ).to_numpy(zero_copy_only=False)
+                rid = np.searchsorted(bs, v, side="left")
+                return t.append_column("range_id", pa.array(rid.astype(np.int32)))
+
+            rows.map_batches(
+                _route, batch_format="pyarrow", zero_copy_batch=True
+            ).write_parquet(tmp, partition_cols=["range_id"],
+                            row_group_size=_ROW_GROUP_SIZE)
         ops = self._schema_ops_up_to(up_to)
         schema, _renames, _added = self.manifest.resolve_schema(_DISPLAY_COLS, ops)
         n_rows = sum(
@@ -1372,6 +1448,9 @@ class Replayer:
             "num_partitions": P,
             "n_rows": n_rows,
         }
+        if cluster_by is not None:
+            info["cluster_by"] = cluster_by
+            info["zones"] = zones
         with open(os.path.join(tmp, "_EXPORT.json"), "w") as f:
             json.dump(info, f)
         os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
@@ -2054,3 +2133,62 @@ class Replayer:
         t = os.path.join(self.root, "_tmp")
         if os.path.isdir(t):
             shutil.rmtree(t)
+
+
+def scan_export(dest: str, lo: int | None = None, hi: int | None = None) -> dict:
+    """Zone-map-pruned scan of a range-clustered export
+    (``export_snapshot(..., cluster_by=col)``): the consumer-side data-
+    skipping read. Directories whose zone ``[min, max]`` cannot intersect
+    ``[lo, hi]`` are never opened — at 100 TB a selective range predicate
+    touches a handful of range dirs instead of the whole table. Surviving
+    files are read with the same predicate pushed down as a parquet filter
+    (row-group pruning inside files) AND applied exactly (NULL cluster
+    values never match, matching SQL comparison semantics).
+
+    Returns ``{"dataset", "cluster_by", "ranges_scanned", "ranges_total",
+    "rows_skipped"}`` — the skip counts are the no-silent-caps audit trail."""
+    with open(os.path.join(dest, "_EXPORT.json")) as f:
+        info = json.load(f)
+    if "zones" not in info:
+        raise ValueError(f"{dest} is not a range-clustered export")
+    col = info["cluster_by"]
+    keep, skipped_rows = [], 0
+    for z in info["zones"]:
+        empty = z["min"] is None  # all-NULL or empty range: never matches
+        out = empty or (lo is not None and z["max"] < lo) \
+            or (hi is not None and z["min"] > hi)
+        if out:
+            skipped_rows += z["n_rows"]
+        else:
+            keep.append(z["range_id"])
+    files = []
+    for r in keep:
+        files.extend(sorted(glob.glob(
+            os.path.join(dest, f"range_id={r}", "*.parquet"))))
+    if not files:
+        ds = ray.data.from_arrow(pa.table({col: pa.array([], pa.int64())}))
+    else:
+        import pyarrow.dataset as pads
+        from marc_data_migration_ray.sources import readers
+
+        f_expr = None
+        if lo is not None:
+            f_expr = pads.field(col) >= lo
+        if hi is not None:
+            e = pads.field(col) <= hi
+            f_expr = e if f_expr is None else (f_expr & e)
+        ds = readers.read_parquet(
+            files, **({"filter": f_expr} if f_expr is not None else {})
+        )
+        conds = [c for c, on in
+                 ((f"{col} >= {lo}", lo is not None),
+                  (f"{col} <= {hi}", hi is not None)) if on]
+        if conds:
+            ds = ds.filter(expr=" and ".join(conds))
+    return {
+        "dataset": ds,
+        "cluster_by": col,
+        "ranges_scanned": len(keep),
+        "ranges_total": len(info["zones"]),
+        "rows_skipped": skipped_rows,
+    }

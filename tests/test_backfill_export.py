@@ -128,3 +128,51 @@ def test_export_changes_roundtrip_and_idempotence(ray_session, tmp_path, fixture
     assert os.path.getmtime(os.path.join(dest, "_EXPORT.json")) == mtime
     with open(os.path.join(dest, "_EXPORT.json")) as f:
         assert json.load(f) == info
+
+
+def test_clustered_export_zone_map_pruning(ray_session, fixture_dir, tmp_path):
+    """Range-clustered export: non-overlapping exact zones; scan_export
+    skips whole range dirs and still returns exactly the rows a full-scan
+    filter would."""
+    from marc_data_migration_ray.pipelines.replay import scan_export
+
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    dest = str(tmp_path / "clustered")
+    info = rp.export_snapshot(dest, cluster_by="n_tok", n_ranges=4)
+
+    zones = info["zones"]
+    assert info["cluster_by"] == "n_tok"
+    assert sum(z["n_rows"] for z in zones) == info["n_rows"]
+    occupied = [z for z in zones if z["min"] is not None]
+    for a, b in zip(occupied, occupied[1:]):
+        assert a["max"] < b["min"]  # value-aligned, non-overlapping
+
+    state = rp.read_state().take_all()
+    med = sorted(r["n_tok"] for r in state if r["n_tok"] is not None)
+    lo, hi = med[len(med) // 3], med[2 * len(med) // 3]
+
+    scan = scan_export(dest, lo=lo, hi=hi)
+    got = sorted(
+        (r["doc_id"], r["n_tok"]) for r in scan["dataset"].take_all())
+    want = sorted(
+        (r["doc_id"], r["n_tok"]) for r in state
+        if r["n_tok"] is not None and lo <= r["n_tok"] <= hi)
+    assert got == want
+    assert scan["ranges_scanned"] < scan["ranges_total"]  # pruning bit
+    assert scan["rows_skipped"] > 0
+
+    # unbounded scan touches every range and returns the full table
+    full = scan_export(dest)
+    assert full["ranges_scanned"] == full["ranges_total"]
+    assert full["dataset"].count() == len(state)
+
+    # a predicate beyond the max value scans nothing
+    top = max(z["max"] for z in occupied)
+    none = scan_export(dest, lo=top + 1)
+    assert none["ranges_scanned"] == 0
+    assert none["dataset"].count() == 0
+
+    # idempotence: re-export returns the recorded manifest untouched
+    again = rp.export_snapshot(dest, cluster_by="n_tok", n_ranges=4)
+    assert again == info

@@ -256,7 +256,7 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
     def _rows(t: pa.Table, suffix: str) -> "pl.DataFrame":
         r = t.filter(pc.equal(t["_kind"], "row"))
         cols = ["doc_id", "last_lsn"] + [
-            c for c in ("n_tok", "source") if c in r.column_names
+            c for c in ("n_tok", "source", "status") if c in r.column_names
         ]
         df = pl.from_arrow(r.select(cols))
         return df.rename({c: f"{c}{suffix}" for c in cols if c != "doc_id"})
@@ -286,8 +286,10 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
         pl.col("last_lsn_after").cast(pl.Int64),
         pl.col("n_tok_before").cast(pl.Int64),
         pl.col("source_before").cast(pl.Utf8),
+        pl.col("status_before").cast(pl.Utf8),
         pl.col("n_tok_after").cast(pl.Int64),
         pl.col("source_after").cast(pl.Utf8),
+        pl.col("status_after").cast(pl.Utf8),
     ).to_arrow()
     return out.cast(
         pa.schema(
@@ -298,8 +300,10 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
                 ("last_lsn_after", pa.int64()),
                 ("n_tok_before", pa.int64()),
                 ("source_before", pa.string()),
+                ("status_before", pa.string()),
                 ("n_tok_after", pa.int64()),
                 ("source_after", pa.string()),
+                ("status_after", pa.string()),
             ]
         )
     )

@@ -165,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue": tpch.monthly_revenue,
         # stream-shaped ops over events (windows / sessions / distincts)
         "user_daily_value": events.user_daily_value,
+        "late_event_counts": events.late_event_counts,
         "session_count": events.session_count,
         "event_type_users": events.event_type_users,
         "event_type_users_sketch": lambda sf: events.event_type_users_sketch(sf),
@@ -812,6 +813,7 @@ ORDER BY op, route, status
             "FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1 ORDER BY 1"
         ),
+        "late_event_counts": _events_mod.late_event_counts_sql(),
         "user_daily_value": (
             "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "

@@ -837,3 +837,93 @@ def event_dedup_window_sql() -> str:
         "CAST(count(*) - 1 AS BIGINT) AS n_dropped "
         "FROM events GROUP BY 1, 2, 3"
     )
+
+
+# ------------------------------------------- watermark / late data --------
+
+WM_DELAY_US = 30 * 60 * 1_000_000    # allowed lateness: 30 min
+WM_WINDOW_US = 3600 * 1_000_000      # 1 h tumbling event-time windows
+_WM_CHUNK = 256                      # event_ids per stream chunk (small enough that even sf0.001 exercises the cross-chunk prefix)
+_WM_NEG_INF = -(1 << 62)             # "no watermark yet" sentinel
+
+
+def late_event_counts(sf_dir: str) -> ray.data.Dataset:
+    """Event-time windows with a watermark (the streaming-engine late-data
+    classifier, Flink/Beam semantics): replaying the binlog-ordered event
+    stream, the watermark after event *i* is ``max(ts[0..i-1]) - DELAY``;
+    an event whose ts lies below it is LATE. Output: per (1-h tumbling
+    window, late-flag) counts.
+
+    The running prefix-max is the only sequential part, and it
+    distributes exactly like ``corpus_shuffle``'s rank: contiguous
+    ``event_id`` chunks → per-chunk max ts (tiny) → driver exclusive
+    prefix-max (one int per chunk) → per-chunk vectorized
+    ``maximum.accumulate`` seeded with the chunk's offset. One shuffle of
+    (event_id, ts) pairs; windows aggregate as bounded partials."""
+    import numpy as np
+
+    def _key(t: pa.Table) -> pa.Table:
+        tu = pc.cast(t["ts"], pa.int64())
+        eid = pc.cast(t["event_id"], pa.int64())
+        return pa.table({
+            "event_id": eid,
+            "tu": tu,
+            "bucket": pc.cast(
+                pc.divide(eid, pa.scalar(_WM_CHUNK, pa.int64())), pa.int64()
+            ),
+        })
+
+    ds = _events(sf_dir, ["event_id", "ts"]).map_batches(
+        _key, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()  # two consumers: per-chunk maxima + the flag pass
+
+    maxima: dict = {}
+    for b in ds.groupby("bucket").max("tu").iter_batches(batch_format="pyarrow"):
+        for k, v in zip(b["bucket"].to_pylist(), b["max(tu)"].to_pylist()):
+            maxima[k] = v
+    offsets, acc = {}, _WM_NEG_INF
+    for k in sorted(maxima):
+        offsets[k] = acc                       # exclusive prefix max
+        acc = max(acc, maxima[k])
+    off_ref = ray.put(offsets)
+
+    def _flag(df):
+        df = df.sort_values("event_id")
+        tu = df["tu"].to_numpy()
+        run = np.maximum.accumulate(tu)
+        wm = np.empty_like(run)
+        wm[0] = ray.get(off_ref)[int(df["bucket"].iloc[0])]
+        wm[1:] = run[:-1]
+        np.maximum(wm, wm[0], out=wm)          # fold in the chunk offset
+        late = (wm != _WM_NEG_INF) & (tu < wm - WM_DELAY_US)
+        out = (
+            df.assign(win=tu // WM_WINDOW_US, late=late)
+            .groupby(["win", "late"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        return out
+
+    partials = ds.groupby("bucket").map_groups(_flag, batch_format="pandas")
+    final = partials.groupby(["win", "late"]).aggregate(Sum("n", alias_name="n"))
+    t = pa.concat_tables(final.iter_batches(batch_format="pyarrow"))
+    t = pa.table({
+        "win": pc.cast(t["win"], pa.int64()),
+        "late": pc.cast(t["late"], pa.bool_()),
+        "n": pc.cast(t["n"], pa.int64()),
+    })
+    return ray.data.from_arrow(
+        t.sort_by([("win", "ascending"), ("late", "ascending")])
+    )
+
+
+def late_event_counts_sql() -> str:
+    return (
+        f"WITH w AS (SELECT epoch_us(ts) AS tu, event_id FROM events), "
+        f"m AS (SELECT tu, max(tu) OVER (ORDER BY event_id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm FROM w) "
+        f"SELECT CAST(tu // {WM_WINDOW_US} AS BIGINT) AS win, "
+        f"COALESCE(tu < wm - {WM_DELAY_US}, FALSE) AS late, "
+        f"CAST(count(*) AS BIGINT) AS n "
+        f"FROM m GROUP BY 1, 2 ORDER BY 1, 2"
+    )

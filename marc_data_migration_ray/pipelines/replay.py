@@ -603,8 +603,19 @@ class Replayer:
     def apply_epoch(self, epoch: int, binlog_path: str | list[str]) -> dict:
         """Parse+gate+route one binlog epoch and commit it. Idempotent:
         re-applying a committed epoch returns the stored entry untouched."""
+        return self.finalize_epoch(self.prepare_epoch(epoch, binlog_path))
+
+    def prepare_epoch(self, epoch: int, binlog_path: str | list[str]) -> dict:
+        """Phase 1 of the commit: stage the epoch's partitioned delta dir
+        and compute its commit entry WITHOUT touching the manifest. The
+        staged data is invisible to every reader (reads are manifest-
+        driven) until ``finalize_epoch``. Used directly by the multi-table
+        transaction coordinator (state/txn.py); ``apply_epoch`` is
+        prepare+finalize fused. The LSN-monotone fence fires here — fail
+        before any commit decision, not after."""
         if self.manifest.is_committed(epoch):
-            return self.manifest.epoch_entry(epoch)
+            return {"epoch": epoch, "entry": self.manifest.epoch_entry(epoch),
+                    "already": True}
 
         final_dir = os.path.join(self.root, "deltas", f"epoch={epoch}")
         if final_dir in self.manifest.rollback_pending():
@@ -623,12 +634,10 @@ class Replayer:
                 for p in paths
             )
             if not has_files:
+                # empty epoch: nothing staged, entry commits at finalize
                 entry = {"rows": 0, "processed": 0, "routes": {}, "max_lsn": -1,
                          "dir": None, "_schema_ops": []}
-                self.manifest.commit_epoch(
-                    epoch, entry, schema_ops=entry.pop("_schema_ops")
-                )
-                return entry
+                return {"epoch": epoch, "entry": entry, "already": False}
             tmp_dir = os.path.join(self.root, "_tmp", f"epoch-{epoch}-{uuid.uuid4().hex[:8]}")
             ds = ray.data.read_parquet(
                 binlog_path,
@@ -699,7 +708,20 @@ class Replayer:
                 f"folded into the base snapshot and cannot participate in "
                 f"LWW ordering (SEMANTICS: late events / LSN monotonicity)"
             )
-        self.manifest.commit_epoch(epoch, entry, schema_ops=entry.pop("_schema_ops"))
+        return {"epoch": epoch, "entry": entry, "already": False}
+
+    def finalize_epoch(self, prepared: dict) -> dict:
+        """Phase 2: commit a prepared epoch to the manifest (idempotent
+        CAS — safe to replay during transaction roll-forward) and run
+        auto-maintenance. ``prepared`` round-trips through JSON (the txn
+        intent file), so it must stay JSON-plain."""
+        entry = dict(prepared["entry"])
+        if prepared.get("already"):
+            return entry
+        epoch = prepared["epoch"]
+        self.manifest.commit_epoch(
+            epoch, entry, schema_ops=entry.pop("_schema_ops", [])
+        )
         if self.cfg.auto_segment_epochs > 0:
             self._maybe_auto_segment()
         if self.cfg.auto_compact_epochs > 0:

@@ -710,6 +710,35 @@ class Replayer:
             )
         return {"epoch": epoch, "entry": entry, "already": False}
 
+    def apply_epoch_audited(self, epoch: int, binlog_path, audit) -> dict:
+        """Write-audit-publish (Iceberg WAP / Delta staging pattern):
+        stage the epoch, run ``audit(staged_dataset, entry)`` over the
+        parsed+routed rows while they are still INVISIBLE to readers,
+        and only then commit. ``audit`` raises (or returns False) to veto
+        — the staging is discarded and nothing is published. Typical
+        audits: deadletter-rate ceilings, constraint-violation budgets,
+        row-count reconciliation against the upstream extract."""
+        prep = self.prepare_epoch(epoch, binlog_path)
+        if prep.get("already"):
+            return dict(prep["entry"])
+        entry = prep["entry"]
+        d = entry.get("dir")
+        files = sorted(glob.glob(os.path.join(d, "**", "*.parquet"),
+                                 recursive=True)) if d else []
+        staged = ray.data.read_parquet(files) if files \
+            else ray.data.from_arrow(PARSED_SCHEMA.empty_table())
+        try:
+            ok = audit(staged, dict(entry))
+        except Exception:
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+            raise
+        if ok is False:
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+            raise ValueError(f"epoch {epoch}: audit vetoed the publish")
+        return self.finalize_epoch(prep)
+
     def finalize_epoch(self, prepared: dict) -> dict:
         """Phase 2: commit a prepared epoch to the manifest (idempotent
         CAS — safe to replay during transaction roll-forward) and run

@@ -186,3 +186,42 @@ def test_txn_state_matches_oracle(ray_session, fixture_dir, tmp_path):
         assert x["doc_id"] == y["doc_id"]
         assert (list(x["tokens"]) if x["tokens"] is not None else None) == \
             (list(y["tokens"]) if y["tokens"] is not None else None)
+
+
+def test_write_audit_publish(ray_session, fixture_dir, tmp_path):
+    """WAP: the audit sees staged-but-invisible data; a veto discards the
+    staging, a pass publishes exactly what a plain apply would."""
+    (a,) = _tables(tmp_path, fixture_dir, names=("wap",))
+
+    seen = {}
+
+    def _too_strict(staged, entry):
+        seen["rows"] = staged.count()
+        seen["entry_rows"] = entry["rows"]
+        return False  # veto
+
+    with pytest.raises(ValueError, match="audit vetoed"):
+        a.apply_epoch_audited(0, _binlog(fixture_dir, 0), _too_strict)
+    assert seen["rows"] == seen["entry_rows"] > 0
+    assert not a.manifest.is_committed(0)
+    assert not os.path.isdir(os.path.join(a.root, "deltas", "epoch=0"))
+
+    def _deadletter_budget(staged, entry):
+        bad = staged.filter(expr="route == 'deadletter'").count()
+        return bad <= entry["processed"] * 0.05
+
+    got = a.apply_epoch_audited(0, _binlog(fixture_dir, 0), _deadletter_budget)
+    assert a.manifest.is_committed(0)
+
+    ref = Replayer(str(tmp_path / "wap_ref"), ReplayConfig(num_partitions=4),
+                   base_path=os.path.join(fixture_dir, "base"))
+    ref.apply_epoch(0, _binlog(fixture_dir, 0))
+    assert _state(a) == _state(ref)
+    assert got["routes"] == ref.manifest.epoch_entry(0)["routes"]
+
+    # idempotent on an already-committed epoch (audit not consulted)
+    again = a.apply_epoch_audited(
+        0, _binlog(fixture_dir, 0),
+        lambda *_: (_ for _ in ()).throw(AssertionError("must not run")),
+    )
+    assert again["routes"] == got["routes"]

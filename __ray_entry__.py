@@ -123,6 +123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boolean_search": index.boolean_search,
         "inverted_postings": index.inverted_postings,
         "bm25_topk": index.bm25_topk,
+        "rrf_fusion": index.rrf_fusion,
         # deterministic corpus plumbing: reproducible split + data mixing
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
@@ -166,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped ops over events (windows / sessions / distincts)
         "user_daily_value": events.user_daily_value,
         "late_event_counts": events.late_event_counts,
+        "user_top_event": events.user_top_event,
         "session_count": events.session_count,
         "event_type_users": events.event_type_users,
         "event_type_users_sketch": lambda sf: events.event_type_users_sketch(sf),
@@ -530,6 +532,7 @@ def oracle_sql() -> dict[str, str]:
         "boolean_search": _index.boolean_search_sql(),
         "inverted_postings": _index.inverted_postings_sql(),
         "bm25_topk": _index.bm25_topk_sql(),
+        "rrf_fusion": _index.rrf_fusion_sql(),
         # fixed-centroid cosine assignment; and the full distributed
         # k-means — the oracle UNROLLS the same Lloyd iterations as CTEs
         "embedding_assign": _clustering.embedding_assign_sql(),
@@ -814,6 +817,7 @@ ORDER BY op, route, status
             "GROUP BY 1 ORDER BY 1"
         ),
         "late_event_counts": _events_mod.late_event_counts_sql(),
+        "user_top_event": _events_mod.user_top_event_sql(),
         "user_daily_value": (
             "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "

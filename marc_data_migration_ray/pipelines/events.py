@@ -927,3 +927,59 @@ def late_event_counts_sql() -> str:
         f"CAST(count(*) AS BIGINT) AS n "
         f"FROM m GROUP BY 1, 2 ORDER BY 1, 2"
     )
+
+
+def user_top_event(sf_dir: str) -> ray.data.Dataset:
+    """Grouped argmax / mode: each user's most frequent event type —
+    (user_id, event_type, n). Ties break to the lexicographically
+    smallest type, mirroring the SQL oracle's ORDER BY.
+
+    Shape: per-batch (user, type) partial counts (the combiner — a batch
+    reduces to ≤ users×types rows) → one ``groupby(user_id)`` shuffle of
+    those partials → vectorized per-bucket finish (polars sum + sort +
+    group-first; no per-user Python). The type enum is bounded, so the
+    shuffle moves O(users) tiny rows, never raw events."""
+    import polars as pl
+
+    ds = _events(sf_dir, ["user_id", "event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["user_id", "event_type"]).aggregate([([], "count_all")])
+        return pa.table({
+            "user_id": pc.cast(g["user_id"], pa.int64()),
+            "event_type": g["event_type"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+        })
+
+    def _argmax(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .group_by(["user_id", "event_type"])
+            .agg(pl.col("n").sum())
+            .sort(["user_id", "n", "event_type"],
+                  descending=[False, True, False])
+            .group_by("user_id", maintain_order=True)
+            .first()
+        )
+        a = df.to_arrow()
+        return pa.table({
+            "user_id": pc.cast(a["user_id"], pa.int64()),
+            "event_type": pc.cast(a["event_type"], pa.string()),
+            "n": pc.cast(a["n"], pa.int64()),
+        })
+
+    return (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("user_id")
+        .map_groups(_argmax, batch_format="pyarrow")
+    )
+
+
+def user_top_event_sql() -> str:
+    return (
+        "WITH c AS (SELECT user_id, event_type, "
+        "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY n DESC, event_type) AS rn FROM c) "
+        "SELECT user_id, event_type, n FROM r WHERE rn = 1"
+    )

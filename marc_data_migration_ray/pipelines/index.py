@@ -305,3 +305,64 @@ def inverted_postings_sql(terms: tuple[str, ...] = INDEX_TERMS) -> str:
         "CAST(count(*) OVER (PARTITION BY term) AS BIGINT) AS df "
         f"FROM pairs WHERE term IN ({tlist})"
     )
+
+
+RRF_C = 60     # Cormack et al. 2009 constant (shared with the SQL oracle)
+RRF_K = 20     # depth of each source ranking
+
+
+def rrf_fusion(sf_dir: str, k: int = RRF_K, c: int = RRF_C) -> pa.Table:
+    """Hybrid retrieval: BM25 lexical ranking fused with dense cosine
+    ranking by Reciprocal Rank Fusion — score(d) = 1/(c+r_bm25) +
+    1/(c+r_cos), a missing rank contributing 0. The union of the two
+    top-k lists, ordered by fused score.
+
+    The heavy work is the two DISTRIBUTED scans inside the source
+    retrievers (bm25_topk: two shuffle-free streaming passes; ann_topk:
+    broadcast-query matmul + local top-k); the fusion itself touches
+    ≤ 2k rows on the driver. Both 1/(c+r) terms are exact divisions of
+    small ints added in a fixed order, so the double is bit-identical to
+    the SQL oracle's same expression."""
+    from marc_data_migration_ray.pipelines.similarity import ann_topk
+
+    bm = bm25_topk(sf_dir, k=k)                      # sorted desc already
+    ann = ann_topk(sf_dir, query_ids=(0,), k=k)      # (query_id, rank, vec_id)
+    bm_rank = {d: i + 1 for i, d in enumerate(bm["doc_id"].to_pylist())}
+    cos_rank = dict(zip(ann["vec_id"].to_pylist(), ann["rank"].to_pylist()))
+    rows = []
+    for d in sorted(set(bm_rank) | set(cos_rank)):
+        rb, rc = bm_rank.get(d), cos_rank.get(d)
+        s = (1.0 / (c + rb) if rb else 0.0) + (1.0 / (c + rc) if rc else 0.0)
+        rows.append((d, rb, rc, s))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+    return pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "bm25_rank": pa.array([r[1] for r in rows], pa.int64()),
+        "cos_rank": pa.array([r[2] for r in rows], pa.int64()),
+        "rrf": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
+def rrf_fusion_sql(k: int = RRF_K, c: int = RRF_C) -> str:
+    return f"""
+WITH bm AS (
+  SELECT doc_id, CAST(row_number() OVER (ORDER BY score_e9 DESC, doc_id)
+                 AS BIGINT) AS bm25_rank
+  FROM ({bm25_topk_sql(k=k)})
+),
+co AS (
+  SELECT vec_id AS doc_id, CAST(rn AS BIGINT) AS cos_rank
+  FROM (SELECT e.vec_id,
+               row_number() OVER (ORDER BY list_cosine_similarity(
+                 CAST(e.embedding AS DOUBLE[]),
+                 CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
+                      AS DOUBLE[])) DESC, e.vec_id) AS rn
+        FROM embeddings e WHERE e.vec_id <> 0)
+  WHERE rn <= {k}
+)
+SELECT doc_id, bm25_rank, cos_rank,
+       COALESCE(1.0 / ({c} + bm25_rank), 0.0)
+         + COALESCE(1.0 / ({c} + cos_rank), 0.0) AS rrf
+FROM bm FULL OUTER JOIN co USING (doc_id)
+ORDER BY rrf DESC, doc_id
+"""

@@ -1231,12 +1231,20 @@ class Replayer:
     # ------------------------------------------------------------------ #
     # compaction (LSM merge)
     # ------------------------------------------------------------------ #
-    def compact(self, up_to_epoch: int | None = None) -> str:
+    def compact(self, up_to_epoch: int | None = None,
+                respect_tags: bool = False) -> str:
         """Fold base ∪ deltas into a new bucketized base snapshot; advance
-        the per-partition local-id allocator offsets."""
+        the per-partition local-id allocator offsets.
+
+        ``respect_tags=True`` turns tags into retention pins for THIS call:
+        the compaction ceiling is capped at the oldest tagged epoch, so
+        every tag stays readable (otherwise a tag below the new floor
+        raises on read and fsck flags it)."""
         up_to = up_to_epoch if up_to_epoch is not None else (
             self.manifest.committed_epochs()[-1] if self.manifest.committed_epochs() else -1
         )
+        if respect_tags and self.manifest.tags():
+            up_to = min(up_to, min(self.manifest.tags().values()))
         out = self.fold_output(up_to)
         new_base = os.path.join(self.root, f"base-compact-{uuid.uuid4().hex[:8]}")
         tmp = new_base + ".tmp"
@@ -1927,6 +1935,25 @@ class Replayer:
             checks += 1
             if os.path.exists(d):
                 problems.append(f"rollback_pending leftover on disk: {d}")
+        # tags must point at readable epochs (committed AND at/above the
+        # compaction floor — a floor-passed tag raises on read)
+        for name, e in self.manifest.tags().items():
+            checks += 1
+            if not self.manifest.is_committed(e):
+                problems.append(f"tag {name!r}: epoch {e} not committed")
+            elif e < floor:
+                problems.append(
+                    f"tag {name!r}: epoch {e} below compaction floor {floor} "
+                    f"(unreadable; delete the tag or restore from export)")
+        # in-doubt transaction intents (state/txn.py): staged-but-undecided
+        # work holding disk — resolve with MultiTableTxn.recover
+        idir = os.path.join(self.root, "_txn")
+        if os.path.isdir(idir):
+            for fn in sorted(os.listdir(idir)):
+                if fn.endswith(".json"):
+                    checks += 1
+                    problems.append(f"in-doubt txn intent: {fn} "
+                                    f"(run MultiTableTxn.recover)")
         return {"ok": not problems, "checks": checks, "problems": problems}
 
     def rollback(self, to_epoch: int) -> dict:

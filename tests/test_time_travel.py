@@ -150,3 +150,34 @@ def test_rollback_drops_dangling_tags(ray_session, fixture_dir, tmp_path):
     rp.tag("gone", epoch=2)
     rp.rollback(to_epoch=0)
     assert rp.tags() == {"keep": 0}
+
+
+def test_respect_tags_compaction_and_fsck(ray_session, fixture_dir, tmp_path):
+    """compact(respect_tags=True) never passes a tag; fsck flags a tag
+    stranded below the floor and in-doubt txn intents."""
+    cfg = ReplayConfig(num_partitions=8)
+    root = str(tmp_path / "pin")
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    for e in range(N_EPOCHS):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    rp.tag("pin", epoch=1)
+
+    rp.compact(respect_tags=True)          # capped at epoch 1
+    assert rp.manifest.last_compacted_epoch() == 1
+    assert rp.read_state(tag="pin").count() > 0   # still readable
+    assert rp.fsck()["ok"]
+
+    rp.compact()                            # default: tags are NOT pins
+    assert rp.manifest.last_compacted_epoch() == N_EPOCHS - 1
+    bad = rp.fsck()
+    assert not bad["ok"]
+    assert any("tag 'pin'" in p for p in bad["problems"])
+    rp.delete_tag("pin")
+    assert rp.fsck()["ok"]
+
+    # an in-doubt txn intent is surfaced too
+    os.makedirs(os.path.join(root, "_txn"), exist_ok=True)
+    with open(os.path.join(root, "_txn", "abc.json"), "w") as f:
+        f.write("{}")
+    probs = rp.fsck()["problems"]
+    assert any("in-doubt txn intent" in p for p in probs)

@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_value": events.user_daily_value,
         "late_event_counts": events.late_event_counts,
         "user_top_event": events.user_top_event,
+        "user_value_trailing_1h": events.user_value_trailing_1h,
         "session_count": events.session_count,
         "event_type_users": events.event_type_users,
         "event_type_users_sketch": lambda sf: events.event_type_users_sketch(sf),
@@ -818,6 +819,7 @@ ORDER BY op, route, status
         ),
         "late_event_counts": _events_mod.late_event_counts_sql(),
         "user_top_event": _events_mod.user_top_event_sql(),
+        "user_value_trailing_1h": _events_mod.user_value_trailing_1h_sql(),
         "user_daily_value": (
             "SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, "
             "CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents, "

@@ -983,3 +983,72 @@ def user_top_event_sql() -> str:
         "ORDER BY n DESC, event_type) AS rn FROM c) "
         "SELECT user_id, event_type, n FROM r WHERE rn = 1"
     )
+
+
+TRAIL_WINDOW_US = 3600 * 1_000_000    # RANGE frame: 1 h preceding
+_TRAIL_PACK_BITS = 44                 # packed (user_idx, rel_ts) sort key
+
+
+def user_value_trailing_1h(sf_dir: str) -> ray.data.Dataset:
+    """Per-key RANGE-frame (time-based) window aggregate: for every event,
+    the sum of the same user's value over the trailing hour —
+    ``SUM(cents) OVER (PARTITION BY user ORDER BY ts RANGE BETWEEN
+    INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)``. Complements
+    ``user_value_moving_avg`` (ROWS frame): a RANGE frame is bounded by
+    VALUE distance, includes all ts peers (even later-arriving ones), and
+    its width in rows is data-dependent.
+
+    Shape: one shuffle into coarse user buckets; inside a bucket the
+    frame bounds come from TWO vectorized ``searchsorted`` calls on a
+    packed ``user_idx·2^44 + rel_ts`` key (the interval-join trick —
+    user segments can't bleed into each other because rel_ts spans are
+    far below 2^44), and the sum is a prefix-sum difference. No per-user
+    Python, no polars rolling closed-boundary ambiguity: [t-1h, t] with
+    BOTH boundaries included and full peer groups, exactly SQL RANGE."""
+    import numpy as np
+
+    ds = _events(sf_dir, ["event_id", "user_id", "ts", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "tu": pc.cast(t["ts"], pa.int64()),
+            "cents": pc.cast(
+                pc.round(pc.multiply(t["value"], 100.0),
+                         round_mode="half_towards_infinity"), pa.int64()),
+            "bucket": mod_bucket(t["user_id"], SESSION_BUCKETS),
+        })
+
+    def _frame(df):
+        df = df.sort_values(["user_id", "tu", "event_id"])
+        uid = df["user_id"].to_numpy()
+        tu = df["tu"].to_numpy()
+        cents = df["cents"].to_numpy()
+        uidx = np.cumsum(np.r_[0, uid[1:] != uid[:-1]]).astype(np.int64)
+        rel = tu - tu.min()
+        assert rel.max() < (1 << _TRAIL_PACK_BITS)
+        key = (uidx << _TRAIL_PACK_BITS) + rel
+        lo = np.searchsorted(key, (uidx << _TRAIL_PACK_BITS)
+                             + np.maximum(rel - TRAIL_WINDOW_US, 0), "left")
+        hi = np.searchsorted(key, key, "right")   # full ts peer group
+        P = np.r_[0, np.cumsum(cents)]
+        return df.assign(trailing_cents=P[hi] - P[lo]).drop(
+            columns=["bucket", "tu", "cents"])
+
+    return (
+        ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_frame, batch_format="pandas")
+    )
+
+
+def user_value_trailing_1h_sql() -> str:
+    return (
+        "SELECT event_id, user_id, "
+        "CAST(SUM(CAST(round(value * 100) AS BIGINT)) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) "
+        "AS BIGINT) AS trailing_cents "
+        "FROM events"
+    )

@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_constraint_counts": derived.cdc_constraint_counts,
         "cdc_constraint_state": derived.cdc_constraint_state,
         "export_scan_prune": derived.export_scan_prune,
+        "cdc_versions": derived.cdc_versions,
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
         "cdc_merge_state": lambda sf: derived.cdc_merge_state(sf),
@@ -645,6 +646,47 @@ FROM src m LEFT JOIN state st ON m.doc_id = st.doc_id
         "export_scan_prune": (
             f"SELECT * FROM ({_CDC_STATE}) WHERE n_tok BETWEEN 30 AND 80"
         ),
+        # SCD-2 version timeline: anchor chain via IGNORE-NULLS window,
+        # boundaries LEAD-closed; the live version has to_lsn NULL
+        "cdc_versions": f"""
+WITH {_BINLOG},
+gated AS (
+  SELECT doc_id, lsn, op, n_tok_new, source_new FROM binlog
+  WHERE op IN ('insert', 'delete')
+     OR (op = 'update' AND (score = 100 OR score >= 50))
+),
+ev AS (
+  SELECT * FROM gated
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), CAST(-1 AS BIGINT), 'base',
+         CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT), source
+  FROM documents
+),
+a AS (
+  SELECT *,
+         last_value(CASE WHEN op IN ('insert', 'delete') THEN op END
+                    IGNORE NULLS)
+           OVER (PARTITION BY doc_id ORDER BY lsn
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_anchor,
+         bool_or(op = 'base') OVER (PARTITION BY doc_id) AS has_base
+  FROM ev
+),
+app AS (
+  SELECT * FROM a
+  WHERE op IN ('insert', 'delete', 'base')
+     OR (op = 'update' AND (prev_anchor = 'insert'
+                            OR (prev_anchor IS NULL AND has_base)))
+),
+v AS (
+  SELECT doc_id, lsn AS from_lsn,
+         lead(lsn) OVER (PARTITION BY doc_id ORDER BY lsn) AS to_lsn,
+         op, n_tok_new, source_new
+  FROM app
+)
+SELECT doc_id, from_lsn, to_lsn, n_tok_new AS n_tok, source_new AS source
+FROM v WHERE op <> 'delete'
+""",
         # the fuzzy_001_test gate over noisy-prefixed keys: doc % 3 picks
         # the raw form (0 → 'ocm'+k, 1 → '(OCoLC)'+k, 2 → bare), so
         # prefixed ⇔ doc % 3 IN (0, 1) — identical arithmetic engine-side

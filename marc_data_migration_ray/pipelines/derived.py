@@ -206,6 +206,74 @@ def cdc_constraint_state(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def cdc_versions(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Dataset:
+    """Row-version history (SCD-2 timeline) straight from the binlog:
+    one row per VISIBLE version of each key — (doc_id, from_lsn, to_lsn,
+    n_tok, source), to_lsn NULL for the live version. The base row is the
+    [-1, first-boundary) version; every applying insert/update opens a
+    version; deletes and skipped-after-delete updates close/create none —
+    the same anchor semantics the fold implements, so
+    ``read_state(up_to_lsn=L)`` == the version row with
+    ``from_lsn <= L < to_lsn`` (pytest-asserted).
+
+    Shape: gate-passed events + base rows shuffle ONCE by part_id, then
+    one vectorized polars pass per partition (anchor chain =
+    shift+forward_fill over key, boundaries filtered, to_lsn = shifted
+    lead) — no per-key Python, versions never leave their partition."""
+    import polars as pl
+
+    cfg = cfg or ReplayConfig(num_partitions=16)
+    base = build_base_ds(sf_dir).map_batches(
+        PrepBase, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+    )
+    ev = build_binlog_ds(sf_dir).map_batches(
+        ParseRoute, fn_constructor_args=(cfg,), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+    ).filter(expr="route == 'applied' or route == 'fuzzy'")
+
+    def _versions(g: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(g.select(["key", "lsn", "op", "n_tok", "source"]))
+            .sort(["key", "lsn"])
+            .with_columns(
+                m=pl.when(pl.col("op").is_in(["insert", "delete"]))
+                .then(pl.col("op")).otherwise(None)
+            )
+            .with_columns(
+                prev_anchor=pl.col("m").shift(1).forward_fill().over("key"),
+                has_base=(pl.col("op") == "base").any().over("key"),
+            )
+        )
+        app = df.filter(
+            pl.col("op").is_in(["insert", "delete", "base"])
+            | (
+                (pl.col("op") == "update")
+                & (
+                    (pl.col("prev_anchor") == "insert")
+                    | (pl.col("prev_anchor").is_null() & pl.col("has_base"))
+                )
+            )
+        )
+        v = app.with_columns(
+            to_lsn=pl.col("lsn").shift(-1).over("key")
+        ).filter(pl.col("op") != "delete")
+        a = v.to_arrow()
+        return pa.table({
+            "doc_id": pc.cast(a["key"], pa.string()),
+            "from_lsn": pc.cast(a["lsn"], pa.int64()),
+            "to_lsn": pc.cast(a["to_lsn"], pa.int64()),
+            "n_tok": pc.cast(a["n_tok"], pa.int64()),
+            "source": pc.cast(a["source"], pa.string()),
+        })
+
+    return (
+        base.union(ev)
+        .groupby("part_id", num_partitions=cfg.num_partitions)
+        .map_groups(_versions, batch_format="pyarrow")
+    )
+
+
 #: zone-map scan predicate (shared with the SQL oracle's BETWEEN)
 EXPORT_SCAN_LO, EXPORT_SCAN_HI = 30, 80
 

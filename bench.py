@@ -154,6 +154,10 @@ def run_queries(sf_dir: str) -> dict:
         "audio_frame_features",
         # fifth-session ops
         "bm25_topk", "dsir_weights",
+        # seventh-session ops
+        "cdc_constraint_counts", "cdc_versions", "distinct_orders_kmv",
+        "late_event_counts", "user_top_event", "user_value_trailing_1h",
+        "rrf_fusion",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -213,6 +213,27 @@ def main(argv=None) -> int:
     ex.add_argument("--n-ranges", type=int, default=8, dest="n_ranges")
     _add_cfg_args(ex)
 
+    tx = sub.add_parser(
+        "txn",
+        help="atomically apply one epoch to EACH of several tables "
+             "(2PC: all become visible or none; state/txn.py)",
+    )
+    tx.add_argument("--txn-root", required=True, dest="txn_root")
+    tx.add_argument("--part", nargs=3, action="append", required=True,
+                    metavar=("TABLE", "EPOCH", "BINLOG"),
+                    help="repeatable: one (table root, epoch, binlog dir) leg")
+    _add_cfg_args(tx)
+
+    txr = sub.add_parser(
+        "txn-recover",
+        help="resolve in-doubt transactions: roll decided ones forward, "
+             "discard undecided staging",
+    )
+    txr.add_argument("--txn-root", required=True, dest="txn_root")
+    txr.add_argument("--table", action="append", required=True,
+                     dest="tables", help="repeatable")
+    _add_cfg_args(txr)
+
     sx = sub.add_parser(
         "scan-export",
         help="zone-map-pruned scan of a range-clustered export "
@@ -289,6 +310,12 @@ def main(argv=None) -> int:
     fo.add_argument("--view-root", default=None, dest="view_root",
                     help="keep the source-counts materialized view fresh: "
                          "incremental refresh after every applied epoch")
+    fo.add_argument("--max-deadletter-rate", type=float, default=None,
+                    dest="max_dl_rate",
+                    help="write-audit-publish gate: veto (and stop) when an "
+                         "epoch's deadletter share of processed events "
+                         "exceeds this rate — bad upstream extracts never "
+                         "become visible")
     _add_cfg_args(fo)
 
     ch = sub.add_parser(
@@ -478,6 +505,24 @@ def main(argv=None) -> int:
                 print(json.dumps({"routes": counts, "processed": sum(counts.values())}))
             return 0
 
+        if args.cmd in ("txn", "txn-recover"):
+            from marc_data_migration_ray.pipelines.replay import Replayer
+            from marc_data_migration_ray.state.txn import MultiTableTxn
+
+            txn = MultiTableTxn(args.txn_root)
+            cfg = _cfg_from_args(args)
+            if args.cmd == "txn":
+                parts = [(Replayer(t, cfg), int(e), b)
+                         for t, e, b in args.part]
+                res = txn.commit(parts)
+                print(json.dumps({"txn_id": res["txn_id"], "entries": {
+                    r: {k: v for k, v in e.items() if k != "dir"}
+                    for r, e in res["entries"].items()}}))
+            else:
+                res = txn.recover([Replayer(t, cfg) for t in args.tables])
+                print(json.dumps(res))
+            return 0
+
         if args.cmd == "scan-export":
             from marc_data_migration_ray.pipelines.replay import scan_export
 
@@ -591,7 +636,22 @@ def main(argv=None) -> int:
                     args.marker is None or os.path.exists(os.path.join(d, args.marker))
                 )
                 if ready:
-                    entry = rp.apply_epoch(e, d)
+                    if args.max_dl_rate is not None:
+                        rate = args.max_dl_rate
+
+                        def _audit(staged, entry, rate=rate):
+                            bad = staged.filter(
+                                expr="route == 'deadletter'").count()
+                            return bad <= entry["processed"] * rate
+
+                        try:
+                            entry = rp.apply_epoch_audited(e, d, _audit)
+                        except ValueError as err:
+                            print(json.dumps({"vetoed_epoch": e,
+                                              "reason": str(err)}), flush=True)
+                            break
+                    else:
+                        entry = rp.apply_epoch(e, d)
                     applied.append(e)
                     line = {"applied_epoch": e, "rows": entry["rows"],
                             "routes": entry["routes"]}

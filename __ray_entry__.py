@@ -129,6 +129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split": sampling.dataset_split,
         "source_mix_sample": sampling.source_mix_sample,
         "stratified_sample": sampling.stratified_sample,
+        "weighted_sample": sampling.weighted_sample,
         "dsir_weights": sampling.dsir_weights,
         "range_partition": sampling.range_partition,
         "token_quantiles": sampling.token_quantiles,
@@ -547,6 +548,7 @@ def oracle_sql() -> dict[str, str]:
         "dataset_split": _sampling.split_sql(),
         "source_mix_sample": _sampling.mix_sql(),
         "stratified_sample": _sampling.stratified_sql(),
+        "weighted_sample": _sampling.weighted_sample_sql(),
         "dsir_weights": _sampling.dsir_weights_sql(),
         "range_partition": _sampling.range_partition_sql(),
         "token_quantiles": _sampling.quantiles_sql(),

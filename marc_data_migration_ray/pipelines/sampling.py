@@ -164,6 +164,75 @@ def stratified_sql(k: int = STRAT_K) -> str:
     )
 
 
+_WSAMPLE_SALT = 5551212
+_WSAMPLE_SCALE = 1_000_000  # priority quantization (hash*SCALE < 2^52, int64-safe)
+WSAMPLE_K = 25  # sample size (shared with the SQL mirror)
+
+
+def weighted_sample(sf_dir: str, k: int = WSAMPLE_K) -> pa.Table:
+    """(doc_id, weight): size-weighted sample — the k docs with the smallest
+    integer priority ``hash(doc_id)*SCALE // weight`` (A-ES-style weighted
+    reservoir sampling, Efraimidis & Spirakis 2006, with the u^(1/w) key
+    replaced by an integer-division priority so the DuckDB mirror is
+    bit-exact: no floats anywhere). Heavier docs (weight = char length)
+    get proportionally smaller priorities, so the sample is biased toward
+    long documents — the standard length-weighted corpus sample.
+
+    Scale shape: per-batch partial top-k (each batch contributes ≤ k rows,
+    vectorized arrow sort+slice) + tiny driver heap merge over ≤ k×blocks
+    rows — same pattern as ``top_docs``; no shuffle, no full sort. The
+    kept set is a pure function of the rows (deterministic on any block
+    layout / cluster size)."""
+    import heapq
+
+    def _partial(t: pa.Table) -> pa.Table:
+        h = _hash_u32(t["doc_id"], salt=_WSAMPLE_SALT).astype(np.int64)
+        ln = pc.utf8_length(t["text"]).combine_chunks().to_numpy(
+            zero_copy_only=False
+        ).astype(np.int64)
+        w = np.maximum(ln, 1)
+        prio = (h * _WSAMPLE_SCALE) // w
+        out = pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "weight": pa.array(w, pa.int64()),
+                "prio": pa.array(prio, pa.int64()),
+            }
+        )
+        return out.sort_by([("prio", "ascending"), ("doc_id", "ascending")]).slice(0, k)
+
+    partials = _docs(sf_dir, ("doc_id", "text")).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    best: list = []
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for d, w, p in zip(
+            b["doc_id"].to_pylist(), b["weight"].to_pylist(), b["prio"].to_pylist()
+        ):
+            heapq.heappush(best, (-p, -d, w))
+            if len(best) > k:
+                heapq.heappop(best)
+    ranked = sorted((-p, -d, w) for p, d, w in best)
+    return pa.table(
+        {
+            "doc_id": pa.array([d for _, d, _ in ranked], pa.int64()),
+            "weight": pa.array([w for _, _, w in ranked], pa.int64()),
+        }
+    )
+
+
+def weighted_sample_sql(k: int = WSAMPLE_K) -> str:
+    # DuckDB `//` is integer division on BIGINT; greatest() mirrors the
+    # w >= 1 guard; length() counts unicode chars == pc.utf8_length
+    return (
+        f"SELECT doc_id, weight FROM ("
+        f"SELECT doc_id, greatest(length(text), 1) AS weight, "
+        f"(((doc_id * {KNUTH} + {_WSAMPLE_SALT}) % {MOD}) * {_WSAMPLE_SCALE}) "
+        f"// greatest(length(text), 1) AS prio FROM documents) "
+        f"ORDER BY prio, doc_id LIMIT {k}"
+    )
+
+
 QUANTILES = (0.1, 0.5, 0.9, 0.99)  # shared with the SQL mirror
 
 

@@ -255,6 +255,15 @@ def main(argv=None) -> int:
     exc.add_argument("--to-epoch", type=int, required=True, dest="to_epoch")
     _add_cfg_args(exc)
 
+    cl = sub.add_parser(
+        "clone",
+        help="zero-copy table clone: hardlink data files + fresh rewritten "
+             "manifest; clones are fully independent (vacuum-safe)",
+    )
+    cl.add_argument("--table", required=True)
+    cl.add_argument("--dest", required=True)
+    _add_cfg_args(cl)
+
     fk = sub.add_parser(
         "fsck",
         help="integrity check: manifest claims vs files on disk "
@@ -599,6 +608,8 @@ def main(argv=None) -> int:
             print(json.dumps(info))
         elif args.cmd == "rollback":
             print(json.dumps(rp.rollback(args.to_epoch)))
+        elif args.cmd == "clone":
+            print(json.dumps(rp.clone(args.dest)))
         elif args.cmd == "fsck":
             res = rp.fsck(deep=args.deep)
             print(json.dumps(res))

@@ -2051,6 +2051,99 @@ class Replayer:
         self.manifest.record_delta_segment(from_epoch, to_epoch, final_dir)
         return final_dir
 
+    def clone(self, dst_root: str) -> dict:
+        """Zero-copy table clone (the lakehouse ``CLONE TABLE`` analog):
+        hardlink every data file under this table's root into ``dst_root``
+        and write a fresh manifest whose under-root paths are rewritten to
+        the clone. O(files) metadata work, zero data bytes copied.
+
+        Hardlinks make the clone *independent* of the source's lifecycle —
+        unlike a shallow (pointer) clone, ``vacuum``/``rollback``/
+        ``compact`` on either table can never invalidate the other (an
+        inode lives until its last link drops) — while still sharing all
+        data bytes at clone time. Writes diverge naturally: each table
+        appends new epochs under its own root. Falls back to a real copy
+        across filesystems. An external ``base_path`` outside the root is
+        kept as a shared read-only reference (the same contract the source
+        itself has with it).
+
+        The clone captures the manifest version current at entry; its
+        version log restarts at v1 (the snapshot carries state, not
+        history — same contract as Delta Lake's CLONE). A concurrent
+        writer's later commit is not part of the clone. Concurrent
+        ``vacuum`` during the link walk may race file removal; run clone
+        from a quiesced writer or catch the raised error and retry.
+
+        Reference analog: none — the reference reruns migrations from
+        scratch (purge-then-reload, record_update.py:170-173); this is the
+        table-management surface around the S9 manifest sink."""
+        import copy as _copy
+
+        snapshot = _copy.deepcopy(self.manifest.state)
+        src_abs = os.path.abspath(self.root)
+        dst_abs = os.path.abspath(dst_root)
+        if dst_abs == src_abs or dst_abs.startswith(src_abs + os.sep) or \
+                src_abs.startswith(dst_abs + os.sep):
+            raise ValueError("clone destination must be outside the source root")
+        if os.path.exists(dst_root) and os.listdir(dst_root):
+            raise ValueError(f"clone destination not empty: {dst_root}")
+        os.makedirs(dst_root, exist_ok=True)
+
+        files_linked = 0
+        for name in sorted(os.listdir(self.root)):
+            if name in ("_manifest", "_tmp", "_txn"):
+                continue  # fresh manifest below; scratch/intents are not state
+            top = os.path.join(self.root, name)
+            if os.path.isfile(top):
+                dp = os.path.join(dst_root, name)
+                try:
+                    os.link(top, dp)
+                except OSError:
+                    shutil.copy2(top, dp)
+                files_linked += 1
+                continue
+            for dirpath, _dirnames, filenames in os.walk(top):
+                rel = os.path.relpath(dirpath, self.root)
+                os.makedirs(os.path.join(dst_root, rel), exist_ok=True)
+                for fn in filenames:
+                    sp = os.path.join(dirpath, fn)
+                    dp = os.path.join(dst_root, rel, fn)
+                    try:
+                        os.link(sp, dp)
+                    except OSError:
+                        shutil.copy2(sp, dp)
+                    files_linked += 1
+
+        prefixes = {self.root, src_abs}
+
+        def _rewrite(o):
+            if isinstance(o, str):
+                for pref in prefixes:
+                    if o == pref:
+                        return dst_root
+                    if o.startswith(pref + os.sep):
+                        return os.path.join(dst_root, os.path.relpath(o, pref))
+                return o
+            if isinstance(o, list):
+                return [_rewrite(x) for x in o]
+            if isinstance(o, dict):
+                return {k: _rewrite(v) for k, v in o.items()}
+            return o
+
+        new_state = _rewrite(snapshot)
+        new_state["version"] = 0
+        dst_manifest = Manifest(dst_root)
+        if dst_manifest.state.get("num_partitions") is not None:
+            raise ValueError(f"clone destination already has a table: {dst_root}")
+        dst_manifest.state = new_state
+        dst_manifest.save()
+        return {
+            "root": dst_root,
+            "files_linked": files_linked,
+            "source_version": snapshot.get("version", 0),
+            "epochs": sorted(int(k) for k in snapshot.get("epochs", {})),
+        }
+
     def vacuum_deltas(self) -> list[str]:
         """Remove per-epoch delta dirs fully covered by merged segments.
         After vacuuming, ``up_to_epoch`` reads that cut a segment mid-range

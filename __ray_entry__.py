@@ -119,6 +119,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_concentration": text_analysis.token_concentration,
         "token_lift": text_analysis.token_lift,
         "tokenize_docs": text_analysis.tokenize_docs_fp,
+        # BPE merge-rule learning (distributed word-count pass + driver
+        # merge loop over the bounded word table; pytest scalar mirror —
+        # the iterative loop is not SQL-expressible, so no oracle entry)
+        "bpe_train": text_analysis.bpe_train,
         "source_token_drift": text_analysis.source_token_drift,
         # inverted index: scan-side boolean retrieval + term-partitioned build
         "boolean_search": index.boolean_search,

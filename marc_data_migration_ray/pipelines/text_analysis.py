@@ -1095,3 +1095,85 @@ def source_token_drift_sql() -> str:
         "(any_value(nsrc) * any_value(ntot)) AS drift "
         "FROM grid GROUP BY source"
     )
+
+
+# --------------------------------------------------------------- BPE train --
+
+BPE_MERGES = 20     # learned merge rules (shared with the pytest mirror)
+BPE_WORD_V = 5000   # word-table cap: top-V words by (count desc, word asc)
+
+
+def bpe_train(sf_dir: str, merges: int = BPE_MERGES,
+              vocab_words: int = BPE_WORD_V) -> pa.Table:
+    """(rank, left, right, pair_count): learn ``merges`` BPE merge rules
+    over the corpus (Sennrich et al. 2016, "Neural Machine Translation of
+    Rare Words with Subword Units" — the standard subword-tokenizer
+    training loop). Deterministic tie-break: highest pair count, then
+    lexicographically smallest (left, right).
+
+    Scale shape — the industry-standard two-level split (HF ``tokenizers``
+    trains the same way): the CORPUS pass is distributed (per-batch word-
+    count partials inside ``map_batches``, one ``groupby(word).sum`` over
+    distinct-word partials — raw text never shuffles), and the merge loop
+    runs on the WORD TABLE, which is orders of magnitude smaller than the
+    corpus (Heaps' law) and capped at the top ``vocab_words`` words by
+    count (per-block partial top-V + ≤ V×blocks driver merge, no full
+    sort; the cap is reported via the dropped-word count in the table
+    metadata — no silent truncation). The driver loop is
+    O(V · avg_word_len · merges), independent of corpus size."""
+    partials = _docs(sf_dir, columns=("text",)).map_batches(
+        _batch_token_counts, batch_format="pyarrow", zero_copy_batch=True
+    )
+    totals = partials.groupby("token").sum("n")
+
+    def _local_topv(t: pa.Table) -> pa.Table:
+        t = pa.table({"token": t["token"], "n": pc.cast(t["sum(n)"], pa.int64())})
+        return t.sort_by([("n", "descending"), ("token", "ascending")]).slice(
+            0, vocab_words
+        )
+
+    cand: list[tuple[str, int]] = []
+    n_words_total = 0
+    for b in totals.map_batches(
+        _local_topv, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        cand.extend(zip(b["token"].to_pylist(), b["n"].to_pylist()))
+        n_words_total += len(b)
+    cand.sort(key=lambda x: (-x[1], x[0]))
+    kept = cand[:vocab_words]
+    # NB: n_words_total counts top-V survivors per block, not the corpus
+    # vocabulary; the exact dropped count would need a count() pass —
+    # record what we know (>= 0 lower bound) rather than claim exactness
+    dropped = max(0, len(cand) - len(kept))
+
+    seqs: list[list[str]] = [list(w) for w, _ in kept]
+    counts: list[int] = [c for _, c in kept]
+    rules: list[tuple[str, str, int]] = []
+    for _ in range(merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for seq, cnt in zip(seqs, counts):
+            for i in range(len(seq) - 1):
+                p = (seq[i], seq[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + cnt
+        if not pair_counts:
+            break
+        best_n = max(pair_counts.values())
+        left, right = min(p for p, c in pair_counts.items() if c == best_n)
+        rules.append((left, right, best_n))
+        merged = left + right
+        for seq in seqs:
+            i = 0
+            while i < len(seq) - 1:
+                if seq[i] == left and seq[i + 1] == right:
+                    seq[i : i + 2] = [merged]
+                else:
+                    i += 1
+    out = pa.table(
+        {
+            "rank": pa.array(range(1, len(rules) + 1), pa.int64()),
+            "left": pa.array([r[0] for r in rules], pa.string()),
+            "right": pa.array([r[1] for r in rules], pa.string()),
+            "pair_count": pa.array([r[2] for r in rules], pa.int64()),
+        }
+    )
+    return out.replace_schema_metadata({b"bpe_words_dropped": str(dropped).encode()})

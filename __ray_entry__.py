@@ -123,6 +123,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # merge loop over the bounded word table; pytest scalar mirror —
         # the iterative loop is not SQL-expressible, so no oracle entry)
         "bpe_train": text_analysis.bpe_train,
+        # zlib compressibility quality signal (no SQL zlib — pytest mirror)
+        "compression_ratio": text_analysis.compression_ratio,
         "source_token_drift": text_analysis.source_token_drift,
         # inverted index: scan-side boolean retrieval + term-partitioned build
         "boolean_search": index.boolean_search,

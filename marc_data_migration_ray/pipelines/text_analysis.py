@@ -1177,3 +1177,47 @@ def bpe_train(sf_dir: str, merges: int = BPE_MERGES,
         }
     )
     return out.replace_schema_metadata({b"bpe_words_dropped": str(dropped).encode()})
+
+
+# ---------------------------------------------------- compression quality --
+
+ZRATIO_LEVEL = 6          # zlib level (shared with the pytest mirror)
+ZRATIO_MIN_MILLI = 300    # is_natural threshold: ratio >= 0.300
+
+
+def compression_ratio(sf_dir: str) -> ray.data.Dataset:
+    """(doc_id, raw_len, comp_len, ratio_milli, is_natural): per-document
+    zlib compressibility — the classic cheap quality signal (highly
+    repetitive or degenerate text compresses far below natural prose;
+    cf. the compression filters in RefinedWeb / Gopher-style curation).
+    ``ratio_milli = comp_len*1000 // raw_len`` is integer (hash-stable);
+    ``is_natural`` flags docs at or above ``ZRATIO_MIN_MILLI``.
+
+    Scale shape: embarrassingly parallel ``map_batches``; one zlib C call
+    per document (the loop body is compiled code over the doc's bytes,
+    same cost model as the per-row hashlib in the KMV sketch) — no
+    shuffle, text never leaves its block. Not SQL-expressible (DuckDB has
+    no zlib), so correctness comes from the pytest scalar mirror."""
+    import zlib
+
+    def _z(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        raw = np.fromiter((len(s.encode()) for s in texts), np.int64, len(texts))
+        comp = np.fromiter(
+            (len(zlib.compress(s.encode(), ZRATIO_LEVEL)) for s in texts),
+            np.int64,
+            len(texts),
+        )
+        safe_raw = np.maximum(raw, 1)
+        milli = comp * 1000 // safe_raw
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "raw_len": pa.array(raw),
+                "comp_len": pa.array(comp),
+                "ratio_milli": pa.array(milli),
+                "is_natural": pa.array(milli >= ZRATIO_MIN_MILLI),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_z, batch_format="pyarrow", zero_copy_batch=True)

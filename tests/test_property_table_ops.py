@@ -56,6 +56,7 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
     root = str(tmp_path / "t")
     rp = Replayer(root, cfg, base_path=os.path.join(fdir, "base"))
     ops_done = []
+    clones: list[tuple[str, list]] = []
     for e in range(N_EPOCHS):
         rp.apply_epoch(e, os.path.join(fdir, "binlog", f"epoch={e}"))
         r = rng.random()
@@ -72,6 +73,13 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
             if floor < e - 1:
                 rp.compact_deltas(floor + 1, e)
                 ops_done.append(f"segment@{e}")
+        elif r < 0.85:
+            # clone at a random point: the clone must freeze this exact
+            # intermediate state regardless of later source maintenance
+            cdir = str(tmp_path / f"clone{e}")
+            rp.clone(cdir)
+            clones.append((cdir, rp.read_state().take_all()))
+            ops_done.append(f"clone@{e}")
 
     o = oracle.replay(
         pq.read_table(os.path.join(fdir, "base")).to_pylist(),
@@ -94,3 +102,10 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
         assert list(a["tokens"] or []) == list(b["tokens"] or [])
     assert len(eng2) == len(survivors), (ops_done, thresh)
     assert rp.fsck()["ok"], (ops_done, rp.fsck()["problems"])
+
+    # every clone still reads exactly the state frozen at its clone point,
+    # after all the source maintenance (and the delete) that followed
+    for cdir, frozen in clones:
+        crp = Replayer(cdir)
+        _rows_equal(crp.read_state().take_all(), frozen)
+        assert crp.fsck()["ok"], (ops_done, cdir)

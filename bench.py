@@ -158,6 +158,8 @@ def run_queries(sf_dir: str) -> dict:
         "cdc_constraint_counts", "cdc_versions", "distinct_orders_kmv",
         "late_event_counts", "user_top_event", "user_value_trailing_1h",
         "rrf_fusion",
+        # eighth-session ops
+        "weighted_sample", "bpe_train", "compression_ratio",
     ]
     qs = entry_mod.queries()
     out = {}

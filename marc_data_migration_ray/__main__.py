@@ -271,6 +271,9 @@ def main(argv=None) -> int:
     )
     fk.add_argument("--table", required=True)
     fk.add_argument("--deep", action="store_true")
+    fk.add_argument("--orphans", action="store_true",
+                    help="also list unreferenced files (vacuum dry-run); "
+                         "orphans never affect the exit status")
     _add_cfg_args(fk)
 
     rb = sub.add_parser(
@@ -612,6 +615,8 @@ def main(argv=None) -> int:
             print(json.dumps(rp.clone(args.dest)))
         elif args.cmd == "fsck":
             res = rp.fsck(deep=args.deep)
+            if args.orphans:
+                res["orphan_report"] = rp.orphans()
             print(json.dumps(res))
             return 0 if res["ok"] else 1
         elif args.cmd == "export-changes":

@@ -1956,6 +1956,90 @@ class Replayer:
                                     f"(run MultiTableTxn.recover)")
         return {"ok": not problems, "checks": checks, "problems": problems}
 
+    def orphans(self) -> dict:
+        """Inverse of :meth:`fsck`: list what's ON DISK that the manifest
+        does NOT reference (fsck checks manifest→disk; this checks
+        disk→manifest). Never deletes — it's the vacuum dry-run / clone-
+        and-crash-leftover audit.
+
+        Classification:
+        - ``staged_epochs`` — ``deltas/epoch=N`` dirs for uncommitted N:
+          a prepared-but-unfinalized epoch (possibly a pending multi-table
+          txn — see the intent files fsck reports) or a crashed apply.
+          Resolvable, so listed separately from junk.
+        - ``orphans`` — everything else unreferenced: CAS-loser base
+        snapshots a ``vacuum`` would reclaim, scratch under ``_tmp``,
+        stray files. Safe-to-delete candidates.
+        Returns ``{"orphans": [...], "staged_epochs": [...], "bytes": N}``
+        (bytes = total size of the orphan files only)."""
+        st = self.manifest.state
+        referenced: set[str] = set()
+        for entry in st.get("epochs", {}).values():
+            if entry.get("dir"):
+                referenced.add(os.path.abspath(entry["dir"]))
+        for seg in self.manifest.delta_segments():
+            referenced.add(os.path.abspath(seg["dir"]))
+        for c in st.get("compactions", []):
+            for key in ("base_path",):
+                if c.get(key):
+                    referenced.add(os.path.abspath(c[key]))
+        for key in ("base_path", "base_bucketized_path"):
+            if st.get(key):
+                referenced.add(os.path.abspath(st[key]))
+        for d in self.manifest.rollback_pending():
+            referenced.add(os.path.abspath(d))
+
+        def _is_referenced(path: str) -> bool:
+            p = os.path.abspath(path)
+            for r in referenced:
+                if p == r or p.startswith(r + os.sep) or r.startswith(p + os.sep):
+                    return True
+            return False
+
+        committed = set(self.manifest.committed_epochs())
+        orphans: list[str] = []
+        staged: list[str] = []
+        root_abs = os.path.abspath(self.root)
+        for name in sorted(os.listdir(self.root)):
+            if name in ("_manifest", "_txn"):
+                continue  # engine metadata, always live
+            top = os.path.join(self.root, name)
+            if name == "_tmp" and os.path.isdir(top):
+                # the (empty) scratch parent is normal; only leftovers
+                # inside it are orphans (a crashed apply's staging dir)
+                orphans.extend(
+                    os.path.join(name, sub) for sub in sorted(os.listdir(top))
+                )
+                continue
+            if name == "deltas" and os.path.isdir(top):
+                for sub in sorted(os.listdir(top)):
+                    d = os.path.join(top, sub)
+                    if _is_referenced(d):
+                        continue
+                    if sub.startswith("epoch="):
+                        try:
+                            e = int(sub.split("=", 1)[1])
+                        except ValueError:
+                            e = None
+                        if e is not None and e not in committed:
+                            staged.append(os.path.relpath(d, root_abs))
+                            continue
+                    orphans.append(os.path.relpath(d, root_abs))
+                continue
+            if _is_referenced(top):
+                continue
+            orphans.append(os.path.relpath(top, root_abs))
+
+        total = 0
+        for rel in orphans:
+            p = os.path.join(self.root, rel)
+            if os.path.isfile(p):
+                total += os.path.getsize(p)
+            else:
+                for dp, _dn, fns in os.walk(p):
+                    total += sum(os.path.getsize(os.path.join(dp, f)) for f in fns)
+        return {"orphans": orphans, "staged_epochs": staged, "bytes": total}
+
     def rollback(self, to_epoch: int) -> dict:
         """Truncate the log to ``to_epoch`` (drop every later committed
         epoch — the bad-upstream-batch remedy): one CAS manifest commit

@@ -137,3 +137,32 @@ def test_clone_cli(ray_session, tmp_path, fixture_dir):
     assert info["files_linked"] > 0
     dst = Replayer(str(tmp_path / "dst"))
     assert _norm(dst.read_state().take_all()) == want
+
+
+def test_orphans_report(ray_session, tmp_path, fixture_dir):
+    """orphans(): a healthy table reports none; planted junk (a stray
+    file, a fake CAS-loser snapshot, a staged-uncommitted epoch dir) is
+    classified and sized; referenced state is never listed."""
+    cfg = ReplayConfig(num_partitions=4)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg, epochs=2)
+    rep = rp.orphans()
+    assert rep["orphans"] == [] and rep["staged_epochs"] == []
+
+    root = str(tmp_path / "t")
+    # stray top-level file + unreferenced snapshot dir + staged epoch dir
+    with open(os.path.join(root, "junk.bin"), "wb") as f:
+        f.write(b"x" * 100)
+    os.makedirs(os.path.join(root, "base-compact-deadbeef"))
+    with open(os.path.join(root, "base-compact-deadbeef", "p.parquet"), "wb") as f:
+        f.write(b"y" * 50)
+    os.makedirs(os.path.join(root, "deltas", "epoch=9"))
+
+    rep = rp.orphans()
+    assert "junk.bin" in rep["orphans"]
+    assert "base-compact-deadbeef" in rep["orphans"]
+    assert rep["staged_epochs"] == [os.path.join("deltas", "epoch=9")]
+    assert rep["bytes"] == 150
+    # committed epoch dirs are referenced, never orphans
+    assert not any("epoch=0" in o or "epoch=1" in o for o in rep["orphans"])
+    # orphans are informational: fsck stays green
+    assert rp.fsck()["ok"]

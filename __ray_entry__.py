@@ -102,6 +102,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_by_brand": tpch.parts_by_brand,
         "supplier_balance": tpch.supplier_balance,
         "order_skyline": lambda sf: tpch.order_skyline(sf),
+        "min_cost_supplier": tpch.min_cost_supplier,
+        "revenue_rollup": tpch.revenue_rollup,
+        "supplier_revenue_share": tpch.supplier_revenue_share,
         "distinct_orders_kmv": tpch.distinct_orders_kmv,
         # text analysis (training-data ops)
         "token_count": text_analysis.token_count,
@@ -775,6 +778,10 @@ ORDER BY op, route, status
         ),
         # star chain orders->customer->nation->region via ONE broadcast map
         "region_order_stats": _tpch_mod.region_order_stats_sql(),
+        # packed-integer argmin / ROLLUP / percent-of-total window
+        "min_cost_supplier": _tpch_mod.min_cost_supplier_sql(),
+        "revenue_rollup": _tpch_mod.revenue_rollup_sql(),
+        "supplier_revenue_share": _tpch_mod.supplier_revenue_share_sql(),
         "top_docs": (
             "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"

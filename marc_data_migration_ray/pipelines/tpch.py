@@ -539,3 +539,183 @@ def distinct_orders_kmv_sql() -> str:
         f"(SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) FROM lineitem) "
         f"AS exact_distinct FROM k"
     )
+
+
+# ------------------------------------------------- eighth-session queries --
+
+
+def min_cost_supplier(sf_dir: str) -> ray.data.Dataset:
+    """(l_partkey, s_suppkey, min_cents): per part, the supplier offering
+    the cheapest lineitem (TPC-H Q2's argmin core, recast over lineitem).
+    Tie-break: smallest suppkey.
+
+    Scale shape — argmin as a PACKED-INTEGER MIN, which is associative and
+    therefore two-stage: ``packed = cents * 2^32 + suppkey`` (cents < 2^31
+    keeps it in int64), per-batch ``group_by(partkey).min(packed)``
+    partials, one distributed ``groupby.min`` over partials, vectorized
+    decode. No row_number window, no sort, no join; the only shuffle
+    carries one int64 per (batch, part). Output is one row per part — the
+    result itself — returned as a streaming Dataset, never a driver table."""
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        packed = pc.add(
+            pc.multiply(cents, pa.scalar(1 << 32, pa.int64())),
+            pc.cast(t["l_suppkey"], pa.int64()),
+        )
+        g = pa.table({"l_partkey": t["l_partkey"], "packed": packed})
+        out = g.group_by("l_partkey").aggregate([("packed", "min")])
+        return out.rename_columns(["l_partkey", "packed"])
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = partials.groupby("l_partkey").min("packed")
+
+    def _decode(t: pa.Table) -> pa.Table:
+        packed = t["min(packed)"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "s_suppkey": pa.array(packed & ((1 << 32) - 1), pa.int64()),
+                "min_cents": pa.array(packed >> 32, pa.int64()),
+            }
+        )
+
+    return merged.map_batches(_decode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def min_cost_supplier_sql() -> str:
+    return (
+        "WITH packed AS (SELECT l_partkey, "
+        "min(CAST(round(l_extendedprice * 100) AS BIGINT) * 4294967296 "
+        "+ l_suppkey) AS p FROM lineitem GROUP BY l_partkey) "
+        "SELECT l_partkey, p % 4294967296 AS s_suppkey, "
+        "p // 4294967296 AS min_cents FROM packed"
+    )
+
+
+def revenue_rollup(sf_dir: str) -> pa.Table:
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus): leaf groups, per-flag
+    subtotals, and the grand total in one result (NULL marks a rolled-up
+    level, SQL semantics). The distributed pass is the same bounded-
+    cardinality partial-agg as pricing_summary (≤ 6 leaf groups); the
+    rollup levels are derived from the tiny leaf table — integer sums are
+    associative, so subtotals are exact re-sums, not a second scan."""
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        g = pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "cents": cents,
+            }
+        )
+        return g.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("cents", "sum"), ("cents", "count")]
+        )
+
+    partials = ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    leaf = tbl.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [("cents_sum", "sum"), ("cents_count", "sum")]
+    )
+    flags = leaf["l_returnflag"].to_pylist()
+    stats = leaf["l_linestatus"].to_pylist()
+    sums = leaf["cents_sum_sum"].to_pylist()
+    cnts = leaf["cents_count_sum"].to_pylist()
+    rows = list(zip(flags, stats, sums, cnts))
+    by_flag: dict[str, list[int]] = {}
+    for f, _s, c, n in rows:
+        agg = by_flag.setdefault(f, [0, 0])
+        agg[0] += c
+        agg[1] += n
+    rows += [(f, None, c, n) for f, (c, n) in by_flag.items()]
+    rows.append((None, None, sum(sums), sum(cnts)))
+    rows.sort(key=lambda r: (r[0] is None, r[0], r[1] is None, r[1]))
+    return pa.table(
+        {
+            "l_returnflag": pa.array([r[0] for r in rows], pa.string()),
+            "l_linestatus": pa.array([r[1] for r in rows], pa.string()),
+            "sum_cents": pa.array([r[2] for r in rows], pa.int64()),
+            "n": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def revenue_rollup_sql() -> str:
+    return (
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS sum_cents, CAST(count(*) AS BIGINT) AS n "
+        "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+    )
+
+
+def supplier_revenue_share(sf_dir: str) -> pa.Table:
+    """(l_suppkey, revenue_cents, share_ppm): each supplier's lineitem
+    revenue and its integer parts-per-million share of the total — the
+    percent-of-total window (SUM() OVER ()) with hash-stable integer math.
+
+    Scale shape: per-batch (suppkey → cents) partials, one distributed
+    ``groupby.sum`` over partials; the grouped result is output-sized
+    (one row per supplier), and the single grand total + share division
+    happen on that result."""
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_suppkey", "l_extendedprice"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        g = pa.table({"l_suppkey": t["l_suppkey"], "cents": cents})
+        out = g.group_by("l_suppkey").aggregate([("cents", "sum")])
+        return out.rename_columns(["l_suppkey", "cents"])
+
+    merged = (
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_suppkey")
+        .sum("cents")
+    )
+    parts = pa.concat_tables(merged.iter_batches(batch_format="pyarrow"))
+    rev = parts["sum(cents)"].combine_chunks().to_numpy(zero_copy_only=False)
+    total = int(rev.sum())
+    share = rev * 1_000_000 // max(total, 1)
+    return pa.table(
+        {
+            "l_suppkey": parts["l_suppkey"],
+            "revenue_cents": pa.array(rev, pa.int64()),
+            "share_ppm": pa.array(share, pa.int64()),
+        }
+    ).sort_by([("l_suppkey", "ascending")])
+
+
+def supplier_revenue_share_sql() -> str:
+    return (
+        "WITH rev AS (SELECT l_suppkey, "
+        "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+        "AS revenue_cents FROM lineitem GROUP BY l_suppkey) "
+        "SELECT l_suppkey, revenue_cents, "
+        "CAST(revenue_cents * 1000000 // "
+        "greatest(CAST(sum(revenue_cents) OVER () AS BIGINT), 1) AS BIGINT) "
+        "AS share_ppm FROM rev"
+    )

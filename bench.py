@@ -160,6 +160,8 @@ def run_queries(sf_dir: str) -> dict:
         "rrf_fusion",
         # eighth-session ops
         "weighted_sample", "bpe_train", "compression_ratio",
+        "min_cost_supplier", "revenue_rollup", "supplier_revenue_share",
+        "media_jpeg_decode",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -343,3 +343,322 @@ def gen_video(media_id: int) -> bytes:
          for f in range(n)]
     )
     return encode_y4m(frames)
+
+
+# ----------------------------------------------------------------- JPEG --
+# Baseline sequential-DCT JPEG, grayscale (ITU-T T.81 / ISO 10918-1, the
+# public spec). REAL interchange format end-to-end: DQT/SOF0/DHT/SOS
+# marker segments, canonical Huffman entropy coding with 0xFF00 byte
+# stuffing, zigzag coefficient order, 8x8 FDCT/IDCT, DC prediction.
+# The Huffman tables are our own canonical ones (fixed-length layers) —
+# JPEG carries tables in the DHT segment, so any valid canonical table is
+# a conforming file; this avoids transcribing the (optional) Annex K
+# example tables. Unit quantization tables make flat 8x8 blocks decode
+# BIT-EXACTLY (DC-only blocks survive FDCT→round→IDCT→round unchanged),
+# which is what makes the SQL oracle over the fixture arithmetic exact;
+# non-flat content round-trips within ±2 (AC path, proven in pytest).
+
+
+def _zigzag_order() -> list[int]:
+    out = []
+    for s in range(15):
+        rng = range(s + 1)
+        for r in (rng if s % 2 else reversed(rng)):
+            c = s - r
+            if r < 8 and c < 8:
+                out.append(r * 8 + c)
+    return out
+
+
+_ZZ = np.array(_zigzag_order(), np.int64)  # zigzag position -> raster index
+
+# canonical Huffman layouts: 12 DC categories at length 4; EOB + ZRL +
+# (run 0..15 x size 1..10) = 162 AC symbols at length 8 (Kraft 162/256<1;
+# the reserved all-ones code 0xFF is never assigned since 162 <= 255)
+_JDC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_JDC_VALS = list(range(12))
+_JAC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_JAC_VALS = [0x00, 0xF0] + [r * 16 + s for r in range(16) for s in range(1, 11)]
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), the canonical JPEG construction (T.81
+    Annex C): codes count up within a length, shift left between lengths."""
+    codes: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+_DCT_M: np.ndarray | None = None
+
+
+def _dct_matrix() -> np.ndarray:
+    global _DCT_M
+    if _DCT_M is None:
+        x = np.arange(8, dtype=np.float64)
+        u = x.reshape(8, 1)
+        m = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        m[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+        _DCT_M = m
+    return _DCT_M
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self.acc = (self.acc << nbits) | (value & ((1 << nbits) - 1))
+        self.n += nbits
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+        return bytes(self.out)
+
+
+def _jcategory(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def encode_jpeg_gray(img: np.ndarray, qz: np.ndarray | None = None) -> bytes:
+    """(h, w) uint8 grayscale → baseline JPEG bytes. h, w must be multiples
+    of 8 (no partial-MCU padding). ``qz`` = 64 quantization divisors in
+    ZIGZAG order (default all-ones → near-lossless)."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    qz = np.ones(64, np.int64) if qz is None else np.asarray(qz, np.int64)
+    q_raster = np.empty(64, np.int64)
+    q_raster[_ZZ] = qz
+    m = _dct_matrix()
+    dc_codes = _huff_codes(_JDC_BITS, _JDC_VALS)
+    ac_codes = _huff_codes(_JAC_BITS, _JAC_VALS)
+
+    bw = _BitWriter()
+    pred = 0
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            f = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - 128.0
+            coef = m @ f @ m.T
+            zq = np.round(coef.flatten() / q_raster).astype(np.int64)[_ZZ]
+            diff = int(zq[0]) - pred
+            pred = int(zq[0])
+            s = _jcategory(diff)
+            code, ln = dc_codes[s]
+            bw.write(code, ln)
+            if s:
+                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                v = int(zq[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]  # ZRL
+                    bw.write(code, ln)
+                    run -= 16
+                s = _jcategory(v)
+                code, ln = ac_codes[run * 16 + s]
+                bw.write(code, ln)
+                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+
+    head = b"\xff\xd8"  # SOI
+    head += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qz))  # DQT
+    head += _seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([1, 1, 0x11, 0]),
+    )  # SOF0, 1 component, 1x1 sampling
+    head += _seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
+    head += _seg(0xC4, bytes([0x10]) + bytes(_JAC_BITS) + bytes(_JAC_VALS))
+    head += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+    return head + bw.flush() + b"\xff\xd9"  # EOI
+
+
+class _BitReader:
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self, nbits: int) -> None:
+        while self.n < nbits:
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.d[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                self.pos += 1  # skip the stuffed zero byte
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def read(self, nbits: int) -> int:
+        if nbits == 0:
+            return 0
+        self._fill(nbits)
+        v = (self.acc >> (self.n - nbits)) & ((1 << nbits) - 1)
+        self.n -= nbits
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def receive_extend(self, s: int) -> int:
+        v = self.read(s)
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def huff(self, table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        for _ in range(16):
+            code = (code << 1) | self.read(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w) uint8 grayscale. Real decode path:
+    marker-segment walk, DQT/DHT table load (any conforming canonical
+    tables — read from the file, not assumed), SOF0 frame header, SOS
+    entropy decode (Huffman + DC prediction + run-length AC + byte
+    unstuffing), dequantize, zigzag→raster, IDCT, level shift + clamp.
+    Supports what the encoder emits: 8-bit grayscale, 1x1 sampling, no
+    restart intervals (raises otherwise — documented limitation)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (no SOI)")
+    pos = 2
+    qz = None
+    h = w = None
+    dc_tab: dict[tuple[int, int], int] = {}
+    ac_tab: dict[tuple[int, int], int] = {}
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        length = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                if tq == 0:
+                    qz = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int64)
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                tab = {
+                    (ln, code): sym
+                    for sym, (code, ln) in _huff_codes(bits, vals).items()
+                }
+                if th == 0:
+                    if tc == 0:
+                        dc_tab = tab
+                    else:
+                        ac_tab = tab
+                i += 17 + nv
+        elif marker == 0xC0:  # SOF0
+            if body[0] != 8 or body[5] != 1 or body[7] != 0x11:
+                raise ValueError("only 8-bit grayscale 1x1 supported")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            if h is None or qz is None or not dc_tab or not ac_tab:
+                raise ValueError("SOS before required tables/frame header")
+            if h % 8 or w % 8:
+                raise ValueError("partial MCUs unsupported")
+            q_raster = np.empty(64, np.int64)
+            q_raster[_ZZ] = qz
+            m = _dct_matrix()
+            out = np.zeros((h, w), np.uint8)
+            br = _BitReader(payload, pos)
+            pred = 0
+            for by in range(h // 8):
+                for bx in range(w // 8):
+                    z = np.zeros(64, np.int64)
+                    s = br.huff(dc_tab)
+                    pred += br.receive_extend(s) if s else 0
+                    z[0] = pred
+                    k = 1
+                    while k < 64:
+                        sym = br.huff(ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 15
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            k += 16  # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run past block end")
+                        z[k] = br.receive_extend(size)
+                        k += 1
+                    coef = np.zeros(64, np.float64)
+                    coef[_ZZ] = z * qz
+                    f = m.T @ coef.reshape(8, 8) @ m
+                    px = np.clip(np.round(f) + 128, 0, 255).astype(np.uint8)
+                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            return out
+        # other APPn/COM segments: skipped
+    raise ValueError("no scan data found")
+
+
+IMG_JW, IMG_JH = 48, 32  # 6x4 MCUs
+
+
+def gen_jpeg(media_id: int) -> bytes:
+    """Deterministic grayscale JPEG: 8x8 block b (raster order) is flat
+    value (media_id*31 + 17b) % 256. Flat blocks + unit quant tables make
+    the decode bit-exact, so channel sums are SQL-expressible while the
+    full entropy-coded container is real (DC prediction across 24 blocks
+    exercises every category; the pytest gradient round-trip exercises
+    the AC path)."""
+    bcols, brows = IMG_JW // 8, IMG_JH // 8
+    b = np.arange(brows * bcols, dtype=np.int64)
+    vals = ((media_id * 31 + 17 * b) % 256).astype(np.uint8).reshape(brows, bcols)
+    img = np.kron(vals, np.ones((8, 8), np.uint8))
+    return encode_jpeg_gray(img)

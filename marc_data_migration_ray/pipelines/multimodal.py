@@ -696,3 +696,86 @@ SELECT doc_id AS media_id,
   list_sum(list_transform(range({npix}), i -> {ch.format(c=2)})) AS sum_b
 FROM documents
 """
+
+
+class JpegDecoder:
+    """Actor-pool stage running the REAL baseline-JPEG decode path
+    (``functions/media.decode_jpeg_gray``: marker walk, DHT canonical-
+    table load, Huffman+DC-prediction entropy decode with byte
+    unstuffing, dequantize, zigzag, IDCT). Integer gray sums out; the
+    fixture's per-block flat values + unit quant tables make the decode
+    bit-exact, so any wrong table/bit/zigzag/IDCT step shifts a sum."""
+
+    def __init__(self):
+        from marc_data_migration_ray.functions import media as M
+
+        self.M = M
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        wh = np.zeros((n, 2), np.int64)
+        sums = np.zeros(n, np.int64)
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            g = self.M.decode_jpeg_gray(payload).astype(np.int64)
+            wh[i] = g.shape[1], g.shape[0]
+            sums[i] = int(g.sum())
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(wh[:, 0]),
+                "height": pa.array(wh[:, 1]),
+                "sum_gray": pa.array(sums),
+            }
+        )
+
+
+def media_jpeg_decode(sf_dir: str) -> ray.data.Dataset:
+    """(media_id, width, height, sum_gray): REAL lossy-codec container
+    decode — deterministic baseline grayscale JPEGs (canonical Huffman
+    entropy coding, DC prediction, IDCT) parsed end-to-end by the
+    actor-pool decoder. Unit quant tables + flat fixture blocks make the
+    output integers exact (see functions/media.gen_jpeg)."""
+    import os
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def _payloads(t: pa.Table) -> pa.Table:
+        from marc_data_migration_ray.functions import media as M
+
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        arr = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(arr, pa.int64()),
+                "payload": pa.array(
+                    [M.gen_jpeg(int(i)) for i in arr], pa.binary()
+                ),
+            }
+        )
+
+    return ds.map_batches(
+        _payloads, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        JpegDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), zero_copy_batch=True,
+    )
+
+
+def media_jpeg_decode_sql() -> str:
+    """Mirror of ``functions/media.gen_jpeg`` block arithmetic (8x8 block
+    b flat at (media_id*31 + 17b) % 256 → block sum 64x that). The engine
+    side must Huffman-decode + IDCT the real JPEG container to reproduce
+    these integers."""
+    from marc_data_migration_ray.functions.media import IMG_JH, IMG_JW
+
+    nblocks = (IMG_JW // 8) * (IMG_JH // 8)
+    return f"""
+SELECT doc_id AS media_id,
+  {IMG_JW} AS width, {IMG_JH} AS height,
+  64 * list_sum(list_transform(range({nblocks}),
+                b -> (doc_id * 31 + 17 * b) % 256)) AS sum_gray
+FROM documents
+"""

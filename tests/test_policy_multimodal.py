@@ -195,3 +195,78 @@ def test_png_decode_pipeline(ray_session):
     for r in rows:
         assert r["width"] == M.IMG_W and r["height"] == M.IMG_H
         assert 0 <= r["sum_r"] <= 255 * M.IMG_W * M.IMG_H
+
+
+def test_jpeg_roundtrip_gradient_within_bound():
+    """Baseline JPEG with unit quant tables: arbitrary content (AC path,
+    ZRL runs, every DC category) round-trips within the DCT float+round
+    error bound of ±2."""
+    import numpy as np
+    from marc_data_migration_ray.functions import media as M
+
+    rng = np.random.default_rng(13)
+    for shape in [(8, 8), (16, 24), (32, 8)]:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        out = M.decode_jpeg_gray(M.encode_jpeg_gray(img))
+        assert out.shape == img.shape
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_flat_blocks_bit_exact():
+    """Flat 8x8 blocks (the fixture content) decode with zero error —
+    the property the SQL oracle relies on."""
+    import numpy as np
+    from marc_data_migration_ray.functions import media as M
+
+    for mid in [0, 5, 255, 4093]:
+        img = M.decode_jpeg_gray(M.gen_jpeg(mid))
+        b = np.arange(24, dtype=np.int64)
+        want = ((mid * 31 + 17 * b) % 256).reshape(4, 6)
+        got = img.reshape(4, 8, 6, 8).transpose(0, 2, 1, 3)
+        assert (got == want[:, :, None, None]).all(), mid
+
+
+def test_jpeg_nondefault_quant_table():
+    """The decoder reads DQT from the stream (not assumed): a coarse
+    quant table must round-trip through encode/decode consistently
+    (lossy, but within q/2 per coefficient → bounded pixel error)."""
+    import numpy as np
+    from marc_data_migration_ray.functions import media as M
+
+    qz = np.full(64, 4, np.int64)
+    img = np.kron(
+        np.arange(4, dtype=np.uint8).reshape(2, 2) * 60 + 10,
+        np.ones((8, 8), np.uint8),
+    )
+    out = M.decode_jpeg_gray(M.encode_jpeg_gray(img, qz=qz))
+    # flat blocks: only DC survives; DC quant error <= q/2 → pixel err <= q/2
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+def test_jpeg_rejects_malformed():
+    import pytest as _pytest
+
+    from marc_data_migration_ray.functions import media as M
+
+    with _pytest.raises(ValueError, match="no SOI"):
+        M.decode_jpeg_gray(b"\x00\x01")
+    good = M.gen_jpeg(1)
+    # corrupt the DHT segment id byte -> tables never load -> SOS raises
+    bad = bytearray(good)
+    i = good.find(b"\xff\xc4")
+    bad[i + 4] = 0x29  # Tc=2 (invalid class), Th=9 (unused slot)
+    with _pytest.raises(ValueError):
+        M.decode_jpeg_gray(bytes(bad))
+
+
+def test_jpeg_decode_pipeline(ray_session):
+    """Pipeline sums equal the fixture arithmetic for every doc."""
+    from marc_data_migration_ray.pipelines import multimodal as mm
+
+    rows = mm.media_jpeg_decode("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 500
+    for r in rows[:50]:
+        mid = r["media_id"]
+        want = sum(64 * ((mid * 31 + 17 * b) % 256) for b in range(24))
+        assert (r["width"], r["height"]) == (48, 32)
+        assert r["sum_gray"] == want, mid

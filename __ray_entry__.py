@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text_analysis.lang_id,
         "doc_fingerprint": text_analysis.fingerprint,
         "token_topk": text_analysis.token_topk,
+        "ngram_topk": text_analysis.ngram_topk,
         "token_topk_sketch": text_analysis.token_topk_sketch,
         "token_doc_freq": text_analysis.token_doc_freq,
         "tfidf_topk": text_analysis.tfidf_topk,
@@ -543,6 +544,7 @@ def oracle_sql() -> dict[str, str]:
         "token_lift": _ta.token_lift_sql(),
         "tokenize_docs": _ta.tokenize_docs_sql(),
         "source_token_drift": _ta.source_token_drift_sql(),
+        "ngram_topk": _ta.ngram_topk_sql(),
         "boolean_search": _index.boolean_search_sql(),
         "inverted_postings": _index.inverted_postings_sql(),
         "bm25_topk": _index.bm25_topk_sql(),

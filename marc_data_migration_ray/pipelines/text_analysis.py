@@ -1221,3 +1221,66 @@ def compression_ratio(sf_dir: str) -> ray.data.Dataset:
         )
 
     return _docs(sf_dir).map_batches(_z, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ------------------------------------------------------------ bigram topk --
+
+NGRAM_TOPK = 20
+
+
+def ngram_topk(sf_dir: str, k: int = NGRAM_TOPK) -> pa.Table:
+    """(rank, bigram, n): exact top-k word bigrams corpus-wide — the
+    n-gram heavy-hitters pass (contamination prep, boilerplate discovery,
+    n-gram-LM vocab). Same canonical distributed-wordcount shape as
+    ``token_topk``, over ``_batch_bigram_frame`` pairs: per-batch partial
+    counts (raw text never shuffles), ONE ``groupby(bigram).sum`` over
+    distinct-bigram partials, per-block partial top-k, ≤ k×blocks driver
+    merge. Ties break bigram asc."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            _batch_bigram_frame(t)
+            .group_by("bigram")
+            .len(name="n")
+        )
+        a = out.to_arrow()
+        return pa.table({"bigram": pc.cast(a["bigram"], pa.string()),
+                         "n": pc.cast(a["n"], pa.int64())})
+
+    totals = _docs(sf_dir).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).groupby("bigram").sum("n")
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        t = pa.table({"bigram": t["bigram"], "n": pc.cast(t["sum(n)"], pa.int64())})
+        return t.sort_by([("n", "descending"), ("bigram", "ascending")]).slice(0, k)
+
+    best: list[tuple[str, int]] = []
+    for b in totals.map_batches(
+        _local_topk, batch_format="pyarrow"
+    ).iter_batches(batch_format="pyarrow"):
+        best.extend(zip(b["bigram"].to_pylist(), b["n"].to_pylist()))
+    best.sort(key=lambda x: (-x[1], x[0]))
+    best = best[:k]
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(best) + 1), pa.int64()),
+            "bigram": pa.array([t for t, _ in best], pa.string()),
+            "n": pa.array([n for _, n in best], pa.int64()),
+        }
+    )
+
+
+def ngram_topk_sql(k: int = NGRAM_TOPK) -> str:
+    return (
+        r"WITH w AS (SELECT doc_id, regexp_extract_all(text, '\S+') ws "
+        "FROM documents), "
+        "bg AS (SELECT unnest([ws[i] || ' ' || ws[i+1] "
+        "for i in range(1, len(ws))]) AS bigram FROM w), "
+        "cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n FROM bg "
+        "GROUP BY bigram) "
+        "SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram) AS BIGINT) "
+        f"AS rank, bigram, n FROM cnt ORDER BY n DESC, bigram LIMIT {k}"
+    )

@@ -213,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frame_features": multimodal.audio_frame_features,
         "media_png_decode": multimodal.media_png_decode,
         "media_jpeg_decode": multimodal.media_jpeg_decode,
+        "media_jpeg_color_decode": multimodal.media_jpeg_color_decode,
     }
 
 
@@ -502,6 +503,7 @@ def _multimodal_sql() -> dict[str, str]:
         "audio_frame_features": mm.audio_frame_features_sql(),
         "media_png_decode": mm.media_png_decode_sql(),
         "media_jpeg_decode": mm.media_jpeg_decode_sql(),
+        "media_jpeg_color_decode": mm.media_jpeg_color_decode_sql(),
     }
 
 

@@ -11,19 +11,26 @@ uncompressed formats are fully decodable with the stdlib + numpy:
   ``YUV4MPEG2 W<w> H<h> F<n>:<d> C420``, then per frame an ASCII
   ``FRAME`` line + ``w*h*3/2`` bytes of 4:2:0 planar YUV.
 
-One REAL compressed codec is also implemented from the public W3C spec:
+Two REAL compressed codecs are also implemented from their public specs:
 
-- **PNG** truecolor 8-bit (color type 2, no interlace): chunk walk with
-  CRC-32 verification (``zlib.crc32``), concatenated-IDAT DEFLATE
-  decompress (stdlib ``zlib`` — the same inflate every PNG library
-  uses), and all five row filters (None/Sub/Up/Average/Paeth) on both
-  the encode and decode sides. The fixture encoder cycles the filter
-  type per row, so a decode that gets any unfilter rule or the byte
-  stride wrong produces different pixel sums.
+- **PNG** truecolor 8-bit (color type 2, no interlace; W3C spec): chunk
+  walk with CRC-32 verification (``zlib.crc32``), concatenated-IDAT
+  DEFLATE decompress (stdlib ``zlib`` — the same inflate every PNG
+  library uses), and all five row filters (None/Sub/Up/Average/Paeth) on
+  both the encode and decode sides. The fixture encoder cycles the
+  filter type per row, so a decode that gets any unfilter rule or the
+  byte stride wrong produces different pixel sums.
+- **Baseline JPEG** (ITU-T T.81), grayscale and YCbCr 4:4:4 color:
+  marker-segment walk, canonical Huffman tables loaded from the DHT
+  segments, interleaved entropy decode with per-component DC prediction
+  and 0xFF00 byte unstuffing, zigzag, dequantize, 8x8 IDCT, color
+  transform. Unit quant tables make flat blocks bit-exact (the SQL
+  oracle's lever); arbitrary content round-trips within the DCT
+  rounding bound (pytest).
 
 So the engine's multimodal decode stage is a REAL parser pipeline — the
 only codecs still stubbed in ``pipelines/multimodal`` are ones that
-genuinely need external libraries (JPEG/MP3/H.264).
+genuinely need external libraries (MP3/H.264).
 
 Encoders here exist for the deterministic fixture generator; decoders are
 what the actor-pool stage runs. Both sides are exercised round-trip in
@@ -443,6 +450,57 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return bytes([0xFF, marker]) + (len(payload) + 2).to_bytes(2, "big") + payload
 
 
+def _encode_block(bw: "_BitWriter", plane: np.ndarray, by: int, bx: int,
+                  q_raster: np.ndarray, pred: int,
+                  dc_codes: dict, ac_codes: dict) -> int:
+    """FDCT+quantize+entropy-code one 8x8 block; returns the new DC pred."""
+    m = _dct_matrix()
+    f = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - 128.0
+    coef = m @ f @ m.T
+    zq = np.round(coef.flatten() / q_raster).astype(np.int64)[_ZZ]
+    diff = int(zq[0]) - pred
+    s = _jcategory(diff)
+    code, ln = dc_codes[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+    run = 0
+    for k in range(1, 64):
+        v = int(zq[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s = _jcategory(v)
+        code, ln = ac_codes[run * 16 + s]
+        bw.write(code, ln)
+        bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zq[0])
+
+
+def _jpeg_headers(h: int, w: int, ncomp: int, qz: np.ndarray) -> bytes:
+    head = b"\xff\xd8"  # SOI
+    head += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qz))  # DQT
+    comp_spec = b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp))
+    head += _seg(
+        0xC0,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([ncomp]) + comp_spec,
+    )  # SOF0, 1x1 sampling everywhere
+    head += _seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
+    head += _seg(0xC4, bytes([0x10]) + bytes(_JAC_BITS) + bytes(_JAC_VALS))
+    scan_spec = b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
+    head += _seg(0xDA, bytes([ncomp]) + scan_spec + bytes([0, 63, 0]))  # SOS
+    return head
+
+
 def encode_jpeg_gray(img: np.ndarray, qz: np.ndarray | None = None) -> bytes:
     """(h, w) uint8 grayscale → baseline JPEG bytes. h, w must be multiples
     of 8 (no partial-MCU padding). ``qz`` = 64 quantization divisors in
@@ -453,54 +511,50 @@ def encode_jpeg_gray(img: np.ndarray, qz: np.ndarray | None = None) -> bytes:
     qz = np.ones(64, np.int64) if qz is None else np.asarray(qz, np.int64)
     q_raster = np.empty(64, np.int64)
     q_raster[_ZZ] = qz
-    m = _dct_matrix()
     dc_codes = _huff_codes(_JDC_BITS, _JDC_VALS)
     ac_codes = _huff_codes(_JAC_BITS, _JAC_VALS)
-
     bw = _BitWriter()
     pred = 0
     for by in range(h // 8):
         for bx in range(w // 8):
-            f = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(np.float64) - 128.0
-            coef = m @ f @ m.T
-            zq = np.round(coef.flatten() / q_raster).astype(np.int64)[_ZZ]
-            diff = int(zq[0]) - pred
-            pred = int(zq[0])
-            s = _jcategory(diff)
-            code, ln = dc_codes[s]
-            bw.write(code, ln)
-            if s:
-                bw.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            run = 0
-            for k in range(1, 64):
-                v = int(zq[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]  # ZRL
-                    bw.write(code, ln)
-                    run -= 16
-                s = _jcategory(v)
-                code, ln = ac_codes[run * 16 + s]
-                bw.write(code, ln)
-                bw.write(v if v >= 0 else v + (1 << s) - 1, s)
-                run = 0
-            if run:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+            pred = _encode_block(bw, img, by, bx, q_raster, pred,
+                                 dc_codes, ac_codes)
+    return _jpeg_headers(h, w, 1, qz) + bw.flush() + b"\xff\xd9"
 
-    head = b"\xff\xd8"  # SOI
-    head += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in qz))  # DQT
-    head += _seg(
-        0xC0,
-        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
-        + bytes([1, 1, 0x11, 0]),
-    )  # SOF0, 1 component, 1x1 sampling
-    head += _seg(0xC4, bytes([0x00]) + bytes(_JDC_BITS) + bytes(_JDC_VALS))
-    head += _seg(0xC4, bytes([0x10]) + bytes(_JAC_BITS) + bytes(_JAC_VALS))
-    head += _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
-    return head + bw.flush() + b"\xff\xd9"  # EOI
+
+def encode_jpeg_color(rgb: np.ndarray, qz: np.ndarray | None = None) -> bytes:
+    """(h, w, 3) uint8 RGB → baseline color JPEG (YCbCr 4:4:4, interleaved
+    MCUs, per-component DC prediction, one shared quant/Huffman table set
+    — a conforming JFIF-style stream). Gray content (R=G=B) maps to
+    Cb=Cr=128 exactly, which with unit quant tables keeps flat gray
+    blocks bit-exact through the full color path."""
+    h, w, _ = rgb.shape
+    if h % 8 or w % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    qz = np.ones(64, np.int64) if qz is None else np.asarray(qz, np.int64)
+    q_raster = np.empty(64, np.int64)
+    q_raster[_ZZ] = qz
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    planes = np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    )
+    planes = np.clip(np.round(planes), 0, 255)
+    dc_codes = _huff_codes(_JDC_BITS, _JDC_VALS)
+    ac_codes = _huff_codes(_JAC_BITS, _JAC_VALS)
+    bw = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(h // 8):
+        for bx in range(w // 8):
+            for c in range(3):  # interleaved MCU
+                pred[c] = _encode_block(bw, planes[c], by, bx, q_raster,
+                                        pred[c], dc_codes, ac_codes)
+    return _jpeg_headers(h, w, 3, qz) + bw.flush() + b"\xff\xd9"
 
 
 class _BitReader:
@@ -545,19 +599,22 @@ class _BitReader:
         raise ValueError("invalid Huffman code")
 
 
-def decode_jpeg_gray(payload: bytes) -> np.ndarray:
-    """Baseline JPEG bytes → (h, w) uint8 grayscale. Real decode path:
-    marker-segment walk, DQT/DHT table load (any conforming canonical
-    tables — read from the file, not assumed), SOF0 frame header, SOS
-    entropy decode (Huffman + DC prediction + run-length AC + byte
-    unstuffing), dequantize, zigzag→raster, IDCT, level shift + clamp.
-    Supports what the encoder emits: 8-bit grayscale, 1x1 sampling, no
-    restart intervals (raises otherwise — documented limitation)."""
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JPEG bytes → (h, w) uint8 grayscale or (h, w, 3) uint8
+    RGB. Real decode path: marker-segment walk, DQT/DHT table load (any
+    conforming canonical tables — read from the file, not assumed), SOF0
+    frame header, SOS interleaved entropy decode (Huffman + per-component
+    DC prediction + run-length AC + byte unstuffing), dequantize,
+    zigzag→raster, IDCT, level shift + clamp, and for 3 components the
+    JFIF YCbCr→RGB transform. Supports what the encoders emit: 8-bit,
+    1 or 3 components, 1x1 sampling, no restart intervals (raises
+    otherwise — documented limitation)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (no SOI)")
     pos = 2
     qz = None
     h = w = None
+    ncomp = 1
     dc_tab: dict[tuple[int, int], int] = {}
     ac_tab: dict[tuple[int, int], int] = {}
     while pos < len(payload):
@@ -596,8 +653,12 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
                         ac_tab = tab
                 i += 17 + nv
         elif marker == 0xC0:  # SOF0
-            if body[0] != 8 or body[5] != 1 or body[7] != 0x11:
-                raise ValueError("only 8-bit grayscale 1x1 supported")
+            ncomp = body[5]
+            if body[0] != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component supported")
+            for c in range(ncomp):
+                if body[7 + 3 * c] != 0x11:
+                    raise ValueError("only 1x1 sampling (no subsampling)")
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7):
@@ -612,39 +673,60 @@ def decode_jpeg_gray(payload: bytes) -> np.ndarray:
             q_raster = np.empty(64, np.int64)
             q_raster[_ZZ] = qz
             m = _dct_matrix()
-            out = np.zeros((h, w), np.uint8)
+            planes = np.zeros((ncomp, h, w), np.float64)
             br = _BitReader(payload, pos)
-            pred = 0
+            pred = [0] * ncomp
             for by in range(h // 8):
                 for bx in range(w // 8):
-                    z = np.zeros(64, np.int64)
-                    s = br.huff(dc_tab)
-                    pred += br.receive_extend(s) if s else 0
-                    z[0] = pred
-                    k = 1
-                    while k < 64:
-                        sym = br.huff(ac_tab)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, size = sym >> 4, sym & 15
-                        if size == 0:
-                            if run != 15:
-                                raise ValueError("bad AC symbol")
-                            k += 16  # ZRL
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC run past block end")
-                        z[k] = br.receive_extend(size)
-                        k += 1
-                    coef = np.zeros(64, np.float64)
-                    coef[_ZZ] = z * qz
-                    f = m.T @ coef.reshape(8, 8) @ m
-                    px = np.clip(np.round(f) + 128, 0, 255).astype(np.uint8)
-                    out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-            return out
+                    for c in range(ncomp):  # interleaved MCU: one block/comp
+                        z = np.zeros(64, np.int64)
+                        s = br.huff(dc_tab)
+                        pred[c] += br.receive_extend(s) if s else 0
+                        z[0] = pred[c]
+                        k = 1
+                        while k < 64:
+                            sym = br.huff(ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 15
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            z[k] = br.receive_extend(size)
+                            k += 1
+                        coef = np.zeros(64, np.float64)
+                        coef[_ZZ] = z * qz
+                        f = m.T @ coef.reshape(8, 8) @ m
+                        planes[c, by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                            np.round(f) + 128
+                        )
+            if ncomp == 1:
+                return np.clip(planes[0], 0, 255).astype(np.uint8)
+            y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+            rgb = np.stack(
+                [
+                    y + 1.402 * cr,
+                    y - 0.344136 * cb - 0.714136 * cr,
+                    y + 1.772 * cb,
+                ],
+                axis=-1,
+            )
+            return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
         # other APPn/COM segments: skipped
     raise ValueError("no scan data found")
+
+
+def decode_jpeg_gray(payload: bytes) -> np.ndarray:
+    """Grayscale-only entry: decode and insist on a single component."""
+    out = decode_jpeg(payload)
+    if out.ndim != 2:
+        raise ValueError("expected a grayscale JPEG")
+    return out
 
 
 IMG_JW, IMG_JH = 48, 32  # 6x4 MCUs
@@ -662,3 +744,16 @@ def gen_jpeg(media_id: int) -> bytes:
     vals = ((media_id * 31 + 17 * b) % 256).astype(np.uint8).reshape(brows, bcols)
     img = np.kron(vals, np.ones((8, 8), np.uint8))
     return encode_jpeg_gray(img)
+
+
+def gen_jpeg_color(media_id: int) -> bytes:
+    """Deterministic color JPEG: 8x8 block b (raster order) is flat GRAY
+    value (media_id*23 + 13b) % 256 on all three channels — gray content
+    keeps the YCbCr round trip bit-exact (Cb=Cr=128), so the decoded RGB
+    sums stay SQL-expressible while the interleaved 3-component entropy
+    stream is real."""
+    bcols, brows = IMG_JW // 8, IMG_JH // 8
+    b = np.arange(brows * bcols, dtype=np.int64)
+    vals = ((media_id * 23 + 13 * b) % 256).astype(np.uint8).reshape(brows, bcols)
+    gray = np.kron(vals, np.ones((8, 8), np.uint8))
+    return encode_jpeg_color(np.stack([gray, gray, gray], axis=-1))

@@ -779,3 +779,83 @@ SELECT doc_id AS media_id,
                 b -> (doc_id * 31 + 17 * b) % 256)) AS sum_gray
 FROM documents
 """
+
+
+class JpegColorDecoder:
+    """Actor-pool stage for the 3-component interleaved baseline-JPEG
+    path (``functions/media.decode_jpeg``): per-component DC predictors,
+    YCbCr→RGB. Channel sums out; gray fixture content keeps them exact."""
+
+    def __init__(self):
+        from marc_data_migration_ray.functions import media as M
+
+        self.M = M
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        wh = np.zeros((n, 2), np.int64)
+        sums = np.zeros((n, 3), np.int64)
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            rgb = self.M.decode_jpeg(payload).astype(np.int64)
+            wh[i] = rgb.shape[1], rgb.shape[0]
+            sums[i] = rgb.reshape(-1, 3).sum(axis=0)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(wh[:, 0]),
+                "height": pa.array(wh[:, 1]),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+            }
+        )
+
+
+def media_jpeg_color_decode(sf_dir: str) -> ray.data.Dataset:
+    """(media_id, width, height, sum_r, sum_g, sum_b): REAL color-JPEG
+    decode — interleaved 3-component MCUs, YCbCr 4:4:4 — via the
+    actor-pool decoder; exact by the gray-content argument in
+    functions/media.gen_jpeg_color."""
+    import os
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def _payloads(t: pa.Table) -> pa.Table:
+        from marc_data_migration_ray.functions import media as M
+
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        arr = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(arr, pa.int64()),
+                "payload": pa.array(
+                    [M.gen_jpeg_color(int(i)) for i in arr], pa.binary()
+                ),
+            }
+        )
+
+    return ds.map_batches(
+        _payloads, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        JpegColorDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), zero_copy_batch=True,
+    )
+
+
+def media_jpeg_color_decode_sql() -> str:
+    """Mirror of ``functions/media.gen_jpeg_color`` block arithmetic —
+    R=G=B, block b flat at (media_id*23 + 13b) % 256."""
+    from marc_data_migration_ray.functions.media import IMG_JH, IMG_JW
+
+    nblocks = (IMG_JW // 8) * (IMG_JH // 8)
+    s = (f"64 * list_sum(list_transform(range({nblocks}), "
+         "b -> (doc_id * 23 + 13 * b) % 256))")
+    return f"""
+SELECT doc_id AS media_id,
+  {IMG_JW} AS width, {IMG_JH} AS height,
+  {s} AS sum_r, {s} AS sum_g, {s} AS sum_b
+FROM documents
+"""

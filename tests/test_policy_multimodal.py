@@ -270,3 +270,37 @@ def test_jpeg_decode_pipeline(ray_session):
         want = sum(64 * ((mid * 31 + 17 * b) % 256) for b in range(24))
         assert (r["width"], r["height"]) == (48, 32)
         assert r["sum_gray"] == want, mid
+
+
+def test_jpeg_color_roundtrip_and_flat_exactness():
+    import numpy as np
+    from marc_data_migration_ray.functions import media as M
+
+    # gray flat blocks through the FULL color path: bit-exact
+    for mid in [0, 9, 1000]:
+        rgb = M.decode_jpeg(M.gen_jpeg_color(mid))
+        b = np.arange(24, dtype=np.int64)
+        want = ((mid * 23 + 13 * b) % 256).reshape(4, 6)
+        blocks = rgb.reshape(4, 8, 6, 8, 3).transpose(0, 2, 1, 3, 4)
+        assert (blocks == want[:, :, None, None, None]).all(), mid
+    # arbitrary RGB: YCbCr forward+inverse + DCT rounding stays bounded
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 256, (24, 16, 3), dtype=np.uint8)
+    y = M.decode_jpeg(M.encode_jpeg_color(x))
+    assert np.abs(y.astype(int) - x.astype(int)).max() <= 4
+    # grayscale entry refuses a color stream
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="grayscale"):
+        M.decode_jpeg_gray(M.gen_jpeg_color(1))
+
+
+def test_jpeg_color_decode_pipeline(ray_session):
+    from marc_data_migration_ray.pipelines import multimodal as mm
+
+    rows = mm.media_jpeg_color_decode("/root/testdata/sf0.001").take_all()
+    assert len(rows) == 500
+    for r in rows[:25]:
+        mid = r["media_id"]
+        want = sum(64 * ((mid * 23 + 13 * b) % 256) for b in range(24))
+        assert r["sum_r"] == r["sum_g"] == r["sum_b"] == want, mid

@@ -161,7 +161,7 @@ def run_queries(sf_dir: str) -> dict:
         # eighth-session ops
         "weighted_sample", "bpe_train", "compression_ratio",
         "min_cost_supplier", "revenue_rollup", "supplier_revenue_share",
-        "media_jpeg_decode",
+        "media_jpeg_decode", "media_jpeg_color_decode", "ngram_topk",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -248,16 +248,23 @@ def _fold_salted_merge_task(
 
 
 @ray.remote(num_cpus=1)
-def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
+def _diff_bucket_task(ta: pa.Table, tb: pa.Table,
+                      payload: bool = False) -> pa.Table:
     """Diff two same-bucket fold outputs (change-data feed unit): vectorized
-    polars full join on doc_id; ``update`` = last_lsn moved."""
+    polars full join on doc_id; ``update`` = last_lsn moved. With
+    ``payload=True`` the after-image additionally carries ``tokens_after``
+    (the full token array), making the feed sufficient for downstream
+    REPLICATION (``apply_change_feed``), not just aggregate maintenance —
+    the scalar-only default keeps ordinary feeds token-free and cheap."""
     import polars as pl
 
-    def _rows(t: pa.Table, suffix: str) -> "pl.DataFrame":
+    def _rows(t: pa.Table, suffix: str, with_tokens: bool) -> "pl.DataFrame":
         r = t.filter(pc.equal(t["_kind"], "row"))
         cols = ["doc_id", "last_lsn"] + [
             c for c in ("n_tok", "source", "status") if c in r.column_names
         ]
+        if with_tokens and "tokens" in r.column_names:
+            cols.append("tokens")
         df = pl.from_arrow(r.select(cols))
         return df.rename({c: f"{c}{suffix}" for c in cols if c != "doc_id"})
 
@@ -266,8 +273,8 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
     # change the feed's column names — a stable contract for consumers);
     # before-images make the feed sufficient for incremental aggregate
     # maintenance (subtract before, add after — see pipelines/views.py)
-    da = _rows(ta, "_before")
-    db = _rows(tb, "_after")
+    da = _rows(ta, "_before", False)
+    db = _rows(tb, "_after", payload)
     j = db.join(da, on="doc_id", how="full", coalesce=True)
     j = j.with_columns(
         pl.when(pl.col("last_lsn_before").is_null())
@@ -279,7 +286,7 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
         .otherwise(pl.lit(None))
         .alias("change")
     ).filter(pl.col("change").is_not_null())
-    out = j.select(
+    sel = [
         pl.col("doc_id"),
         pl.col("change"),
         pl.col("last_lsn_before").cast(pl.Int64),
@@ -290,23 +297,28 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table) -> pa.Table:
         pl.col("n_tok_after").cast(pl.Int64),
         pl.col("source_after").cast(pl.Utf8),
         pl.col("status_after").cast(pl.Utf8),
-    ).to_arrow()
-    return out.cast(
-        pa.schema(
-            [
-                ("doc_id", pa.string()),
-                ("change", pa.string()),
-                ("last_lsn_before", pa.int64()),
-                ("last_lsn_after", pa.int64()),
-                ("n_tok_before", pa.int64()),
-                ("source_before", pa.string()),
-                ("status_before", pa.string()),
-                ("n_tok_after", pa.int64()),
-                ("source_after", pa.string()),
-                ("status_after", pa.string()),
-            ]
-        )
-    )
+    ]
+    fields = [
+        ("doc_id", pa.string()),
+        ("change", pa.string()),
+        ("last_lsn_before", pa.int64()),
+        ("last_lsn_after", pa.int64()),
+        ("n_tok_before", pa.int64()),
+        ("source_before", pa.string()),
+        ("status_before", pa.string()),
+        ("n_tok_after", pa.int64()),
+        ("source_after", pa.string()),
+        ("status_after", pa.string()),
+    ]
+    if payload:
+        if "tokens_after" not in j.columns:
+            j = j.with_columns(
+                pl.lit(None, dtype=pl.List(pl.Int32)).alias("tokens_after")
+            )
+        sel.append(pl.col("tokens_after"))
+        fields.append(("tokens_after", pa.list_(pa.int32())))
+    out = j.select(sel).to_arrow()
+    return out.cast(pa.schema(fields))
 
 
 @ray.remote(num_cpus=1)
@@ -1008,7 +1020,8 @@ class Replayer:
             )
         return merge_refs
 
-    def changes_between(self, from_epoch: int, to_epoch: int):
+    def changes_between(self, from_epoch: int, to_epoch: int,
+                        with_payload: bool = False):
         """Change-data feed (Delta-CDF analog): per-row diff of the table
         state at ``to_epoch`` vs ``from_epoch`` — (doc_id, change ∈
         {insert, update, delete}, last_lsn_before/after, n_tok_before/
@@ -1024,7 +1037,11 @@ class Replayer:
         sufficient for incremental aggregate maintenance (subtract
         before, add after — ``pipelines/views.py``). Epochs must be
         committed and at/above the compaction floor (same rule as
-        ``read_state(up_to_epoch=...)``)."""
+        ``read_state(up_to_epoch=...)``).
+
+        ``with_payload=True`` adds ``tokens_after`` (the full token-array
+        after-image) — the replication-grade feed ``apply_change_feed``
+        consumes; default feeds stay token-free (cheap)."""
         if not (self.manifest.is_committed(from_epoch)
                 and self.manifest.is_committed(to_epoch)):
             raise ValueError("both epochs must be committed")
@@ -1035,10 +1052,74 @@ class Replayer:
         empty = ray.put(_empty_fold())
         parts = sorted(set(refs_a) | set(refs_b))
         out = [
-            _diff_bucket_task.remote(refs_a.get(p, empty), refs_b.get(p, empty))
+            _diff_bucket_task.remote(refs_a.get(p, empty), refs_b.get(p, empty),
+                                     with_payload)
             for p in parts
         ]
         return ray.data.from_arrow_refs(out)
+
+    def apply_change_feed(self, feed, epoch: int) -> dict:
+        """Downstream replication: apply a PAYLOAD change feed (the
+        ``changes_between(..., with_payload=True)`` schema — from this
+        engine or any producer of that shape) onto THIS table, bringing a
+        replica restored from an older snapshot up to the feed's
+        ``to_epoch`` state. The Delta-CDF → MERGE pattern, closed-loop:
+        inserts/updates become a full-row upsert ``merge`` at ``epoch``,
+        deletes a tombstone ``merge`` at ``epoch + 1`` — both real fenced
+        epochs with audit/metrics/time-travel like any upstream write.
+        The two arms never share a key (a doc is upserted or deleted, not
+        both), so arm order is immaterial.
+
+        ``feed`` is a ``ray.data.Dataset``, ``pa.Table`` or parquet path
+        (e.g. an ``export_changes(..., with_payload=True)`` directory).
+        Returns ``{"upsert": entry, "delete": entry, "epochs": [e, e+1]}``."""
+        from marc_data_migration_ray.sources import readers
+
+        if isinstance(feed, str):
+            ds = readers.read_parquet(feed)
+        elif isinstance(feed, pa.Table):
+            ds = ray.data.from_arrow(feed)
+        else:
+            ds = feed
+        if "tokens_after" not in ds.schema().names:
+            raise ValueError(
+                "feed has no tokens_after payload — produce it with "
+                "changes_between(..., with_payload=True)"
+            )
+
+        def _upserts(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.is_in(t["change"],
+                                  value_set=pa.array(["insert", "update"])))
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "tokens": t["tokens_after"],
+                    "n_tok": t["n_tok_after"],
+                    "source": t["source_after"],
+                }
+            )
+
+        def _deletes(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["change"], "delete"))
+            n = t.num_rows
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "tokens": pa.nulls(n, pa.list_(pa.int32())),
+                    "n_tok": pa.nulls(n, pa.int64()),
+                    "source": pa.nulls(n, pa.string()),
+                }
+            )
+
+        up = self.merge(
+            ds.map_batches(_upserts, batch_format="pyarrow", zero_copy_batch=True),
+            epoch, when_matched="update", when_not_matched="insert",
+        )
+        dl = self.merge(
+            ds.map_batches(_deletes, batch_format="pyarrow", zero_copy_batch=True),
+            epoch + 1, when_matched="delete", when_not_matched=None,
+        )
+        return {"upsert": up, "delete": dl, "epochs": [epoch, epoch + 1]}
 
     def _schema_ops_up_to(self, up_to_epoch: int | None,
                           up_to_lsn: int | None = None) -> list[dict]:
@@ -1528,7 +1609,8 @@ class Replayer:
                 return json.load(f)
         return info
 
-    def export_changes(self, dest: str, from_epoch: int, to_epoch: int) -> dict:
+    def export_changes(self, dest: str, from_epoch: int, to_epoch: int,
+                       with_payload: bool = False) -> dict:
         """CDC egress: write ``changes_between(from, to)`` as Parquet
         partitioned by change type + a ``_EXPORT.json`` manifest — the
         downstream-sync artifact (a consumer applies inserts/updates/
@@ -1539,7 +1621,7 @@ class Replayer:
         if os.path.exists(marker):
             with open(marker) as f:
                 return json.load(f)
-        ds = self.changes_between(from_epoch, to_epoch)
+        ds = self.changes_between(from_epoch, to_epoch, with_payload=with_payload)
         tmp = dest.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
         ds.write_parquet(tmp, partition_cols=["change"])
         os.makedirs(tmp, exist_ok=True)  # zero-change feeds still publish

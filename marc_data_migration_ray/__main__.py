@@ -253,7 +253,21 @@ def main(argv=None) -> int:
     exc.add_argument("--dest", required=True)
     exc.add_argument("--from-epoch", type=int, required=True, dest="from_epoch")
     exc.add_argument("--to-epoch", type=int, required=True, dest="to_epoch")
+    exc.add_argument("--with-payload", action="store_true", dest="with_payload",
+                     help="include tokens_after (replication-grade feed "
+                          "consumable by apply-feed)")
     _add_cfg_args(exc)
+
+    af = sub.add_parser(
+        "apply-feed",
+        help="replication ingest: apply a payload change feed "
+             "(export-changes --with-payload output) onto this table as "
+             "two fenced merge epochs (upserts at --epoch, deletes at +1)",
+    )
+    af.add_argument("--table", required=True)
+    af.add_argument("--feed", required=True)
+    af.add_argument("--epoch", type=int, required=True)
+    _add_cfg_args(af)
 
     cl = sub.add_parser(
         "clone",
@@ -621,8 +635,11 @@ def main(argv=None) -> int:
             return 0 if res["ok"] else 1
         elif args.cmd == "export-changes":
             print(json.dumps(
-                rp.export_changes(args.dest, args.from_epoch, args.to_epoch)
+                rp.export_changes(args.dest, args.from_epoch, args.to_epoch,
+                                  with_payload=args.with_payload)
             ))
+        elif args.cmd == "apply-feed":
+            print(json.dumps(rp.apply_change_feed(args.feed, args.epoch)))
         elif args.cmd == "vacuum":
             removed = rp.vacuum(retain_audit=not args.drop_audit,
                                 retain_snapshots=args.retain_snapshots,

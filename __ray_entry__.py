@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
         "cdc_merge_state": lambda sf: derived.cdc_merge_state(sf),
         "cdc_source_counts": lambda sf: derived.cdc_source_counts(sf),
+        "cdc_table_stats": lambda sf: derived.cdc_table_stats(sf),
         # key/title kernels (M1-M3, M7, M15)
         "key_normalize": reports.key_normalize,
         "title_normalize": reports.title_normalize,
@@ -626,6 +627,16 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({_CDC_STATE}) WHERE doc_id IN ("
             + ", ".join(f"'{i}'" for i in _derived_lookup_ids())
             + ")"
+        ),
+        # ANALYZE TABLE: column statistics over the same LWW state
+        "cdc_table_stats": (
+            f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "
+            f"CAST(min(n_tok) AS BIGINT) AS n_tok_min, "
+            f"CAST(max(n_tok) AS BIGINT) AS n_tok_max, "
+            f"CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tok_sum, "
+            f"CAST(count(*) FILTER (n_tok IS NULL) AS BIGINT) AS n_tok_nulls, "
+            f"CAST(count(DISTINCT source) AS BIGINT) AS n_sources "
+            f"FROM ({_CDC_STATE})"
         ),
         # materialized view: GROUP BY source over the same LWW state
         "cdc_source_counts": (

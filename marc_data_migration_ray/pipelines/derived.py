@@ -518,3 +518,61 @@ def cdc_dup_keys(sf_dir: str) -> ray.data.Dataset:
         batch_format="pyarrow",
     )
     return renamed.filter(expr="n_events > 1")
+
+
+def cdc_table_stats(sf_dir: str, cfg: ReplayConfig | None = None) -> pa.Table:
+    """ANALYZE TABLE over the replayed LWW state: row count, n_tok
+    min/max/sum, n_tok null count, exact distinct source count — the
+    column statistics a query planner or a data-quality gate reads.
+
+    Scale shape: one partial row per batch inside ``map_batches`` (six
+    integers + the batch's distinct-source set, which is categorical and
+    tiny), then a driver reduce over ≤ #blocks partials. No shuffle; the
+    state is never materialized beyond its streaming fold."""
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        nt = t["n_tok"]
+        valid = pc.drop_null(nt)
+        has = len(valid) > 0
+        return pa.table(
+            {
+                "n_rows": pa.array([t.num_rows], pa.int64()),
+                "n_tok_min": pa.array(
+                    [pc.min(valid).as_py() if has else None], pa.int64()),
+                "n_tok_max": pa.array(
+                    [pc.max(valid).as_py() if has else None], pa.int64()),
+                "n_tok_sum": pa.array(
+                    [pc.sum(valid).as_py() if has else 0], pa.int64()),
+                "n_tok_nulls": pa.array([nt.null_count], pa.int64()),
+                "sources": pa.array(
+                    [pc.unique(pc.drop_null(t["source"])).to_pylist()],
+                    pa.list_(pa.string())),
+            }
+        )
+
+    n = tok_sum = nulls = 0
+    mn: int | None = None
+    mx: int | None = None
+    srcs: set[str] = set()
+    for b in rp.read_state().map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for r in b.to_pylist():
+            n += r["n_rows"]
+            tok_sum += r["n_tok_sum"]
+            nulls += r["n_tok_nulls"]
+            if r["n_tok_min"] is not None:
+                mn = r["n_tok_min"] if mn is None else min(mn, r["n_tok_min"])
+                mx = r["n_tok_max"] if mx is None else max(mx, r["n_tok_max"])
+            srcs.update(r["sources"])
+    return pa.table(
+        {
+            "n_rows": pa.array([n], pa.int64()),
+            "n_tok_min": pa.array([mn], pa.int64()),
+            "n_tok_max": pa.array([mx], pa.int64()),
+            "n_tok_sum": pa.array([tok_sum], pa.int64()),
+            "n_tok_nulls": pa.array([nulls], pa.int64()),
+            "n_sources": pa.array([len(srcs)], pa.int64()),
+        }
+    )

@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_merge_state": lambda sf: derived.cdc_merge_state(sf),
         "cdc_source_counts": lambda sf: derived.cdc_source_counts(sf),
         "cdc_table_stats": lambda sf: derived.cdc_table_stats(sf),
+        "cdc_changes": lambda sf: derived.cdc_changes(sf),
         # key/title kernels (M1-M3, M7, M15)
         "key_normalize": reports.key_normalize,
         "title_normalize": reports.title_normalize,
@@ -303,6 +304,14 @@ WHERE a.anchor_op IS NULL OR a.anchor_op <> 'delete'
 
 _GATED_PLAIN = """WHERE op IN ('insert', 'delete')
      OR (op = 'update' AND (score = 100 OR score >= 50))"""
+
+# half-binlog cut for the change-feed oracle: same gate, lsn <= max//2
+# (mirrors derived.cdc_changes' epoch split)
+_GATED_HALF = (
+    "WHERE lsn <= (SELECT max(event_id) // 2 FROM events) "
+    "AND (op IN ('insert', 'delete') "
+    "OR (op = 'update' AND (score = 100 OR score >= 50)))"
+)
 _GATED_CHECKED = """WHERE op = 'delete'
      OR (op IN ('insert', 'update')
          AND n_tok_new <= 8 AND source_new IN ('signup', 'click', 'view')
@@ -628,6 +637,22 @@ def oracle_sql() -> dict[str, str]:
             + ", ".join(f"'{i}'" for i in _derived_lookup_ids())
             + ")"
         ),
+        # change-data feed: engine per-bucket diff vs full-outer join of
+        # the half-cut and full LWW states (same gate/anchor/winner CTEs)
+        "cdc_changes": f"""
+WITH f AS ({_CDC_STATE}), h AS ({_CDC_STATE.replace(_GATED_PLAIN, _GATED_HALF)})
+SELECT coalesce(f.doc_id, h.doc_id) AS doc_id,
+  CASE WHEN h.doc_id IS NULL THEN 'insert'
+       WHEN f.doc_id IS NULL THEN 'delete'
+       ELSE 'update' END AS change,
+  h.last_lsn AS last_lsn_before, f.last_lsn AS last_lsn_after,
+  h.n_tok AS n_tok_before, h.source AS source_before,
+  h.status AS status_before,
+  f.n_tok AS n_tok_after, f.source AS source_after,
+  f.status AS status_after
+FROM f FULL JOIN h ON f.doc_id = h.doc_id
+WHERE h.doc_id IS NULL OR f.doc_id IS NULL OR h.last_lsn <> f.last_lsn
+""",
         # ANALYZE TABLE: column statistics over the same LWW state
         "cdc_table_stats": (
             f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "

@@ -576,3 +576,32 @@ def cdc_table_stats(sf_dir: str, cfg: ReplayConfig | None = None) -> pa.Table:
             "n_sources": pa.array([len(srcs)], pa.int64()),
         }
     )
+
+
+def cdc_changes(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Dataset:
+    """Driver surface for the change-data feed: split the sf-derived
+    binlog into two epochs at ``cut = max(lsn) // 2``, replay both onto
+    the manifest layout, and return ``changes_between(0, 1)`` — the
+    per-row diff (insert/update/delete + before/after images).
+
+    Oracle: full outer join of the LWW-state SQL evaluated at the half
+    cut vs the full binlog (same gate, same anchor/winner CTEs) — the
+    declarative mirror of the engine's co-partitioned per-bucket diff."""
+    import tempfile
+
+    from marc_data_migration_ray.pipelines.replay import Replayer
+
+    cfg = cfg or ReplayConfig(num_partitions=16)
+    root = tempfile.mkdtemp(prefix="cdc_changes_")
+    base_dir = os.path.join(root, "base_in")
+    build_base_ds(sf_dir).write_parquet(base_dir)
+    binlog = build_binlog_ds(sf_dir)
+    cut = binlog.max("lsn") // 2
+    binlog.filter(expr=f"lsn <= {cut}").write_parquet(
+        os.path.join(root, "ep0"))
+    binlog.filter(expr=f"lsn > {cut}").write_parquet(
+        os.path.join(root, "ep1"))
+    rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
+    rp.apply_epoch(0, os.path.join(root, "ep0"))
+    rp.apply_epoch(1, os.path.join(root, "ep1"))
+    return rp.changes_between(0, 1)

@@ -129,13 +129,24 @@ def _paths_bytes(paths) -> int:
 
 
 def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
-                        max_lsn=None):
+                        max_lsn=None, key_filter=None):
     from marc_data_migration_ray.stages.fold import fold_input_columns
 
     fold_cols = fold_input_columns()  # PARSED minus the audit-only titles
+    keys = pa.array(sorted(key_filter), pa.string()) if key_filter else None
     tables = []
     for f in base_files:
-        t = pq.read_table(f)
+        if keys is not None:
+            # point-lookup pushdown: row-group stats prune the base read
+            # (one row per key lives here; parquet min/max stats skip
+            # whole row groups) — base rows are all keyed, so dropping
+            # non-requested keys cannot affect the fold of requested ones.
+            # A compacted (final-schema) snapshot carries the key as
+            # `doc_id`; the raw bucketized base as `key`.
+            kcol = "doc_id" if base_is_final_schema else "key"
+            t = pq.read_table(f, filters=pc.field(kcol).isin(keys))
+        else:
+            t = pq.read_table(f)
         if base_is_final_schema:
             t = PrepBase(cfg, assume_normalized=True)(t)
         tables.append(t.select(fold_cols))
@@ -147,6 +158,14 @@ def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
         if max_lsn is not None:
             # LSN-level time travel: events after the cut never happened
             t = t.filter(pc.less_equal(t["lsn"], max_lsn))
+        if keys is not None:
+            # keep requested keys AND every keyless row: local-id
+            # allocation is positional within the partition, so the
+            # allocator must see the same keyless inserts it always does
+            t = t.filter(pc.or_kleene(
+                pc.is_null(t["key"]),
+                pc.is_in(t["key"], value_set=keys),
+            ))
         tables.append(t)
     if not tables:
         return None
@@ -202,11 +221,12 @@ def _fold_bucket_task(
     base_is_final_schema: bool,
     schema_ops: list[dict] | None = None,
     max_lsn: int | None = None,
+    key_filter: list[str] | None = None,
 ) -> pa.Table:
     """Fold one hash partition: read its co-partitioned base + delta files,
     run the vectorized LWW fold, return the FOLD_SCHEMA table."""
     allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
-                               max_lsn)
+                               max_lsn, key_filter)
     if allr is None:
         return _empty_fold()
     return fold_bucket(allr, cfg, local_id_offsets, schema_ops)
@@ -220,12 +240,13 @@ def _fold_salted_stage1_task(
     base_is_final_schema: bool,
     schema_ops: list[dict] | None = None,
     max_lsn: int | None = None,
+    key_filter: list[str] | None = None,
 ) -> pa.Table | None:
     """Stage 1 of the salted fold: one physical SUB-bucket → summary."""
     from marc_data_migration_ray.stages.fold import fold_salted_stage1
 
     allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
-                               max_lsn)
+                               max_lsn, key_filter)
     if allr is None:
         return None
     return fold_salted_stage1(allr, cfg, schema_ops)
@@ -920,6 +941,7 @@ class Replayer:
         up_to_epoch: int | None = None,
         only_parts: set[int] | None = None,
         up_to_lsn: int | None = None,
+        key_filter: list[str] | None = None,
     ) -> dict[int, "ray.ObjectRef"]:
         """One fold ObjectRef per LOGICAL partition (keyed by partition id) —
         the co-partitioned unit ``changes_between`` diffs pairwise.
@@ -993,6 +1015,7 @@ class Replayer:
                     base_is_final,
                     schema_ops,
                     up_to_lsn,
+                    key_filter,
                 )
                 for p in parts
             }
@@ -1012,6 +1035,7 @@ class Replayer:
                     base_is_final,
                     schema_ops,
                     up_to_lsn,
+                    key_filter,
                 )
                 for p in phys
             ]
@@ -1182,7 +1206,13 @@ class Replayer:
         num_partitions`` (the same function ingest uses); allocator-
         assigned local ids (``{prefix}-PPPP-N``) encode their partition
         directly, so they are addressable too. Rows come back in exactly
-        the ``read_state`` schema (schema ops + policies applied)."""
+        the ``read_state`` schema (schema ops + policies applied).
+
+        Within each candidate bucket the fold is KEY-FILTERED at the
+        parquet read (base rows to the requested keys via a scan filter;
+        delta rows to requested keys ∪ keyless rows, preserving the
+        positional local-id allocation) — per-bucket work is O(matches +
+        keyless), not O(bucket rows)."""
         from marc_data_migration_ray.functions.keys import hash_partition
 
         ids = [k for k in dict.fromkeys(doc_ids) if k]
@@ -1200,7 +1230,8 @@ class Replayer:
         if hashed:
             arr = hash_partition(pa.array(hashed, pa.string()), self.cfg.num_partitions)
             parts.update(int(p) for p in arr.to_pylist())
-        refs = self._fold_part_refs(up_to_epoch, only_parts=parts)
+        refs = self._fold_part_refs(up_to_epoch, only_parts=parts,
+                                    key_filter=ids)
         if refs:
             rows = ray.data.from_arrow_refs(list(refs.values()))
         else:

@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_source_counts": lambda sf: derived.cdc_source_counts(sf),
         "cdc_table_stats": lambda sf: derived.cdc_table_stats(sf),
         "cdc_changes": lambda sf: derived.cdc_changes(sf),
+        "cdc_time_travel": lambda sf: derived.cdc_time_travel(sf),
         # key/title kernels (M1-M3, M7, M15)
         "key_normalize": reports.key_normalize,
         "title_normalize": reports.title_normalize,
@@ -653,6 +654,10 @@ SELECT coalesce(f.doc_id, h.doc_id) AS doc_id,
 FROM f FULL JOIN h ON f.doc_id = h.doc_id
 WHERE h.doc_id IS NULL OR f.doc_id IS NULL OR h.last_lsn <> f.last_lsn
 """,
+        # epoch time travel: the as-of-epoch-0 state == half-cut LWW SQL
+        "cdc_time_travel": (
+            f"SELECT * FROM ({_CDC_STATE.replace(_GATED_PLAIN, _GATED_HALF)})"
+        ),
         # ANALYZE TABLE: column statistics over the same LWW state
         "cdc_table_stats": (
             f"SELECT CAST(count(*) AS BIGINT) AS n_rows, "

@@ -578,21 +578,16 @@ def cdc_table_stats(sf_dir: str, cfg: ReplayConfig | None = None) -> pa.Table:
     )
 
 
-def cdc_changes(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Dataset:
-    """Driver surface for the change-data feed: split the sf-derived
-    binlog into two epochs at ``cut = max(lsn) // 2``, replay both onto
-    the manifest layout, and return ``changes_between(0, 1)`` — the
-    per-row diff (insert/update/delete + before/after images).
-
-    Oracle: full outer join of the LWW-state SQL evaluated at the half
-    cut vs the full binlog (same gate, same anchor/winner CTEs) — the
-    declarative mirror of the engine's co-partitioned per-bucket diff."""
+def _layout_replayer_2ep(sf_dir: str, cfg: ReplayConfig) -> "Replayer":
+    """Two-epoch layout: the sf-derived binlog split at
+    ``cut = max(lsn) // 2`` (epoch 0 = lsn <= cut) — the shared setup for
+    the change-feed and time-travel driver queries, whose oracles
+    evaluate the LWW-state SQL with the same half-cut gate."""
     import tempfile
 
     from marc_data_migration_ray.pipelines.replay import Replayer
 
-    cfg = cfg or ReplayConfig(num_partitions=16)
-    root = tempfile.mkdtemp(prefix="cdc_changes_")
+    root = tempfile.mkdtemp(prefix="cdc_2ep_")
     base_dir = os.path.join(root, "base_in")
     build_base_ds(sf_dir).write_parquet(base_dir)
     binlog = build_binlog_ds(sf_dir)
@@ -604,4 +599,25 @@ def cdc_changes(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Datase
     rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
     rp.apply_epoch(0, os.path.join(root, "ep0"))
     rp.apply_epoch(1, os.path.join(root, "ep1"))
+    return rp
+
+
+def cdc_changes(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Dataset:
+    """Driver surface for the change-data feed: replay the two-epoch
+    split layout and return ``changes_between(0, 1)`` — the per-row diff
+    (insert/update/delete + before/after images).
+
+    Oracle: full outer join of the LWW-state SQL evaluated at the half
+    cut vs the full binlog (same gate, same anchor/winner CTEs) — the
+    declarative mirror of the engine's co-partitioned per-bucket diff."""
+    rp = _layout_replayer_2ep(sf_dir, cfg or ReplayConfig(num_partitions=16))
     return rp.changes_between(0, 1)
+
+
+def cdc_time_travel(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Dataset:
+    """Driver surface for epoch time travel: the scalar LWW state read
+    AS OF epoch 0 of the two-epoch split layout (epoch 1 is committed but
+    must not leak into the read). Oracle: the LWW-state SQL with the
+    half-cut gate — a declarative as-of snapshot."""
+    rp = _layout_replayer_2ep(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    return _scalar_state(rp.read_state(up_to_epoch=0))

@@ -80,6 +80,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_constraint_counts": derived.cdc_constraint_counts,
         "cdc_constraint_state": derived.cdc_constraint_state,
         "export_scan_prune": derived.export_scan_prune,
+        "export_scan_prune_2d": derived.export_scan_prune_2d,
         "cdc_versions": derived.cdc_versions,
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
@@ -703,6 +704,12 @@ FROM src m LEFT JOIN state st ON m.doc_id = st.doc_id
         # skipping must be lossless; bounds shared with derived.py)
         "export_scan_prune": (
             f"SELECT * FROM ({_CDC_STATE}) WHERE n_tok BETWEEN 30 AND 80"
+        ),
+        # Z-order (2-D Morton) clustered export: the pruned scan must
+        # equal the plain conjunctive filter over the LWW state
+        "export_scan_prune_2d": (
+            f"SELECT * FROM ({_CDC_STATE}) "
+            f"WHERE n_tok BETWEEN 5 AND 60 AND last_lsn >= 1"
         ),
         # SCD-2 version timeline: anchor chain via IGNORE-NULLS window,
         # boundaries LEAD-closed; the live version has to_lsn NULL

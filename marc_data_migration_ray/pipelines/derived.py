@@ -621,3 +621,30 @@ def cdc_time_travel(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Da
     half-cut gate — a declarative as-of snapshot."""
     rp = _layout_replayer_2ep(sf_dir, cfg or ReplayConfig(num_partitions=16))
     return _scalar_state(rp.read_state(up_to_epoch=0))
+
+
+Z_SCAN_NTOK = (5, 60)
+Z_SCAN_LSN_LO = 1  # excludes untouched base rows (last_lsn = -1)
+
+
+def export_scan_prune_2d(sf_dir: str) -> ray.data.Dataset:
+    """Z-order data skipping end-to-end: replay → 2-D Morton-clustered
+    export over (n_tok, last_lsn) with per-column zone maps → pruned scan
+    of ``n_tok BETWEEN 5 AND 60 AND last_lsn >= 1``. The oracle is the
+    plain 2-D filter over the LWW state — equality proves pruning loses
+    nothing; unlike 1-D range clustering, the SAME layout also prunes
+    for predicates on the other column."""
+    import tempfile
+
+    from marc_data_migration_ray.pipelines.replay import (
+        export_snapshot_zorder, scan_export_zorder,
+    )
+
+    cfg = ReplayConfig(num_partitions=16)
+    rp = _layout_replayer(sf_dir, cfg)
+    dest = os.path.join(tempfile.mkdtemp(prefix="cdc_zexport_"), "zordered")
+    export_snapshot_zorder(rp, dest, cols=("n_tok", "last_lsn"), n_ranges=16)
+    scan = scan_export_zorder(
+        dest, n_tok=Z_SCAN_NTOK, last_lsn=(Z_SCAN_LSN_LO, None))
+    assert scan["ranges_scanned"] < scan["ranges_total"], "no pruning?"
+    return _scalar_state(scan["dataset"])

@@ -760,7 +760,7 @@ def media_jpeg_decode(sf_dir: str) -> ray.data.Dataset:
         _payloads, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
         JpegDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 4), zero_copy_batch=True,
+        concurrency=(1, 8), zero_copy_batch=True,
     )
 
 
@@ -841,7 +841,7 @@ def media_jpeg_color_decode(sf_dir: str) -> ray.data.Dataset:
         _payloads, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
         JpegColorDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 4), zero_copy_batch=True,
+        concurrency=(1, 8), zero_copy_batch=True,
     )
 
 

@@ -2564,3 +2564,258 @@ def scan_export(dest: str, lo: int | None = None, hi: int | None = None) -> dict
         "ranges_total": len(info["zones"]),
         "rows_skipped": skipped_rows,
     }
+
+
+# ------------------------------------------------------------- Z-order --
+
+
+def _morton2(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """62-bit Morton (Z-order) code of two non-negative int arrays: bits
+    of ``a`` on even positions, ``b`` on odd. Pure numpy bit spreading —
+    the standard magic-mask interleave (public domain folklore; cf.
+    "Bit Twiddling Hacks")."""
+
+    def spread(x: np.ndarray) -> np.ndarray:
+        x = x.astype(np.uint64) & np.uint64((1 << 31) - 1)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return x
+
+    return spread(a) | (spread(b) << np.uint64(1))
+
+
+_Z_COARSE_BITS = 16  # keep the top 16 OCCUPIED Morton bits -> <= 65536 bins
+
+
+def export_snapshot_zorder(
+    rp: "Replayer",
+    dest: str,
+    cols: tuple[str, str] = ("n_tok", "last_lsn"),
+    n_ranges: int = 16,
+    up_to_epoch: int | None = None,
+) -> dict:
+    """2-D Z-ORDER clustered export (OPTIMIZE ... ZORDER BY (a, b)
+    analog): rows land in ``dest/range_id=<r>/`` directories ordered by
+    the Morton interleave of the two int columns, and ``_EXPORT.json``
+    records one exact per-range zone map PER COLUMN — so
+    ``scan_export_zorder`` can skip directories for a predicate on
+    EITHER column (the property 1-D range clustering lacks).
+
+    Scale shape: pass 1 = per-batch min partials (offsets make values
+    non-negative for the interleave); pass 2 = per-batch stats grouped by
+    the COARSE Morton bin (top 16 bits → ≤ 65536 bins regardless of row
+    count — the bounded-histogram argument of token_quantiles); driver
+    merges the bins, splits at N/k cumulative counts on bin boundaries
+    (equal bins never split), derives per-range/per-column min/max from
+    the bin stats; route pass broadcasts the bin bounds. NULL in either
+    column routes to range 0 and is counted in the zone's ``nulls`` (a
+    range predicate never matches NULL — SQL semantics — so null rows
+    are always prunable/filtered exactly)."""
+    marker = os.path.join(dest, "_EXPORT.json")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            return json.load(f)
+    a_col, b_col = cols
+    up_to = up_to_epoch if up_to_epoch is not None else (
+        rp.manifest.committed_epochs()[-1]
+        if rp.manifest.committed_epochs() else -1
+    )
+    rows = rp.read_state(up_to).materialize()
+
+    def _minmax(t: pa.Table) -> pa.Table:
+        out = {}
+        for c in (a_col, b_col):
+            v = pc.drop_null(pc.cast(t[c], pa.int64()))
+            has = len(v) > 0
+            out[f"{c}_lo"] = pa.array([pc.min(v).as_py() if has else None], pa.int64())
+            out[f"{c}_hi"] = pa.array([pc.max(v).as_py() if has else None], pa.int64())
+        return pa.table(out)
+
+    lo = {a_col: None, b_col: None}
+    hi = {a_col: None, b_col: None}
+    for b in rows.map_batches(
+        _minmax, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for c in (a_col, b_col):
+            vlo, vhi = b[f"{c}_lo"][0].as_py(), b[f"{c}_hi"][0].as_py()
+            if vlo is not None:
+                lo[c] = vlo if lo[c] is None else min(lo[c], vlo)
+                hi[c] = vhi if hi[c] is None else max(hi[c], vhi)
+    off_a = lo[a_col] or 0
+    off_b = lo[b_col] or 0
+    # adaptive coarse shift: the Morton code occupies 2*max(bit widths)
+    # bits for THIS data; keep its top _Z_COARSE_BITS (<= 65536 bins)
+    span_bits = max(
+        int(hi[a_col] - off_a).bit_length() if hi[a_col] is not None else 1,
+        int(hi[b_col] - off_b).bit_length() if hi[b_col] is not None else 1,
+        1,
+    )
+    shift = max(0, 2 * span_bits - _Z_COARSE_BITS)
+
+    def _bin_of(t: pa.Table) -> np.ndarray:
+        av = pc.fill_null(pc.cast(t[a_col], pa.int64()), off_a).to_numpy(
+            zero_copy_only=False) - off_a
+        bv = pc.fill_null(pc.cast(t[b_col], pa.int64()), off_b).to_numpy(
+            zero_copy_only=False) - off_b
+        return (_morton2(np.maximum(av, 0), np.maximum(bv, 0))
+                >> np.uint64(shift)).astype(np.int64)
+
+    def _stats(t: pa.Table) -> pa.Table:
+        g = pa.table({
+            "bin": pa.array(_bin_of(t)),
+            "a": pc.cast(t[a_col], pa.int64()),
+            "b": pc.cast(t[b_col], pa.int64()),
+        })
+        out = g.group_by("bin").aggregate([
+            ("a", "min"), ("a", "max"), ("a", "count"),
+            ("b", "min"), ("b", "max"), ("b", "count"),
+            ([], "count_all"),
+        ])
+        return out
+
+    bins: dict[int, list] = {}
+    for t in rows.map_batches(
+        _stats, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for r in t.to_pylist():
+            e = bins.setdefault(r["bin"], [None, None, None, None, 0, 0, 0])
+            for i, k in ((0, "a_min"), (2, "b_min")):
+                if r[k] is not None:
+                    e[i] = r[k] if e[i] is None else min(e[i], r[k])
+            for i, k in ((1, "a_max"), (3, "b_max")):
+                if r[k] is not None:
+                    e[i] = r[k] if e[i] is None else max(e[i], r[k])
+            e[4] += r["count_all"]
+            e[5] += r["count_all"] - r["a_count"]
+            e[6] += r["count_all"] - r["b_count"]
+
+    order = np.array(sorted(bins), np.int64)
+    cnts = np.array([bins[x][4] for x in order], np.int64)
+    cum = np.cumsum(cnts)
+    total = int(cum[-1]) if len(cum) else 0
+    k = max(1, min(n_ranges, len(order)))
+    targets = (np.arange(1, k) * total) // k
+    bidx = np.unique(np.searchsorted(cum, targets, side="left"))
+    bounds = order[bidx] if len(order) else np.array([], np.int64)
+    rid_of_bin = np.searchsorted(bounds, order, side="left")
+    zones = []
+    for r in range(len(bounds) + 1):
+        sel = [x for x, rid in zip(order, rid_of_bin) if rid == r]
+        amin = amax = bmin = bmax = None
+        n = nulls = 0
+        for x in sel:
+            e = bins[x]
+            if e[0] is not None:
+                amin = e[0] if amin is None else min(amin, e[0])
+                amax = e[1] if amax is None else max(amax, e[1])
+            if e[2] is not None:
+                bmin = e[2] if bmin is None else min(bmin, e[2])
+                bmax = e[3] if bmax is None else max(bmax, e[3])
+            n += e[4]
+            nulls += max(e[5], e[6])
+        zones.append({
+            "range_id": int(r),
+            f"{a_col}_min": amin, f"{a_col}_max": amax,
+            f"{b_col}_min": bmin, f"{b_col}_max": bmax,
+            "n_rows": int(n), "nulls": int(nulls),
+        })
+    bounds_ref = ray.put(bounds)
+
+    def _route(t: pa.Table) -> pa.Table:
+        bs = ray.get(bounds_ref)
+        rid = np.searchsorted(bs, _bin_of(t), side="left")
+        return t.append_column("range_id", pa.array(rid.astype(np.int32)))
+
+    tmp = dest.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
+    rows.map_batches(
+        _route, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(tmp, partition_cols=["range_id"],
+                    row_group_size=_ROW_GROUP_SIZE)
+    info = {
+        "up_to_epoch": up_to,
+        "cluster_by": list(cols),
+        "zorder": True,
+        "zones": zones,
+        "n_rows": total,
+    }
+    os.makedirs(tmp, exist_ok=True)
+    with open(os.path.join(tmp, "_EXPORT.json"), "w") as f:
+        json.dump(info, f)
+    os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
+    try:
+        os.rename(tmp, dest)
+    except OSError:
+        if not os.path.exists(marker):
+            raise
+        shutil.rmtree(tmp, ignore_errors=True)
+        with open(marker) as f:
+            return json.load(f)
+    return info
+
+
+def scan_export_zorder(dest: str, **preds) -> dict:
+    """Zone-pruned scan of a Z-ordered export: ``preds`` maps a clustered
+    column to an ``(lo, hi)`` bound (either may be None). A directory is
+    skipped when ANY predicated column's zone cannot intersect its bound
+    (rows with NULL in a predicated column never match, so null rows
+    prune away with their range). Survivors are read with the conjunctive
+    predicate pushed into the parquet scan and applied exactly."""
+    with open(os.path.join(dest, "_EXPORT.json")) as f:
+        info = json.load(f)
+    if not info.get("zorder"):
+        raise ValueError(f"{dest} is not a Z-ordered export")
+    cols = info["cluster_by"]
+    for c in preds:
+        if c not in cols:
+            raise ValueError(f"{c} is not a clustered column of {dest}")
+    keep, skipped_rows = [], 0
+    for z in info["zones"]:
+        out = False
+        for c, (lo, hi) in preds.items():
+            zmin, zmax = z[f"{c}_min"], z[f"{c}_max"]
+            if zmin is None or (lo is not None and zmax < lo) \
+                    or (hi is not None and zmin > hi):
+                out = True
+                break
+        if out:
+            skipped_rows += z["n_rows"]
+        else:
+            keep.append(z["range_id"])
+    files = []
+    for r in keep:
+        files.extend(sorted(glob.glob(
+            os.path.join(dest, f"range_id={r}", "*.parquet"))))
+    if not files:
+        ds = ray.data.from_arrow(pa.table(
+            {c: pa.array([], pa.int64()) for c in cols}))
+    else:
+        import pyarrow.dataset as pads
+
+        from marc_data_migration_ray.sources import readers
+
+        f_expr = None
+        for c, (lo, hi) in preds.items():
+            for e in ([pads.field(c) >= lo] if lo is not None else []) + \
+                     ([pads.field(c) <= hi] if hi is not None else []):
+                f_expr = e if f_expr is None else (f_expr & e)
+        ds = readers.read_parquet(
+            files, **({"filter": f_expr} if f_expr is not None else {})
+        )
+        conds = []
+        for c, (lo, hi) in preds.items():
+            if lo is not None:
+                conds.append(f"{c} >= {lo}")
+            if hi is not None:
+                conds.append(f"{c} <= {hi}")
+        if conds:
+            ds = ds.filter(expr=" and ".join(conds))
+    return {
+        "dataset": ds,
+        "cluster_by": cols,
+        "ranges_scanned": len(keep),
+        "ranges_total": len(info["zones"]),
+        "rows_skipped": skipped_rows,
+    }

@@ -176,3 +176,66 @@ def test_clustered_export_zone_map_pruning(ray_session, fixture_dir, tmp_path):
     # idempotence: re-export returns the recorded manifest untouched
     again = rp.export_snapshot(dest, cluster_by="n_tok", n_ranges=4)
     assert again == info
+
+
+def test_zorder_export_pruning_both_columns(ray_session, fixture_dir, tmp_path):
+    """Z-order export: the SAME layout prunes for predicates on EITHER
+    clustered column; zones are true bounds; the pruned scan equals a
+    plain filter over the state; re-export is a no-op."""
+    from marc_data_migration_ray.pipelines.replay import (
+        export_snapshot_zorder, scan_export_zorder,
+    )
+
+    cfg = ReplayConfig(num_partitions=4)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    dest = str(tmp_path / "z")
+    info = export_snapshot_zorder(rp, dest, cols=("n_tok", "last_lsn"),
+                                  n_ranges=8)
+    assert info["zorder"] and len(info["zones"]) >= 2
+
+    state = rp.read_state().take_all()
+
+    def plain(pred):
+        return sorted(r["doc_id"] for r in state if pred(r))
+
+    # predicate on column A only
+    s = scan_export_zorder(dest, n_tok=(None, 40))
+    got = sorted(r["doc_id"] for r in s["dataset"].take_all())
+    assert got == plain(lambda r: r["n_tok"] is not None and r["n_tok"] <= 40)
+
+    # predicate on column B only — 1-D range clustering can't prune this
+    lsn_hi = max(r["last_lsn"] for r in state)
+    thresh = lsn_hi * 9 // 10
+    s = scan_export_zorder(dest, last_lsn=(thresh, None))
+    got = sorted(r["doc_id"] for r in s["dataset"].take_all())
+    assert got == plain(lambda r: r["last_lsn"] >= thresh)
+    assert s["ranges_scanned"] < s["ranges_total"]
+
+    # conjunctive predicate on both
+    s = scan_export_zorder(dest, n_tok=(10, 50), last_lsn=(1, None))
+    got = sorted(r["doc_id"] for r in s["dataset"].take_all())
+    assert got == plain(
+        lambda r: r["n_tok"] is not None and 10 <= r["n_tok"] <= 50
+        and r["last_lsn"] >= 1)
+
+    # zones are true bounds: every row respects its directory's zone
+    for z in info["zones"]:
+        d = os.path.join(dest, f"range_id={z['range_id']}")
+        if not os.path.isdir(d):
+            continue
+        import glob as _g
+        t = pa.concat_tables([
+            pq.read_table(f, columns=["n_tok", "last_lsn"])
+            for f in _g.glob(os.path.join(d, "*.parquet"))])
+        for col in ("n_tok", "last_lsn"):
+            vals = [v for v in t[col].to_pylist() if v is not None]
+            if vals:
+                assert z[f"{col}_min"] <= min(vals)
+                assert max(vals) <= z[f"{col}_max"]
+
+    # idempotent: second call returns the stored manifest untouched
+    info2 = export_snapshot_zorder(rp, dest)
+    assert info2 == info
+    # unknown predicate column refused
+    with pytest.raises(ValueError, match="not a clustered column"):
+        scan_export_zorder(dest, source=(0, 1))

@@ -269,6 +269,29 @@ def main(argv=None) -> int:
     af.add_argument("--epoch", type=int, required=True)
     _add_cfg_args(af)
 
+    ez = sub.add_parser(
+        "export-zorder",
+        help="Z-order (2-D Morton) clustered export with exact per-column "
+             "zone maps (OPTIMIZE ZORDER analog)",
+    )
+    ez.add_argument("--table", required=True)
+    ez.add_argument("--dest", required=True)
+    ez.add_argument("--cols", default="n_tok,last_lsn",
+                    help="two int columns, comma-separated")
+    ez.add_argument("--n-ranges", type=int, default=16, dest="n_ranges")
+    ez.add_argument("--up-to-epoch", type=int, default=None, dest="up_to_epoch")
+    _add_cfg_args(ez)
+
+    sz = sub.add_parser(
+        "scan-zorder",
+        help="zone-pruned scan of a Z-ordered export; prints match count "
+             "+ pruning stats",
+    )
+    sz.add_argument("--dest", required=True)
+    sz.add_argument("--col", action="append", default=[],
+                    help="predicate col:lo:hi (empty lo/hi = unbounded); "
+                         "repeatable")
+
     cl = sub.add_parser(
         "clone",
         help="zero-copy table clone: hardlink data files + fresh rewritten "
@@ -549,6 +572,18 @@ def main(argv=None) -> int:
                 print(json.dumps(res))
             return 0
 
+        if args.cmd == "scan-zorder":
+            from marc_data_migration_ray.pipelines.replay import scan_export_zorder
+
+            preds = {}
+            for spec in args.col:
+                c, lo, hi = (spec.split(":") + ["", ""])[:3]
+                preds[c] = (int(lo) if lo else None, int(hi) if hi else None)
+            scan = scan_export_zorder(args.dest, **preds)
+            ds = scan.pop("dataset")
+            print(json.dumps({**scan, "rows": ds.count()}))
+            return 0
+
         if args.cmd == "scan-export":
             from marc_data_migration_ray.pipelines.replay import scan_export
 
@@ -627,6 +662,17 @@ def main(argv=None) -> int:
             print(json.dumps(rp.rollback(args.to_epoch)))
         elif args.cmd == "clone":
             print(json.dumps(rp.clone(args.dest)))
+        elif args.cmd == "export-zorder":
+            from marc_data_migration_ray.pipelines.replay import (
+                export_snapshot_zorder,
+            )
+
+            cols = tuple(args.cols.split(","))
+            if len(cols) != 2:
+                raise SystemExit("--cols needs exactly two columns")
+            print(json.dumps(export_snapshot_zorder(
+                rp, args.dest, cols=cols, n_ranges=args.n_ranges,
+                up_to_epoch=args.up_to_epoch)))
         elif args.cmd == "fsck":
             res = rp.fsck(deep=args.deep)
             if args.orphans:

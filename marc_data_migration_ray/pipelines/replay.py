@@ -1651,7 +1651,14 @@ class Replayer:
         marker = os.path.join(dest, "_EXPORT.json")
         if os.path.exists(marker):
             with open(marker) as f:
-                return json.load(f)
+                info = json.load(f)
+            if bool(info.get("with_payload")) != bool(with_payload):
+                raise ValueError(
+                    f"{dest} already holds a "
+                    f"{'payload' if info.get('with_payload') else 'scalar'} "
+                    f"feed; re-export to a new dest for the other flavor"
+                )
+            return info
         ds = self.changes_between(from_epoch, to_epoch, with_payload=with_payload)
         tmp = dest.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
         ds.write_parquet(tmp, partition_cols=["change"])
@@ -1664,7 +1671,8 @@ class Replayer:
                     for p in glob.glob(os.path.join(tmp, d, "*.parquet"))
                 )
         info = {"from_epoch": from_epoch, "to_epoch": to_epoch,
-                "n_changes": sum(counts.values()), "counts": counts}
+                "n_changes": sum(counts.values()), "counts": counts,
+                "with_payload": bool(with_payload)}
         with open(os.path.join(tmp, "_EXPORT.json"), "w") as f:
             json.dump(info, f)
         os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)
@@ -2507,6 +2515,17 @@ class Replayer:
             shutil.rmtree(t)
 
 
+def _empty_like_export(dest: str, fallback_cols) -> pa.Table:
+    """Zero-row table with the export's REAL schema (read from any data
+    file), so a fully-pruned scan still yields every column a consumer
+    selects; falls back to int64 cluster columns on a fileless export."""
+    any_file = next(
+        iter(glob.glob(os.path.join(dest, "*", "*.parquet"))), None)
+    if any_file is not None:
+        return pq.read_schema(any_file).empty_table()
+    return pa.table({c: pa.array([], pa.int64()) for c in fallback_cols})
+
+
 def scan_export(dest: str, lo: int | None = None, hi: int | None = None) -> dict:
     """Zone-map-pruned scan of a range-clustered export
     (``export_snapshot(..., cluster_by=col)``): the consumer-side data-
@@ -2538,7 +2557,7 @@ def scan_export(dest: str, lo: int | None = None, hi: int | None = None) -> dict
         files.extend(sorted(glob.glob(
             os.path.join(dest, f"range_id={r}", "*.parquet"))))
     if not files:
-        ds = ray.data.from_arrow(pa.table({col: pa.array([], pa.int64())}))
+        ds = ray.data.from_arrow(_empty_like_export(dest, [col]))
     else:
         import pyarrow.dataset as pads
         from marc_data_migration_ray.sources import readers
@@ -2664,24 +2683,25 @@ def export_snapshot_zorder(
                 >> np.uint64(shift)).astype(np.int64)
 
     def _stats(t: pa.Table) -> pa.Table:
+        a = pc.cast(t[a_col], pa.int64())
+        b = pc.cast(t[b_col], pa.int64())
+        both = pc.cast(
+            pc.and_kleene(pc.is_valid(a), pc.is_valid(b)), pa.int64())
         g = pa.table({
-            "bin": pa.array(_bin_of(t)),
-            "a": pc.cast(t[a_col], pa.int64()),
-            "b": pc.cast(t[b_col], pa.int64()),
+            "bin": pa.array(_bin_of(t)), "a": a, "b": b, "both": both,
         })
-        out = g.group_by("bin").aggregate([
-            ("a", "min"), ("a", "max"), ("a", "count"),
-            ("b", "min"), ("b", "max"), ("b", "count"),
-            ([], "count_all"),
+        return g.group_by("bin").aggregate([
+            ("a", "min"), ("a", "max"),
+            ("b", "min"), ("b", "max"),
+            ("both", "sum"), ([], "count_all"),
         ])
-        return out
 
     bins: dict[int, list] = {}
     for t in rows.map_batches(
         _stats, batch_format="pyarrow", zero_copy_batch=True
     ).iter_batches(batch_format="pyarrow"):
         for r in t.to_pylist():
-            e = bins.setdefault(r["bin"], [None, None, None, None, 0, 0, 0])
+            e = bins.setdefault(r["bin"], [None, None, None, None, 0, 0])
             for i, k in ((0, "a_min"), (2, "b_min")):
                 if r[k] is not None:
                     e[i] = r[k] if e[i] is None else min(e[i], r[k])
@@ -2689,8 +2709,8 @@ def export_snapshot_zorder(
                 if r[k] is not None:
                     e[i] = r[k] if e[i] is None else max(e[i], r[k])
             e[4] += r["count_all"]
-            e[5] += r["count_all"] - r["a_count"]
-            e[6] += r["count_all"] - r["b_count"]
+            # rows with NULL in EITHER column (exact: total - both-valid)
+            e[5] += r["count_all"] - (r["both_sum"] or 0)
 
     order = np.array(sorted(bins), np.int64)
     cnts = np.array([bins[x][4] for x in order], np.int64)
@@ -2715,7 +2735,7 @@ def export_snapshot_zorder(
                 bmin = e[2] if bmin is None else min(bmin, e[2])
                 bmax = e[3] if bmax is None else max(bmax, e[3])
             n += e[4]
-            nulls += max(e[5], e[6])
+            nulls += e[5]
         zones.append({
             "range_id": int(r),
             f"{a_col}_min": amin, f"{a_col}_max": amax,
@@ -2789,8 +2809,7 @@ def scan_export_zorder(dest: str, **preds) -> dict:
         files.extend(sorted(glob.glob(
             os.path.join(dest, f"range_id={r}", "*.parquet"))))
     if not files:
-        ds = ray.data.from_arrow(pa.table(
-            {c: pa.array([], pa.int64()) for c in cols}))
+        ds = ray.data.from_arrow(_empty_like_export(dest, cols))
     else:
         import pyarrow.dataset as pads
 

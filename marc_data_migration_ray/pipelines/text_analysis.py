@@ -1133,17 +1133,14 @@ def bpe_train(sf_dir: str, merges: int = BPE_MERGES,
         )
 
     cand: list[tuple[str, int]] = []
-    n_words_total = 0
     for b in totals.map_batches(
         _local_topv, batch_format="pyarrow"
     ).iter_batches(batch_format="pyarrow"):
         cand.extend(zip(b["token"].to_pylist(), b["n"].to_pylist()))
-        n_words_total += len(b)
     cand.sort(key=lambda x: (-x[1], x[0]))
     kept = cand[:vocab_words]
-    # NB: n_words_total counts top-V survivors per block, not the corpus
-    # vocabulary; the exact dropped count would need a count() pass —
-    # record what we know (>= 0 lower bound) rather than claim exactness
+    # NB: counts candidates seen beyond V (a lower bound on corpus vocab
+    # minus V — the exact total would need a count() pass)
     dropped = max(0, len(cand) - len(kept))
 
     seqs: list[list[str]] = [list(w) for w, _ in kept]

@@ -123,3 +123,21 @@ def test_apply_change_feed_idempotent(ray_session, tmp_path, fixture_dir):
     rep.apply_change_feed(tbl, epoch=0)  # identical second apply
     assert _payload_rows(rep) == want
     assert _payload_rows(rep) == _payload_rows(src, up_to_epoch=1)
+
+
+def test_export_changes_flavor_guard(ray_session, tmp_path, fixture_dir):
+    """A dest holding a scalar feed refuses a --with-payload re-export
+    (the marker records the flavor), instead of silently returning the
+    payload-less artifact."""
+    cfg = ReplayConfig(num_partitions=4)
+    src = Replayer(str(tmp_path / "src"), cfg,
+                   base_path=os.path.join(fixture_dir, "base"))
+    for e in range(2):
+        src.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    dest = str(tmp_path / "feed")
+    info = src.export_changes(dest, 0, 1)  # scalar
+    assert info["with_payload"] is False
+    # same flavor: idempotent no-op
+    assert src.export_changes(dest, 0, 1) == info
+    with pytest.raises(ValueError, match="scalar"):
+        src.export_changes(dest, 0, 1, with_payload=True)

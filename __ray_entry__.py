@@ -186,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_top_event": events.user_top_event,
         "user_value_trailing_1h": events.user_value_trailing_1h,
         "session_count": events.session_count,
+        "user_sessions": events.user_sessions,
         "event_type_users": events.event_type_users,
         "event_type_users_sketch": lambda sf: events.event_type_users_sketch(sf),
         "sliding_window_value": events.sliding_window_value,
@@ -943,6 +944,23 @@ ORDER BY op, route, status
             "SELECT user_id, CAST(sum(CASE WHEN pts IS NULL "
             "OR ts > pts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions "
             "FROM d GROUP BY user_id"
+        ),
+        # full sessionization records: LAG break flags -> running SUM
+        # window = session id -> GROUP BY, bounds as epoch micros
+        "user_sessions": (
+            "WITH d AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END "
+            "AS brk FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT user_id, ts, SUM(brk) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM d) "
+            "SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+            "CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(epoch_us(min(ts)) AS BIGINT) AS start_us, "
+            "CAST(epoch_us(max(ts)) AS BIGINT) AS end_us "
+            "FROM s GROUP BY user_id, session_id"
         ),
         "event_type_users": (
             "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "

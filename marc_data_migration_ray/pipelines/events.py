@@ -1052,3 +1052,54 @@ def user_value_trailing_1h_sql() -> str:
         "AS BIGINT) AS trailing_cents "
         "FROM events"
     )
+
+
+def user_sessions(sf_dir: str) -> ray.data.Dataset:
+    """Full sessionization records: (user_id, session_id, n_events,
+    start_us, end_us) — session windows (gap > 30 min) with 1-based
+    per-user ids and integer-microsecond bounds (hash-stable).
+
+    Same scale shape as ``session_count`` (one coarse-bucket shuffle,
+    then ONE vectorized polars pass per bucket: sort (user, ts,
+    event_id) → gap-break flags → running cum_sum = session id →
+    group_by (user, session)); emits every session instead of a count."""
+    import polars as pl
+
+    ds = _events(sf_dir, ["user_id", "ts", "event_id"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", mod_bucket(t["user_id"], SESSION_BUCKETS))
+
+    def _sessions_bucket(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["bucket"])).sort(
+            ["user_id", "ts", "event_id"]
+        )
+        d = pl.col("ts").diff().over("user_id")
+        df = df.with_columns(
+            brk=(d.is_null() | (d > pl.duration(minutes=SESSION_GAP_MIN)))
+        ).with_columns(
+            session_id=pl.col("brk").cast(pl.Int64).cum_sum().over("user_id")
+        )
+        out = (
+            df.group_by(["user_id", "session_id"])
+            .agg(
+                n_events=pl.len().cast(pl.Int64),
+                start_us=pl.col("ts").min().cast(pl.Int64),
+                end_us=pl.col("ts").max().cast(pl.Int64),
+            )
+        )
+        t = out.to_arrow()
+        return pa.table(
+            {
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "session_id": pc.cast(t["session_id"], pa.int64()),
+                "n_events": pc.cast(t["n_events"], pa.int64()),
+                "start_us": pc.cast(t["start_us"], pa.int64()),
+                "end_us": pc.cast(t["end_us"], pa.int64()),
+            }
+        )
+
+    bucketed = ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+    return bucketed.groupby("bucket").map_groups(
+        _sessions_bucket, batch_format="pyarrow"
+    )

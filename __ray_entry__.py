@@ -109,6 +109,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "min_cost_supplier": tpch.min_cost_supplier,
         "revenue_rollup": tpch.revenue_rollup,
         "supplier_revenue_share": tpch.supplier_revenue_share,
+        "shipping_delay_stats": tpch.shipping_delay_stats,
         "distinct_orders_kmv": tpch.distinct_orders_kmv,
         # text analysis (training-data ops)
         "token_count": text_analysis.token_count,
@@ -837,6 +838,7 @@ ORDER BY op, route, status
         "min_cost_supplier": _tpch_mod.min_cost_supplier_sql(),
         "revenue_rollup": _tpch_mod.revenue_rollup_sql(),
         "supplier_revenue_share": _tpch_mod.supplier_revenue_share_sql(),
+        "shipping_delay_stats": _tpch_mod.shipping_delay_stats_sql(),
         "top_docs": (
             "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 10"

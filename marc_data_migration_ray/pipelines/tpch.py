@@ -719,3 +719,90 @@ def supplier_revenue_share_sql() -> str:
         "greatest(CAST(sum(revenue_cents) OVER () AS BIGINT), 1) AS BIGINT) "
         "AS share_ppm FROM rev"
     )
+
+
+def shipping_delay_stats(sf_dir: str) -> pa.Table:
+    """(o_orderpriority, n_items, sum_delay_days, max_delay_days): how
+    long after the order date lineitems actually shipped, by priority —
+    the TPC-H Q12-flavored shipping-SLA report.
+
+    Scale shape: distributed hash join (``Dataset.join``, both sides
+    large) on orderkey; the join output never leaves the workers — each
+    batch pre-aggregates to ≤ 5 priority rows (pricing_summary pattern),
+    so the final reduce is over tiny partials. Delay is exact integer
+    days: ``(ship_us - order_us) // 86_400_000_000`` (mirrored verbatim
+    in the SQL)."""
+    US_PER_DAY = 86_400_000_000
+
+    orders = readers.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "order_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "o_orderpriority": t["o_orderpriority"],
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    items = readers.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_shipdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "ship_us": pc.cast(t["l_shipdate"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow", zero_copy_batch=True,
+    )
+    joined = items.join(
+        orders, join_type="inner", num_partitions=8,
+        on=("l_orderkey",), right_on=("o_orderkey",),
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ship = t["ship_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        order = t["order_us"].combine_chunks().to_numpy(zero_copy_only=False)
+        delay = (ship - order) // US_PER_DAY
+        g = pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "delay": pa.array(delay, pa.int64()),
+            }
+        )
+        out = g.group_by("o_orderpriority").aggregate(
+            [("delay", "count"), ("delay", "sum"), ("delay", "max")]
+        )
+        return out
+
+    partials = joined.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
+    final = tbl.group_by("o_orderpriority").aggregate(
+        [("delay_count", "sum"), ("delay_sum", "sum"), ("delay_max", "max")]
+    )
+    return pa.table(
+        {
+            "o_orderpriority": final["o_orderpriority"],
+            "n_items": pc.cast(final["delay_count_sum"], pa.int64()),
+            "sum_delay_days": pc.cast(final["delay_sum_sum"], pa.int64()),
+            "max_delay_days": pc.cast(final["delay_max_max"], pa.int64()),
+        }
+    ).sort_by([("o_orderpriority", "ascending")])
+
+
+def shipping_delay_stats_sql() -> str:
+    return (
+        "SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_items, "
+        "CAST(sum((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) "
+        "// 86400000000) AS BIGINT) AS sum_delay_days, "
+        "CAST(max((epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) "
+        "// 86400000000) AS BIGINT) AS max_delay_days "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+        "GROUP BY o.o_orderpriority"
+    )

@@ -163,6 +163,7 @@ def run_queries(sf_dir: str) -> dict:
         "min_cost_supplier", "revenue_rollup", "supplier_revenue_share",
         "media_jpeg_decode", "media_jpeg_color_decode", "ngram_topk",
         "cdc_table_stats", "cdc_changes", "export_scan_prune_2d",
+        "user_sessions", "shipping_delay_stats",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -534,11 +534,12 @@ def _derived_lookup_ids() -> tuple[str, ...]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB equivalents. Omitted keys (dedup_simhash,
-    embedding_near_dup_lsh, ann_topk_lsh, ann_topk_ivf) are approximate
-    ops whose exact recall sets are not SQL-expressible → driver does
-    rows-only checks; each is independently verified in pytest
-    (tests/test_dedup_verification.py)."""
+    """DuckDB equivalents. Omitted keys (embedding_near_dup_lsh,
+    ann_topk_lsh, ann_topk_ivf, ann_topk_pq) are approximate ops whose
+    exact recall sets are not SQL-expressible → driver does rows-only
+    checks; each is independently verified in pytest
+    (tests/test_dedup_verification.py). bpe_train (iterative merge loop)
+    and compression_ratio (zlib) are likewise non-SQL, pytest-mirrored."""
     from marc_data_migration_ray.pipelines import clustering as _clustering
     from marc_data_migration_ray.pipelines import joins as _joins
     from marc_data_migration_ray.pipelines import curation as _curation
@@ -885,6 +886,10 @@ ORDER BY op, route, status
             "WITH " + _MINHASH_PAIR_CTES + " "
             "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8"
         ),
+        # SimHash near-dup: same portable md5 word hash + per-bit majority
+        # in SQL; 4-block pigeonhole makes the engine's candidate set
+        # complete at Hamming <= 3, so the pair sets match exactly
+        "dedup_simhash": _dedup.dedup_simhash_sql(),
         "dedup_incremental": (
             "WITH " + _MINHASH_PAIR_CTES + ", "
             "cx AS (SELECT CASE WHEN doc_a % 10 >= 3 THEN doc_a ELSE doc_b END "

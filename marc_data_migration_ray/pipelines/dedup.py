@@ -334,17 +334,50 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8,
 # --------------------------------------------------------------------- #
 # SimHash near-dup
 # --------------------------------------------------------------------- #
+def _md5_word_hashes(texts: pa.ChunkedArray | pa.Array):
+    """Per-word 64-bit hashes via the PORTABLE md5 convention shared with
+    DuckDB (``md5_number_lower(w)`` == little-endian int of digest bytes
+    8:16 — same rule as dsir_weights). Python-loops only over the batch's
+    UNIQUE words (vocab-bounded, Heaps' law), then maps back vectorized.
+
+    Separate from ``_word_hashes`` (FNV) on purpose: minhash banding keeps
+    its cheap buffer-level hash; simhash pays the md5 vocab map to gain an
+    exact DuckDB oracle over the full pair set."""
+    import hashlib
+
+    words = pc.split_pattern_regex(pc.cast(texts, pa.string()), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    offsets = np.asarray(words.offsets).astype(np.int64)
+    vals = words.values
+    if not len(vals):
+        return np.empty(0, np.uint64), offsets
+    uniq, inv = np.unique(np.asarray(vals, object), return_inverse=True)
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+            for w in uniq
+        ),
+        np.uint64,
+        count=len(uniq),
+    )
+    return uh[inv], offsets
+
+
 def simhash_signatures(sf_dir: str) -> ray.data.Dataset:
     """(doc_id, simhash, b0..b3): 64-bit SimHash + 4×16-bit blocking keys.
 
     Pairs within Hamming distance ≤ 3 share at least one of the 4 blocks
     (pigeonhole), so near-dup candidates come from 4 cheap groupbys.
+    Word hashing is the portable md5 rule (``_md5_word_hashes``), so the
+    signature — and therefore the full verified pair set — is reproducible
+    bit-exactly in SQL (``dedup_simhash_sql``).
     """
 
     def _sim(t: pa.Table) -> pa.Table:
-        # vectorized: Arrow-buffer word hashes → per-bit counts via
+        # vectorized: per-word md5 hashes → per-bit counts via
         # np.add.reduceat over per-doc word segments → sign-packed simhash
-        wh, offsets = _word_hashes(t["text"])
+        wh, offsets = _md5_word_hashes(t["text"])
         n_docs = len(offsets) - 1
         lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
         if len(wh):
@@ -457,6 +490,40 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3,
         )
     pairs = raw.filter(expr="doc_a >= 0").drop_columns(["n_dropped"])
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def dedup_simhash_sql(max_hamming: int = 3) -> str:
+    """DuckDB oracle for :func:`dedup_simhash` — the SAME signature, computed
+    relationally: per-word ``md5_number_lower`` hashes (the portable rule of
+    ``_md5_word_hashes``), per-bit majority vote over each document's words,
+    then an all-pairs self-join filtered to Hamming ≤ ``max_hamming``.
+
+    Exactness argument: 4 disjoint 16-bit blocks + pigeonhole ⇒ every pair
+    within Hamming 3 collides in ≥1 block, so the engine's LSH candidates
+    cover the full answer set; the verify stage computes exact Hamming; the
+    sf-scale buckets stay under ``bucket_cap`` (dropped-pair markers are
+    counted and logged — a nonzero drop would surface as an oracle mismatch,
+    which is the point)."""
+    cs = ", ".join(
+        f"sum(CAST((h >> {b}) & 1 AS BIGINT)) AS c{b}" for b in range(64)
+    )
+    # bit weights as literals: DuckDB's << overflows BIGINT at bit 63
+    sim = " + ".join(
+        f"CASE WHEN 2 * c{b} - n > 0 THEN CAST({1 << b} AS UBIGINT) "
+        f"ELSE CAST(0 AS UBIGINT) END"
+        for b in range(64)
+    )
+    return (
+        r"WITH words AS (SELECT doc_id, "
+        r"unnest(string_split_regex(text, '\s+')) AS w FROM documents), "
+        "wh AS (SELECT doc_id, md5_number_lower(w) AS h FROM words), "
+        f"bits AS (SELECT doc_id, count(*) AS n, {cs} FROM wh GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, ({sim}) AS sim FROM bits) "
+        "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming "
+        "FROM sig a JOIN sig b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}"
+    )
 
 
 # --------------------------------------------------------------------- #

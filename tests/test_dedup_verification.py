@@ -110,12 +110,15 @@ def test_minhash_bucket_cap_reports_drops(ray_session, planted_docs, caplog):
 
 
 def _scalar_simhash(text: str) -> int:
+    import hashlib
+
     words = re.split(r"\s+", text)
     if not words:
         return 0
     counts = np.zeros(64, np.int64)
     for w in words:
-        h = hash_str64(w)
+        # the portable md5 word hash (== DuckDB md5_number_lower)
+        h = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
         for b in range(64):
             counts[b] += (h >> b) & 1
     v = counts * 2 - len(words)

@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "block_dedup": dedup.block_dedup,
+        "exact_substring_spans": dedup.exact_substring_spans,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_clusters": dedup.dedup_clusters,
@@ -877,6 +878,10 @@ ORDER BY op, route, status
         ),
         # C4-style block dedup: keep-first occurrence of every 8-word block
         "block_dedup": _dedup.block_dedup_sql(),
+        # suffix-array-style exact-substring dedup: both sides compare
+        # exact window text; engine fps only route/prune (no collisions
+        # can corrupt the answer)
+        "exact_substring_spans": _dedup.exact_substring_spans_sql(),
         # exact all-pairs 3-shingle Jaccard ≥ 0.8 (shingle semantics mirror
         # dedup.shingle_set; the least/greatest length prefilter is lossless:
         # jaccard <= min|s|/max|s|). The engine's LSH recall at j>=0.8 with

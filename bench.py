@@ -164,6 +164,8 @@ def run_queries(sf_dir: str) -> dict:
         "media_jpeg_decode", "media_jpeg_color_decode", "ngram_topk",
         "cdc_table_stats", "cdc_changes", "export_scan_prune_2d",
         "user_sessions", "shipping_delay_stats",
+        # ninth-session ops
+        "exact_substring_spans",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -939,3 +939,248 @@ def block_dedup_sql() -> str:
         "string_agg(bt, ' ' ORDER BY bi) AS cleaned_text "
         "FROM k WHERE rn = 1 GROUP BY doc_id"
     )
+
+
+# --------------------------------------------------------------------- #
+# exact substring dedup (duplicated-span detection; Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — the
+# suffix-array op recast for a distributed shingle pipeline)
+# --------------------------------------------------------------------- #
+SPAN_WORDS = 12       # window length L (the paper uses 50 BPE tokens;
+                      # scaled to the fixture's ~55-word documents)
+_SPAN_CG = 1023       # coarse verify-group mask (≤1024 shuffle groups)
+_SPAN_BUCKETS = 64    # per-doc interval-merge co-partition width
+_SPAN_POLY = np.uint64(0x100000001B3)  # rolling base (FNV prime)
+
+
+def _doc_window_fps(t: pa.Table, L: int):
+    """Per-batch windowing shared by both passes: extract ``\\S+`` words,
+    fingerprint each word (vectorized FNV over the flat Arrow buffer),
+    and combine every in-document run of L word hashes into a rolling
+    polynomial window fingerprint.
+
+    Returns ``(words, doc, s, nw, fp, flat_start)`` — one entry per valid
+    window (fully inside one document): the flat word array (for window-
+    text reconstruction), owning doc id, 0-based start word index, the
+    doc's word count, the int64-viewed window fingerprint, and the
+    window's start offset into ``words``.
+    """
+    import polars as pl
+
+    df = pl.from_arrow(t.select(["doc_id", "text"]))
+    per_doc = (
+        df.select("doc_id", pl.col("text").str.extract_all(r"\S+").alias("ws"))
+        .with_columns(nw=pl.col("ws").list.len().cast(pl.Int64))
+        .filter(pl.col("nw") >= L)  # shorter docs cannot hold a window
+    )
+    empty = (
+        pa.array([], pa.string()),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+        np.empty(0, np.int64),
+    )
+    if not per_doc.height:
+        return empty
+    nw = per_doc["nw"].to_numpy().astype(np.int64)
+    doc_ids = per_doc["doc_id"].to_numpy().astype(np.int64)
+    words = per_doc.select(pl.col("ws").explode())["ws"].to_arrow()
+    words = pc.cast(words, pa.string())
+    offsets = np.concatenate([[0], np.cumsum(nw)])
+    W = int(offsets[-1])
+    if W < L:
+        return empty
+    wh = np.asarray(fingerprints(words)).view(np.uint64)
+    # rolling polynomial fingerprint: fp[i] = Σ_j wh[i+j] · B^(L-1-j)
+    # (uint64 wraparound) — L shifted vector ops, no per-window Python
+    bpow = np.empty(L, np.uint64)
+    bpow[0] = 1
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        for k in range(1, L):
+            bpow[k] = bpow[k - 1] * _SPAN_POLY
+        acc = np.zeros(W - L + 1, np.uint64)
+        for j in range(L):
+            acc += wh[j : W - L + 1 + j] * bpow[L - 1 - j]
+    doc_idx = np.repeat(np.arange(len(nw)), nw)
+    valid = doc_idx[: W - L + 1] == doc_idx[L - 1 :]
+    starts = np.nonzero(valid)[0]
+    d = doc_idx[starts]
+    s = starts - offsets[d]
+    return (words, doc_ids[d], s, nw[d], acc[starts].view(np.int64), starts)
+
+
+class _CandidateSpanWindows:
+    """Actor-pool pass 2: recompute window fingerprints and emit the window
+    TEXT only for bloom-positive windows (true duplicates plus the bloom's
+    ε false positives).  The bitmap is fetched once per actor."""
+
+    def __init__(self, bitmap_ref, L: int):
+        from marc_data_migration_ray.pipelines.joins import _bloom_test
+
+        self._bitmap = ray.get(bitmap_ref)
+        self._test = _bloom_test
+        self._L = L
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        L = self._L
+        words, d, s, nw, fp, starts = _doc_window_fps(t, L)
+        mask = (
+            self._test(self._bitmap, fp)
+            if len(fp)
+            else np.empty(0, bool)
+        )
+        idx, fp_h = starts[mask], fp[mask]
+        cols = [words.take(pa.array(idx + j, pa.int64())) for j in range(L)]
+        wt = pc.binary_join_element_wise(*cols, " ") if len(idx) else pa.array([], pa.string())
+        return pa.table(
+            {
+                "cg": pa.array((fp_h & _SPAN_CG).astype(np.int32), pa.int32()),
+                "wt": wt,
+                "doc_id": pa.array(d[mask], pa.int64()),
+                "s": pa.array(s[mask], pa.int64()),
+                "nw": pa.array(nw[mask], pa.int64()),
+            }
+        )
+
+
+def exact_substring_spans(
+    sf_dir: str, min_words: int = SPAN_WORDS
+) -> ray.data.Dataset:
+    """Per-document duplicated-span report: every maximal word span covered
+    by some ``min_words``-word window whose exact text occurs at ≥2
+    positions corpus-wide (across documents or repeated within one) — the
+    removal set of suffix-array exact-substring dedup (Lee et al. 2022) at
+    word granularity.  Output: (doc_id, dup_spans, dup_words, total_words)
+    for documents with at least one duplicated span.
+
+    Scale shape (three stages, no corpus-sized broadcast, texts shuffle
+    only when duplicated):
+
+    1. fingerprint-only shuffle: rolling window fps (8 bytes/window)
+       → ``groupby(fp).count()`` → fps seen ≥2× → tree-merged 128 KiB
+       Bloom bitmap (``build_key_bloom``), broadcast once via ``ray.put``.
+    2. candidate verify: re-scan documents, emit window *text* only for
+       bloom-positive windows (no false negatives ⇒ every true duplicate
+       arrives; expected extra work = ε·windows), shuffle into coarse
+       fp groups, keep positions whose exact text occurs ≥2× — exact:
+       fingerprints only route and prune, equality is on the text.
+    3. per-doc interval merge: windows [s, s+L) within L of each other
+       merge into maximal spans (vectorized gaps-and-islands per doc
+       bucket).
+
+    The L× window-text blowup the naive shingle join would shuffle is
+    avoided: stage 1 ships 8-byte fps, stage 2 ships only candidate
+    window texts (output-sized + ε)."""
+    import polars as pl
+
+    from marc_data_migration_ray.pipelines.joins import build_key_bloom
+
+    L = min_words
+    docs = _docs(sf_dir)
+
+    def _fps_only(t: pa.Table) -> pa.Table:
+        _, _, _, _, fp, _ = _doc_window_fps(t, L)
+        return pa.table({"fp": pa.array(fp, pa.int64())})
+
+    win_fps = docs.map_batches(
+        _fps_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dup_fps = (
+        win_fps.groupby("fp")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(["fp"]),
+            batch_format="pyarrow",
+        )
+    )
+    bitmap = build_key_bloom(dup_fps, "fp")
+    if bitmap is None:  # no duplicated window anywhere
+        from marc_data_migration_ray.pipelines.joins import BLOOM_BITS
+
+        bitmap = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    bitmap_ref = ray.put(bitmap)
+
+    cand = docs.map_batches(
+        _CandidateSpanWindows,
+        fn_constructor_args=(bitmap_ref, L),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, 8),
+    )
+
+    def _verify(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["cg"]))
+        out = df.filter(pl.len().over("wt") >= 2).select(["doc_id", "s", "nw"])
+        return out.to_arrow()
+
+    verified = cand.groupby("cg").map_groups(_verify, batch_format="pyarrow")
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        return t.append_column("bucket", mod_bucket(t["doc_id"], _SPAN_BUCKETS))
+
+    def _spans(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["bucket"])).sort(["doc_id", "s"])
+        df = df.with_columns(
+            brk=(
+                (pl.col("doc_id") != pl.col("doc_id").shift())
+                | ((pl.col("s") - pl.col("s").shift()) > L)
+            )
+            .fill_null(True)
+            .cast(pl.Int64)
+        ).with_columns(grp=pl.col("brk").cum_sum())
+        spans = df.group_by(["doc_id", "grp"]).agg(
+            s0=pl.col("s").min(),
+            s1=pl.col("s").max() + L - 1,
+            nw=pl.col("nw").first(),
+        )
+        out = spans.group_by("doc_id").agg(
+            dup_spans=pl.len().cast(pl.Int64),
+            dup_words=(pl.col("s1") - pl.col("s0") + 1).sum(),
+            total_words=pl.col("nw").first(),
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "dup_spans": pc.cast(a["dup_spans"], pa.int64()),
+                "dup_words": pc.cast(a["dup_words"], pa.int64()),
+                "total_words": pc.cast(a["total_words"], pa.int64()),
+            }
+        )
+
+    return (
+        verified.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_spans, batch_format="pyarrow")
+    )
+
+
+def exact_substring_spans_sql(min_words: int = SPAN_WORDS) -> str:
+    """DuckDB oracle for :func:`exact_substring_spans`: materialize every
+    L-word window, keep positions whose window text occurs ≥2× (global
+    window count), merge per-doc intervals with gaps-and-islands.  Exact —
+    both sides compare window *text*; the engine's fingerprints only route."""
+    L = min_words
+    return (
+        r"WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws "
+        "FROM documents), "
+        f"p AS (SELECT doc_id, len(ws) AS nw, "
+        f"unnest(range(1, len(ws) - {L} + 2)) AS s, ws FROM d "
+        f"WHERE len(ws) >= {L}), "
+        f"win AS (SELECT doc_id, nw, s, "
+        f"array_to_string(ws[s:s+{L}-1], ' ') AS wt FROM p), "
+        "dw AS (SELECT doc_id, nw, s FROM win "
+        "QUALIFY count(*) OVER (PARTITION BY wt) >= 2), "
+        "g AS (SELECT doc_id, nw, s, CASE WHEN s - lag(s) OVER "
+        f"(PARTITION BY doc_id ORDER BY s) <= {L} THEN 0 ELSE 1 END AS brk "
+        "FROM dw), "
+        "isl AS (SELECT doc_id, nw, s, sum(brk) OVER "
+        "(PARTITION BY doc_id ORDER BY s) AS grp FROM g), "
+        "spans AS (SELECT doc_id, any_value(nw) AS nw, grp, min(s) AS s0, "
+        f"max(s) + {L} - 1 AS s1 FROM isl GROUP BY doc_id, grp) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS dup_spans, "
+        "CAST(sum(s1 - s0 + 1) AS BIGINT) AS dup_words, "
+        "CAST(any_value(nw) AS BIGINT) AS total_words "
+        "FROM spans GROUP BY doc_id"
+    )

@@ -286,3 +286,69 @@ def test_block_dedup_keep_first_and_full_dup_drop(ray_session, tmp_path):
     assert rows[1]["n_blocks"] == 2 and rows[1]["n_kept"] == 1
     assert rows[1]["cleaned_text"] == u("c", 8)   # boiler block stripped
     assert rows[3]["n_kept"] == 2 and rows[3]["cleaned_text"] == docs[3]
+
+
+# ------------------------------------------------- exact substring spans --
+def _scalar_substring_spans(texts: dict, L: int) -> dict:
+    """Brute-force mirror of exact_substring_spans: window dict → positions
+    with count ≥2 → per-doc island merge (starts within L merge)."""
+    from collections import defaultdict
+
+    words = {d: re.findall(r"\S+", t) for d, t in texts.items()}
+    occ = defaultdict(list)
+    for d, ws in words.items():
+        for s in range(len(ws) - L + 1):
+            occ[" ".join(ws[s : s + L])].append((d, s))
+    dup_starts = defaultdict(list)
+    for ps in occ.values():
+        if len(ps) >= 2:
+            for d, s in ps:
+                dup_starts[d].append(s)
+    out = {}
+    for d, ss in dup_starts.items():
+        ss.sort()
+        islands = [[ss[0], ss[0]]]
+        for s in ss[1:]:
+            if s - islands[-1][1] <= L:
+                islands[-1][1] = s
+            else:
+                islands.append([s, s])
+        dup_words = sum(s1 + L - s0 for s0, s1 in islands)
+        out[d] = (len(islands), dup_words, len(words[d]))
+    return out
+
+
+def test_exact_substring_spans_planted(ray_session, tmp_path):
+    """Planted duplicated spans with known geometry: a 30-word span shared
+    by two docs (one merged island each), a within-doc periodic repeat, a
+    clean doc (absent), two same-doc occurrences separated by exactly L
+    unique words (two islands), and adjacent occurrences (one island)."""
+    L = dedup.SPAN_WORDS  # 12
+    c = iter(range(10_000))
+    u = lambda n: " ".join(f"u{next(c)}" for _ in range(n))
+    shared = " ".join(f"S{k}" for k in range(30))
+    rep = " ".join(f"A{k}" for k in range(15))
+    blk = " ".join(f"R{k}" for k in range(L))
+    docs = {
+        0: u(20) + " " + shared + " " + u(10),
+        1: u(5) + " " + shared + " " + u(15),
+        2: rep + " " + rep,                     # periodic within-doc repeat
+        3: u(40),                               # clean
+        4: blk + " " + u(L) + " " + blk,        # gap L ⇒ 2 islands (ids 0, 2L)
+        5: blk + " " + blk,                     # adjacent ⇒ 1 merged island
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)], pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    got = {
+        r["doc_id"]: (r["dup_spans"], r["dup_words"], r["total_words"])
+        for r in dedup.exact_substring_spans(str(tmp_path)).take_all()
+    }
+    want = _scalar_substring_spans(docs, L)
+    assert got == want
+    assert 3 not in got
+    assert got[0] == (1, 30, 60) and got[1] == (1, 30, 50)
+    assert got[4] == (2, 2 * L, 3 * L)   # starts 0 and 2L: gap 2L > L
+    assert got[5] == (1, 2 * L, 2 * L)   # starts 0 and L: gap L merges

@@ -73,25 +73,26 @@ def _point_vectors(sf_dir: str, ids: tuple[int, ...]) -> np.ndarray:
     return emb[order]
 
 
-class _Assign:
-    """Actor-pool stage: normalized-centroid matrix fetched once per actor
-    in ``__init__``; per batch one matmul + argmax (ties → first index =
-    smallest cluster id)."""
+def _assign_fn(c_ref, cluster_ids):
+    """Stateless assignment task: the (k, d) centroid matrix is a zero-copy
+    shared-memory ``ray.get`` per task (tiny state → a task pool beats an
+    actor pool, whose per-run startup dominates at small scale); per batch
+    one matmul + argmax (ties → first index = smallest cluster id)."""
+    cids = np.asarray(cluster_ids, np.int64)
 
-    def __init__(self, c_ref, cluster_ids):
-        self.C = ray.get(c_ref)  # (k, d), rows normalized
-        self.cluster_ids = np.asarray(cluster_ids, np.int64)
-
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def _fn(t: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
         ids = ids_array(t["vec_id"])
         emb = normalized(emb_matrix(t["embedding"]))
-        a = np.argmax(emb @ self.C.T, axis=1)
+        a = np.argmax(emb @ C.T, axis=1)
         return pa.table(
             {
                 "vec_id": pa.array(ids, pa.int64()),
-                "cluster_id": pa.array(self.cluster_ids[a], pa.int64()),
+                "cluster_id": pa.array(cids[a], pa.int64()),
             }
         )
+
+    return _fn
 
 
 def embedding_assign(
@@ -104,11 +105,9 @@ def embedding_assign(
     C = normalized(_point_vectors(sf_dir, cids))
     ref = ray.put(C)
     return _emb_ds(sf_dir).map_batches(
-        _Assign,
-        fn_constructor_args=(ref, cids),
+        _assign_fn(ref, cids),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 4),
     )
 
 
@@ -131,17 +130,16 @@ WHERE rn = 1
 """
 
 
-class _PartialSums:
+def _partial_sums_fn(c_ref):
     """Per-batch Lloyd partials: (cluster, n, sum-vector) — k rows per
-    batch regardless of batch size."""
+    batch regardless of batch size.  Stateless task; the centroid matrix
+    ``ray.get`` is a zero-copy shared-memory read per task."""
 
-    def __init__(self, c_ref):
-        self.C = ray.get(c_ref)  # (k, d), rows normalized
-
-    def __call__(self, t: pa.Table) -> pa.Table:
+    def _fn(t: pa.Table) -> pa.Table:
+        C = ray.get(c_ref)
         emb = normalized(emb_matrix(t["embedding"]))
-        k, d = self.C.shape
-        a = np.argmax(emb @ self.C.T, axis=1)
+        k, d = C.shape
+        a = np.argmax(emb @ C.T, axis=1)
         counts = np.bincount(a, minlength=k).astype(np.int64)
         sums = np.zeros((k, d), np.float64)
         np.add.at(sums, a, emb)
@@ -152,6 +150,8 @@ class _PartialSums:
                 "vsum": pa.array(list(sums), pa.list_(pa.float64())),
             }
         )
+
+    return _fn
 
 
 def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 3) -> np.ndarray:
@@ -164,11 +164,9 @@ def kmeans_fit(sf_dir: str, k: int = 8, iters: int = 3) -> np.ndarray:
     for _ in range(iters):
         ref = ray.put(C)
         partials = _emb_ds(sf_dir).map_batches(
-            _PartialSums,
-            fn_constructor_args=(ref,),
+            _partial_sums_fn(ref),
             batch_format="pyarrow",
             batch_size=8192,
-            concurrency=(1, 4),
         )
         counts = np.zeros(k, np.int64)
         sums = np.zeros_like(C)
@@ -195,11 +193,9 @@ def semantic_clusters(sf_dir: str, k: int = 8, iters: int = 3) -> pa.Table:
     C = kmeans_fit(sf_dir, k=k, iters=iters)
     ref = ray.put(C)
     partials = _emb_ds(sf_dir).map_batches(
-        _PartialSums,
-        fn_constructor_args=(ref,),
+        _partial_sums_fn(ref),
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 4),
     )
     counts = np.zeros(k, np.int64)
     for b in partials.iter_batches(batch_format="pyarrow"):
@@ -403,28 +399,24 @@ def semdedup(
     ref = ray.put(C)
     cluster_ids = np.asarray(cids, np.int64)
 
-    class _AssignCarry:
-        def __init__(self, c_ref):
-            self.C = ray.get(c_ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            emb = normalized(emb_matrix(t["embedding"]))
-            a = np.argmax(emb @ self.C.T, axis=1)
-            return pa.table(
-                {
-                    "vec_id": pa.array(ids_array(t["vec_id"]), pa.int64()),
-                    "cluster_id": pa.array(cluster_ids[a], pa.int64()),
-                    "emb": pa.array(list(emb.astype(np.float64)),
-                                    pa.list_(pa.float64())),
-                }
-            )
+    def _assign_carry(t: pa.Table) -> pa.Table:
+        # stateless task: per-task zero-copy ray.get of the centroid matrix
+        C_b = ray.get(ref)
+        emb = normalized(emb_matrix(t["embedding"]))
+        a = np.argmax(emb @ C_b.T, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids_array(t["vec_id"]), pa.int64()),
+                "cluster_id": pa.array(cluster_ids[a], pa.int64()),
+                "emb": pa.array(list(emb.astype(np.float64)),
+                                pa.list_(pa.float64())),
+            }
+        )
 
     assigned = _emb_ds(sf_dir).map_batches(
-        _AssignCarry,
-        fn_constructor_args=(ref,),
+        _assign_carry,
         batch_format="pyarrow",
         batch_size=8192,
-        concurrency=(1, 4),
     )
 
     def _dedup_cluster(g: pa.Table) -> pa.Table:

@@ -626,33 +626,26 @@ def embedding_near_dup(sf_dir: str, threshold: float = 0.45) -> ray.data.Dataset
     emb_n = normalized(emb_matrix(t["embedding"]))
     ref = ray.put((ids_all, emb_n))
 
-    class PairFinder:
-        def __init__(self, ref, threshold):
-            self.ids_all, self.emb_n = ray.get(ref)
-            self.threshold = threshold
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = ids_array(batch["vec_id"])
-            emb = normalized(emb_matrix(batch["embedding"]))
-            sims = emb @ self.emb_n.T  # (b, N)
-            mask = (sims >= self.threshold) & (ids[:, None] < self.ids_all[None, :])
-            bi, ai = np.nonzero(mask)
-            return pa.table(
-                {
-                    "vec_a": pa.array(ids[bi], pa.int64()),
-                    "vec_b": pa.array(self.ids_all[ai], pa.int64()),
-                }
-            )
+    def pair_finder(batch: pa.Table) -> pa.Table:
+        # stateless task: per-task zero-copy ray.get of the candidate matrix
+        ids_all_b, emb_n_b = ray.get(ref)
+        ids = ids_array(batch["vec_id"])
+        emb = normalized(emb_matrix(batch["embedding"]))
+        sims = emb @ emb_n_b.T  # (b, N)
+        mask = (sims >= threshold) & (ids[:, None] < ids_all_b[None, :])
+        bi, ai = np.nonzero(mask)
+        return pa.table(
+            {
+                "vec_a": pa.array(ids[bi], pa.int64()),
+                "vec_b": pa.array(ids_all_b[ai], pa.int64()),
+            }
+        )
 
     ds = readers.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     return ds.map_batches(
-        PairFinder,
-        fn_constructor_args=(ref, threshold),
-        batch_format="pyarrow",
-        batch_size=2048,
-        concurrency=(1, 4),
+        pair_finder, batch_format="pyarrow", batch_size=2048,
     )
 
 
@@ -1087,26 +1080,17 @@ def _doc_window_fps(t: pa.Table, L: int):
     return (words, doc_ids[d], s, nw[d], acc[starts].view(np.int64), starts)
 
 
-class _CandidateSpanWindows:
-    """Actor-pool pass 2: recompute window fingerprints and emit the window
+def _candidate_span_windows_fn(bitmap_ref, L: int):
+    """Pass-2 task: recompute window fingerprints and emit the window
     TEXT only for bloom-positive windows (true duplicates plus the bloom's
-    ε false positives).  The bitmap is fetched once per actor."""
+    ε false positives).  Stateless task — the 128 KiB bitmap ``ray.get``
+    is a zero-copy shared-memory read per task."""
+    from marc_data_migration_ray.pipelines.joins import _bloom_test
 
-    def __init__(self, bitmap_ref, L: int):
-        from marc_data_migration_ray.pipelines.joins import _bloom_test
-
-        self._bitmap = ray.get(bitmap_ref)
-        self._test = _bloom_test
-        self._L = L
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        L = self._L
+    def _fn(t: pa.Table) -> pa.Table:
+        bitmap = ray.get(bitmap_ref)
         words, d, s, nw, fp, starts = _doc_window_fps(t, L)
-        mask = (
-            self._test(self._bitmap, fp)
-            if len(fp)
-            else np.empty(0, bool)
-        )
+        mask = _bloom_test(bitmap, fp) if len(fp) else np.empty(0, bool)
         idx, fp_h = starts[mask], fp[mask]
         cols = [words.take(pa.array(idx + j, pa.int64())) for j in range(L)]
         wt = pc.binary_join_element_wise(*cols, " ") if len(idx) else pa.array([], pa.string())
@@ -1119,6 +1103,8 @@ class _CandidateSpanWindows:
                 "nw": pa.array(nw[mask], pa.int64()),
             }
         )
+
+    return _fn
 
 
 def exact_substring_spans(
@@ -1179,11 +1165,9 @@ def exact_substring_spans(
     bitmap_ref = ray.put(bitmap)
 
     cand = docs.map_batches(
-        _CandidateSpanWindows,
-        fn_constructor_args=(bitmap_ref, L),
+        _candidate_span_windows_fn(bitmap_ref, L),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
 
     def _verify(g: pa.Table) -> pa.Table:

@@ -106,7 +106,9 @@ def build_key_bloom(ds: "ray.data.Dataset", col: str) -> np.ndarray:
 
 class BloomKeep:
     """Actor-pool stage: keep rows whose key is (maybe / definitely-not) in
-    the broadcast bloom.  ``ray.get`` of the bitmap happens once per actor."""
+    the broadcast bloom.  ``ray.get`` of the bitmap happens once per actor.
+    Prefer :func:`bloom_keep_fn` (task form) unless the stage has other
+    expensive per-actor setup — the bitmap itself is cheap to re-get."""
 
     def __init__(self, bitmap_ref, col: str, keep_hits: bool = True):
         self._bitmap = ray.get(bitmap_ref)
@@ -119,6 +121,22 @@ class BloomKeep:
         if not self._keep_hits:
             mask = ~mask
         return t.filter(pa.array(mask))
+
+
+def bloom_keep_fn(bitmap_ref, col: str, keep_hits: bool = True):
+    """Task form of :class:`BloomKeep`: the per-task ``ray.get`` of the
+    128 KiB bitmap is a zero-copy shared-memory read, so a plain task pool
+    (no actor startup) filters just as fast."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        bitmap = ray.get(bitmap_ref)
+        keys = t[col].to_numpy(zero_copy_only=False)
+        mask = _bloom_test(bitmap, keys)
+        if not keep_hits:
+            mask = ~mask
+        return t.filter(pa.array(mask))
+
+    return _fn
 
 
 def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
@@ -149,11 +167,9 @@ def urgent_lineitem_flags(sf_dir: str) -> pa.Table:
         columns=["l_orderkey", "l_returnflag", "l_extendedprice"],
     )
     survivors = items.map_batches(
-        BloomKeep,
-        fn_constructor_args=(bloom_ref, "l_orderkey"),
+        bloom_keep_fn(bloom_ref, "l_orderkey"),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 8),
     )
     exact = survivors.join(
         urgent,
@@ -234,19 +250,14 @@ def customers_without_urgent_orders(sf_dir: str) -> "ray.data.Dataset":
         )
 
     definite = _cust().map_batches(
-        BloomKeep,
-        fn_constructor_args=(bloom_ref, "c_custkey"),
-        fn_constructor_kwargs={"keep_hits": False},
+        bloom_keep_fn(bloom_ref, "c_custkey", keep_hits=False),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
     candidates = _cust().map_batches(
-        BloomKeep,
-        fn_constructor_args=(bloom_ref, "c_custkey"),
+        bloom_keep_fn(bloom_ref, "c_custkey"),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
     fp_tail = candidates.join(
         okeys,

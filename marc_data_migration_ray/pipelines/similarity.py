@@ -107,23 +107,18 @@ def ann_topk(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) ->
     Qn = normalized(_query_matrix(sf_dir, query_ids))
     q_ref = ray.put(Qn)
 
-    class LocalTopK:
-        def __init__(self, q_ref, query_ids, k):
-            self.Q = ray.get(q_ref)
-            self.query_ids = query_ids
-            self.k = k
+    qids = tuple(query_ids)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = ids_array(t["vec_id"])
-            emb = normalized(emb_matrix(t["embedding"]))
-            return _local_topk(ids, emb @ self.Q.T, self.query_ids, self.k)
+    def local_topk(t: pa.Table) -> pa.Table:
+        # stateless task: per-task ray.get of the broadcast query matrix
+        # is a zero-copy shared-memory read — no actor-pool startup
+        Q = ray.get(q_ref)
+        ids = ids_array(t["vec_id"])
+        emb = normalized(emb_matrix(t["embedding"]))
+        return _local_topk(ids, emb @ Q.T, qids, k)
 
     partials = _emb_ds(sf_dir).map_batches(
-        LocalTopK,
-        fn_constructor_args=(q_ref, tuple(query_ids), k),
-        batch_format="pyarrow",
-        batch_size=8192,
-        concurrency=(1, 4),
+        local_topk, batch_format="pyarrow", batch_size=8192,
     )
     return _merge_topk(partials, query_ids, k)
 
@@ -155,29 +150,26 @@ def ann_topk_lsh(
     Qn = normalized(Q)
     q_ref = ray.put((Qn, planes, np.array(sorted(ok), dtype=np.int64)))
 
-    class PrunedTopK:
-        def __init__(self, q_ref, query_ids, k):
-            self.Q, self.planes, self.ok = ray.get(q_ref)
-            self.query_ids = query_ids
-            self.k = k
+    qids = tuple(query_ids)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = ids_array(t["vec_id"])
-            emb = emb_matrix(t["embedding"])
-            bits = (emb @ self.planes > 0).astype(np.int64)
-            buckets = (bits * (1 << np.arange(self.planes.shape[1]))).sum(axis=1)
-            keep = np.isin(buckets, self.ok)
-            ids, emb = ids[keep], emb[keep]
-            if len(ids) == 0:
-                return pa.table(
-                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-                     "sim": pa.array([], pa.float64())}
-                )
-            return _local_topk(ids, normalized(emb) @ self.Q.T, self.query_ids, self.k)
+    def pruned_topk(t: pa.Table) -> pa.Table:
+        # stateless task: per-task zero-copy ray.get of the broadcast state
+        Qb, planes_b, okb = ray.get(q_ref)
+        ids = ids_array(t["vec_id"])
+        emb = emb_matrix(t["embedding"])
+        bits = (emb @ planes_b > 0).astype(np.int64)
+        buckets = (bits * (1 << np.arange(planes_b.shape[1]))).sum(axis=1)
+        keep = np.isin(buckets, okb)
+        ids, emb = ids[keep], emb[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return _local_topk(ids, normalized(emb) @ Qb.T, qids, k)
 
     partials = _emb_ds(sf_dir).map_batches(
-        PrunedTopK, fn_constructor_args=(q_ref, tuple(query_ids), k),
-        batch_format="pyarrow", batch_size=8192, concurrency=(1, 4),
+        pruned_topk, batch_format="pyarrow", batch_size=8192,
     )
     return _merge_topk(partials, query_ids, k)
 
@@ -220,29 +212,26 @@ def ann_topk_ivf(
     probes = np.unique(np.argsort(qd, axis=1)[:, :nprobe].reshape(-1))
     ref = ray.put((Q, c, probes))
 
-    class IvfTopK:
-        def __init__(self, ref, query_ids, k):
-            self.Q, self.c, self.probes = ray.get(ref)
-            self.query_ids = query_ids
-            self.k = k
+    qids = tuple(query_ids)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = ids_array(t["vec_id"])
-            emb = normalized(emb_matrix(t["embedding"]))
-            d = ((emb[:, None, :] - self.c[None, :, :]) ** 2).sum(-1)
-            assign = d.argmin(1)
-            keep = np.isin(assign, self.probes)
-            ids, emb = ids[keep], emb[keep]
-            if len(ids) == 0:
-                return pa.table(
-                    {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
-                     "sim": pa.array([], pa.float64())}
-                )
-            return _local_topk(ids, emb @ self.Q.T, self.query_ids, self.k)
+    def ivf_topk(t: pa.Table) -> pa.Table:
+        # stateless task: per-task zero-copy ray.get of the broadcast state
+        Qb, cb, probes_b = ray.get(ref)
+        ids = ids_array(t["vec_id"])
+        emb = normalized(emb_matrix(t["embedding"]))
+        d = ((emb[:, None, :] - cb[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        keep = np.isin(assign, probes_b)
+        ids, emb = ids[keep], emb[keep]
+        if len(ids) == 0:
+            return pa.table(
+                {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                 "sim": pa.array([], pa.float64())}
+            )
+        return _local_topk(ids, emb @ Qb.T, qids, k)
 
     partials = _emb_ds(sf_dir).map_batches(
-        IvfTopK, fn_constructor_args=(ref, tuple(query_ids), k),
-        batch_format="pyarrow", batch_size=8192, concurrency=(1, 4),
+        ivf_topk, batch_format="pyarrow", batch_size=8192,
     )
     return _merge_topk(partials, query_ids, k)
 
@@ -261,37 +250,32 @@ def closest_pairs(sf_dir: str, max_id: int = 300, k: int = 10) -> pa.Table:
     emb_n = normalized(emb_matrix(t["embedding"]))
     ref = ray.put((ids_all, emb_n))
 
-    class PairTopK:
-        def __init__(self, ref, max_id, k):
-            self.ids_all, self.emb_n = ray.get(ref)
-            self.max_id = max_id
-            self.k = k
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ids = ids_array(batch["vec_id"])
-            keep = ids < self.max_id
-            ids = ids[keep]
-            if len(ids) == 0:
-                return pa.table({"vec_a": pa.array([], pa.int64()),
-                                 "vec_b": pa.array([], pa.int64()),
-                                 "sim": pa.array([], pa.float64())})
-            emb = normalized(emb_matrix(batch["embedding"])[keep])
-            sims = emb @ self.emb_n.T  # (b, A)
-            # pairs with batch id < broadcast id only (dedupe a<b globally)
-            mask = ids[:, None] < self.ids_all[None, :]
-            flat = sims[mask]
-            ai = np.repeat(ids, mask.sum(axis=1))
-            bi = np.broadcast_to(self.ids_all, mask.shape)[mask]
-            if len(flat) > self.k:
-                part = np.argpartition(-flat, self.k)[: self.k]
-                flat, ai, bi = flat[part], ai[part], bi[part]
-            return pa.table({"vec_a": pa.array(ai, pa.int64()),
-                             "vec_b": pa.array(bi, pa.int64()),
-                             "sim": pa.array(flat, pa.float64())})
+    def pair_topk(batch: pa.Table) -> pa.Table:
+        # stateless task: per-task zero-copy ray.get of the candidate matrix
+        ids_all_b, emb_n_b = ray.get(ref)
+        ids = ids_array(batch["vec_id"])
+        keep = ids < max_id
+        ids = ids[keep]
+        if len(ids) == 0:
+            return pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        emb = normalized(emb_matrix(batch["embedding"])[keep])
+        sims = emb @ emb_n_b.T  # (b, A)
+        # pairs with batch id < broadcast id only (dedupe a<b globally)
+        mask = ids[:, None] < ids_all_b[None, :]
+        flat = sims[mask]
+        ai = np.repeat(ids, mask.sum(axis=1))
+        bi = np.broadcast_to(ids_all_b, mask.shape)[mask]
+        if len(flat) > k:
+            part = np.argpartition(-flat, k)[:k]
+            flat, ai, bi = flat[part], ai[part], bi[part]
+        return pa.table({"vec_a": pa.array(ai, pa.int64()),
+                         "vec_b": pa.array(bi, pa.int64()),
+                         "sim": pa.array(flat, pa.float64())})
 
     partials = _emb_ds(sf_dir).map_batches(
-        PairTopK, fn_constructor_args=(ref, max_id, k),
-        batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+        pair_topk, batch_format="pyarrow", batch_size=4096,
     )
     best: list = []
     for b in partials.iter_batches(batch_format="pyarrow"):
@@ -378,47 +362,43 @@ def ann_topk_pq(
     )
     ref = ray.put((Q, books, tables))
 
-    class PqTopK:
-        def __init__(self, ref, query_ids, k, refine):
-            self.Q, self.books, self.tables = ray.get(ref)
-            self.query_ids = query_ids
-            self.k = k
-            self.refine = refine
+    qids = tuple(query_ids)
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = ids_array(t["vec_id"])
-            emb = normalized(emb_matrix(t["embedding"]))
-            codes = pq_encode(emb, self.books)  # build-side encode
-            out = []
-            mi = np.arange(codes.shape[1])
-            for qi, qid in enumerate(self.query_ids):
-                approx = self.tables[qi][mi, codes].sum(1)  # ADC row-sum
-                keep = ids != qid
-                cand = np.nonzero(keep)[0]
-                nshort = min(len(cand), self.refine * self.k)
-                if len(cand) > nshort:
-                    part = np.argpartition(-approx[cand], nshort - 1)[:nshort]
-                    cand = cand[part]
-                exact = emb[cand] @ self.Q[qi]  # refine the shortlist only
-                out.append((qid, ids[cand], exact))
-            q_out, v_out, s_out = [], [], []
-            for qid, cids, sims in out:
-                if len(cids) > self.k:
-                    part = np.argpartition(-sims, self.k)[: self.k]
-                    cids, sims = cids[part], sims[part]
-                q_out += [qid] * len(cids)
-                v_out += cids.tolist()
-                s_out += sims.tolist()
-            return pa.table(
-                {
-                    "query_id": pa.array(q_out, pa.int64()),
-                    "vec_id": pa.array(v_out, pa.int64()),
-                    "sim": pa.array(s_out, pa.float64()),
-                }
-            )
+    def pq_topk(t: pa.Table) -> pa.Table:
+        # stateless task: per-task zero-copy ray.get of (Q, books, tables)
+        Qb, books_b, tables_b = ray.get(ref)
+        ids = ids_array(t["vec_id"])
+        emb = normalized(emb_matrix(t["embedding"]))
+        codes = pq_encode(emb, books_b)  # build-side encode
+        out = []
+        mi = np.arange(codes.shape[1])
+        for qi, qid in enumerate(qids):
+            approx = tables_b[qi][mi, codes].sum(1)  # ADC row-sum
+            keep = ids != qid
+            cand = np.nonzero(keep)[0]
+            nshort = min(len(cand), refine * k)
+            if len(cand) > nshort:
+                part = np.argpartition(-approx[cand], nshort - 1)[:nshort]
+                cand = cand[part]
+            exact = emb[cand] @ Qb[qi]  # refine the shortlist only
+            out.append((qid, ids[cand], exact))
+        q_out, v_out, s_out = [], [], []
+        for qid, cids, sims in out:
+            if len(cids) > k:
+                part = np.argpartition(-sims, k)[:k]
+                cids, sims = cids[part], sims[part]
+            q_out += [qid] * len(cids)
+            v_out += cids.tolist()
+            s_out += sims.tolist()
+        return pa.table(
+            {
+                "query_id": pa.array(q_out, pa.int64()),
+                "vec_id": pa.array(v_out, pa.int64()),
+                "sim": pa.array(s_out, pa.float64()),
+            }
+        )
 
     partials = _emb_ds(sf_dir).map_batches(
-        PqTopK, fn_constructor_args=(ref, tuple(query_ids), k, refine),
-        batch_format="pyarrow", batch_size=8192, concurrency=(1, 4),
+        pq_topk, batch_format="pyarrow", batch_size=8192,
     )
     return _merge_topk(partials, query_ids, k)

@@ -95,25 +95,24 @@ def nation_revenue(sf_dir: str) -> pa.Table:
     names = {int(k): v for k, v in zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())}
     ref = ray.put((cust_map, names))
 
-    class JoinAgg:
-        def __init__(self, ref):
-            self.cust_map, self.names = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ck = t["o_custkey"].to_numpy(zero_copy_only=False)
-            nk = self.cust_map[ck]
-            cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), round_mode="half_towards_infinity"), pa.int64()).to_numpy(zero_copy_only=False)
-            g = pa.table(
-                {"nationkey": pa.array(nk, pa.int64()), "cents": pa.array(cents, pa.int64())}
-            )
-            return g.group_by("nationkey").aggregate([("cents", "sum"), ("cents", "count")])
+    def join_agg(t: pa.Table) -> pa.Table:
+        # stateless task: ray.get of the broadcast map is a zero-copy
+        # shared-memory read per task (a task pool beats an actor pool
+        # here — no per-run actor startup, and the state needs no setup)
+        cust_map, _ = ray.get(ref)
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        nk = cust_map[ck]
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0), round_mode="half_towards_infinity"), pa.int64()).to_numpy(zero_copy_only=False)
+        g = pa.table(
+            {"nationkey": pa.array(nk, pa.int64()), "cents": pa.array(cents, pa.int64())}
+        )
+        return g.group_by("nationkey").aggregate([("cents", "sum"), ("cents", "count")])
 
     ds = readers.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
     partials = ds.map_batches(
-        JoinAgg, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=(1, 4),
+        join_agg, batch_format="pyarrow", zero_copy_batch=True,
     )
     tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
     final = tbl.group_by("nationkey").aggregate([("cents_sum", "sum"), ("cents_count", "sum")])
@@ -236,26 +235,23 @@ def supplier_balance(sf_dir: str) -> ray.data.Dataset:
     lookup[keys] = np.asarray(nat["n_name"].to_pylist(), dtype=object)
     ref = ray.put(lookup)
 
-    class J:
-        def __init__(self, ref):
-            self.lookup = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            cents = pc.cast(pc.round(pc.multiply(t["s_acctbal"], 100.0), round_mode="half_towards_infinity"), pa.int64())
-            keep = pc.greater(cents, 0)
-            nkeys = t["s_nationkey"].to_numpy(zero_copy_only=False)
-            t2 = pa.table({
-                "s_name": t["s_name"],
-                "n_name": pa.array(self.lookup[nkeys], pa.string()),
-                "acct_cents": cents,
-            }).filter(keep)
-            return t2
+    def j(t: pa.Table) -> pa.Table:
+        # stateless task: per-task ray.get of the broadcast lookup
+        lookup = ray.get(ref)
+        cents = pc.cast(pc.round(pc.multiply(t["s_acctbal"], 100.0), round_mode="half_towards_infinity"), pa.int64())
+        keep = pc.greater(cents, 0)
+        nkeys = t["s_nationkey"].to_numpy(zero_copy_only=False)
+        t2 = pa.table({
+            "s_name": t["s_name"],
+            "n_name": pa.array(lookup[nkeys], pa.string()),
+            "acct_cents": cents,
+        }).filter(keep)
+        return t2
 
     ds = readers.read_parquet(
         os.path.join(sf_dir, "supplier.parquet"), columns=["s_name", "s_nationkey", "s_acctbal"]
     )
-    out = ds.map_batches(J, fn_constructor_args=(ref,), batch_format="pyarrow",
-                         zero_copy_batch=True, concurrency=(1, 2))
+    out = ds.map_batches(j, batch_format="pyarrow", zero_copy_batch=True)
     return out.sort("s_name")
 
 
@@ -331,26 +327,23 @@ def region_order_stats(sf_dir: str) -> pa.Table:
               zip(reg["r_regionkey"].to_pylist(), reg["r_name"].to_pylist())}
     ref = ray.put(cmap)
 
-    class RegionAgg:
-        def __init__(self, ref):
-            self.cmap = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            rk = self.cmap[t["o_custkey"].to_numpy(zero_copy_only=False)]
-            cents = pc.cast(
-                pc.round(pc.multiply(t["o_totalprice"], 100.0),
-                         round_mode="half_towards_infinity"),
-                pa.int64(),
-            )
-            g = pa.table({"rk": pa.array(rk, pa.int64()), "cents": cents})
-            return g.group_by("rk").aggregate([("cents", "sum"), ("cents", "count")])
+    def region_agg(t: pa.Table) -> pa.Table:
+        # stateless task: per-task zero-copy ray.get of the broadcast map
+        cmap = ray.get(ref)
+        rk = cmap[t["o_custkey"].to_numpy(zero_copy_only=False)]
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"),
+            pa.int64(),
+        )
+        g = pa.table({"rk": pa.array(rk, pa.int64()), "cents": cents})
+        return g.group_by("rk").aggregate([("cents", "sum"), ("cents", "count")])
 
     ds = readers.read_parquet(
         os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_totalprice"]
     )
     partials = ds.map_batches(
-        RegionAgg, fn_constructor_args=(ref,), batch_format="pyarrow",
-        zero_copy_batch=True, concurrency=(1, 4),
+        region_agg, batch_format="pyarrow", zero_copy_batch=True,
     )
     tbl = pa.concat_tables(partials.iter_batches(batch_format="pyarrow"))
     final = tbl.group_by("rk").aggregate([("cents_sum", "sum"), ("cents_count", "sum")])

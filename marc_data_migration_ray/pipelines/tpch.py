@@ -441,7 +441,10 @@ KMV_K = 256            # sketch size (shared with the SQL oracle)
 KMV_MOD = 1 << 63      # hash domain: md5_number_lower % 2^63 (signed-safe)
 
 
-class _KmvPartial:
+_KMV_HASH_CACHE: dict = {}  # worker-process-global md5 memo (see below)
+
+
+def _kmv_partial_fn(column: str):
     """Per-batch KMV partial: the batch's K smallest md5 hashes of its
     DISTINCT keys. Mergeable: the global K smallest distinct hashes are a
     subset of the union of per-batch K-minima, so the driver-side finish
@@ -449,28 +452,27 @@ class _KmvPartial:
 
     The md5 is the PORTABLE hash shared verbatim with DuckDB
     (``md5_number_lower(CAST(k AS VARCHAR)) % 2^63``, cf. dsir_weights).
-    Python loops only over the batch's UNIQUE keys, memoized across
-    batches in the actor (key-cardinality-bounded, not row-bounded)."""
+    Python loops only over the batch's UNIQUE keys, memoized in a
+    module-level dict that lives for the worker PROCESS — the same
+    cross-batch, key-cardinality-bounded cache an actor would hold,
+    without per-run actor-pool startup (tasks reuse warm workers)."""
+    import hashlib
 
-    def __init__(self, column: str):
-        self.column = column
-        self._cache: dict = {}
-
-    def _h(self, v) -> int:
-        import hashlib
-
-        hv = self._cache.get(v)
+    def _h(v) -> int:
+        hv = _KMV_HASH_CACHE.get(v)
         if hv is None:
             hv = int.from_bytes(
                 hashlib.md5(str(v).encode()).digest()[8:16], "little"
             ) % KMV_MOD
-            self._cache[v] = hv
+            _KMV_HASH_CACHE[v] = hv
         return hv
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = pc.unique(t[self.column]).to_pylist()
-        hs = np.sort(np.fromiter((self._h(v) for v in ids), np.int64, len(ids)))
+    def _fn(t: pa.Table) -> pa.Table:
+        ids = pc.unique(t[column]).to_pylist()
+        hs = np.sort(np.fromiter((_h(v) for v in ids), np.int64, len(ids)))
         return pa.table({"hv": pa.array(hs[:KMV_K], pa.int64())})
+
+    return _fn
 
 
 def distinct_orders_kmv(sf_dir: str) -> pa.Table:
@@ -487,8 +489,8 @@ def distinct_orders_kmv(sf_dir: str) -> pa.Table:
         os.path.join(sf_dir, "lineitem.parquet"), columns=["l_orderkey"]
     )
     parts = ds.map_batches(
-        _KmvPartial, fn_constructor_args=("l_orderkey",),
-        batch_format="pyarrow", zero_copy_batch=True, concurrency=(1, 4),
+        _kmv_partial_fn("l_orderkey"),
+        batch_format="pyarrow", zero_copy_batch=True,
     )
     merged: set = set()
     for b in parts.iter_batches(batch_format="pyarrow"):

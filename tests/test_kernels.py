@@ -135,16 +135,16 @@ def test_kmv_merge_is_split_invariant():
     lands within the ~2/sqrt(k) relative-error band on a known cardinality."""
     import numpy as np
 
-    from marc_data_migration_ray.pipelines.tpch import KMV_K, KMV_MOD, _KmvPartial
+    from marc_data_migration_ray.pipelines.tpch import KMV_K, KMV_MOD, _kmv_partial_fn
 
     rng = np.random.default_rng(7)
     keys = rng.integers(0, 5000, size=20000)  # ~4930 distinct
     t = pa.table({"l_orderkey": pa.array(keys, pa.int64())})
 
-    one = _KmvPartial("l_orderkey")(t)["hv"].to_pylist()
+    one = _kmv_partial_fn("l_orderkey")(t)["hv"].to_pylist()
 
     merged: set = set()
-    p = _KmvPartial("l_orderkey")
+    p = _kmv_partial_fn("l_orderkey")
     for lo in range(0, t.num_rows, 777):
         merged.update(p(t.slice(lo, 777))["hv"].to_pylist())
     merged_lo = sorted(merged)[:KMV_K]

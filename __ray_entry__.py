@@ -118,6 +118,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": text_analysis.lang_id,
         "doc_fingerprint": text_analysis.fingerprint,
         "token_topk": text_analysis.token_topk,
+        "oov_rate": text_analysis.oov_rate,
         "ngram_topk": text_analysis.ngram_topk,
         "token_topk_sketch": text_analysis.token_topk_sketch,
         "token_doc_freq": text_analysis.token_doc_freq,
@@ -166,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_clusters": dedup.dedup_clusters,
+        "dedup_keep_best": dedup.dedup_keep_best,
         "dedup_simhash": dedup.dedup_simhash,
         "embedding_near_dup": dedup.embedding_near_dup,
         "embedding_near_dup_lsh": dedup.embedding_near_dup_lsh,
@@ -866,6 +868,9 @@ ORDER BY op, route, status
         # Misra-Gries candidates exactly, so (given the guarantee holds —
         # kth count ≫ N/1025 here) both match the same oracle
         "token_topk": _TOKEN_TOPK,
+        # OOV rate vs the corpus top-V vocabulary (same tie-break, same
+        # integer permille arithmetic)
+        "oov_rate": _ta.oov_rate_sql(),
         "token_topk_sketch": _TOKEN_TOPK,
         # GPT-style sequence packing: window cumsum mirrors the engine's
         # distributed prefix sum (pack_len constant shared)
@@ -915,6 +920,29 @@ ORDER BY op, route, status
             "UNION SELECT e.n, r.l FROM e JOIN reach r ON r.n = e.m) "
             "SELECT n AS doc_id, CAST(MIN(l) AS BIGINT) AS cluster_id "
             "FROM reach GROUP BY n"
+        ),
+        # keep-best survivor per cluster: same recursive closure + the
+        # keep-LONGEST rule (token count DESC, doc_id ASC) the engine
+        # implements with a packed groupby.max
+        "dedup_keep_best": (
+            "WITH RECURSIVE " + _MINHASH_PAIR_CTES + ", "
+            "pr AS (SELECT doc_a, doc_b FROM j WHERE jaccard >= 0.8), "
+            "e AS (SELECT doc_a AS n, doc_b AS m FROM pr "
+            "UNION ALL SELECT doc_b, doc_a FROM pr), "
+            "reach(n, l) AS (SELECT n, m FROM e UNION SELECT n, n FROM e "
+            "UNION SELECT e.n, r.l FROM e JOIN reach r ON r.n = e.m), "
+            "cl AS (SELECT n AS doc_id, MIN(l) AS cluster_id FROM reach GROUP BY n), "
+            r"tc AS (SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS nt "
+            "FROM documents), "
+            "m AS (SELECT cl.cluster_id, cl.doc_id, tc.nt, "
+            "row_number() OVER (PARTITION BY cl.cluster_id "
+            "ORDER BY tc.nt DESC, cl.doc_id) AS rn, "
+            "count(*) OVER (PARTITION BY cl.cluster_id) AS n_members "
+            "FROM cl JOIN tc USING (doc_id)) "
+            "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, "
+            "CAST(doc_id AS BIGINT) AS keep_doc_id, "
+            "CAST(n_members AS BIGINT) AS n_members, "
+            "CAST(nt AS BIGINT) AS max_tokens FROM m WHERE rn = 1"
         ),
         # exact all-pairs cosine >= 0.45 (engine is exact-by-construction;
         # nearest pair to the threshold sits ~5e-4 away — float-safe)

@@ -1245,3 +1245,99 @@ def exact_substring_spans_sql(min_words: int = SPAN_WORDS) -> str:
         "CAST(any_value(nw) AS BIGINT) AS total_words "
         "FROM spans GROUP BY doc_id"
     )
+
+
+# --------------------------------------------------------------------- #
+# canonical-survivor selection (keep-best per near-dup cluster)
+# --------------------------------------------------------------------- #
+_KEEP_PACK_BITS = 32  # packed argmax key: n_tokens * 2^32 - doc_id
+
+
+def dedup_keep_best(sf_dir: str, jaccard_threshold: float = 0.8) -> ray.data.Dataset:
+    """(cluster_id, keep_doc_id, n_members, max_tokens): per near-dup
+    cluster, the canonical survivor under the keep-LONGEST rule (most
+    whitespace tokens; ties → smallest doc_id) — the step real curation
+    pipelines run after clustering, preferring the superset copy of a
+    near-duplicated document.
+
+    Shape: clusters come from :func:`dedup_clusters` (output-sized);
+    per-doc token counts are an (int, int) column pair — the attach is one
+    coarse-group shuffle of ids+ints (never text); the argmax is a packed
+    64-bit ``groupby(cluster).max`` (``n_tokens·2^32 − doc_id`` makes
+    max() implement (tokens DESC, doc_id ASC) — associative, so per-batch
+    partials compose), plus a Count for membership."""
+    import polars as pl
+
+    from marc_data_migration_ray.functions.text import token_counts
+    from ray.data.aggregate import Max
+
+    clusters = dedup_clusters(sf_dir, jaccard_threshold)
+
+    counts = _docs(sf_dir).map_batches(
+        lambda t: pa.table(
+            {"doc_id": pc.cast(t["doc_id"], pa.int64()),
+             "n_tokens": token_counts(t["text"])}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _cluster_rows(t: pa.Table) -> pa.Table:
+        jid = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {"cg": pc.cast(pc.bit_wise_and(jid, _ATTACH_CG), pa.int32()),
+             "doc_id": jid,
+             "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+             "n_tokens": pa.nulls(t.num_rows, pa.int64())}
+        )
+
+    def _count_rows(t: pa.Table) -> pa.Table:
+        jid = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {"cg": pc.cast(pc.bit_wise_and(jid, _ATTACH_CG), pa.int32()),
+             "doc_id": jid,
+             "cluster_id": pa.nulls(t.num_rows, pa.int64()),
+             "n_tokens": pc.cast(t["n_tokens"], pa.int64())}
+        )
+
+    mixed = clusters.map_batches(
+        _cluster_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(counts.map_batches(
+        _count_rows, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    _JOIN_SCHEMA = pa.schema(
+        [("cluster_id", pa.int64()), ("packed", pa.int64())]
+    )
+
+    def _join(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["cg"]))
+        cl = df.filter(pl.col("cluster_id").is_not_null()).select(["doc_id", "cluster_id"])
+        ct = df.filter(pl.col("cluster_id").is_null()).select(["doc_id", "n_tokens"])
+        out = cl.join(ct, on="doc_id", how="inner").with_columns(
+            packed=pl.col("n_tokens") * (1 << _KEEP_PACK_BITS) - pl.col("doc_id")
+        )
+        return out.select(["cluster_id", "packed"]).to_arrow().cast(_JOIN_SCHEMA)
+
+    packed = mixed.groupby("cg").map_groups(_join, batch_format="pyarrow")
+    agg = packed.groupby("cluster_id").aggregate(
+        Max("packed", alias_name="packed"), Count(alias_name="n_members")
+    )
+
+    def _decode(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # ceil decode: p = nt·2^B − doc_id with doc_id ∈ [0, 2^B) floors
+        # to nt−1 under a plain shift whenever doc_id > 0
+        one = np.int64(1) << _KEEP_PACK_BITS
+        max_tok = (p + one - 1) >> _KEEP_PACK_BITS
+        keep = max_tok * one - p
+        return pa.table(
+            {
+                "cluster_id": pc.cast(t["cluster_id"], pa.int64()),
+                "keep_doc_id": pa.array(keep, pa.int64()),
+                "n_members": pc.cast(t["n_members"], pa.int64()),
+                "max_tokens": pa.array(max_tok, pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_decode, batch_format="pyarrow")

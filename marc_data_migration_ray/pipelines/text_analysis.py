@@ -1281,3 +1281,68 @@ def ngram_topk_sql(k: int = NGRAM_TOPK) -> str:
         "SELECT CAST(row_number() OVER (ORDER BY n DESC, bigram) AS BIGINT) "
         f"AS rank, bigram, n FROM cnt ORDER BY n DESC, bigram LIMIT {k}"
     )
+
+
+OOV_VOCAB_K = 50   # top-V vocabulary size for the OOV-rate report
+
+
+def oov_rate(sf_dir: str, vocab_k: int = OOV_VOCAB_K) -> ray.data.Dataset:
+    """(doc_id, n_tokens, n_oov, oov_permille): per-document
+    out-of-vocabulary rate against the corpus top-``vocab_k`` token
+    vocabulary — the tokenizer-coverage / vocabulary-pruning signal
+    (what share of a doc would map to <unk> under a closed vocab).
+
+    Two passes: pass 1 is the exact distributed wordcount of
+    :func:`token_topk` reduced to a ≤ ``vocab_k``-entry vocabulary (tiny,
+    driver-held by construction — it is the op's own output bound); pass 2
+    re-scans documents with the vocabulary shipped in the task closure and
+    counts member vs non-member token OCCURRENCES per doc (vectorized
+    polars ``is_in`` — no Python over rows). All-integer output
+    (permille = n_oov·1000 // n_tokens) ⇒ hash-exact vs SQL."""
+    import polars as pl
+
+    vocab = set(token_topk(sf_dir, k=vocab_k)["token"].to_pylist())
+
+    def _rate(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        out = (
+            df.select("doc_id", pl.col("text").str.extract_all(r"\S+").alias("tok"))
+            .explode("tok")
+            .drop_nulls("tok")
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                n_tokens=pl.len().cast(pl.Int64),
+                n_oov=(~pl.col("tok").is_in(sorted(vocab))).sum().cast(pl.Int64),
+            )
+            .with_columns(
+                oov_permille=(pl.col("n_oov") * 1000) // pl.col("n_tokens")
+            )
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "n_tokens": pc.cast(a["n_tokens"], pa.int64()),
+                "n_oov": pc.cast(a["n_oov"], pa.int64()),
+                "oov_permille": pc.cast(a["oov_permille"], pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir).map_batches(_rate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def oov_rate_sql(vocab_k: int = OOV_VOCAB_K) -> str:
+    """DuckDB oracle: same top-V vocabulary (count DESC, token ASC ties)
+    and the same integer permille arithmetic."""
+    return (
+        r"WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) "
+        "AS token FROM documents), "
+        "cnt AS (SELECT token, count(*) AS n FROM tok GROUP BY token), "
+        f"v AS (SELECT token FROM cnt ORDER BY n DESC, token LIMIT {vocab_k}) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) "
+        "AS BIGINT) AS n_oov, "
+        "CAST(sum(CASE WHEN token IN (SELECT token FROM v) THEN 0 ELSE 1 END) "
+        "* 1000 // count(*) AS BIGINT) AS oov_permille "
+        "FROM tok GROUP BY doc_id"
+    )

@@ -352,3 +352,28 @@ def test_exact_substring_spans_planted(ray_session, tmp_path):
     assert got[0] == (1, 30, 60) and got[1] == (1, 30, 50)
     assert got[4] == (2, 2 * L, 3 * L)   # starts 0 and 2L: gap 2L > L
     assert got[5] == (1, 2 * L, 2 * L)   # starts 0 and L: gap L merges
+
+
+def test_dedup_keep_best_longest_wins(ray_session, tmp_path):
+    """Planted cluster: three near-dup docs where the LONGEST member (not
+    the smallest id) must be the survivor; ties on length → smallest id."""
+    base = " ".join(f"k{i}" for i in range(40))
+    tie = " ".join(f"t{i}" for i in range(40))
+    docs = {
+        3: base,                          # min id but SHORTEST — must lose
+        7: base + " extra1",              # middle
+        9: base + " extra1 extra2",       # longest → survivor
+        50: tie + " a1 b2",               # tie cluster: same length as 60
+        60: tie + " a1 c3",               # → smaller id (50) wins the tie
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)], pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {r["cluster_id"]: r for r in dedup.dedup_keep_best(str(tmp_path)).take_all()}
+    assert sorted(rows) == [3, 50]        # clusters labeled by min member id
+    assert rows[3]["keep_doc_id"] == 9    # longest member wins, not min id
+    assert rows[3]["n_members"] == 3 and rows[3]["max_tokens"] == 42
+    assert rows[50]["keep_doc_id"] == 50  # equal length → smaller id
+    assert rows[50]["n_members"] == 2 and rows[50]["max_tokens"] == 42

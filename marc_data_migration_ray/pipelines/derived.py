@@ -152,8 +152,8 @@ def cdc_routing_counts_f001(sf_dir: str, cfg: ReplayConfig | None = None) -> "pa
     keys (reference do_fuzzy_001_test branch, M14)."""
     cfg = cfg or ReplayConfig(num_partitions=16, fuzzy_001_test=True)
     ev = build_binlog_noisy_ds(sf_dir).map_batches(
-        ParseRoute, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+        ParseRoute(cfg), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True,
     )
 
     def _partial(t: pa.Table) -> pa.Table:
@@ -224,12 +224,12 @@ def cdc_versions(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Datas
 
     cfg = cfg or ReplayConfig(num_partitions=16)
     base = build_base_ds(sf_dir).map_batches(
-        PrepBase, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+        PrepBase(cfg), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True,
     )
     ev = build_binlog_ds(sf_dir).map_batches(
-        ParseRoute, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+        ParseRoute(cfg), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True,
     ).filter(expr="route == 'applied' or route == 'fuzzy'")
 
     def _versions(g: pa.Table) -> pa.Table:
@@ -306,12 +306,12 @@ def replay_datasets(
     The same stages the manifest pipeline uses; for ad-hoc / driver queries.
     """
     base = base_ds.map_batches(
-        PrepBase, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+        PrepBase(cfg), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True,
     )
     ev = binlog_ds.map_batches(
-        ParseRoute, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+        ParseRoute(cfg), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True,
     )
     fold = make_fold_fn(cfg)
     out = base.union(ev).groupby("part_id", num_partitions=cfg.num_partitions).map_groups(fold, batch_format="pyarrow")
@@ -419,8 +419,8 @@ def cdc_routing_counts(sf_dir: str, cfg: ReplayConfig | None = None) -> "pa.Tabl
     """Gate/route audit counts by (op, route, status) — reference A1/A3."""
     cfg = cfg or ReplayConfig(num_partitions=16)
     ev = build_binlog_ds(sf_dir).map_batches(
-        ParseRoute, fn_constructor_args=(cfg,), batch_format="pyarrow",
-        batch_size=cfg.batch_size, zero_copy_batch=True, concurrency=(1, 4),
+        ParseRoute(cfg), batch_format="pyarrow",
+        batch_size=cfg.batch_size, zero_copy_batch=True,
     )
     # per-batch partial counts → tiny global aggregate (no full shuffle)
     def _partial(t: pa.Table) -> pa.Table:

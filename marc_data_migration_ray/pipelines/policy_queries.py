@@ -132,13 +132,11 @@ def synth_notes(ids_i64: pa.Array) -> pa.Array:
 
 
 def _run_policy(ds: ray.data.Dataset) -> ray.data.Dataset:
-    """The production policy stage: one plugin instance per actor."""
+    """The production policy stage: one plugin instance per worker process."""
     return ds.map_batches(
-        _PolicyStage,
-        fn_constructor_args=(_PLUGIN,),
+        _PolicyStage(_PLUGIN),
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=(1, 4),
     )
 
 

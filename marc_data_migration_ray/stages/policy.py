@@ -50,23 +50,39 @@ def load_policy(dotted_path: str) -> UpdatePolicy:
     return cls()
 
 
+_POLICY_CACHE: dict = {}  # worker-process-global: dotted path → (policy, moves)
+
+
+def _policy_for(dotted_path: str):
+    ent = _POLICY_CACHE.get(dotted_path)
+    if ent is None:
+        pol = load_policy(dotted_path)
+        ent = _POLICY_CACHE[dotted_path] = (pol, pol.column_moves())
+    return ent
+
+
 class _PolicyStage:
-    """Actor-pool stage: instantiate the policy ONCE per actor."""
+    """Stage body: instantiate the policy ONCE PER WORKER PROCESS (the
+    module-level memo above) — the same load-once semantics the reference's
+    per-process plugin load has (``record_update.py:132-134``).  Instances
+    are passed to ``map_batches`` directly (stateless elastic task pool);
+    the memo makes re-instantiation free on warm workers, so no actor pool
+    is needed."""
 
     def __init__(self, dotted_path: str):
-        self.policy = load_policy(dotted_path)
-        self.moves = self.policy.column_moves()
+        self._dotted = dotted_path
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = self.policy.execute_batch(batch)
-        flags = self.policy.route_flags(out)
+        policy, moves = _policy_for(self._dotted)
+        out = policy.execute_batch(batch)
+        flags = policy.route_flags(out)
         if flags is not None:
             if "online" in out.column_names:
                 out = out.drop_columns(["online"])
             out = out.append_column("online", flags)
-        if self.moves:
+        if moves:
             out = out.rename_columns(
-                [self.moves.get(c, c) for c in out.column_names]
+                [moves.get(c, c) for c in out.column_names]
             )
         return out
 
@@ -75,10 +91,8 @@ def apply_policies(ds: ray.data.Dataset, cfg: ReplayConfig) -> ray.data.Dataset:
     """Chain every configured policy plugin over the dataset."""
     for dotted in cfg.policy_plugins:
         ds = ds.map_batches(
-            _PolicyStage,
-            fn_constructor_args=(dotted,),
+            _PolicyStage(dotted),
             batch_format="pyarrow",
             zero_copy_batch=True,
-            concurrency=(1, 4),
         )
     return ds

@@ -3,7 +3,8 @@
 
 Commands:
   gen-fixture  — write a deterministic synthetic base+binlog fixture
-  apply        — parse/gate/route one binlog epoch and commit it (fenced)
+  apply        — parse/gate/route one binlog epoch and commit it (fenced);
+                 --format jsonl ingests Debezium-flavor JSON envelopes
   state        — materialize current table state (print sample or write out)
   metrics      — fold metrics + manifest route counts
   compact      — LSM-merge committed deltas into a new base snapshot
@@ -113,6 +114,10 @@ def main(argv=None) -> int:
     a.add_argument("--epoch", type=int, required=True)
     a.add_argument("--binlog", required=True)
     a.add_argument("--base", default=None)
+    a.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                   dest="source_format",
+                   help="binlog encoding: parquet (default) or jsonl "
+                        "(Debezium-flavor envelopes)")
     _add_cfg_args(a)
 
     st = sub.add_parser("state")
@@ -601,7 +606,10 @@ def main(argv=None) -> int:
 
         rp = Replayer(args.table, _cfg_from_args(args), base_path=getattr(args, "base", None))
         if args.cmd == "apply":
-            entry = rp.apply_epoch(args.epoch, args.binlog)
+            entry = rp.apply_epoch(
+                args.epoch, args.binlog,
+                source_format=getattr(args, "source_format", "parquet"),
+            )
             print(json.dumps({"epoch": args.epoch, **{k: v for k, v in entry.items() if k != "dir"}}))
         elif args.cmd == "tag":
             if args.name is None:

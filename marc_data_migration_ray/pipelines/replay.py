@@ -633,12 +633,19 @@ class Replayer:
     # ------------------------------------------------------------------ #
     # ingest
     # ------------------------------------------------------------------ #
-    def apply_epoch(self, epoch: int, binlog_path: str | list[str]) -> dict:
+    def apply_epoch(self, epoch: int, binlog_path: str | list[str],
+                    source_format: str = "parquet") -> dict:
         """Parse+gate+route one binlog epoch and commit it. Idempotent:
-        re-applying a committed epoch returns the stored entry untouched."""
-        return self.finalize_epoch(self.prepare_epoch(epoch, binlog_path))
+        re-applying a committed epoch returns the stored entry untouched.
+        ``source_format``: "parquet" (default) or "jsonl" (Debezium-flavor
+        envelopes, see sources/jsonl.py) — everything past the read is
+        format-agnostic."""
+        return self.finalize_epoch(
+            self.prepare_epoch(epoch, binlog_path, source_format=source_format)
+        )
 
-    def prepare_epoch(self, epoch: int, binlog_path: str | list[str]) -> dict:
+    def prepare_epoch(self, epoch: int, binlog_path: str | list[str],
+                      source_format: str = "parquet") -> dict:
         """Phase 1 of the commit: stage the epoch's partitioned delta dir
         and compute its commit entry WITHOUT touching the manifest. The
         staged data is invisible to every reader (reads are manifest-
@@ -660,9 +667,10 @@ class Replayer:
             # empty epoch (no binlog files) commits an empty entry — real
             # change streams have quiet periods and the checkpoint must
             # still advance
+            ext = "*.jsonl" if source_format == "jsonl" else "*.parquet"
             paths = binlog_path if isinstance(binlog_path, list) else [binlog_path]
             has_files = any(
-                (os.path.isdir(p) and glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+                (os.path.isdir(p) and glob.glob(os.path.join(p, "**", ext), recursive=True))
                 or (os.path.isfile(p))
                 for p in paths
             )
@@ -672,10 +680,15 @@ class Replayer:
                          "dir": None, "_schema_ops": []}
                 return {"epoch": epoch, "entry": entry, "already": False}
             tmp_dir = os.path.join(self.root, "_tmp", f"epoch-{epoch}-{uuid.uuid4().hex[:8]}")
-            ds = ray.data.read_parquet(
-                binlog_path,
-                override_num_blocks=_ingest_num_blocks(_paths_bytes(binlog_path)),
-            )
+            if source_format == "jsonl":
+                from marc_data_migration_ray.sources.jsonl import read_jsonl_binlog
+
+                ds = read_jsonl_binlog(binlog_path, epoch)
+            else:
+                ds = ray.data.read_parquet(
+                    binlog_path,
+                    override_num_blocks=_ingest_num_blocks(_paths_bytes(binlog_path)),
+                )
             # ParseRoute passed as an INSTANCE → stateless task pool (elastic,
             # no actor cold-start; the stage holds no real per-actor state)
             parsed = ds.map_batches(

@@ -1,0 +1,114 @@
+"""Debezium-flavor JSONL binlog ingest: format parity with Parquet.
+
+The converter round-trip is the strongest check available: a fixture
+epoch (inserts/updates/deletes, fuzzy scores, column masks, schema
+changes, planted malformed rows) converted to JSONL envelopes and
+replayed must produce bit-identical state, routes and metrics to the
+Parquet replay of the same events.
+"""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.pipelines.replay import Replayer
+from marc_data_migration_ray.sources import fixtures
+from marc_data_migration_ray.sources.jsonl import binlog_to_jsonl
+
+
+@pytest.fixture(scope="module")
+def fixture_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("jsonl_fx"))
+    fixtures.write_fixture(root, n_rows=150, n_events=800, n_epochs=2, seed=11)
+    return root
+
+
+def _rows(rp):
+    return sorted(
+        rp.read_state().take_all(), key=lambda r: (r["doc_id"] or "", r["last_lsn"])
+    )
+
+
+def test_jsonl_replay_matches_parquet(ray_session, fixture_root, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp_pq = Replayer(str(tmp_path / "t_pq"), cfg,
+                     base_path=os.path.join(fixture_root, "base"))
+    rp_js = Replayer(str(tmp_path / "t_js"), cfg,
+                     base_path=os.path.join(fixture_root, "base"))
+    for e in range(2):
+        src = os.path.join(fixture_root, "binlog", f"epoch={e}")
+        files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+        js_dir = str(tmp_path / f"jsonl/epoch={e}")
+        os.makedirs(js_dir, exist_ok=True)
+        n = binlog_to_jsonl(files, os.path.join(js_dir, "part-0.jsonl"))
+        assert n == sum(pq.read_metadata(f).num_rows for f in files)
+        ent_pq = rp_pq.apply_epoch(e, src)
+        ent_js = rp_js.apply_epoch(e, js_dir, source_format="jsonl")
+        assert ent_js["routes"] == ent_pq["routes"]
+        assert ent_js["processed"] == ent_pq["processed"]
+        assert ent_js["max_lsn"] == ent_pq["max_lsn"]
+    a, b = _rows(rp_pq), _rows(rp_js)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra == rb  # full row equality incl. tokens, status, lsn
+
+
+def test_jsonl_empty_epoch_commits(ray_session, fixture_root, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = Replayer(str(tmp_path / "t"), cfg,
+                  base_path=os.path.join(fixture_root, "base"))
+    empty = str(tmp_path / "empty")
+    os.makedirs(empty, exist_ok=True)
+    ent = rp.apply_epoch(0, empty, source_format="jsonl")
+    assert ent["rows"] == 0 and ent["processed"] == 0
+
+
+def test_jsonl_unknown_op_routes_like_parquet(ray_session, tmp_path):
+    """An envelope with an unmapped op string must flow through to the
+    gate verbatim and route exactly like the Parquet path (deadletter)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_mod
+
+    from marc_data_migration_ray.sources.jsonl import read_jsonl_binlog
+    from marc_data_migration_ray.stages.parse import ParseRoute
+
+    line = {
+        "op": "upsert", "lsn": 5,
+        "after": {"doc_id": "1000001", "tokens": [1, 2], "n_tok": 2,
+                  "source": "web", "title": "t", "match_title": "t",
+                  "extra_json": None},
+        "meta": {"column_mask": None, "match_score": 100},
+    }
+    p = str(tmp_path / "b.jsonl")
+    with open(p, "w") as f:
+        f.write(json.dumps(line) + "\n")
+    cfg = ReplayConfig(num_partitions=4)
+    parsed_js = read_jsonl_binlog(p, 0).map_batches(
+        ParseRoute(cfg), batch_format="pyarrow").take_all()
+
+    t = pa.table({
+        "lsn": pa.array([5], pa.int64()), "epoch": pa.array([0], pa.int32()),
+        "op": pa.array(["upsert"]), "doc_id": pa.array(["1000001"]),
+        "tokens": pa.array([[1, 2]], pa.list_(pa.int32())),
+        "n_tok": pa.array([2], pa.int32()), "source": pa.array(["web"]),
+        "column_mask": pa.array([None], pa.list_(pa.string())),
+        "match_score": pa.array([100], pa.int32()),
+        "title": pa.array(["t"]), "match_title": pa.array(["t"]),
+        "extra_json": pa.array([None], pa.string()),
+        "schema_kind": pa.array([None], pa.string()),
+        "schema_name": pa.array([None], pa.string()),
+        "schema_new_name": pa.array([None], pa.string()),
+    })
+    pqf = str(tmp_path / "b.parquet")
+    pq_mod.write_table(t, pqf)
+    import ray.data
+    parsed_pq = ray.data.read_parquet(pqf).map_batches(
+        ParseRoute(cfg), batch_format="pyarrow").take_all()
+    assert len(parsed_js) == len(parsed_pq) == 1
+    assert parsed_js[0]["route"] == parsed_pq[0]["route"]
+    assert parsed_js[0]["status"] == parsed_pq[0]["status"]

@@ -112,3 +112,25 @@ def test_jsonl_unknown_op_routes_like_parquet(ray_session, tmp_path):
     assert len(parsed_js) == len(parsed_pq) == 1
     assert parsed_js[0]["route"] == parsed_pq[0]["route"]
     assert parsed_js[0]["status"] == parsed_pq[0]["status"]
+
+
+def test_mixed_format_epochs_one_table(ray_session, fixture_root, tmp_path):
+    """A table may ingest epoch 0 as Parquet and epoch 1 as JSONL (a feed
+    migrating encodings mid-stream): state equals the all-Parquet replay."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp_all = Replayer(str(tmp_path / "t_all"), cfg,
+                      base_path=os.path.join(fixture_root, "base"))
+    rp_mix = Replayer(str(tmp_path / "t_mix"), cfg,
+                      base_path=os.path.join(fixture_root, "base"))
+    e1 = os.path.join(fixture_root, "binlog", "epoch=1")
+    js_dir = str(tmp_path / "jsonl_e1")
+    os.makedirs(js_dir, exist_ok=True)
+    binlog_to_jsonl(sorted(glob.glob(os.path.join(e1, "*.parquet"))),
+                    os.path.join(js_dir, "part-0.jsonl"))
+    for e, (path, fmt) in enumerate([
+        (os.path.join(fixture_root, "binlog", "epoch=0"), "parquet"),
+        (js_dir, "jsonl"),
+    ]):
+        rp_mix.apply_epoch(e, path, source_format=fmt)
+        rp_all.apply_epoch(e, os.path.join(fixture_root, "binlog", f"epoch={e}"))
+    assert _rows(rp_mix) == _rows(rp_all)

@@ -361,6 +361,10 @@ def main(argv=None) -> int:
     fo.add_argument("--marker", default=None,
                     help="only apply an epoch dir once this marker file exists "
                          "in it (for producers that do not publish atomically)")
+    fo.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                    dest="source_format",
+                    help="epoch encoding: parquet (default) or jsonl "
+                         "(Debezium-flavor envelopes)")
     fo.add_argument("--view-root", default=None, dest="view_root",
                     help="keep the source-counts materialized view fresh: "
                          "incremental refresh after every applied epoch")
@@ -732,13 +736,19 @@ def main(argv=None) -> int:
                             return bad <= entry["processed"] * rate
 
                         try:
-                            entry = rp.apply_epoch_audited(e, d, _audit)
+                            entry = rp.apply_epoch_audited(
+                                e, d, _audit,
+                                source_format=getattr(args, "source_format", "parquet"),
+                            )
                         except ValueError as err:
                             print(json.dumps({"vetoed_epoch": e,
                                               "reason": str(err)}), flush=True)
                             break
                     else:
-                        entry = rp.apply_epoch(e, d)
+                        entry = rp.apply_epoch(
+                            e, d,
+                            source_format=getattr(args, "source_format", "parquet"),
+                        )
                     applied.append(e)
                     line = {"applied_epoch": e, "rows": entry["rows"],
                             "routes": entry["routes"]}

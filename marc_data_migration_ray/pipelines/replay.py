@@ -756,7 +756,8 @@ class Replayer:
             )
         return {"epoch": epoch, "entry": entry, "already": False}
 
-    def apply_epoch_audited(self, epoch: int, binlog_path, audit) -> dict:
+    def apply_epoch_audited(self, epoch: int, binlog_path, audit,
+                            source_format: str = "parquet") -> dict:
         """Write-audit-publish (Iceberg WAP / Delta staging pattern):
         stage the epoch, run ``audit(staged_dataset, entry)`` over the
         parsed+routed rows while they are still INVISIBLE to readers,
@@ -764,7 +765,7 @@ class Replayer:
         — the staging is discarded and nothing is published. Typical
         audits: deadletter-rate ceilings, constraint-violation budgets,
         row-count reconciliation against the upstream extract."""
-        prep = self.prepare_epoch(epoch, binlog_path)
+        prep = self.prepare_epoch(epoch, binlog_path, source_format=source_format)
         if prep.get("already"):
             return dict(prep["entry"])
         entry = prep["entry"]

@@ -134,3 +134,37 @@ def test_mixed_format_epochs_one_table(ray_session, fixture_root, tmp_path):
         rp_mix.apply_epoch(e, path, source_format=fmt)
         rp_all.apply_epoch(e, os.path.join(fixture_root, "binlog", f"epoch={e}"))
     assert _rows(rp_mix) == _rows(rp_all)
+
+
+def test_follow_jsonl_stream(ray_session, fixture_root, tmp_path):
+    """CLI `follow --format jsonl` tails a root of JSONL epochs and lands
+    the same state as the in-process Parquet replay."""
+    import subprocess
+    import sys
+
+    root = str(tmp_path / "stream")
+    for e in range(2):
+        src = os.path.join(fixture_root, "binlog", f"epoch={e}")
+        d = os.path.join(root, f"epoch={e}")
+        os.makedirs(d, exist_ok=True)
+        binlog_to_jsonl(sorted(glob.glob(os.path.join(src, "*.parquet"))),
+                        os.path.join(d, "part-0.jsonl"))
+    table = str(tmp_path / "t_follow")
+    out = subprocess.run(
+        [sys.executable, "-m", "marc_data_migration_ray", "follow",
+         "--table", table, "--binlog-root", root,
+         "--base", os.path.join(fixture_root, "base"),
+         "--num-partitions", "8", "--format", "jsonl",
+         "--until-epoch", "1", "--max-idle-polls", "2", "--poll", "0.2"],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert '"applied_epoch": 1' in out.stdout
+
+    cfg = ReplayConfig(num_partitions=8)
+    rp_follow = Replayer(table, cfg)
+    rp_pq = Replayer(str(tmp_path / "t_ref"), cfg,
+                     base_path=os.path.join(fixture_root, "base"))
+    for e in range(2):
+        rp_pq.apply_epoch(e, os.path.join(fixture_root, "binlog", f"epoch={e}"))
+    assert _rows(rp_follow) == _rows(rp_pq)

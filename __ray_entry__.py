@@ -164,6 +164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup.dedup_exact,
         "block_dedup": dedup.block_dedup,
         "exact_substring_spans": dedup.exact_substring_spans,
+        "exact_substring_scrub": dedup.exact_substring_scrub,
         "dedup_minhash": dedup.dedup_minhash,
         "dedup_incremental": dedup.dedup_incremental,
         "dedup_clusters": dedup.dedup_clusters,
@@ -887,6 +888,7 @@ ORDER BY op, route, status
         # exact window text; engine fps only route/prune (no collisions
         # can corrupt the answer)
         "exact_substring_spans": _dedup.exact_substring_spans_sql(),
+        "exact_substring_scrub": _dedup.exact_substring_scrub_sql(),
         # exact all-pairs 3-shingle Jaccard ≥ 0.8 (shingle semantics mirror
         # dedup.shingle_set; the least/greatest length prefilter is lossless:
         # jaccard <= min|s|/max|s|). The engine's LSH recall at j>=0.8 with

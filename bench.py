@@ -165,7 +165,8 @@ def run_queries(sf_dir: str) -> dict:
         "cdc_table_stats", "cdc_changes", "export_scan_prune_2d",
         "user_sessions", "shipping_delay_stats",
         # ninth-session ops
-        "exact_substring_spans", "oov_rate", "dedup_keep_best",
+        "exact_substring_spans", "exact_substring_scrub", "oov_rate",
+        "dedup_keep_best",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -1137,45 +1137,8 @@ def exact_substring_spans(
     window texts (output-sized + ε)."""
     import polars as pl
 
-    from marc_data_migration_ray.pipelines.joins import build_key_bloom
-
     L = min_words
-    docs = _docs(sf_dir)
-
-    def _fps_only(t: pa.Table) -> pa.Table:
-        _, _, _, _, fp, _ = _doc_window_fps(t, L)
-        return pa.table({"fp": pa.array(fp, pa.int64())})
-
-    win_fps = docs.map_batches(
-        _fps_only, batch_format="pyarrow", zero_copy_batch=True
-    )
-    dup_fps = (
-        win_fps.groupby("fp")
-        .aggregate(Count(alias_name="n"))
-        .map_batches(
-            lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(["fp"]),
-            batch_format="pyarrow",
-        )
-    )
-    bitmap = build_key_bloom(dup_fps, "fp")
-    if bitmap is None:  # no duplicated window anywhere
-        from marc_data_migration_ray.pipelines.joins import BLOOM_BITS
-
-        bitmap = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
-    bitmap_ref = ray.put(bitmap)
-
-    cand = docs.map_batches(
-        _candidate_span_windows_fn(bitmap_ref, L),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-    def _verify(g: pa.Table) -> pa.Table:
-        df = pl.from_arrow(g.drop_columns(["cg"]))
-        out = df.filter(pl.len().over("wt") >= 2).select(["doc_id", "s", "nw"])
-        return out.to_arrow()
-
-    verified = cand.groupby("cg").map_groups(_verify, batch_format="pyarrow")
+    verified = _dup_window_positions(sf_dir, L)
 
     def _bucket(t: pa.Table) -> pa.Table:
         return t.append_column("bucket", mod_bucket(t["doc_id"], _SPAN_BUCKETS))
@@ -1214,6 +1177,166 @@ def exact_substring_spans(
         verified.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
         .map_groups(_spans, batch_format="pyarrow")
+    )
+
+
+def _dup_window_positions(sf_dir: str, L: int) -> ray.data.Dataset:
+    """Stages 1+2 shared by :func:`exact_substring_spans` and
+    :func:`exact_substring_scrub`: (doc_id, s, nw) of every window whose
+    exact text occurs ≥2× corpus-wide (see the span docstring for the
+    fp-shuffle → bloom → exact-verify argument)."""
+    import polars as pl
+
+    from marc_data_migration_ray.pipelines.joins import build_key_bloom
+
+    docs = _docs(sf_dir)
+
+    def _fps_only(t: pa.Table) -> pa.Table:
+        _, _, _, _, fp, _ = _doc_window_fps(t, L)
+        return pa.table({"fp": pa.array(fp, pa.int64())})
+
+    win_fps = docs.map_batches(
+        _fps_only, batch_format="pyarrow", zero_copy_batch=True
+    )
+    dup_fps = (
+        win_fps.groupby("fp")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n"], 2)).select(["fp"]),
+            batch_format="pyarrow",
+        )
+    )
+    bitmap = build_key_bloom(dup_fps, "fp")
+    if bitmap is None:  # no duplicated window anywhere
+        from marc_data_migration_ray.pipelines.joins import BLOOM_BITS
+
+        bitmap = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    bitmap_ref = ray.put(bitmap)
+
+    cand = docs.map_batches(
+        _candidate_span_windows_fn(bitmap_ref, L),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _verify(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["cg"]))
+        out = df.filter(pl.len().over("wt") >= 2).select(["doc_id", "s", "nw"])
+        return out.to_arrow()
+
+    return cand.groupby("cg").map_groups(_verify, batch_format="pyarrow")
+
+
+def exact_substring_scrub(
+    sf_dir: str, min_words: int = SPAN_WORDS
+) -> ray.data.Dataset:
+    """The REMOVAL form of exact-substring dedup (what Lee et al.'s tool
+    actually does): delete every word covered by a duplicated
+    ``min_words``-word window and reassemble the remaining text.  Output
+    (doc_id, n_words, kept_words, cleaned_text) for docs retaining ≥1
+    word — fully-duplicated documents vanish (cf. ``block_dedup``).
+
+    Stages 1+2 are shared with :func:`exact_substring_spans`
+    (fp shuffle → bloom → exact verify); stage 3 shuffles documents once
+    into doc buckets where a vectorized polars pass explodes words,
+    anti-joins the covered (doc, word-index) set, and rejoins survivors
+    in order — the same one-corpus-shuffle reassembly ``block_dedup``
+    uses."""
+    import polars as pl
+
+    L = min_words
+    verified = _dup_window_positions(sf_dir, L)
+
+    def _doc_rows(t: pa.Table) -> pa.Table:
+        jid = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {"bucket": mod_bucket(jid, _SPAN_BUCKETS), "doc_id": jid,
+             "text": pc.cast(t["text"], pa.string()),
+             "s": pa.nulls(t.num_rows, pa.int64())}
+        )
+
+    def _start_rows(t: pa.Table) -> pa.Table:
+        jid = pc.cast(t["doc_id"], pa.int64())
+        return pa.table(
+            {"bucket": mod_bucket(jid, _SPAN_BUCKETS), "doc_id": jid,
+             "text": pa.nulls(t.num_rows, pa.string()),
+             "s": pc.cast(t["s"], pa.int64())}
+        )
+
+    mixed = _docs(sf_dir).map_batches(
+        _doc_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).union(verified.map_batches(
+        _start_rows, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def _scrub(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["bucket"]))
+        docs = df.filter(pl.col("text").is_not_null()).select(["doc_id", "text"])
+        starts = df.filter(pl.col("text").is_null()).select(["doc_id", "s"])
+        words = (
+            docs.select("doc_id", pl.col("text").str.extract_all(r"\S+").alias("w"))
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(widx=pl.int_range(pl.len()).over("doc_id"),
+                          nw=pl.len().over("doc_id").cast(pl.Int64))
+        )
+        cov = (
+            starts.with_columns(
+                widx=pl.int_ranges(pl.col("s"), pl.col("s") + L)
+            )
+            .explode("widx")
+            .select(["doc_id", "widx"])
+            .unique()
+        )
+        kept = words.join(cov, on=["doc_id", "widx"], how="anti")
+        out = (
+            kept.sort(["doc_id", "widx"])
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                n_words=pl.col("nw").first(),
+                kept_words=pl.len().cast(pl.Int64),
+                cleaned_text=pl.col("w").str.join(" "),
+            )
+        )
+        a = out.to_arrow()
+        return pa.table(
+            {
+                "doc_id": pc.cast(a["doc_id"], pa.int64()),
+                "n_words": pc.cast(a["n_words"], pa.int64()),
+                "kept_words": pc.cast(a["kept_words"], pa.int64()),
+                "cleaned_text": pc.cast(a["cleaned_text"], pa.string()),
+            }
+        )
+
+    return mixed.groupby("bucket").map_groups(_scrub, batch_format="pyarrow")
+
+
+def exact_substring_scrub_sql(min_words: int = SPAN_WORDS) -> str:
+    """DuckDB oracle for :func:`exact_substring_scrub`: duplicated windows
+    via the same windowed self-count, covered word indexes by expanding
+    each window, survivors via anti-join, text by ordered string_agg."""
+    L = min_words
+    return (
+        r"WITH d AS (SELECT doc_id, regexp_extract_all(text, '\S+') AS ws "
+        "FROM documents), "
+        "d2 AS (SELECT doc_id, ws, len(ws) AS nw FROM d), "
+        f"p AS (SELECT doc_id, nw, unnest(range(1, nw - {L} + 2)) AS s, ws "
+        f"FROM d2 WHERE nw >= {L}), "
+        f"win AS (SELECT doc_id, nw, s, "
+        f"array_to_string(ws[s:s+{L}-1], ' ') AS wt FROM p), "
+        "dw AS (SELECT doc_id, s FROM win "
+        "QUALIFY count(*) OVER (PARTITION BY wt) >= 2), "
+        f"cov AS (SELECT DISTINCT doc_id, s + unnest(range(0, {L})) AS widx "
+        "FROM dw), "
+        "aw AS (SELECT doc_id, nw, unnest(ws) AS w, "
+        "unnest(range(1, nw + 1)) AS widx FROM d2), "
+        "kept AS (SELECT a.doc_id, a.nw, a.w, a.widx FROM aw a "
+        "LEFT JOIN cov c ON a.doc_id = c.doc_id AND a.widx = c.widx "
+        "WHERE c.widx IS NULL) "
+        "SELECT doc_id, CAST(any_value(nw) AS BIGINT) AS n_words, "
+        "CAST(count(*) AS BIGINT) AS kept_words, "
+        "string_agg(w, ' ' ORDER BY widx) AS cleaned_text "
+        "FROM kept GROUP BY doc_id"
     )
 
 

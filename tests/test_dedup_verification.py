@@ -377,3 +377,32 @@ def test_dedup_keep_best_longest_wins(ray_session, tmp_path):
     assert rows[3]["n_members"] == 3 and rows[3]["max_tokens"] == 42
     assert rows[50]["keep_doc_id"] == 50  # equal length → smaller id
     assert rows[50]["n_members"] == 2 and rows[50]["max_tokens"] == 42
+
+
+def test_exact_substring_scrub_planted(ray_session, tmp_path):
+    """Removal semantics: covered words vanish, survivors keep order; a
+    fully-duplicated doc disappears; a clean doc passes through intact."""
+    L = dedup.SPAN_WORDS
+    c = iter(range(10_000))
+    u = lambda n: " ".join(f"u{next(c)}" for _ in range(n))
+    shared = " ".join(f"S{k}" for k in range(2 * L))
+    pre0, post0 = u(5), u(7)
+    pre1 = u(9)
+    clean = u(20)
+    docs = {
+        0: pre0 + " " + shared + " " + post0,   # middle scrubbed
+        1: pre1 + " " + shared,                 # suffix scrubbed
+        2: shared,                              # fully duplicated → vanishes
+        3: clean,                               # untouched
+    }
+    pq.write_table(
+        pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)], pa.string())}),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {r["doc_id"]: r for r in dedup.exact_substring_scrub(str(tmp_path)).take_all()}
+    assert set(rows) == {0, 1, 3}
+    assert rows[0]["cleaned_text"] == pre0 + " " + post0
+    assert rows[0]["n_words"] == 5 + 2 * L + 7 and rows[0]["kept_words"] == 12
+    assert rows[1]["cleaned_text"] == pre1 and rows[1]["kept_words"] == 9
+    assert rows[3]["cleaned_text"] == clean and rows[3]["kept_words"] == 20

@@ -261,6 +261,10 @@ def main(argv=None) -> int:
     exc.add_argument("--with-payload", action="store_true", dest="with_payload",
                      help="include tokens_after (replication-grade feed "
                           "consumable by apply-feed)")
+    exc.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                     dest="feed_format",
+                     help="feed encoding: parquet (default) or jsonl "
+                          "(Debezium-flavor envelope lines)")
     _add_cfg_args(exc)
 
     af = sub.add_parser(
@@ -272,6 +276,9 @@ def main(argv=None) -> int:
     af.add_argument("--table", required=True)
     af.add_argument("--feed", required=True)
     af.add_argument("--epoch", type=int, required=True)
+    af.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+                    dest="feed_format",
+                    help="feed encoding (match the export-changes --format)")
     _add_cfg_args(af)
 
     ez = sub.add_parser(
@@ -694,10 +701,13 @@ def main(argv=None) -> int:
         elif args.cmd == "export-changes":
             print(json.dumps(
                 rp.export_changes(args.dest, args.from_epoch, args.to_epoch,
-                                  with_payload=args.with_payload)
+                                  with_payload=args.with_payload,
+                                  fmt=getattr(args, "feed_format", "parquet"))
             ))
         elif args.cmd == "apply-feed":
-            print(json.dumps(rp.apply_change_feed(args.feed, args.epoch)))
+            print(json.dumps(rp.apply_change_feed(
+                args.feed, args.epoch,
+                feed_format=getattr(args, "feed_format", "parquet"))))
         elif args.cmd == "vacuum":
             removed = rp.vacuum(retain_audit=not args.drop_audit,
                                 retain_snapshots=args.retain_snapshots,

@@ -1096,7 +1096,8 @@ class Replayer:
         ]
         return ray.data.from_arrow_refs(out)
 
-    def apply_change_feed(self, feed, epoch: int) -> dict:
+    def apply_change_feed(self, feed, epoch: int,
+                          feed_format: str = "parquet") -> dict:
         """Downstream replication: apply a PAYLOAD change feed (the
         ``changes_between(..., with_payload=True)`` schema — from this
         engine or any producer of that shape) onto THIS table, bringing a
@@ -1114,7 +1115,23 @@ class Replayer:
         from marc_data_migration_ray.sources import readers
 
         if isinstance(feed, str):
-            ds = readers.read_parquet(feed)
+            if feed_format == "jsonl":
+                from marc_data_migration_ray.sources.jsonl import read_jsonl_feed
+
+                # a scalar jsonl feed still parses with a (null) tokens
+                # field, so the missing-column guard below can't see the
+                # flavor — the export marker carries it instead
+                mk = os.path.join(feed, "_EXPORT.json")
+                if os.path.isfile(mk):
+                    with open(mk) as f:
+                        if not json.load(f).get("with_payload"):
+                            raise ValueError(
+                                "feed has no tokens_after payload — produce "
+                                "it with export_changes(..., with_payload=True)"
+                            )
+                ds = read_jsonl_feed(feed)
+            else:
+                ds = readers.read_parquet(feed)
         elif isinstance(feed, pa.Table):
             ds = ray.data.from_arrow(feed)
         else:
@@ -1655,13 +1672,17 @@ class Replayer:
         return info
 
     def export_changes(self, dest: str, from_epoch: int, to_epoch: int,
-                       with_payload: bool = False) -> dict:
+                       with_payload: bool = False,
+                       fmt: str = "parquet") -> dict:
         """CDC egress: write ``changes_between(from, to)`` as Parquet
         partitioned by change type + a ``_EXPORT.json`` manifest — the
         downstream-sync artifact (a consumer applies inserts/updates/
         deletes to its own store without speaking this engine's manifest).
-        Same idempotent tmp-dir + atomic-rename discipline as
-        ``export_snapshot``; re-running is a no-op."""
+        ``fmt="jsonl"`` writes Debezium-flavor envelope lines instead
+        (distributed ``write_json``; readable back via
+        ``sources.jsonl.read_jsonl_feed`` / ``apply_change_feed(...,
+        feed_format="jsonl")``). Same idempotent tmp-dir + atomic-rename
+        discipline as ``export_snapshot``; re-running is a no-op."""
         marker = os.path.join(dest, "_EXPORT.json")
         if os.path.exists(marker):
             with open(marker) as f:
@@ -1672,21 +1693,31 @@ class Replayer:
                     f"{'payload' if info.get('with_payload') else 'scalar'} "
                     f"feed; re-export to a new dest for the other flavor"
                 )
+            if info.get("format", "parquet") != fmt:
+                raise ValueError(
+                    f"{dest} already holds a {info.get('format', 'parquet')} "
+                    f"feed; re-export to a new dest for the other format"
+                )
             return info
         ds = self.changes_between(from_epoch, to_epoch, with_payload=with_payload)
         tmp = dest.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
-        ds.write_parquet(tmp, partition_cols=["change"])
-        os.makedirs(tmp, exist_ok=True)  # zero-change feeds still publish
         counts: dict[str, int] = {}
-        for d in os.listdir(tmp):
-            if d.startswith("change="):
-                counts[d.split("=", 1)[1]] = sum(
-                    pq.ParquetFile(p).metadata.num_rows
-                    for p in glob.glob(os.path.join(tmp, d, "*.parquet"))
-                )
+        if fmt == "jsonl":
+            from marc_data_migration_ray.sources.jsonl import write_jsonl_feed
+
+            counts = write_jsonl_feed(ds, tmp)
+        else:
+            ds.write_parquet(tmp, partition_cols=["change"])
+            os.makedirs(tmp, exist_ok=True)  # zero-change feeds still publish
+            for d in os.listdir(tmp):
+                if d.startswith("change="):
+                    counts[d.split("=", 1)[1]] = sum(
+                        pq.ParquetFile(p).metadata.num_rows
+                        for p in glob.glob(os.path.join(tmp, d, "*.parquet"))
+                    )
         info = {"from_epoch": from_epoch, "to_epoch": to_epoch,
                 "n_changes": sum(counts.values()), "counts": counts,
-                "with_payload": bool(with_payload)}
+                "with_payload": bool(with_payload), "format": fmt}
         with open(os.path.join(tmp, "_EXPORT.json"), "w") as f:
             json.dump(info, f)
         os.makedirs(os.path.dirname(os.path.abspath(dest)), exist_ok=True)

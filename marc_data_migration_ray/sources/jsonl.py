@@ -183,3 +183,141 @@ def binlog_to_jsonl(parquet_files: list[str], dest_file: str) -> int:
                 f.write(json.dumps(env) + "\n")
                 n += 1
     return n
+
+
+# --------------------------------------------------------------------- #
+# change-FEED envelopes (CDC egress / replication ingest as JSON)
+# --------------------------------------------------------------------- #
+_IMG_T = pa.struct(
+    [
+        ("last_lsn", pa.int64()),
+        ("n_tok", pa.int64()),
+        ("source", pa.string()),
+        ("status", pa.string()),
+        ("tokens", pa.list_(pa.int64())),
+    ]
+)
+_FEED_ENVELOPE_SCHEMA = pa.schema(
+    [
+        ("op", pa.string()),
+        ("key", pa.string()),
+        ("before", _IMG_T),
+        ("after", _IMG_T),
+    ]
+)
+_FEED_OP_IN = pa.array(["insert", "update", "delete"], pa.string())
+_FEED_OP_OUT = pa.array(["c", "u", "d"], pa.string())
+
+
+def feed_to_envelopes(t: pa.Table) -> pa.Table:
+    """changes_between feed batch → envelope columns (op, key, before,
+    after) ready for ``Dataset.write_json`` — the distributed CDC-egress
+    encoder (vectorized struct assembly; no driver row loop)."""
+    idx = pc.index_in(t["change"], value_set=_FEED_OP_IN)
+    op = pc.take(_FEED_OP_OUT, idx)
+    n = t.num_rows
+    has_payload = "tokens_after" in t.column_names
+    tok_after = (
+        pc.cast(t["tokens_after"], pa.list_(pa.int64()))
+        if has_payload
+        else pa.nulls(n, pa.list_(pa.int64()))
+    )
+
+    def _img(suffix: str, tokens) -> pa.StructArray:
+        cols = [
+            pc.cast(t[f"last_lsn{suffix}"], pa.int64()),
+            pc.cast(t[f"n_tok{suffix}"], pa.int64()),
+            pc.cast(t[f"source{suffix}"], pa.string()),
+            pc.cast(t[f"status{suffix}"], pa.string()),
+            tokens,
+        ]
+        cols = [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+                for c in cols]
+        return pa.StructArray.from_arrays(
+            cols, fields=list(_IMG_T)
+        )
+
+    return pa.table(
+        {
+            "op": op,
+            "key": pc.cast(t["doc_id"], pa.string()),
+            "before": _img("_before", pa.nulls(n, pa.list_(pa.int64()))),
+            "after": _img("_after", tok_after),
+        }
+    )
+
+
+def read_jsonl_feed(paths: str | list[str]) -> ray.data.Dataset:
+    """JSONL feed envelopes → the ``changes_between(..., with_payload=True)``
+    schema (inverse of :func:`feed_to_envelopes`), consumable by
+    ``apply_change_feed``."""
+    from pyarrow import json as pajson
+
+    ds = ray.data.read_json(
+        paths,
+        file_extensions=["jsonl"],
+        parse_options=pajson.ParseOptions(
+            explicit_schema=_FEED_ENVELOPE_SCHEMA,
+            unexpected_field_behavior="ignore",
+        ),
+    )
+
+    def _fn(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(pc.cast(t["op"], pa.string()), value_set=_FEED_OP_OUT)
+        change = pc.take(_FEED_OP_IN, idx)
+        b, a = t["before"], t["after"]
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["key"], pa.string()),
+                "change": change,
+                "last_lsn_before": pc.struct_field(b, "last_lsn"),
+                "last_lsn_after": pc.struct_field(a, "last_lsn"),
+                "n_tok_before": pc.struct_field(b, "n_tok"),
+                "source_before": pc.struct_field(b, "source"),
+                "status_before": pc.struct_field(b, "status"),
+                "n_tok_after": pc.struct_field(a, "n_tok"),
+                "source_after": pc.struct_field(a, "source"),
+                "status_after": pc.struct_field(a, "status"),
+                "tokens_after": pc.cast(
+                    pc.struct_field(a, "tokens"), pa.list_(pa.int32())
+                ),
+            }
+        )
+
+    return ds.map_batches(_fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_jsonl_feed(feed: ray.data.Dataset, out_dir: str) -> dict:
+    """Distributed JSONL feed writer: each task encodes its batch to
+    envelopes and writes one ``part-*.jsonl`` file under ``out_dir``
+    (tmp + rename per file). Avoids ``Dataset.write_json``'s
+    pandas serialization, which floatifies nullable ints (``364.0``)
+    and breaks schema'd re-reads. Returns per-change counts."""
+    import os
+    import uuid
+
+    os.makedirs(out_dir, exist_ok=True)
+    names = {"c": "insert", "u": "update", "d": "delete"}
+
+    def _w(t: pa.Table) -> pa.Table:
+        env = feed_to_envelopes(t)
+        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
+        tmp = path + ".tmp"
+        counts: dict[str, int] = {}
+        with open(tmp, "w") as f:
+            for row in env.to_pylist():
+                counts[row["op"]] = counts.get(row["op"], 0) + 1
+                f.write(json.dumps(row) + "\n")
+        os.rename(tmp, path)
+        return pa.table(
+            {"change": pa.array(sorted(counts), pa.string()),
+             "n": pa.array([counts[k] for k in sorted(counts)], pa.int64())}
+        )
+
+    totals: dict[str, int] = {}
+    for b in feed.map_batches(
+        _w, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for op, n in zip(b["change"].to_pylist(), b["n"].to_pylist()):
+            totals[names[op]] = totals.get(names[op], 0) + n
+    return totals

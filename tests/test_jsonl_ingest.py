@@ -168,3 +168,65 @@ def test_follow_jsonl_stream(ray_session, fixture_root, tmp_path):
     for e in range(2):
         rp_pq.apply_epoch(e, os.path.join(fixture_root, "binlog", f"epoch={e}"))
     assert _rows(rp_follow) == _rows(rp_pq)
+
+
+@pytest.fixture(scope="module")
+def repl_fixture_root(tmp_path_factory):
+    """Replication fixture: no invalid keys (feed-apply documentedly skips
+    engine-allocated local-id rows) and no DDL (keeps names comparable)."""
+    root = str(tmp_path_factory.mktemp("jsonl_repl_fx"))
+    fixtures.write_fixture(root, n_rows=150, n_events=800, n_epochs=2,
+                           seed=13, invalid_key_frac=0.0,
+                           schema_change_frac=0.0)
+    return root
+
+
+def test_jsonl_feed_replication_round_trip(ray_session, repl_fixture_root, tmp_path):
+    """CDC egress as JSONL envelopes closes the replication loop: export a
+    snapshot, ship the payload feed as Debezium-flavor lines, apply it on a
+    replica at a different layout — replica payload set == source."""
+    fixture_root = repl_fixture_root
+    cfg = ReplayConfig(num_partitions=8)
+    src = Replayer(str(tmp_path / "src"), cfg,
+                   base_path=os.path.join(fixture_root, "base"))
+    for e in range(2):
+        src.apply_epoch(e, os.path.join(fixture_root, "binlog", f"epoch={e}"))
+
+    exp = str(tmp_path / "exp0")
+    src.export_snapshot(exp, up_to_epoch=0)
+    rep = Replayer(str(tmp_path / "replica"), ReplayConfig(num_partitions=5),
+                   base_path=exp)
+
+    feed_dir = str(tmp_path / "feed_jsonl")
+    info = src.export_changes(feed_dir, 0, 1, with_payload=True, fmt="jsonl")
+    assert info["format"] == "jsonl" and info["n_changes"] > 0
+    assert glob.glob(os.path.join(feed_dir, "*.jsonl"))
+    # re-export is a no-op returning the manifest; format mismatch raises
+    assert src.export_changes(feed_dir, 0, 1, with_payload=True,
+                              fmt="jsonl") == info
+    with pytest.raises(ValueError, match="format"):
+        src.export_changes(feed_dir, 0, 1, with_payload=True)
+
+    rep.apply_change_feed(feed_dir, epoch=0, feed_format="jsonl")
+
+    def payload(rp):
+        return sorted(
+            (r["doc_id"], list(r["tokens"] or []), r["n_tok"], r["source"])
+            for r in rp.read_state().take_all()
+        )
+
+    assert payload(rep) == payload(src)
+
+
+def test_jsonl_scalar_feed_refused_for_apply(ray_session, fixture_root, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    src = Replayer(str(tmp_path / "src"), cfg,
+                   base_path=os.path.join(fixture_root, "base"))
+    for e in range(2):
+        src.apply_epoch(e, os.path.join(fixture_root, "binlog", f"epoch={e}"))
+    feed_dir = str(tmp_path / "feed_scalar")
+    src.export_changes(feed_dir, 0, 1, with_payload=False, fmt="jsonl")
+    rep = Replayer(str(tmp_path / "replica"), cfg,
+                   base_path=os.path.join(fixture_root, "base"))
+    with pytest.raises(ValueError, match="tokens_after"):
+        rep.apply_change_feed(feed_dir, epoch=5, feed_format="jsonl")

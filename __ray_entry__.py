@@ -100,6 +100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_order_stats": tpch.region_order_stats,
         "top_docs": tpch.top_docs,
         "customer_order_join": tpch.customer_order_join,
+        "customer_order_totals": tpch.customer_order_totals,
         "urgent_lineitem_flags": joins.urgent_lineitem_flags,
         "customers_without_urgent_orders": joins.customers_without_urgent_orders,
         "priority_revenue_salted": joins.priority_revenue_salted,
@@ -853,6 +854,8 @@ ORDER BY op, route, status
             "CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents "
             "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
         ),
+        # LEFT OUTER join: customers with zero orders must appear with 0s
+        "customer_order_totals": _tpch_mod.customer_order_totals_sql(),
         "urgent_lineitem_flags": _joins.urgent_lineitem_flags_sql(),
         "customers_without_urgent_orders": _joins.customers_without_urgent_orders_sql(),
         "priority_revenue_salted": _joins.priority_revenue_salted_sql(),

@@ -166,7 +166,7 @@ def run_queries(sf_dir: str) -> dict:
         "user_sessions", "shipping_delay_stats",
         # ninth-session ops
         "exact_substring_spans", "exact_substring_scrub", "oov_rate",
-        "dedup_keep_best",
+        "dedup_keep_best", "customer_order_totals",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -801,3 +801,108 @@ def shipping_delay_stats_sql() -> str:
         "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
         "GROUP BY o.o_orderpriority"
     )
+
+
+_COT_CG = 255  # coarse-group mask for the left-outer attach
+
+
+_COT_ORDER_MOD = 4  # deterministic order subset (o_orderkey % MOD == 0):
+# in this generator EVERY customer has orders, so the unfiltered LEFT
+# JOIN would be vacuously inner; the subset leaves ~8% of customers
+# orderless and keeps the outer branch genuinely exercised (and
+# oracle-checked) at every sf
+
+
+def customer_order_totals(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER join shape: every customer with order count + revenue
+    over the ``o_orderkey % _COT_ORDER_MOD == 0`` order subset, INCLUDING
+    customers with no qualifying orders (n_orders = 0, total_cents = 0) —
+    the join type the inner-join queries can't express.
+
+    Shape: orders pre-aggregate per batch to (custkey, n, cents) partials
+    (custkey-bounded, never row-bounded), then ONE coarse-group shuffle
+    co-locates customer rows with their partials; the in-group polars left
+    join + groupby finishes both the outer semantics and the partial-sum
+    fold. No `Dataset.join` (aggregator-actor startup) and nothing
+    driver-side."""
+    import polars as pl
+
+    orders = readers.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            pc.bit_wise_and(pc.cast(t["o_orderkey"], pa.int64()),
+                            _COT_ORDER_MOD - 1),
+            0,
+        )
+        t = t.filter(keep)
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                     round_mode="half_towards_infinity"), pa.int64())
+        g = pa.table({"k": pc.cast(t["o_custkey"], pa.int64()), "cents": cents})
+        agg = g.group_by("k").aggregate([("cents", "sum"), ("cents", "count")])
+        k = agg["k"]
+        return pa.table(
+            {"cg": pc.cast(pc.bit_wise_and(k, _COT_CG), pa.int32()),
+             "k": k,
+             "c_name": pa.nulls(agg.num_rows, pa.string()),
+             "n": pc.cast(agg["cents_count"], pa.int64()),
+             "cents": pc.cast(agg["cents_sum"], pa.int64())}
+        )
+
+    cust = readers.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_name"]
+    )
+
+    def _cust_rows(t: pa.Table) -> pa.Table:
+        k = pc.cast(t["c_custkey"], pa.int64())
+        return pa.table(
+            {"cg": pc.cast(pc.bit_wise_and(k, _COT_CG), pa.int32()),
+             "k": k,
+             "c_name": pc.cast(t["c_name"], pa.string()),
+             "n": pa.nulls(t.num_rows, pa.int64()),
+             "cents": pa.nulls(t.num_rows, pa.int64())}
+        )
+
+    mixed = orders.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(cust.map_batches(
+        _cust_rows, batch_format="pyarrow", zero_copy_batch=True
+    ))
+
+    def _outer(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g.drop_columns(["cg"]))
+        c = df.filter(pl.col("c_name").is_not_null()).select(["k", "c_name"])
+        o = (
+            df.filter(pl.col("c_name").is_null())
+            .group_by("k")
+            .agg(n=pl.col("n").sum(), cents=pl.col("cents").sum())
+        )
+        out = (
+            c.join(o, on="k", how="left")
+            .with_columns(pl.col("n").fill_null(0), pl.col("cents").fill_null(0))
+            .rename({"k": "c_custkey", "n": "n_orders", "cents": "total_cents"})
+        )
+        return out.select(
+            ["c_custkey", "c_name", "n_orders", "total_cents"]
+        ).to_arrow().cast(pa.schema(
+            [("c_custkey", pa.int64()), ("c_name", pa.string()),
+             ("n_orders", pa.int64()), ("total_cents", pa.int64())]
+        ))
+
+    return mixed.groupby("cg").map_groups(_outer, batch_format="pyarrow")
+
+
+def customer_order_totals_sql() -> str:
+    return (
+        "SELECT c.c_custkey, c.c_name, "
+        "CAST(count(o.o_custkey) AS BIGINT) AS n_orders, "
+        "CAST(COALESCE(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)), 0) "
+        "AS BIGINT) AS total_cents "
+        "FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey "
+        f"AND o.o_orderkey % {_COT_ORDER_MOD} = 0 "
+        "GROUP BY c.c_custkey, c.c_name"
+    )

@@ -84,6 +84,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_versions": derived.cdc_versions,
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
+        "cdc_state_projection": derived.cdc_state_projection,
         "cdc_merge_state": lambda sf: derived.cdc_merge_state(sf),
         "cdc_source_counts": lambda sf: derived.cdc_source_counts(sf),
         "cdc_table_stats": lambda sf: derived.cdc_table_stats(sf),
@@ -640,6 +641,10 @@ def oracle_sql() -> dict[str, str]:
         "corpus_curation": _curation.corpus_curation_sql(),
         "chunk_documents": _curation.chunk_documents_sql(),
         "cdc_lww_state": _CDC_STATE,
+        # projection pushdown: the LWW state projected to scalar columns
+        # (the engine side never decodes the token payload)
+        "cdc_state_projection":
+            f"SELECT doc_id, source, last_lsn FROM ({_CDC_STATE})",
         # point lookup: the LWW state filtered to the looked-up keys (a
         # deleted/unknown key is absent from both sides)
         "cdc_point_lookup": (

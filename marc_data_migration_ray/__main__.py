@@ -132,6 +132,10 @@ def main(argv=None) -> int:
                          "position (must be at/above the compaction ceiling)")
     st.add_argument("--tag", default=None,
                     help="named-snapshot time travel (see the 'tag' command)")
+    st.add_argument("--columns", default=None,
+                    help="comma-separated projection (display names); "
+                         "unrequested payload columns are pruned at the "
+                         "parquet scan and skipped by the fold")
     _add_cfg_args(st)
 
     tg = sub.add_parser(
@@ -632,8 +636,10 @@ def main(argv=None) -> int:
                 e = rp.tag(args.name, epoch=args.epoch, replace=args.replace)
                 print(json.dumps({"tag": args.name, "epoch": e}))
         elif args.cmd == "state":
+            cols = args.columns.split(",") if args.columns else None
             ds = rp.read_state(up_to_epoch=args.up_to_epoch,
-                               up_to_lsn=args.up_to_lsn, tag=args.tag)
+                               up_to_lsn=args.up_to_lsn, tag=args.tag,
+                               columns=cols)
             if args.out:
                 ds.write_parquet(args.out)
                 print(json.dumps({"rows": ds.count(), "out": args.out}))

@@ -361,6 +361,24 @@ def _scalar_state(rows: ray.data.Dataset) -> ray.data.Dataset:
 LOOKUP_IDS = ("7", "77", "177", "277", "377", "477", "no-such-id")
 
 
+# projection the driver query reads (display names; token payload pruned)
+PROJECTION_COLS = ("doc_id", "source", "last_lsn")
+
+
+def cdc_state_projection(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+) -> ray.data.Dataset:
+    """Driver surface for projection pushdown: replay onto the
+    co-partitioned layout, then ``read_state(columns=PROJECTION_COLS)`` —
+    the token payload is pruned at the parquet scan and skipped by the
+    fold (never decoded, never shipped). Oracle = the LWW state SQL
+    projected to the same columns; equality proves the pruned fold loses
+    nothing while the skipped token bytes are the scale win (at 100 TB the
+    tokens column IS the table)."""
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    return rp.read_state(columns=list(PROJECTION_COLS))
+
+
 def cdc_point_lookup(
     sf_dir: str, cfg: ReplayConfig | None = None,
     doc_ids: tuple[str, ...] = LOOKUP_IDS,

@@ -52,7 +52,7 @@ import pyarrow.parquet as pq
 import ray
 import ray.data
 
-from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.config import PAYLOAD_COLUMNS, ReplayConfig
 from marc_data_migration_ray.stages.fold import FOLD_SCHEMA, fold_bucket
 from marc_data_migration_ray.stages.parse import PARSED_SCHEMA, ParseRoute, PrepBase
 from marc_data_migration_ray.state.manifest import Manifest
@@ -129,13 +129,25 @@ def _paths_bytes(paths) -> int:
 
 
 def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
-                        max_lsn=None, key_filter=None):
+                        max_lsn=None, key_filter=None, payload_cols=None):
     from marc_data_migration_ray.stages.fold import fold_input_columns
 
-    fold_cols = fold_input_columns()  # PARSED minus the audit-only titles
+    # PARSED minus the audit-only titles, minus projection-pruned payload
+    fold_cols = fold_input_columns(payload_cols)
     keys = pa.array(sorted(key_filter), pa.string()) if key_filter else None
     tables = []
     for f in base_files:
+        base_cols = None
+        if payload_cols is not None:
+            # projection pushdown on the base scan: only the requested
+            # payload columns (plus key/lineage) leave the parquet footer.
+            # Intersect with the file's actual schema — compacted snapshots
+            # carry final-schema names, older ones may lack lineage columns.
+            want = set(fold_cols) | {
+                "doc_id", "n_tok", "last_lsn", "status", "candidate_key",
+                "part_id",
+            }
+            base_cols = [c for c in pq.read_schema(f).names if c in want]
         if keys is not None:
             # point-lookup pushdown: row-group stats prune the base read
             # (one row per key lives here; parquet min/max stats skip
@@ -144,12 +156,13 @@ def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
             # A compacted (final-schema) snapshot carries the key as
             # `doc_id`; the raw bucketized base as `key`.
             kcol = "doc_id" if base_is_final_schema else "key"
-            t = pq.read_table(f, filters=pc.field(kcol).isin(keys))
+            t = pq.read_table(f, columns=base_cols,
+                              filters=pc.field(kcol).isin(keys))
         else:
-            t = pq.read_table(f)
+            t = pq.read_table(f, columns=base_cols)
         if base_is_final_schema:
             t = PrepBase(cfg, assume_normalized=True)(t)
-        tables.append(t.select(fold_cols))
+        tables.append(t.select([c for c in fold_cols if c in t.column_names]))
     for f in delta_files:
         # column-pruned read: the titles stay on disk for audit_dataset;
         # full-row (vs route-filtered) read is still right — rejected rows
@@ -222,14 +235,16 @@ def _fold_bucket_task(
     schema_ops: list[dict] | None = None,
     max_lsn: int | None = None,
     key_filter: list[str] | None = None,
+    payload_cols: tuple[str, ...] | None = None,
 ) -> pa.Table:
     """Fold one hash partition: read its co-partitioned base + delta files,
     run the vectorized LWW fold, return the FOLD_SCHEMA table."""
     allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
-                               max_lsn, key_filter)
+                               max_lsn, key_filter, payload_cols)
     if allr is None:
         return _empty_fold()
-    return fold_bucket(allr, cfg, local_id_offsets, schema_ops)
+    return fold_bucket(allr, cfg, local_id_offsets, schema_ops,
+                       payload_cols=payload_cols)
 
 
 @ray.remote(num_cpus=1)
@@ -241,15 +256,16 @@ def _fold_salted_stage1_task(
     schema_ops: list[dict] | None = None,
     max_lsn: int | None = None,
     key_filter: list[str] | None = None,
+    payload_cols: tuple[str, ...] | None = None,
 ) -> pa.Table | None:
     """Stage 1 of the salted fold: one physical SUB-bucket → summary."""
     from marc_data_migration_ray.stages.fold import fold_salted_stage1
 
     allr = _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
-                               max_lsn, key_filter)
+                               max_lsn, key_filter, payload_cols)
     if allr is None:
         return None
-    return fold_salted_stage1(allr, cfg, schema_ops)
+    return fold_salted_stage1(allr, cfg, schema_ops, payload_cols)
 
 
 @ray.remote(num_cpus=1)
@@ -257,6 +273,7 @@ def _fold_salted_merge_task(
     cfg: ReplayConfig,
     local_id_offsets: dict[int, int],
     schema_ops: list[dict] | None,
+    payload_cols: tuple[str, ...] | None,
     *summaries: pa.Table | None,
 ) -> pa.Table:
     """Stage 2: merge one logical partition's sub-bucket summaries."""
@@ -265,7 +282,8 @@ def _fold_salted_merge_task(
     parts = [s for s in summaries if s is not None and s.num_rows]
     if not parts:
         return _empty_fold()
-    return fold_salted_merge(pa.concat_tables(parts), cfg, local_id_offsets, schema_ops)
+    return fold_salted_merge(pa.concat_tables(parts), cfg, local_id_offsets,
+                             schema_ops, payload_cols)
 
 
 @ray.remote(num_cpus=1)
@@ -956,11 +974,14 @@ class Replayer:
         only_parts: set[int] | None = None,
         up_to_lsn: int | None = None,
         key_filter: list[str] | None = None,
+        payload_cols: tuple[str, ...] | None = None,
     ) -> dict[int, "ray.ObjectRef"]:
         """One fold ObjectRef per LOGICAL partition (keyed by partition id) —
         the co-partitioned unit ``changes_between`` diffs pairwise.
         ``only_parts`` restricts the fold to those logical partitions
-        (point lookups: touch only the buckets that can hold the keys)."""
+        (point lookups: touch only the buckets that can hold the keys).
+        ``payload_cols`` prunes the fold to the requested payload / added
+        columns (projection pushdown — see ``fold_bucket``)."""
         st = self.manifest.state
         floor = self.manifest.last_compacted_epoch()
         if up_to_lsn is not None and up_to_lsn < self.manifest.ceiling_lsn():
@@ -1030,6 +1051,7 @@ class Replayer:
                     schema_ops,
                     up_to_lsn,
                     key_filter,
+                    payload_cols,
                 )
                 for p in parts
             }
@@ -1050,11 +1072,12 @@ class Replayer:
                     schema_ops,
                     up_to_lsn,
                     key_filter,
+                    payload_cols,
                 )
                 for p in phys
             ]
             merge_refs[lp] = _fold_salted_merge_task.remote(
-                self.cfg, offsets, schema_ops, *s1
+                self.cfg, offsets, schema_ops, payload_cols, *s1
             )
         return merge_refs
 
@@ -1191,19 +1214,64 @@ class Replayer:
         return [o for o in ops if o["lsn"] <= cutoff]
 
     def read_state(self, up_to_epoch: int | None = None,
-                   up_to_lsn: int | None = None, tag: str | None = None):
+                   up_to_lsn: int | None = None, tag: str | None = None,
+                   columns: list[str] | None = None):
         """Current table state as a Ray Dataset (schema ops applied:
         renames as display names, DDL-added columns MATERIALIZED from the
         rows' canonical ``extra_json`` carrier). ``up_to_lsn`` reads the
         state as of an exact log position (mid-epoch time travel);
-        ``tag`` reads as of a named snapshot (``Replayer.tag``)."""
+        ``tag`` reads as of a named snapshot (``Replayer.tag``).
+
+        ``columns`` (display names) projects the read: the token payload
+        and any other unrequested payload column are pruned at the parquet
+        scan AND skipped by the per-bucket fold — a
+        ``read_state(columns=["doc_id", "source"])`` over a 100 TB table
+        never decodes a token list. Row membership (tombstones, local-id
+        allocation, lineage) is payload-independent, so the projected rows
+        are bit-identical to ``read_state().select(columns)``. With policy
+        plugins configured the projection is applied AFTER the policies
+        (no pushdown — a plugin may read any column); ``doc_id`` need not
+        be requested."""
         if tag is not None:
             if up_to_epoch is not None or up_to_lsn is not None:
                 raise ValueError("tag is exclusive with up_to_epoch/up_to_lsn")
             up_to_epoch = self.manifest.resolve_tag(tag)
-        rows = self.fold_output(up_to_epoch, up_to_lsn).filter(
+        payload_cols = self._resolve_projection(columns, up_to_epoch, up_to_lsn)
+        refs = self._fold_part_refs(up_to_epoch, up_to_lsn=up_to_lsn,
+                                    payload_cols=payload_cols)
+        rows = ray.data.from_arrow_refs(list(refs.values())).filter(
             expr="_kind == 'row'")
-        return self._postprocess_rows(rows, up_to_epoch, up_to_lsn)
+        return self._postprocess_rows(rows, up_to_epoch, up_to_lsn,
+                                      columns=columns)
+
+    def _resolve_projection(
+        self, columns: list[str] | None,
+        up_to_epoch: int | None, up_to_lsn: int | None = None,
+    ) -> tuple[str, ...] | None:
+        """Display-name projection → canonical payload/added column subset
+        for the fold pushdown (None = no pushdown). Validates the names
+        against the as-of display schema; plugins disable the pushdown
+        (the projection still applies post-policy)."""
+        if columns is None:
+            return None
+        if len(set(columns)) != len(columns):
+            raise ValueError(f"duplicate columns in projection: {columns}")
+        if self.cfg.policy_plugins:
+            # a plugin may read any column (fold everything) and may ADD or
+            # MOVE columns — the projection is validated at execution time
+            # against the post-policy schema instead
+            return None
+        ops = self._schema_ops_up_to(up_to_epoch, up_to_lsn)
+        final_schema, _renames, added = self.manifest.resolve_schema(
+            _DISPLAY_COLS, ops)
+        canon = dict(zip(final_schema, _DISPLAY_COLS + list(added)))
+        unknown = [c for c in columns if c not in canon]
+        if unknown:
+            raise ValueError(
+                f"unknown columns {unknown}; state schema is {final_schema}")
+        prunable = set(PAYLOAD_COLUMNS) | set(added)
+        return tuple(sorted(
+            {canon[c] for c in columns if canon[c] in prunable}))
 
     def tag(self, name: str, epoch: int | None = None,
             replace: bool = False) -> int:
@@ -1227,7 +1295,8 @@ class Replayer:
     def delete_tag(self, name: str) -> None:
         self.manifest.delete_tag(name)
 
-    def lookup(self, doc_ids: list[str], up_to_epoch: int | None = None):
+    def lookup(self, doc_ids: list[str], up_to_epoch: int | None = None,
+               columns: list[str] | None = None):
         """Point lookup (reference S4 authority point-lookup, made literal
         at scale): return the state rows for ``doc_ids`` by folding ONLY
         the partitions that can contain them — O(|ids|) bucket reads, not
@@ -1261,8 +1330,9 @@ class Replayer:
         if hashed:
             arr = hash_partition(pa.array(hashed, pa.string()), self.cfg.num_partitions)
             parts.update(int(p) for p in arr.to_pylist())
+        payload_cols = self._resolve_projection(columns, up_to_epoch)
         refs = self._fold_part_refs(up_to_epoch, only_parts=parts,
-                                    key_filter=ids)
+                                    key_filter=ids, payload_cols=payload_cols)
         if refs:
             rows = ray.data.from_arrow_refs(list(refs.values()))
         else:
@@ -1273,12 +1343,15 @@ class Replayer:
             lambda t: t.filter(pc.is_in(t["doc_id"], value_set=want)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        return self._postprocess_rows(rows, up_to_epoch)
+        return self._postprocess_rows(rows, up_to_epoch, columns=columns)
 
     def _postprocess_rows(self, rows, up_to_epoch: int | None,
-                          up_to_lsn: int | None = None):
+                          up_to_lsn: int | None = None,
+                          columns: list[str] | None = None):
         """Fold row-kind dataset → public state schema (shared by
-        ``read_state`` and ``lookup``)."""
+        ``read_state`` and ``lookup``). ``columns`` applies the requested
+        projection as the FINAL step (after schema evolution and policy
+        plugins), in the caller's order."""
         rows = rows.map_batches(
             lambda t: t.select(_ROW_COLS), batch_format="pyarrow", zero_copy_batch=True
         )
@@ -1311,6 +1384,12 @@ class Replayer:
             from marc_data_migration_ray.stages.policy import apply_policies
 
             rows = apply_policies(rows, self.cfg)
+        if columns is not None:
+            sel = list(columns)
+            rows = rows.map_batches(
+                lambda t: t.select(sel), batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         return rows
 
     def _aggregate_metrics_rows(self, out, seed: dict | None = None) -> dict:

@@ -51,14 +51,26 @@ _ROW_COLS = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status",
              "candidate_key", "extra_json"]
 
 
-def fold_input_columns() -> list[str]:
+def fold_input_columns(payload_cols: tuple[str, ...] | None = None) -> list[str]:
     """PARSED columns the fold actually consumes: everything except the
     audit-only title pair (those stay in the delta files for
     ``audit_dataset`` but never enter a fold task — ~title bytes × events
-    of read+concat saved per fold)."""
+    of read+concat saved per fold).
+
+    ``payload_cols`` (projection pushdown): additionally drop payload
+    columns the read does not want — except ``n_tok``, which the base
+    dedup rule always consumes as a sort key. ``extra_json`` is read only
+    when a DDL-added column is requested (any name outside
+    PAYLOAD_COLUMNS)."""
     from marc_data_migration_ray.stages.parse import PARSED_SCHEMA
 
-    return [c for c in PARSED_SCHEMA.names if c not in ("title", "match_title")]
+    cols = [c for c in PARSED_SCHEMA.names if c not in ("title", "match_title")]
+    if payload_cols is not None:
+        drop = {c for c in ("tokens", "source") if c not in payload_cols}
+        if not any(c not in PAYLOAD_COLUMNS for c in payload_cols):
+            drop.add("extra_json")
+        cols = [c for c in cols if c not in drop]
+    return cols
 
 
 # ------------------------------------------------------------------ DDL --
@@ -123,16 +135,29 @@ def fold_bucket(
     cfg: ReplayConfig,
     local_id_offsets: dict[int, int] | None = None,
     schema_ops: list[dict] | None = None,
+    payload_cols: tuple[str, ...] | None = None,
 ) -> pa.Table:
     """Fold one partition's base+delta rows into final rows + audit + metrics.
 
     ``schema_ops`` (lsn-ordered DDL) drives mid-stream mask resolution: a
     column mask refers to the schema AS OF the event's lsn (post-rename
     names), and DDL-added columns are writable by later masked updates via
-    the ``extra_json`` payload (SEMANTICS §schema)."""
+    the ``extra_json`` payload (SEMANTICS §schema).
+
+    ``payload_cols`` (projection pushdown, canonical names): fold ONLY these
+    payload / DDL-added columns — per-column LWW is independent per column
+    and row membership (anchors, tombstones, local-id allocation, lineage)
+    never reads payload values, so a pruned fold's requested columns are
+    bit-identical to a full fold's. Unrequested columns come back null in
+    the fixed FOLD_SCHEMA; metrics col_replacements covers only the folded
+    columns (pruned folds serve reads, never ``fold_metrics``)."""
     from marc_data_migration_ray.state.schema_timeline import Timeline
 
     tl = Timeline(schema_ops)
+    pay = [c for c in PAYLOAD_COLUMNS
+           if payload_cols is None or c in payload_cols]
+    added_sel = [c for c in tl.added
+                 if payload_cols is None or c in payload_cols]
     df = pl.from_arrow(tbl)
     base = df.filter(pl.col("is_base"))
     if base.height:
@@ -157,7 +182,7 @@ def fold_bucket(
     # anchor-side values for added columns (canonical-keyed on rows,
     # segment-keyed on insert events)
     anchor = anchor.with_columns(
-        *[_extra_value_expr(tl, c).alias(f"_aex_{c}") for c in tl.added]
+        *[_extra_value_expr(tl, c).alias(f"_aex_{c}") for c in added_sel]
     )
     # join only what updates consume: anchor lsn/op for the applies gate,
     # and NULL-FLAGS for the replace_only gate — broadcasting the anchor's
@@ -166,10 +191,8 @@ def fold_bucket(
         "key",
         pl.col("lsn").alias("_alsn"),
         pl.col("op").alias("_aop"),
-        pl.col("tokens").is_not_null().alias("_ahas_tokens"),
-        pl.col("n_tok").is_not_null().alias("_ahas_n_tok"),
-        pl.col("source").is_not_null().alias("_ahas_source"),
-        *[pl.col(f"_aex_{c}").is_not_null().alias(f"_ahas_{c}") for c in tl.added],
+        *[pl.col(c).is_not_null().alias(f"_ahas_{c}") for c in pay],
+        *[pl.col(f"_aex_{c}").is_not_null().alias(f"_ahas_{c}") for c in added_sel],
     )
     updates = applied.filter(pl.col("op") == "update").join(
         anchor_j, on="key", how="left"
@@ -188,7 +211,7 @@ def fold_bucket(
     col_repl: dict[str, int] = {}
     final = anchor.filter(pl.col("op") != "delete")
     tombstoned = anchor.filter(pl.col("op") == "delete").height
-    for c in PAYLOAD_COLUMNS:
+    for c in pay:
         wc = upd.filter(_writes_expr(tl, c))
         if cfg.strategy == "replace_only":
             wc = wc.filter(pl.col(f"_ahas_{c}"))
@@ -210,7 +233,7 @@ def fold_bucket(
         ).drop([f"_w_{c}", f"_has_{c}"])
     # DDL-added columns: winner value from the event's extra_json payload,
     # anchor's stored value as fallback; final rows re-key canonically
-    for c in tl.added:
+    for c in added_sel:
         wc = upd.filter(_writes_expr(tl, c))
         if cfg.strategy == "replace_only":
             wc = wc.filter(pl.col(f"_ahas_{c}"))
@@ -228,12 +251,12 @@ def fold_bucket(
             .otherwise(pl.col(f"_aex_{c}"))
             .alias(f"_fx_{c}")
         ).drop([f"_w_{c}", f"_has_{c}"])
-    if tl.added:
+    if added_sel:
         final = final.with_columns(
             pl.struct(
-                **{c: pl.col(f"_fx_{c}") for c in tl.added}
+                **{c: pl.col(f"_fx_{c}") for c in added_sel}
             ).struct.json_encode().alias("extra_json")
-        ).drop([f"_fx_{c}" for c in tl.added])
+        ).drop([f"_fx_{c}" for c in added_sel])
 
     # row lineage: last contributing event (applied updates ∪ insert anchors)
     contrib = pl.concat(
@@ -252,27 +275,28 @@ def fold_bucket(
         pl.coalesce([pl.col("_llsn"), pl.col("lsn")]).alias("last_lsn"),
         pl.coalesce([pl.col("_lstatus"), pl.col("status")]).alias("status"),
     )
+    # pruned payload / extra_json columns may be absent from the frame
+    # entirely (projection pushdown removed them at the parquet read);
+    # _to_arrow null-fills anything missing from the fixed FOLD_SCHEMA
     rows = final.select(
         pl.lit("row").alias("_kind"),
         pl.col("key").alias("doc_id"),
-        "tokens",
-        "n_tok",
-        "source",
+        *[c for c in ("tokens", "n_tok", "source") if c in final.columns],
         "last_lsn",
         "status",
         "candidate_key",
-        "extra_json",
+        *(["extra_json"] if "extra_json" in final.columns else []),
         "part_id",
     )
 
     # local-id allocation: per-partition rank in lsn order (reference P6)
     if local.height:
-        if tl.added:
+        if added_sel:
             # re-key local rows' extra payload canonically (event payloads
             # are keyed by then-visible names)
             local = local.with_columns(
                 pl.struct(
-                    **{c: _extra_value_expr(tl, c) for c in tl.added}
+                    **{c: _extra_value_expr(tl, c) for c in added_sel}
                 ).struct.json_encode().alias("extra_json")
             )
         local = local.sort(["part_id", "lsn"]).with_columns(
@@ -297,13 +321,11 @@ def fold_bucket(
                 + pl.lit("-")
                 + (pl.lit(cfg.local_id_start, pl.Int64) + pl.col("_off") + pl.col("_rank")).cast(pl.String)
             ).alias("doc_id"),
-            "tokens",
-            "n_tok",
-            "source",
+            *[c for c in ("tokens", "n_tok", "source") if c in local.columns],
             pl.col("lsn").alias("last_lsn"),
             pl.lit("local").alias("status"),
             pl.col("doc_id_raw").alias("candidate_key"),
-            "extra_json",
+            *(["extra_json"] if "extra_json" in local.columns else []),
             "part_id",
         )
     else:
@@ -373,11 +395,16 @@ def fold_bucket(
 #   so the merge touches bytes proportional to event COUNT, not payload.
 
 def fold_salted_stage1(
-    tbl: pa.Table, cfg: ReplayConfig, schema_ops: list[dict] | None = None
+    tbl: pa.Table, cfg: ReplayConfig, schema_ops: list[dict] | None = None,
+    payload_cols: tuple[str, ...] | None = None,
 ) -> pa.Table:
     """Stage 1: one physical sub-bucket → mergeable summary table
     (PARSED columns + ``_sec`` ∈ {a: anchor candidate, w: per-column winner
-    candidates, u: payload-stripped update metadata, l: local inserts})."""
+    candidates, u: payload-stripped update metadata, l: local inserts}).
+
+    ``payload_cols`` (projection pushdown): winner candidates are computed
+    only for the requested columns — unrequested winners would be merged
+    into columns the read drops anyway."""
     from marc_data_migration_ray.state.schema_timeline import Timeline
 
     tl = Timeline(schema_ops)
@@ -401,6 +428,8 @@ def fold_salted_stage1(
     upd = applied.filter(pl.col("op") == "update")
     winner_lsns: set[int] = set()
     for c in list(PAYLOAD_COLUMNS) + tl.added:
+        if payload_cols is not None and c not in payload_cols:
+            continue
         wc = upd.filter(_writes_expr(tl, c))
         if wc.height:
             w = wc.sort(["key", "lsn"]).unique(subset=["key"], keep="last")
@@ -412,15 +441,12 @@ def fold_salted_stage1(
         lin = upd.sort(["key", "lsn"]).unique(subset=["key"], keep="last")
         winner_lsns.update(lin["lsn"].to_list())
     winners = upd.filter(pl.col("lsn").is_in(sorted(winner_lsns))) if winner_lsns else upd.head(0)
-    strip = [
-        pl.lit(None, pl.List(pl.Int32)).alias("tokens"),
-        pl.lit(None, pl.Int32).alias("n_tok"),
-        pl.lit(None, pl.String).alias("source"),
-        pl.lit(None, pl.String).alias("extra_json"),
-    ]
-    for c in ("title", "match_title"):  # present only if the caller kept them
-        if c in upd.columns:
-            strip.append(pl.lit(None, pl.String).alias(c))
+    _strip_types = {"tokens": pl.List(pl.Int32), "n_tok": pl.Int32,
+                    "source": pl.String, "extra_json": pl.String,
+                    "title": pl.String, "match_title": pl.String}
+    # a pruned read may have dropped some of these entirely
+    strip = [pl.lit(None, typ).alias(c) for c, typ in _strip_types.items()
+             if c in upd.columns]
     meta = upd.with_columns(strip)
     local = ev.filter(pl.col("route") == "local")
     secs = [
@@ -454,6 +480,7 @@ def fold_salted_merge(
     cfg: ReplayConfig,
     local_id_offsets: dict[int, int] | None = None,
     schema_ops: list[dict] | None = None,
+    payload_cols: tuple[str, ...] | None = None,
 ) -> pa.Table:
     """Stage 2: concat of a logical partition's stage-1 summaries →
     FOLD_SCHEMA output. State comes from fold_bucket over the anchor /
@@ -465,7 +492,8 @@ def fold_salted_merge(
     df = pl.from_arrow(tbl)
     meta = df.filter(pl.col("_sec") == "u").drop("_sec")
     fold_in = df.filter(pl.col("_sec") != "u").drop("_sec")
-    folded = fold_bucket(fold_in.to_arrow(), cfg, local_id_offsets, schema_ops)
+    folded = fold_bucket(fold_in.to_arrow(), cfg, local_id_offsets, schema_ops,
+                         payload_cols)
     rows = folded.filter(pc.equal(folded["_kind"], "row"))
 
     # recompute the global anchor over the candidate section (same rule as
@@ -481,18 +509,20 @@ def fold_salted_merge(
                          & pl.col("op").is_in(["insert", "delete"]))],
         how="vertical",
     )
+    _pay = [c for c in PAYLOAD_COLUMNS
+            if payload_cols is None or c in payload_cols]
+    _added_sel = [c for c in tl.added
+                  if payload_cols is None or c in payload_cols]
     anchor = anchors.sort(["key", "lsn"]).unique(subset=["key"], keep="last")
     anchor = anchor.with_columns(
-        *[_extra_value_expr(tl, c).alias(f"_aex_{c}") for c in tl.added]
+        *[_extra_value_expr(tl, c).alias(f"_aex_{c}") for c in _added_sel]
     )
     anchor_j = anchor.select(
         "key",
         pl.col("lsn").alias("_alsn"),
         pl.col("op").alias("_aop"),
-        pl.col("tokens").is_not_null().alias("_ahas_tokens"),
-        pl.col("n_tok").is_not_null().alias("_ahas_n_tok"),
-        pl.col("source").is_not_null().alias("_ahas_source"),
-        *[pl.col(f"_aex_{c}").is_not_null().alias(f"_ahas_{c}") for c in tl.added],
+        *[pl.col(c).is_not_null().alias(f"_ahas_{c}") for c in _pay],
+        *[pl.col(f"_aex_{c}").is_not_null().alias(f"_ahas_{c}") for c in _added_sel],
     )
     meta = meta.unique(subset=["lsn"], keep="first").join(anchor_j, on="key", how="left")
     applies = (
@@ -503,7 +533,7 @@ def fold_salted_merge(
     noops = meta.filter(~applies)
     applied_meta = meta.filter(applies)
     col_repl = {}
-    for c in list(PAYLOAD_COLUMNS) + list(tl.added):
+    for c in _pay + _added_sel:
         wc = applied_meta.filter(_writes_expr(tl, c))
         if cfg.strategy == "replace_only":
             wc = wc.filter(pl.col(f"_ahas_{c}"))

@@ -305,9 +305,12 @@ class PrepBase:
                 "doc_id_raw": raw,
                 "key": key,
                 "part_id": part_id,
-                "tokens": batch["tokens"],
+                # projection-pruned reads drop payload columns entirely
+                "tokens": (batch["tokens"] if "tokens" in batch.column_names
+                           else pa.nulls(n, pa.list_(pa.int32()))),
                 "n_tok": batch["n_tok"],
-                "source": batch["source"],
+                "source": (batch["source"] if "source" in batch.column_names
+                           else pa.nulls(n, pa.string())),
                 "column_mask": pa.nulls(n, pa.list_(pa.string())),
                 "match_score": pa.nulls(n, pa.int32()),
                 "title": pa.nulls(n, pa.string()),

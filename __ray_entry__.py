@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_frames_real": multimodal.media_frames_real,
         "audio_frame_features": multimodal.audio_frame_features,
         "media_png_decode": multimodal.media_png_decode,
+        "media_gif_decode": multimodal.media_gif_decode,
         "media_jpeg_decode": multimodal.media_jpeg_decode,
         "media_jpeg_color_decode": multimodal.media_jpeg_color_decode,
     }
@@ -522,6 +523,7 @@ def _multimodal_sql() -> dict[str, str]:
         "media_frames_real": mm.media_frames_real_sql(),
         "audio_frame_features": mm.audio_frame_features_sql(),
         "media_png_decode": mm.media_png_decode_sql(),
+        "media_gif_decode": mm.media_gif_decode_sql(),
         "media_jpeg_decode": mm.media_jpeg_decode_sql(),
         "media_jpeg_color_decode": mm.media_jpeg_color_decode_sql(),
     }

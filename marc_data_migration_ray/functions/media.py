@@ -303,6 +303,163 @@ def decode_png(payload: bytes) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# ------------------------------------------------------------------ GIF --
+# GIF89a (CompuServe spec, public): logical screen descriptor + global
+# color table + one table-based image whose pixel data is REAL LZW with
+# GIF's variable code width (9→12 bits, LSB-first bit packing, CLEAR /
+# EOI control codes, dictionary reset at 4096). Encoder exists for the
+# deterministic fixture; the decoder is what the actor-pool stage runs.
+
+_GIF_MIN_CODE = 8  # 256-color palette → 8-bit literals
+_GIF_CLEAR = 1 << _GIF_MIN_CODE
+_GIF_EOI = _GIF_CLEAR + 1
+
+
+def _lzw_encode(indices: bytes) -> bytes:
+    """GIF-flavor LZW: emits CLEAR first, grows the code width when
+    next_code exceeds the current range (non-early-change pairing with the
+    decoder's grow-at-(1<<width) rule — the decoder's table lags one add),
+    resets at 4096. LSB-first bit packing."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = _GIF_MIN_CODE + 1
+    table: dict[bytes, int] = {}
+    next_code = _GIF_EOI + 1
+    emit(_GIF_CLEAR, width)
+    w = indices[:1]
+    for i in range(1, len(indices)):
+        c = indices[i:i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w] if len(w) > 1 else w[0], width)
+        if next_code < 4096:
+            table[wc] = next_code
+            next_code += 1
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            emit(_GIF_CLEAR, width)
+            table.clear()
+            width = _GIF_MIN_CODE + 1
+            next_code = _GIF_EOI + 1
+        w = c
+    emit(table[w] if len(w) > 1 else w[0], width)
+    emit(_GIF_EOI, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(data: bytes, n_expected: int) -> bytes:
+    """Inverse of ``_lzw_encode`` incl. the KwKwK (code == next_code)
+    case; stops at EOI or when ``n_expected`` indices are produced."""
+    out = bytearray()
+    pos = 0  # bit position
+    width = _GIF_MIN_CODE + 1
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    prev: bytes | None = None
+    total_bits = len(data) * 8
+    while len(out) < n_expected:
+        if pos + width > total_bits:
+            raise ValueError("GIF: LZW stream truncated")
+        byte0 = pos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 3], "little")
+        code = (chunk >> (pos & 7)) & ((1 << width) - 1)
+        pos += width
+        if code == _GIF_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = _GIF_MIN_CODE + 1
+            prev = None
+            continue
+        if code == _GIF_EOI:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError(f"GIF: bad LZW code {code}")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """GIF89a writer: (h, w) uint8 index raster + (256, 3) uint8 palette →
+    one non-interlaced full-frame image with a global color table."""
+    h, w = indices.shape
+    out = bytearray(b"GIF89a")
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little")
+    out += bytes([0xF7, 0, 0])  # GCT present, 8-bit color, 256 entries
+    out += palette.astype(np.uint8).tobytes()
+    out += b"\x2c" + b"\x00" * 4  # image descriptor at (0, 0)
+    out += w.to_bytes(2, "little") + h.to_bytes(2, "little") + b"\x00"
+    out += bytes([_GIF_MIN_CODE])
+    lzw = _lzw_encode(indices.astype(np.uint8).tobytes())
+    for i in range(0, len(lzw), 255):  # data sub-blocks
+        blk = lzw[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF89a reader for the subset above → (h, w, 3) uint8 RGB. Walks the
+    container for real: header, screen descriptor, global color table,
+    image descriptor, sub-block reassembly, LZW decompress, palette map."""
+    if payload[:6] not in (b"GIF89a", b"GIF87a"):
+        raise ValueError("not a GIF")
+    packed = payload[10]
+    if not packed & 0x80:
+        raise ValueError("GIF: no global color table")
+    gct_n = 2 << (packed & 0x07)
+    pos = 13
+    palette = np.frombuffer(payload[pos:pos + 3 * gct_n],
+                            np.uint8).reshape(gct_n, 3)
+    pos += 3 * gct_n
+    while payload[pos] == 0x21:  # skip extension blocks
+        pos += 2
+        while payload[pos]:
+            pos += 1 + payload[pos]
+        pos += 1
+    if payload[pos] != 0x2C:
+        raise ValueError("GIF: image descriptor not found")
+    w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+    h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+    if payload[pos + 9] & 0xC0:
+        raise ValueError("GIF: local color table / interlace unsupported")
+    pos += 10
+    if payload[pos] != _GIF_MIN_CODE:
+        raise ValueError("GIF: unexpected LZW min code size")
+    pos += 1
+    lzw = bytearray()
+    while payload[pos]:  # sub-block reassembly
+        n = payload[pos]
+        lzw += payload[pos + 1:pos + 1 + n]
+        pos += 1 + n
+    idx = np.frombuffer(_lzw_decode(bytes(lzw), w * h), np.uint8)
+    if idx.size != w * h:
+        raise ValueError("GIF: pixel count mismatch")
+    return palette[idx.reshape(h, w)]
+
+
 # ------------------------------------- deterministic fixture generators --
 # Payload CONTENT is simple arithmetic in media_id so the decoded integer
 # statistics are SQL-expressible; the CONTAINERS are the real formats.
@@ -336,6 +493,33 @@ def gen_png(media_id: int) -> bytes:
     return encode_png(
         px.reshape(IMG_H, IMG_W, 3), filter_of_row=lambda y: (y + media_id) % 5
     )
+
+
+# GIF raster is bigger than the other fixtures ON PURPOSE: ~4.9k mostly
+# incompressible indices push the LZW dictionary through every code width
+# (9→12 bits), so the decoder's width ladder is on the oracle's hash
+# path; the >4096-entry CLEAR/reset branch is exercised by the pytest
+# round-trips over longer random streams.
+GIF_W = GIF_H = 70
+_GIF_HASH_MULT = 2654435761  # Knuth multiplicative constant (public)
+
+
+def gif_index(media_id: int, k: np.ndarray) -> np.ndarray:
+    """Palette index of pixel k: a multiplicative-hash pseudo-random byte
+    (incompressible ⇒ one LZW emit per pixel ⇒ full width ladder)."""
+    return (((k * _GIF_HASH_MULT + media_id) >> 13) % 256).astype(np.uint8)
+
+
+def gif_palette() -> np.ndarray:
+    i = np.arange(256, dtype=np.int64)
+    return np.stack([i, (7 * i + 3) % 256, (13 * i + 5) % 256],
+                    axis=1).astype(np.uint8)
+
+
+def gen_gif(media_id: int) -> bytes:
+    k = np.arange(GIF_W * GIF_H, dtype=np.int64)
+    idx = gif_index(media_id, k).reshape(GIF_H, GIF_W)
+    return encode_gif(idx, gif_palette())
 
 
 def vid_n_frames(media_id: int) -> int:

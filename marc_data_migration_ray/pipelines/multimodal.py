@@ -698,6 +698,95 @@ FROM documents
 """
 
 
+class GifDecoder:
+    """Actor-pool stage running the REAL GIF89a parse
+    (``functions/media.decode_gif``: header walk, global color table,
+    sub-block reassembly, variable-width LZW decompress with the 9→12-bit
+    ladder, palette map) per payload. Integer channel sums out; the
+    fixture indices are a multiplicative hash of the pixel position, so
+    any LZW desync shifts some payload's sums."""
+
+    def __init__(self):
+        from marc_data_migration_ray.functions import media as M
+
+        self.M = M
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        wh = np.zeros((n, 2), np.int64)
+        sums = np.zeros((n, 3), np.int64)
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            rgb = self.M.decode_gif(payload).astype(np.int64)
+            wh[i] = rgb.shape[1], rgb.shape[0]
+            sums[i] = rgb.reshape(-1, 3).sum(axis=0)
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(wh[:, 0]),
+                "height": pa.array(wh[:, 1]),
+                "sum_r": pa.array(sums[:, 0]),
+                "sum_g": pa.array(sums[:, 1]),
+                "sum_b": pa.array(sums[:, 2]),
+            }
+        )
+
+
+def media_gif_decode(sf_dir: str) -> ray.data.Dataset:
+    """(media_id, width, height, sum_r, sum_g, sum_b): REAL LZW-codec
+    decode — deterministic 256-color GIF89a payloads parsed end-to-end by
+    the actor-pool decoder (the third real compressed format after
+    PNG/JPEG; LZW is a genuinely different entropy coder)."""
+    import os
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def _payloads(t: pa.Table) -> pa.Table:
+        from marc_data_migration_ray.functions import media as M
+
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        arr = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(arr, pa.int64()),
+                "payload": pa.array(
+                    [M.gen_gif(int(i)) for i in arr], pa.binary()
+                ),
+            }
+        )
+
+    return ds.map_batches(
+        _payloads, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        GifDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 4), zero_copy_batch=True,
+    )
+
+
+def media_gif_decode_sql() -> str:
+    """Mirror of ``functions/media.gen_gif`` arithmetic: palette index of
+    pixel i is ``((i*2654435761 + media_id) >> 13) % 256``; channels are
+    ``idx``, ``(7*idx+3)%256``, ``(13*idx+5)%256``. The engine side must
+    walk the real GIF container and run the full LZW state machine to
+    reproduce these sums."""
+    from marc_data_migration_ray.functions.media import (
+        GIF_H, GIF_W, _GIF_HASH_MULT,
+    )
+
+    npix = GIF_W * GIF_H
+    idx = f"(((i * {_GIF_HASH_MULT} + doc_id) // 8192) % 256)"
+    return f"""
+SELECT doc_id AS media_id,
+  {GIF_W} AS width, {GIF_H} AS height,
+  list_sum(list_transform(range({npix}), i -> {idx})) AS sum_r,
+  list_sum(list_transform(range({npix}), i -> (7 * {idx} + 3) % 256)) AS sum_g,
+  list_sum(list_transform(range({npix}), i -> (13 * {idx} + 5) % 256)) AS sum_b
+FROM documents
+"""
+
+
 class JpegDecoder:
     """Actor-pool stage running the REAL baseline-JPEG decode path
     (``functions/media.decode_jpeg_gray``: marker walk, DHT canonical-

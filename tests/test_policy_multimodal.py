@@ -304,3 +304,62 @@ def test_jpeg_color_decode_pipeline(ray_session):
         mid = r["media_id"]
         want = sum(64 * ((mid * 23 + 13 * b) % 256) for b in range(24))
         assert r["sum_r"] == r["sum_g"] == r["sum_b"] == want, mid
+
+
+def test_gif_lzw_roundtrip_and_reset():
+    """LZW round-trips across the full width ladder, the >4096-entry
+    dictionary CLEAR/reset, and the KwKwK (code == next_code) case."""
+    import numpy as np
+
+    from marc_data_migration_ray.functions import media as M
+
+    rng = np.random.default_rng(17)
+    # incompressible: forces widths 9->12 and a mid-stream reset
+    noise = rng.integers(0, 256, 9000, dtype=np.uint8).tobytes()
+    assert M._lzw_decode(M._lzw_encode(noise), len(noise)) == noise
+    # compressible runs: multi-byte dict strings + the KwKwK case
+    runs = b"\x05" * 4000 + bytes(range(256)) * 4 + b"\x09" * 1000
+    assert M._lzw_decode(M._lzw_encode(runs), len(runs)) == runs
+    # single byte and two-byte edge streams
+    for raw in (b"\x00", b"\xff\xff", b"ab"):
+        assert M._lzw_decode(M._lzw_encode(raw), len(raw)) == raw
+
+
+def test_gif_container_roundtrip_and_rejection():
+    import numpy as np
+    import pytest as _pytest
+
+    from marc_data_migration_ray.functions import media as M
+
+    idx = (np.arange(70 * 70, dtype=np.int64) * 31 % 256).astype(np.uint8)
+    pal = M.gif_palette()
+    payload = M.encode_gif(idx.reshape(70, 70), pal)
+    rgb = M.decode_gif(payload)
+    assert np.array_equal(rgb, pal[idx.reshape(70, 70)])
+    with _pytest.raises(ValueError, match="not a GIF"):
+        M.decode_gif(b"PNG" + payload[3:])
+    with _pytest.raises(ValueError):
+        M.decode_gif(payload[:40])  # truncated mid-color-table
+
+
+def test_gif_generator_matches_arithmetic():
+    import numpy as np
+
+    from marc_data_migration_ray.functions import media as M
+
+    for mid in (0, 3, 555):
+        rgb = M.decode_gif(M.gen_gif(mid)).astype(np.int64)
+        k = np.arange(M.GIF_W * M.GIF_H, dtype=np.int64)
+        i = ((k * M._GIF_HASH_MULT + mid) >> 13) % 256
+        assert rgb.reshape(-1, 3)[:, 0].tolist() == i.tolist()
+        assert rgb.reshape(-1, 3)[:, 1].tolist() == ((7 * i + 3) % 256).tolist()
+        assert rgb.reshape(-1, 3)[:, 2].tolist() == ((13 * i + 5) % 256).tolist()
+
+
+def test_gif_decode_pipeline(ray_session):
+    from marc_data_migration_ray.pipelines import multimodal as mm
+
+    out = mm.media_gif_decode("/root/testdata/sf0.001").take(5)
+    for r in out:
+        assert r["width"] == 70 and r["height"] == 70
+        assert 0 < r["sum_r"] < 70 * 70 * 256

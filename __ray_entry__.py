@@ -119,6 +119,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": text_analysis.quality_score,
         "lang_id": text_analysis.lang_id,
         "doc_fingerprint": text_analysis.fingerprint,
+        "source_overlap": text_analysis.source_overlap,
+        "best_docs_per_source": text_analysis.best_docs_per_source,
         "token_topk": text_analysis.token_topk,
         "oov_rate": text_analysis.oov_rate,
         "ngram_topk": text_analysis.ngram_topk,
@@ -569,6 +571,8 @@ def oracle_sql() -> dict[str, str]:
         "token_lift": _ta.token_lift_sql(),
         "tokenize_docs": _ta.tokenize_docs_sql(),
         "source_token_drift": _ta.source_token_drift_sql(),
+        "source_overlap": _ta.source_overlap_sql(),
+        "best_docs_per_source": _ta.best_docs_per_source_sql(),
         "ngram_topk": _ta.ngram_topk_sql(),
         "boolean_search": _index.boolean_search_sql(),
         "inverted_postings": _index.inverted_postings_sql(),

@@ -1346,3 +1346,187 @@ def oov_rate_sql(vocab_k: int = OOV_VOCAB_K) -> str:
         "* 1000 // count(*) AS BIGINT) AS oov_permille "
         "FROM tok GROUP BY doc_id"
     )
+
+
+# --------------------------------------------- cross-source contamination --
+OVERLAP_BUCKETS = 64  # coarse routing buckets for the one shuffle
+
+
+def source_overlap(sf_dir: str) -> pa.Table:
+    """(source_a, source_b, shared_bigrams, jaccard_ppm): cross-source
+    contamination matrix — for every source pair, how many DISTINCT word
+    bigrams they share and the integer-ppm Jaccard of their bigram sets.
+    The train/test-split leakage report: a domain split with a high
+    off-diagonal entry is not a clean split.
+
+    Shape (100 TB): per batch, polars reduces raw text to distinct
+    (bigram, source) pairs — text never shuffles. ONE shuffle routes by a
+    coarse hash bucket of the bigram (all copies of a bigram land in one
+    bucket ⇒ in-bucket dedup IS global dedup), and each bucket expands
+    source pairs VECTORIZED (self-join per bigram, bounded by the source
+    count, ≤ |sources|² partial rows out per bucket). The driver merges
+    buckets × ≤ |sources|² tiny partials. No per-bigram Python, no
+    all-pairs doc comparison, no driver-side text."""
+    import polars as pl
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "source", "text"]))
+        bg = (
+            df.select(
+                "doc_id", "source",
+                pl.col("text").str.extract_all(r"\S+").alias("w"),
+            )
+            .explode("w")
+            .drop_nulls("w")
+            .with_columns(nx=pl.col("w").shift(-1).over("doc_id"))
+            .drop_nulls("nx")
+            .select("source", (pl.col("w") + " " + pl.col("nx")).alias("bigram"))
+            .unique()
+            .with_columns(
+                (pl.col("bigram").hash(seed=0) % OVERLAP_BUCKETS)
+                .cast(pl.Int32).alias("bucket")
+            )
+        )
+        return bg.to_arrow()
+
+    def _bucket(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).select("bigram", "source").unique()
+        tot = df.group_by("source").len().rename({"len": "n"})
+        j = df.join(df, on="bigram")
+        sh = (
+            j.filter(pl.col("source") < pl.col("source_right"))
+            .group_by(["source", "source_right"]).len().rename({"len": "n"})
+        )
+        out = pl.concat(
+            [
+                sh.select(
+                    pl.col("source").alias("source_a"),
+                    pl.col("source_right").alias("source_b"),
+                    pl.col("n").cast(pl.Int64),
+                ),
+                tot.select(
+                    pl.col("source").alias("source_a"),
+                    pl.lit(None, pl.String).alias("source_b"),
+                    pl.col("n").cast(pl.Int64),
+                ),
+            ]
+        )
+        return out.to_arrow()
+
+    parts = (
+        _docs(sf_dir, ("doc_id", "source", "text"))
+        .map_batches(_pairs, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(_bucket, batch_format="pyarrow")
+    )
+    # driver merge: buckets × (≤|sources|² pairs + |sources| totals) rows
+    batches = list(parts.iter_batches(batch_format="pyarrow"))
+    empty = pa.table(
+        {
+            "source_a": pa.array([], pa.string()),
+            "source_b": pa.array([], pa.string()),
+            "shared_bigrams": pa.array([], pa.int64()),
+            "jaccard_ppm": pa.array([], pa.int64()),
+        }
+    )
+    if not batches:
+        return empty
+    df = pl.from_arrow(pa.concat_tables(batches, promote_options="default"))
+    tot = {
+        r[0]: r[1]
+        for r in df.filter(pl.col("source_b").is_null())
+        .group_by("source_a").agg(pl.col("n").sum()).iter_rows()
+    }
+    pairs = (
+        df.filter(pl.col("source_b").is_not_null())
+        .group_by(["source_a", "source_b"]).agg(pl.col("n").sum())
+        .sort(["source_a", "source_b"])
+    )
+    rows = [
+        (a, b, s, s * 1_000_000 // (tot[a] + tot[b] - s))
+        for a, b, s in pairs.iter_rows()
+    ]
+    return pa.table(
+        {
+            "source_a": pa.array([r[0] for r in rows], pa.string()),
+            "source_b": pa.array([r[1] for r in rows], pa.string()),
+            "shared_bigrams": pa.array([r[2] for r in rows], pa.int64()),
+            "jaccard_ppm": pa.array([r[3] for r in rows], pa.int64()),
+        }
+    )
+
+
+def source_overlap_sql() -> str:
+    """DuckDB oracle: distinct (source, bigram) pairs, self-join on the
+    bigram with source_a < source_b, identical integer-ppm Jaccard."""
+    return (
+        r"WITH w AS (SELECT doc_id, source, regexp_extract_all(text, '\S+') "
+        "ws FROM documents), "
+        "bg AS (SELECT DISTINCT source, b FROM (SELECT source, "
+        "unnest([ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) AS b "
+        "FROM w)), "
+        "tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM bg "
+        "GROUP BY source), "
+        "sh AS (SELECT a.source AS sa, b.source AS sb, "
+        "CAST(count(*) AS BIGINT) AS shared FROM bg a "
+        "JOIN bg b ON a.b = b.b AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT sa AS source_a, sb AS source_b, shared AS shared_bigrams, "
+        "CAST(shared * 1000000 // (ta.n + tb.n - shared) AS BIGINT) "
+        "AS jaccard_ppm "
+        "FROM sh JOIN tot ta ON ta.source = sa JOIN tot tb ON tb.source = sb"
+    )
+
+
+# ------------------------------------------------- per-group value top-k --
+BEST_PER_SOURCE_K = 5
+
+
+def best_docs_per_source(sf_dir: str, k: int = BEST_PER_SOURCE_K) -> ray.data.Dataset:
+    """(doc_id, source, n_tokens): keep each source's k docs with the MOST
+    tokens (ties by doc_id) — the "keep the best N documents per domain"
+    curation filter, by VALUE (cf. ``stratified_sample``, which is by
+    hash: an unbiased sample, not a quality filter).
+
+    Distributed per-group top-k without a full shuffle: every batch
+    reduces to ≤ k rows per source it contains (vectorized polars
+    sort+head — candidates only), then one ``groupby(source)`` over
+    ≤ k×blocks candidate rows finishes. Text never shuffles; the wide
+    data reduced per batch is exactly what the partial keeps."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "source", "text"]))
+        out = (
+            df.select(
+                "doc_id", "source",
+                pl.col("text").str.count_matches(r"\S+")
+                .cast(pl.Int64).alias("n_tokens"),
+            )
+            .sort(["source", "n_tokens", "doc_id"],
+                  descending=[False, True, False])
+            .group_by("source", maintain_order=True)
+            .head(k)
+        )
+        return out.to_arrow()
+
+    def _final(g):
+        g = g.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
+        return g.head(k)[["doc_id", "source", "n_tokens"]]
+
+    return (
+        _docs(sf_dir, ("doc_id", "source", "text"))
+        .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("source")
+        .map_groups(_final, batch_format="pandas")
+    )
+
+
+def best_docs_per_source_sql(k: int = BEST_PER_SOURCE_K) -> str:
+    return (
+        r"SELECT doc_id, source, n_tokens FROM ("
+        r"SELECT doc_id, source, "
+        r"CAST(length(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens, "
+        r"ROW_NUMBER() OVER (PARTITION BY source ORDER BY "
+        r"length(regexp_extract_all(text, '\S+')) DESC, doc_id) AS rn "
+        f"FROM documents) WHERE rn <= {k}"
+    )

@@ -85,6 +85,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
         "cdc_state_projection": derived.cdc_state_projection,
+        "cdc_virtual_column": derived.cdc_virtual_column,
         "cdc_merge_state": lambda sf: derived.cdc_merge_state(sf),
         "cdc_source_counts": lambda sf: derived.cdc_source_counts(sf),
         "cdc_table_stats": lambda sf: derived.cdc_table_stats(sf),
@@ -651,6 +652,9 @@ def oracle_sql() -> dict[str, str]:
         # (the engine side never decodes the token payload)
         "cdc_state_projection":
             f"SELECT doc_id, source, last_lsn FROM ({_CDC_STATE})",
+        # generated column: same integer expression over the LWW state
+        "cdc_virtual_column":
+            f"SELECT doc_id, n_tok * 3 + 7 AS tok_score FROM ({_CDC_STATE})",
         # point lookup: the LWW state filtered to the looked-up keys (a
         # deleted/unknown key is absent from both sides)
         "cdc_point_lookup": (

@@ -149,6 +149,19 @@ def main(argv=None) -> int:
     tg.add_argument("--delete", action="store_true")
     _add_cfg_args(tg)
 
+    vc = sub.add_parser(
+        "virtual-column", help="manage GENERATED columns (Delta "
+        "generated-column analog): polars-SQL exprs over display columns, "
+        "materialized at every state read; list with no --name")
+    vc.add_argument("--table", required=True)
+    vc.add_argument("--name", default=None)
+    vc.add_argument("--expr", default=None,
+                    help="polars-SQL scalar expression, e.g. 'n_tok * 3 + 7'")
+    vc.add_argument("--inputs", default="",
+                    help="comma-separated display columns the expr reads")
+    vc.add_argument("--delete", action="store_true")
+    _add_cfg_args(vc)
+
     m = sub.add_parser("metrics")
     m.add_argument("--table", required=True)
     _add_cfg_args(m)
@@ -635,6 +648,19 @@ def main(argv=None) -> int:
             else:
                 e = rp.tag(args.name, epoch=args.epoch, replace=args.replace)
                 print(json.dumps({"tag": args.name, "epoch": e}))
+        elif args.cmd == "virtual-column":
+            if args.name is None:
+                print(json.dumps(rp.virtual_columns()))
+            elif args.delete:
+                rp.drop_virtual_column(args.name)
+                print(json.dumps({"deleted": args.name}))
+            else:
+                if not args.expr:
+                    raise SystemExit("--expr required to define a column")
+                ins = [c for c in args.inputs.split(",") if c]
+                rp.set_virtual_column(args.name, args.expr, inputs=ins)
+                print(json.dumps({"virtual_column": args.name,
+                                  "expr": args.expr, "inputs": ins}))
         elif args.cmd == "state":
             cols = args.columns.split(",") if args.columns else None
             ds = rp.read_state(up_to_epoch=args.up_to_epoch,

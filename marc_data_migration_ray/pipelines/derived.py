@@ -365,6 +365,21 @@ LOOKUP_IDS = ("7", "77", "177", "277", "377", "477", "no-such-id")
 PROJECTION_COLS = ("doc_id", "source", "last_lsn")
 
 
+def cdc_virtual_column(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+) -> ray.data.Dataset:
+    """Driver surface for GENERATED columns: replay onto the layout,
+    register ``tok_score = n_tok * 3 + 7`` (a manifest table property),
+    read the state projected to (doc_id, tok_score) — the generated
+    column's declared input rides the projection pushdown, the token
+    payload never folds. Oracle = the same integer expression over the
+    LWW state SQL."""
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    rp.set_virtual_column(
+        "tok_score", "CAST(n_tok AS BIGINT) * 3 + 7", inputs=["n_tok"])
+    return rp.read_state(columns=["doc_id", "tok_score"])
+
+
 def cdc_state_projection(
     sf_dir: str, cfg: ReplayConfig | None = None,
 ) -> ray.data.Dataset:

@@ -1265,13 +1265,18 @@ class Replayer:
         final_schema, _renames, added = self.manifest.resolve_schema(
             _DISPLAY_COLS, ops)
         canon = dict(zip(final_schema, _DISPLAY_COLS + list(added)))
-        unknown = [c for c in columns if c not in canon]
+        vcs = {v["name"]: v["inputs"] for v in self.manifest.virtual_columns()}
+        unknown = [c for c in columns if c not in canon and c not in vcs]
         if unknown:
             raise ValueError(
-                f"unknown columns {unknown}; state schema is {final_schema}")
+                f"unknown columns {unknown}; state schema is "
+                f"{final_schema + sorted(vcs)}")
         prunable = set(PAYLOAD_COLUMNS) | set(added)
+        # a requested generated column pulls its declared inputs into the fold
+        wanted = list(columns) + [
+            i for c in columns if c in vcs for i in vcs[c]]
         return tuple(sorted(
-            {canon[c] for c in columns if canon[c] in prunable}))
+            {canon[c] for c in wanted if c in canon and canon[c] in prunable}))
 
     def tag(self, name: str, epoch: int | None = None,
             replace: bool = False) -> int:
@@ -1294,6 +1299,32 @@ class Replayer:
 
     def delete_tag(self, name: str) -> None:
         self.manifest.delete_tag(name)
+
+    def set_virtual_column(self, name: str, expr: str,
+                           inputs: list[str]) -> None:
+        """Register a GENERATED column: a polars-SQL scalar expression over
+        display columns, materialized at every state read (``read_state``
+        / ``lookup`` — a table property like policy plugins, not epoch
+        data). ``inputs`` declares the display columns the expression
+        reads, so a projected read keeps exactly those in the fold.
+        Validated against the CURRENT display schema."""
+        ops = self._schema_ops_up_to(None, None)
+        final_schema, _r, _a = self.manifest.resolve_schema(_DISPLAY_COLS, ops)
+        taken = set(final_schema) | {
+            v["name"] for v in self.manifest.virtual_columns()}
+        if name in taken:
+            raise ValueError(f"column {name!r} already exists")
+        missing = [c for c in inputs if c not in final_schema]
+        if missing:
+            raise ValueError(
+                f"virtual column inputs {missing} not in schema {final_schema}")
+        self.manifest.set_virtual_column(name, expr, inputs)
+
+    def drop_virtual_column(self, name: str) -> None:
+        self.manifest.drop_virtual_column(name)
+
+    def virtual_columns(self) -> list[dict]:
+        return self.manifest.virtual_columns()
 
     def lookup(self, doc_ids: list[str], up_to_epoch: int | None = None,
                columns: list[str] | None = None):
@@ -1384,6 +1415,24 @@ class Replayer:
             from marc_data_migration_ray.stages.policy import apply_policies
 
             rows = apply_policies(rows, self.cfg)
+        vcs = self.manifest.virtual_columns()
+        if vcs:
+            # generated columns: vectorized polars-SQL exprs over the
+            # display frame. Inputs pruned by a projection are null-filled
+            # columns, so unrequested generated columns evaluate (to null)
+            # and are dropped by the final select.
+            def _generate(t: pa.Table, vcs=tuple(
+                    (v["name"], v["expr"]) for v in vcs)) -> pa.Table:
+                import polars as pl
+
+                df = pl.from_arrow(t)
+                df = df.with_columns(
+                    *[pl.sql_expr(expr).alias(name) for name, expr in vcs]
+                )
+                return df.to_arrow()
+
+            rows = rows.map_batches(_generate, batch_format="pyarrow",
+                                    zero_copy_batch=True)
         if columns is not None:
             sel = list(columns)
             rows = rows.map_batches(

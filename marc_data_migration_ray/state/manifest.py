@@ -375,6 +375,36 @@ class Manifest:
             raise KeyError(f"unknown tag {name!r}; have {sorted(tags)}")
         return tags[name]
 
+    # -- generated (virtual) columns ----------------------------------------
+    def set_virtual_column(self, name: str, expr: str,
+                           inputs: list[str]) -> None:
+        """Register a GENERATED column (Delta generated-column analog):
+        ``expr`` is a polars-SQL scalar expression over display columns,
+        ``inputs`` the display columns it reads (declared explicitly so a
+        projected read can keep exactly those inputs in the fold). Virtual
+        columns are TABLE PROPERTIES applied at read time — not versioned
+        by epoch, like policy plugins. CAS-committed."""
+        def _mut(st: dict) -> None:
+            vcs = st.setdefault("virtual_columns", [])
+            if any(v["name"] == name for v in vcs):
+                raise ValueError(f"virtual column {name!r} already defined")
+            vcs.append({"name": name, "expr": expr,
+                        "inputs": list(inputs)})
+
+        self._cas_update(_mut)
+
+    def drop_virtual_column(self, name: str) -> None:
+        def _mut(st: dict) -> None:
+            st["virtual_columns"] = [
+                v for v in st.get("virtual_columns", [])
+                if v["name"] != name
+            ]
+
+        self._cas_update(_mut)
+
+    def virtual_columns(self) -> list[dict]:
+        return [dict(v) for v in self.state.get("virtual_columns", [])]
+
     # -- rollback (log truncation) ------------------------------------------
     def record_rollback(self, to_epoch: int) -> list[str]:
         """Truncate the log: drop committed epochs > ``to_epoch``, their

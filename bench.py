@@ -167,6 +167,9 @@ def run_queries(sf_dir: str) -> dict:
         # ninth-session ops
         "exact_substring_spans", "exact_substring_scrub", "oov_rate",
         "dedup_keep_best", "customer_order_totals",
+        # tenth-session ops
+        "cdc_state_projection", "cdc_virtual_column", "media_gif_decode",
+        "source_overlap", "best_docs_per_source",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -122,6 +122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": text_analysis.fingerprint,
         "source_overlap": text_analysis.source_overlap,
         "best_docs_per_source": text_analysis.best_docs_per_source,
+        "embedding_pca": clustering.embedding_pca,
         "token_topk": text_analysis.token_topk,
         "oov_rate": text_analysis.oov_rate,
         "ngram_topk": text_analysis.ngram_topk,
@@ -549,8 +550,9 @@ def oracle_sql() -> dict[str, str]:
     ann_topk_lsh, ann_topk_ivf, ann_topk_pq) are approximate ops whose
     exact recall sets are not SQL-expressible → driver does rows-only
     checks; each is independently verified in pytest
-    (tests/test_dedup_verification.py). bpe_train (iterative merge loop)
-    and compression_ratio (zlib) are likewise non-SQL, pytest-mirrored."""
+    (tests/test_dedup_verification.py). bpe_train (iterative merge loop),
+    compression_ratio (zlib) and embedding_pca (power-iteration eigen;
+    scalar-mirror + numpy-eigh pytest) are likewise non-SQL."""
     from marc_data_migration_ray.pipelines import clustering as _clustering
     from marc_data_migration_ray.pipelines import joins as _joins
     from marc_data_migration_ray.pipelines import curation as _curation

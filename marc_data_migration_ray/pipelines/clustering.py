@@ -533,3 +533,74 @@ def embedding_gram_sql(dims: int = GRAM_DIMS) -> str:
         f"FROM embeddings, range(0, {dims}) t1(i), range(0, {dims}) t2(j) "
         "GROUP BY i, j"
     )
+
+
+PCA_ITERS = 300         # fixed power-iteration count (deterministic;
+                        # d×d on the driver, so generous convergence is free)
+PCA_VEC_SCALE = 1 << 20  # frozen-eigenvector quantization
+
+
+def embedding_pca(sf_dir: str, iters: int = PCA_ITERS) -> ray.data.Dataset:
+    """(vec_id, pc1_q): every vector's projection onto the corpus's top
+    principal direction — the classic embedding-space triage axis
+    (curriculum ordering, outlier pruning, coarse 1-D bucketing).
+
+    Shape (100 TB): pass 1 is the mergeable Gram partial from
+    ``embedding_gram`` over ALL dims (each batch → one d×d int matmul,
+    vectors never shuffle; the driver sums d² ints per batch). The power
+    iteration runs on the DRIVER over the d×d matrix — O(d²·iters), free
+    and corpus-size-independent. The eigenvector is then FROZEN to
+    integers (floor(v·2²⁰)) and pass 2 scores every vector with one
+    int64 dot — exact, order-free, hash-stable (floats never summed
+    across workers). Verified in pytest against a scalar mirror plus a
+    numpy ``eigh`` direction check (iterative ⇒ no SQL oracle)."""
+    import os
+
+    from marc_data_migration_ray.functions.vectors import emb_matrix
+    from marc_data_migration_ray.sources import readers
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    )
+
+    def _gram(t: pa.Table) -> pa.Table:
+        q = np.floor(emb_matrix(t["embedding"]) * GRAM_SCALE).astype(np.int64)
+        g = q.T @ q
+        return pa.table({"idx": pa.array(np.arange(g.size, dtype=np.int64)),
+                         "g": pa.array(g.ravel(), pa.int64())})
+
+    # driver reduce: d² (idx, value) ints per batch, summed positionally
+    # (batches may concatenate several partials — idx keys the position)
+    total = np.zeros(0, np.int64)
+    for b in ds.map_batches(_gram, batch_format="pyarrow",
+                            zero_copy_batch=True).iter_batches(
+                                batch_format="pyarrow"):
+        idx = np.asarray(b["idx"].to_numpy(zero_copy_only=False), np.int64)
+        g = np.asarray(b["g"].to_numpy(zero_copy_only=False), np.int64)
+        size = int(idx.max()) + 1
+        if total.size < size:
+            total = np.concatenate(
+                [total, np.zeros(size - total.size, np.int64)])
+        np.add.at(total, idx, g)
+    n = int(np.sqrt(total.size))
+    G = total.astype(np.float64).reshape(n, n)
+
+    v = np.ones(n) / np.sqrt(n)
+    for _ in range(iters):
+        v = G @ v
+        v /= np.linalg.norm(v)
+    if v[np.argmax(np.abs(v))] < 0:  # canonical sign
+        v = -v
+    vq = np.floor(v * PCA_VEC_SCALE).astype(np.int64)
+    vq_t = tuple(int(x) for x in vq)
+
+    def _score(t: pa.Table, vq=vq_t) -> pa.Table:
+        q = np.floor(emb_matrix(t["embedding"]) * GRAM_SCALE).astype(np.int64)
+        s = q @ np.asarray(vq, np.int64)
+        return pa.table(
+            {"vec_id": pc.cast(t["vec_id"], pa.int64()),
+             "pc1_q": pa.array(s, pa.int64())}
+        )
+
+    return ds.map_batches(_score, batch_format="pyarrow", zero_copy_batch=True)

@@ -133,3 +133,38 @@ def test_semantic_clusters_counts_survive_multi_batch_merge(ray_session, tmp_pat
     )
     out = clustering.semantic_clusters(str(tmp_path), k=4, iters=1).to_pylist()
     assert sum(r["n_vectors"] for r in out) == n
+
+
+def test_embedding_pca_matches_scalar_mirror_and_eigh(ray_session):
+    """Projection scores equal a scalar mirror (same frozen-eigenvector
+    integer dot), and the power-iterated direction agrees with numpy's
+    exact eigendecomposition of the same Gram matrix."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.pipelines import clustering as cl
+
+    sf = "/root/testdata/sf0.001"
+    got = {r["vec_id"]: r["pc1_q"] for r in cl.embedding_pca(sf).take_all()}
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    X = np.array([list(e) for e in t["embedding"].to_pylist()], np.float32)
+    q = np.floor(X.astype(np.float64) * cl.GRAM_SCALE).astype(np.int64)
+    G = (q.T @ q).astype(np.float64)
+    v = np.ones(G.shape[0]) / np.sqrt(G.shape[0])
+    for _ in range(cl.PCA_ITERS):
+        v = G @ v
+        v /= np.linalg.norm(v)
+    if v[np.argmax(np.abs(v))] < 0:
+        v = -v
+    vq = np.floor(v * cl.PCA_VEC_SCALE).astype(np.int64)
+    exp = q @ vq
+    ids = t["vec_id"].to_pylist()
+    assert len(got) == len(ids)
+    for i, vid in enumerate(ids):
+        assert got[vid] == exp[i], vid
+
+    # the power direction is the true top eigenvector
+    w, V = np.linalg.eigh(G)
+    top = V[:, -1]
+    assert abs(float(top @ v)) > 0.999

@@ -363,3 +363,27 @@ def test_gif_decode_pipeline(ray_session):
     for r in out:
         assert r["width"] == 70 and r["height"] == 70
         assert 0 < r["sum_r"] < 70 * 70 * 256
+
+
+def test_gif_lzw_hypothesis_roundtrip():
+    """Property: every byte stream round-trips through GIF LZW — random
+    lengths straddling the width-change boundaries and the 4096 reset,
+    plus adversarial run/periodic structures (KwKwK-heavy)."""
+    from hypothesis import given, settings, strategies as st
+
+    from marc_data_migration_ray.functions import media as M
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.binary(min_size=1, max_size=2000))
+    def _case(raw):
+        assert M._lzw_decode(M._lzw_encode(raw), len(raw)) == raw
+
+    _case()
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.integers(0, 255), st.integers(1, 40), st.integers(1, 400))
+    def _runs(b, period, reps):
+        raw = (bytes(range(b, min(b + period, 256))) * reps)[:8000]
+        assert M._lzw_decode(M._lzw_encode(raw), len(raw)) == raw
+
+    _runs()

@@ -88,6 +88,20 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
     eng = rp.read_state().take_all()
     _rows_equal(eng, o["final"]), ops_done
 
+    # a random projected read must equal the full read's projection under
+    # whatever layout the maintenance mix produced (pushdown soundness)
+    names = list(rp.read_state().schema().names)
+    cs = ["doc_id"] + rng.sample([c for c in names if c != "doc_id"], 2)
+    proj = sorted(rp.read_state(columns=cs).take_all(),
+                  key=lambda r: r["doc_id"])
+    for a, b in zip(proj, sorted(eng, key=lambda r: r["doc_id"])):
+        for c in cs:
+            va, vb = a[c], b[c]
+            if c == "tokens":
+                va = list(va) if va is not None else None
+                vb = list(vb) if vb is not None else None
+            assert va == vb, (c, a["doc_id"], ops_done)
+
     # trailing predicate delete == oracle-side filter
     thresh = rng.randrange(20, 90)
     rp.delete_where(f"n_tok < {thresh}", epoch=N_EPOCHS + 10)

@@ -958,14 +958,19 @@ class Replayer:
     # state (merge-on-read fold — per-bucket tasks, no shuffle)
     # ------------------------------------------------------------------ #
     def fold_output(self, up_to_epoch: int | None = None,
-                    up_to_lsn: int | None = None):
+                    up_to_lsn: int | None = None,
+                    payload_cols: tuple[str, ...] | None = None):
         """Raw fold dataset: _kind ∈ {row, noop, metrics} (FOLD_SCHEMA).
 
         One Ray task per hash partition, each reading only its own
         co-partitioned base + delta files. ``up_to_lsn`` is LSN-level time
         travel (mid-epoch point-in-time read): delta events above the cut
-        never happened; must be at or above the compaction ceiling."""
-        refs = self._fold_part_refs(up_to_epoch, up_to_lsn=up_to_lsn)
+        never happened; must be at or above the compaction ceiling.
+        ``payload_cols`` prunes the fold (projection pushdown) — pruned
+        folds serve reads; metrics rows of a pruned fold cover only the
+        folded columns."""
+        refs = self._fold_part_refs(up_to_epoch, up_to_lsn=up_to_lsn,
+                                    payload_cols=payload_cols)
         return ray.data.from_arrow_refs(list(refs.values()))
 
     def _fold_part_refs(
@@ -1237,9 +1242,7 @@ class Replayer:
                 raise ValueError("tag is exclusive with up_to_epoch/up_to_lsn")
             up_to_epoch = self.manifest.resolve_tag(tag)
         payload_cols = self._resolve_projection(columns, up_to_epoch, up_to_lsn)
-        refs = self._fold_part_refs(up_to_epoch, up_to_lsn=up_to_lsn,
-                                    payload_cols=payload_cols)
-        rows = ray.data.from_arrow_refs(list(refs.values())).filter(
+        rows = self.fold_output(up_to_epoch, up_to_lsn, payload_cols).filter(
             expr="_kind == 'row'")
         return self._postprocess_rows(rows, up_to_epoch, up_to_lsn,
                                       columns=columns)

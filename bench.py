@@ -62,9 +62,18 @@ def _replay_once(num_cpus: int, cfg, fx: str, dump_stats: bool = False) -> dict:
     rp = Replayer(root, cfg, base_path=os.path.join(fx, "base"))
     rp._ensure_bucketized_base()  # one-time table setup, not replay work
     # warm the Ray worker pool (process spawn + module imports) with an
-    # untimed base-only fold, so the timed section measures replay, not
-    # cluster cold-start — the standard warm-cluster benchmarking protocol
-    rp.read_state().count()
+    # untimed SINGLE-KEY fold + a tiny Ray Data round trip, so the timed
+    # section measures replay, not cluster cold-start. A full read_state()
+    # here is the wrong warm-up: its multi-GB fold output lingers in the
+    # object store for ~15s while Ray Data's resource manager backpressures
+    # the next pipeline — measured 3-8x ingest inflation at 4x bench scale.
+    rp.lookup(["1"]).count()
+    import pyarrow as _pa
+
+    import ray.data as _rd
+
+    _rd.from_arrow(_pa.table({"x": list(range(64))})).map_batches(
+        lambda t: t, batch_format="pyarrow").count()
 
     t0 = time.perf_counter()
     for e in range(BENCH_EPOCHS):

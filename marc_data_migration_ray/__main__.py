@@ -149,6 +149,15 @@ def main(argv=None) -> int:
     tg.add_argument("--delete", action="store_true")
     _add_cfg_args(tg)
 
+    xp = sub.add_parser(
+        "explain", help="read-amplification / bucket-size diagnostic: what "
+        "a fold of the current state will physically do, plus maintenance "
+        "recommendations (compact-deltas / compact / repartition)")
+    xp.add_argument("--table", required=True)
+    xp.add_argument("--per-part", action="store_true",
+                    help="include the per-partition breakdown")
+    _add_cfg_args(xp)
+
     vc = sub.add_parser(
         "virtual-column", help="manage GENERATED columns (Delta "
         "generated-column analog): polars-SQL exprs over display columns, "
@@ -648,6 +657,11 @@ def main(argv=None) -> int:
             else:
                 e = rp.tag(args.name, epoch=args.epoch, replace=args.replace)
                 print(json.dumps({"tag": args.name, "epoch": e}))
+        elif args.cmd == "explain":
+            rep = rp.explain_layout()
+            if not args.per_part:
+                rep.pop("per_part")
+            print(json.dumps(rep))
         elif args.cmd == "virtual-column":
             if args.name is None:
                 print(json.dumps(rp.virtual_columns()))

@@ -2148,6 +2148,95 @@ class Replayer:
             "merge_skipped_local": sum(s[3] for s in stats),
         }
 
+    # thresholds for explain_layout recommendations (tunable, documented)
+    _EXPLAIN_MAX_FILES_PER_BUCKET = 8      # merge-on-read amplification
+    _EXPLAIN_MAX_BUCKET_BYTES = 256 << 20  # fold-task working set
+
+    def explain_layout(self) -> dict:
+        """Read-amplification / bucket-size diagnostic (the ops `explain`):
+        what a fold of the CURRENT state will physically do — per-partition
+        file counts and bytes for the base and the active (segment-aware)
+        delta set — plus concrete maintenance recommendations:
+
+        - many delta files per bucket → ``compact_deltas(a, b)`` (level-1
+          file merge bounds merge-on-read amplification);
+        - delta bytes rivaling the base → ``compact()`` (fold into a new
+          base snapshot);
+        - fat buckets (working set over ~256 MiB) → ``repartition(2P)``
+          — fold throughput is a function of BUCKET size, not table size
+          (measured: 4x data at fixed P folds ~1.9x superlinear; scaling P
+          with the data restores the per-event rate, BASELINE.md).
+
+        Pure metadata walk (file sizes only — no data reads, no Ray tasks).
+        """
+        st = self.manifest.state
+        base_dir = self._ensure_bucketized_base()
+        base_by_part = self._files_by_part(base_dir) if base_dir else {}
+        delta_by_part: dict[int, list[str]] = {}
+        floor = self.manifest.last_compacted_epoch()
+        segs_added: set[str] = set()
+        n_epoch_dirs = 0
+        for e in self.manifest.active_epochs():
+            seg = self.manifest.segment_covering(e)
+            if seg and seg["from"] > floor:
+                if seg["dir"] not in segs_added:
+                    segs_added.add(seg["dir"])
+                    for p, fs in self._files_by_part(seg["dir"]).items():
+                        delta_by_part.setdefault(p, []).extend(fs)
+                continue
+            d = os.path.join(self.root, "deltas", f"epoch={e}")
+            if not os.path.isdir(d):
+                continue
+            n_epoch_dirs += 1
+            for p, fs in self._files_by_part(d).items():
+                delta_by_part.setdefault(p, []).extend(fs)
+
+        def _bytes(files: list[str]) -> int:
+            return sum(os.path.getsize(f) for f in files)
+
+        parts = sorted(set(base_by_part) | set(delta_by_part))
+        per_part = {}
+        for p in parts:
+            bf, df = base_by_part.get(p, []), delta_by_part.get(p, [])
+            per_part[p] = {
+                "base_files": len(bf), "base_bytes": _bytes(bf),
+                "delta_files": len(df), "delta_bytes": _bytes(df),
+            }
+        tot_base = sum(v["base_bytes"] for v in per_part.values())
+        tot_delta = sum(v["delta_bytes"] for v in per_part.values())
+        max_files = max((v["base_files"] + v["delta_files"]
+                         for v in per_part.values()), default=0)
+        max_bucket = max((v["base_bytes"] + v["delta_bytes"]
+                          for v in per_part.values()), default=0)
+        recs = []
+        epochs = self.manifest.active_epochs()
+        if max_files > self._EXPLAIN_MAX_FILES_PER_BUCKET and n_epoch_dirs > 1:
+            recs.append(
+                f"compact_deltas({floor + 1}, {epochs[-1]}): up to "
+                f"{max_files} files open per bucket fold")
+        if tot_base and tot_delta > tot_base:
+            recs.append(
+                f"compact(): active deltas ({tot_delta >> 20} MiB) exceed "
+                f"the base snapshot ({tot_base >> 20} MiB)")
+        if max_bucket > self._EXPLAIN_MAX_BUCKET_BYTES:
+            recs.append(
+                f"repartition({2 * self.cfg.num_partitions}, "
+                f"{self.cfg.num_salts}): fattest bucket is "
+                f"{max_bucket >> 20} MiB (fold working set)")
+        return {
+            "num_partitions": self.cfg.num_partitions,
+            "num_salts": self.cfg.num_salts,
+            "active_epochs": len(epochs),
+            "epoch_dirs_unmerged": n_epoch_dirs,
+            "segments_used": len(segs_added),
+            "base_bytes": tot_base,
+            "delta_bytes": tot_delta,
+            "max_files_per_bucket": max_files,
+            "max_bucket_bytes": max_bucket,
+            "per_part": per_part,
+            "recommendations": recs,
+        }
+
     def fsck(self, deep: bool = False) -> dict:
         """Table integrity check (the ops `fsck`): verify that everything
         the manifest claims is actually on disk and self-consistent —

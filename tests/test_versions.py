@@ -67,3 +67,40 @@ def test_version_intervals_are_disjoint_and_ordered(versions):
             assert a["to_lsn"] is not None and a["to_lsn"] <= b["from_lsn"], doc
         assert sum(v["to_lsn"] is None for v in vs) <= 1, doc
     assert n_multi > 0  # the fixture must exercise multi-version chains
+
+
+def test_explain_layout_reports_and_recommends(ray_session, tmp_path):
+    """explain_layout: metadata-only read-amplification report whose
+    recommendations appear when the layout degrades and disappear after
+    the recommended maintenance."""
+    import os
+
+    from marc_data_migration_ray.config import ReplayConfig
+    from marc_data_migration_ray.pipelines.replay import Replayer
+    from marc_data_migration_ray.sources import fixtures
+
+    fdir = str(tmp_path / "fx")
+    fixtures.write_fixture(fdir, n_rows=120, n_events=900, n_epochs=3, seed=9)
+    cfg = ReplayConfig(num_partitions=4)
+    rp = Replayer(str(tmp_path / "t"), cfg, base_path=os.path.join(fdir, "base"))
+    for e in range(3):
+        rp.apply_epoch(e, os.path.join(fdir, "binlog", f"epoch={e}"))
+    rep = rp.explain_layout()
+    assert rep["num_partitions"] == 4 and rep["active_epochs"] == 3
+    assert rep["epoch_dirs_unmerged"] == 3 and rep["segments_used"] == 0
+    assert set(rep["per_part"]) == set(range(4))
+    assert rep["base_bytes"] > 0 and rep["delta_bytes"] > 0
+    assert rep["max_files_per_bucket"] >= 3  # >= one file per epoch dir
+
+    # force the file-amplification recommendation, then clear it
+    rp._EXPLAIN_MAX_FILES_PER_BUCKET = 1
+    rep2 = rp.explain_layout()
+    assert any("compact_deltas" in r for r in rep2["recommendations"]), rep2
+    rp.compact_deltas(1, 2)
+    rep3 = rp.explain_layout()
+    assert rep3["segments_used"] == 1 and rep3["epoch_dirs_unmerged"] == 1
+    # full compaction folds deltas away entirely
+    rp.compact()
+    rep4 = rp.explain_layout()
+    assert rep4["delta_bytes"] == 0
+    assert not any("compact(" in r for r in rep4["recommendations"])

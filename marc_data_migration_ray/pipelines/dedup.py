@@ -113,7 +113,8 @@ def _word_hashes(texts: pa.ChunkedArray | pa.Array):
 
 
 class MinHasher:
-    """Actor-pool stage: seeded permutations built once per actor.
+    """Signature stage (instance → stateless task pool; the seeded
+    permutation state is ~1 KiB, shipped per task).
 
     Fully vectorized: Arrow-buffer word hashing → rolling 3-word shingle
     hashes (multiply-xor combine) → minhash permutations via
@@ -348,8 +349,12 @@ def _attach_text(pairs: ray.data.Dataset, texts: ray.data.Dataset,
 def candidate_pairs_minhash(sf_dir: str, bucket_cap: int = 256) -> ray.data.Dataset:
     """LSH candidate (doc_a, doc_b) pairs, deduplicated, with dropped-pair
     accounting logged (materializes only the tiny pair set)."""
+    # INSTANCE → stateless task pool: the permutation state is ~1 KiB of
+    # seeded arrays (cheap to ship per task), so an actor pool would only
+    # add its cold-start latency (~2 s measured) — the ninth-session
+    # task-pool-sweep rule applied here too
     sigs = _docs(sf_dir).map_batches(
-        MinHasher, batch_format="pyarrow", batch_size=2048, concurrency=(1, 4)
+        MinHasher(), batch_format="pyarrow", batch_size=2048
     )
     # coarse shuffle key: many (band,bucket) logical buckets per group
     coarse = sigs.map_batches(

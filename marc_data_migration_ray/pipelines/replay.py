@@ -2167,7 +2167,9 @@ class Replayer:
           (measured: 4x data at fixed P folds ~1.9x superlinear; scaling P
           with the data restores the per-event rate, BASELINE.md).
 
-        Pure metadata walk (file sizes only — no data reads, no Ray tasks).
+        Pure metadata walk (file sizes only — no data reads, no Ray tasks),
+        except the one-time base bucketization if this table has never
+        been read (shared table setup, not part of the diagnostic).
         """
         st = self.manifest.state
         base_dir = self._ensure_bucketized_base()

@@ -180,7 +180,7 @@ def media_decode(sf_dir: str) -> ray.data.Dataset:
         fn_constructor_kwargs={"decoder": "fake"},
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=(1, 16),
         zero_copy_batch=True,
     )
     return out.map_batches(
@@ -197,7 +197,7 @@ def media_frame_sample(sf_dir: str) -> ray.data.Dataset:
         FrameSampler,
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=(1, 16),
         zero_copy_batch=True,
     )
 
@@ -299,7 +299,7 @@ def media_real_decode(sf_dir: str) -> ray.data.Dataset:
         RealMediaDecoder,
         batch_format="pyarrow",
         batch_size=64,  # binary payloads dominate bytes: small batches
-        concurrency=(1, 4),
+        concurrency=(1, 16),
         zero_copy_batch=True,
     )
 
@@ -385,7 +385,7 @@ def media_resize(sf_dir: str) -> ray.data.Dataset:
         _payloads, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
         ImageResizer, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 4), zero_copy_batch=True,
+        concurrency=(1, 16), zero_copy_batch=True,
     )
 
 
@@ -457,7 +457,7 @@ def media_frames_real(sf_dir: str, every: int = 2) -> ray.data.Dataset:
     ).map_batches(
         RealFrameSampler, fn_constructor_kwargs={"every": every},
         batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 4), zero_copy_batch=True,
+        concurrency=(1, 16), zero_copy_batch=True,
     )
 
 
@@ -487,7 +487,7 @@ def decode_pipeline(n_rows: int = 256, seed: int = 99) -> ray.data.Dataset:
         fn_constructor_kwargs={"decoder": "fake"},
         batch_format="pyarrow",
         batch_size=64,  # binary payloads: keep batches small (memory-aware)
-        concurrency=(1, 4),
+        concurrency=(1, 16),
         zero_copy_batch=True,
     )
 
@@ -498,7 +498,7 @@ def frame_sample_pipeline(n_rows: int = 256, seed: int = 99) -> ray.data.Dataset
         FrameSampler,
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=(1, 16),
         zero_copy_batch=True,
     )
 
@@ -585,7 +585,7 @@ def audio_frame_features(sf_dir: str) -> ray.data.Dataset:
         AudioFramer,
         batch_format="pyarrow",
         batch_size=64,
-        concurrency=(1, 4),
+        concurrency=(1, 16),
         zero_copy_batch=True,
     )
 
@@ -676,7 +676,7 @@ def media_png_decode(sf_dir: str) -> ray.data.Dataset:
         _payloads, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
         PngDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 4), zero_copy_batch=True,
+        concurrency=(1, 16), zero_copy_batch=True,
     )
 
 
@@ -761,7 +761,7 @@ def media_gif_decode(sf_dir: str) -> ray.data.Dataset:
         _payloads, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
         GifDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 4), zero_copy_batch=True,
+        concurrency=(1, 16), zero_copy_batch=True,
     )
 
 

@@ -114,7 +114,8 @@ def main(argv=None) -> int:
     a.add_argument("--epoch", type=int, required=True)
     a.add_argument("--binlog", required=True)
     a.add_argument("--base", default=None)
-    a.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+    a.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl", "jsonl-lenient"],
                    dest="source_format",
                    help="binlog encoding: parquet (default) or jsonl "
                         "(Debezium-flavor envelopes)")

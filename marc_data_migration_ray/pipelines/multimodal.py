@@ -948,3 +948,89 @@ SELECT doc_id AS media_id,
   {s} AS sum_r, {s} AS sum_g, {s} AS sum_b
 FROM documents
 """
+
+
+SCENE_CUT_THRESHOLD = 3300  # sits between the generator's two wrap counts
+
+
+class SceneCutDetector:
+    """Actor-pool temporal-analysis stage: Y4M video rows → one row per
+    ADJACENT frame pair with the mean-abs-delta energy and a cut flag.
+    The fixture's per-pixel deltas are 29 except at the mod-256 wrap
+    (227), so ``delta_sum`` counts wrap pixels exactly — any frame-stride
+    or plane-offset error in the real container parse flips cut flags."""
+
+    def __init__(self, threshold: int = SCENE_CUT_THRESHOLD):
+        from marc_data_migration_ray.functions import media as M
+
+        self.M = M
+        self.threshold = threshold
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, deltas = [], [], []
+        for mid, payload in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            planes, w, h, nf = self.M.decode_y4m(payload, every=1)
+            p = planes.astype(np.int64)
+            d = np.abs(p[1:] - p[:-1]).reshape(nf - 1, -1).sum(axis=1)
+            for f in range(nf - 1):
+                ids.append(mid)
+                fidx.append(f)
+                deltas.append(int(d[f]))
+        delta = pa.array(deltas, pa.int64())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "frame_idx": pa.array(fidx, pa.int64()),
+                "delta_sum": delta,
+                "is_cut": pc.greater(delta, self.threshold),
+            }
+        )
+
+
+def media_scene_cuts(sf_dir: str) -> ray.data.Dataset:
+    """(media_id, frame_idx, delta_sum, is_cut): adjacent-frame delta
+    energy over every Y4M video — the scene-cut / shot-boundary analysis
+    a video curation pipeline runs after decode. Same actor-pool flat-map
+    shape as ``media_frames_real``; deltas computed vectorized per video."""
+    import os
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def _payloads(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        arr = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
+        return synthesize_real_media(arr[arr % 3 == 2])  # video ids only
+
+    return ds.map_batches(
+        _payloads, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        SceneCutDetector, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 16), zero_copy_batch=True,
+    )
+
+
+def media_scene_cuts_sql() -> str:
+    """Mirror of ``gen_video`` arithmetic: pixel(f, k) = (mid·17 + f·29
+    + k) % 256, so the |frame(f+1) − frame(f)| per-pixel delta is 29
+    except 227 at the mod-256 wrap."""
+    from marc_data_migration_ray.functions.media import VID_H, VID_W
+
+    npix = VID_W * VID_H
+    px = "(media_id * 17 + frame_idx * 29 + k) % 256"
+    return f"""
+WITH v AS (SELECT doc_id AS media_id, 2 + doc_id % 4 AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+f AS (SELECT media_id, unnest(range(nf - 1)) AS frame_idx FROM v)
+SELECT media_id, frame_idx,
+  list_sum(list_transform(range({npix}),
+    k -> CASE WHEN {px} >= 227 THEN 227 ELSE 29 END)) AS delta_sum,
+  list_sum(list_transform(range({npix}),
+    k -> CASE WHEN {px} >= 227 THEN 227 ELSE 29 END))
+    > {SCENE_CUT_THRESHOLD} AS is_cut
+FROM f
+"""

@@ -655,7 +655,8 @@ class Replayer:
                     source_format: str = "parquet") -> dict:
         """Parse+gate+route one binlog epoch and commit it. Idempotent:
         re-applying a committed epoch returns the stored entry untouched.
-        ``source_format``: "parquet" (default) or "jsonl" (Debezium-flavor
+        ``source_format``: "parquet" (default), "jsonl" or "jsonl-lenient"
+        (Debezium-flavor
         envelopes, see sources/jsonl.py) — everything past the read is
         format-agnostic."""
         return self.finalize_epoch(
@@ -685,7 +686,8 @@ class Replayer:
             # empty epoch (no binlog files) commits an empty entry — real
             # change streams have quiet periods and the checkpoint must
             # still advance
-            ext = "*.jsonl" if source_format == "jsonl" else "*.parquet"
+            ext = ("*.jsonl" if source_format.startswith("jsonl")
+                   else "*.parquet")
             paths = binlog_path if isinstance(binlog_path, list) else [binlog_path]
             has_files = any(
                 (os.path.isdir(p) and glob.glob(os.path.join(p, "**", ext), recursive=True))
@@ -698,10 +700,14 @@ class Replayer:
                          "dir": None, "_schema_ops": []}
                 return {"epoch": epoch, "entry": entry, "already": False}
             tmp_dir = os.path.join(self.root, "_tmp", f"epoch-{epoch}-{uuid.uuid4().hex[:8]}")
-            if source_format == "jsonl":
+            if source_format.startswith("jsonl"):
                 from marc_data_migration_ray.sources.jsonl import read_jsonl_binlog
 
-                ds = read_jsonl_binlog(binlog_path, epoch)
+                # "jsonl-lenient": unparseable lines become deadletter
+                # events instead of failing the epoch (salvage mode)
+                ds = read_jsonl_binlog(
+                    binlog_path, epoch,
+                    strict=(source_format != "jsonl-lenient"))
             else:
                 ds = ray.data.read_parquet(
                     binlog_path,
@@ -1330,7 +1336,7 @@ class Replayer:
         return self.manifest.virtual_columns()
 
     def lookup(self, doc_ids: list[str], up_to_epoch: int | None = None,
-               columns: list[str] | None = None):
+               columns: list[str] | None = None, tag: str | None = None):
         """Point lookup (reference S4 authority point-lookup, made literal
         at scale): return the state rows for ``doc_ids`` by folding ONLY
         the partitions that can contain them — O(|ids|) bucket reads, not
@@ -1346,8 +1352,14 @@ class Replayer:
         parquet read (base rows to the requested keys via a scan filter;
         delta rows to requested keys ∪ keyless rows, preserving the
         positional local-id allocation) — per-bucket work is O(matches +
-        keyless), not O(bucket rows)."""
+        keyless), not O(bucket rows). ``tag`` looks up as of a named
+        snapshot (same resolution as ``read_state``)."""
         from marc_data_migration_ray.functions.keys import hash_partition
+
+        if tag is not None:
+            if up_to_epoch is not None:
+                raise ValueError("tag is exclusive with up_to_epoch")
+            up_to_epoch = self.manifest.resolve_tag(tag)
 
         ids = [k for k in dict.fromkeys(doc_ids) if k]
         pref = self.cfg.local_id_prefix + "-"

@@ -116,21 +116,118 @@ def _normalize(epoch: int):
     return _fn
 
 
-def read_jsonl_binlog(paths: str | list[str], epoch: int) -> ray.data.Dataset:
-    """JSONL epoch → a Dataset with the exact Parquet-binlog schema."""
+def read_jsonl_binlog(paths: str | list[str], epoch: int,
+                      strict: bool = True) -> ray.data.Dataset:
+    """JSONL epoch → a Dataset with the exact Parquet-binlog schema.
+
+    ``strict=True`` (default): Arrow's C++ JSON parser with the explicit
+    envelope schema — fastest, and a torn/corrupt line FAILS THE EPOCH
+    loudly (the epoch is atomic; nothing commits). That is the right
+    contract for a fenced CDC feed: a malformed envelope means upstream
+    corruption, not data to guess at.
+
+    ``strict=False`` (salvage mode): line-level tolerant parse — every
+    line that is not a valid envelope (broken JSON, non-object, wrong
+    field types) becomes an ``op='__unparseable__'`` event, which the
+    gate's unknown-op rule routes to **deadletter/malformed** (same path
+    as every other bad record; the raw line is preserved in the audit's
+    ``extra_json``). Slower (per-line ``json.loads``) — an explicit
+    recovery tool, not the default."""
     from pyarrow import json as pajson
 
-    ds = ray.data.read_json(
-        paths,
-        file_extensions=["jsonl"],
-        parse_options=pajson.ParseOptions(
-            explicit_schema=_ENVELOPE_SCHEMA,
-            unexpected_field_behavior="ignore",
-        ),
-    )
+    if strict:
+        ds = ray.data.read_json(
+            paths,
+            file_extensions=["jsonl"],
+            parse_options=pajson.ParseOptions(
+                explicit_schema=_ENVELOPE_SCHEMA,
+                unexpected_field_behavior="ignore",
+            ),
+        )
+        return ds.map_batches(
+            _normalize(epoch), batch_format="pyarrow", zero_copy_batch=True
+        )
+    ds = ray.data.read_text(paths, file_extensions=["jsonl"])
     return ds.map_batches(
-        _normalize(epoch), batch_format="pyarrow", zero_copy_batch=True
+        _lenient_lines(epoch), batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def _int_or_none(v):
+    return v if isinstance(v, int) and not isinstance(v, bool) else None
+
+
+def _str_or_none(v):
+    return v if isinstance(v, str) else None
+
+
+def _coerce_envelope(o: dict) -> dict:
+    """Best-effort envelope sanitation for the lenient path: keep only
+    schema fields, null out anything wrong-typed (a null doc_id / op makes
+    the event malformed downstream — never a crash, never a guess)."""
+    def _struct(v, fields) -> dict | None:
+        if not isinstance(v, dict):
+            return None
+        return {k: fn(v.get(k)) for k, fn in fields}
+
+    after = _struct(o.get("after"), [
+        ("doc_id", _str_or_none),
+        ("tokens", lambda v: v if isinstance(v, list)
+         and all(isinstance(x, int) and not isinstance(x, bool) for x in v)
+         else None),
+        ("n_tok", _int_or_none),
+        ("source", _str_or_none),
+        ("title", _str_or_none),
+        ("match_title", _str_or_none),
+        ("extra_json", _str_or_none),
+    ])
+    meta = _struct(o.get("meta"), [
+        ("column_mask", lambda v: v if isinstance(v, list)
+         and all(isinstance(x, str) for x in v) else None),
+        ("match_score", _int_or_none),
+    ])
+    sc = _struct(o.get("schema_change"), [
+        ("kind", _str_or_none),
+        ("name", _str_or_none),
+        ("new_name", _str_or_none),
+    ])
+    return {
+        "op": _str_or_none(o.get("op")) or "__missing-op__",
+        "lsn": _int_or_none(o.get("lsn")),
+        "before": _struct(o.get("before"), [("doc_id", _str_or_none)]),
+        "after": after,
+        "meta": meta,
+        "schema_change": sc,
+    }
+
+
+def _lenient_lines(epoch: int):
+    """Batch of raw text lines → envelope table (salvage mode)."""
+    def _fn(t: pa.Table) -> pa.Table:
+        rows = []
+        for line in t["text"].to_pylist():
+            line = (line or "").strip()
+            if not line:
+                continue
+            try:
+                o = json.loads(line)
+                if not isinstance(o, dict):
+                    raise ValueError("not an object")
+                rows.append(_coerce_envelope(o))
+            except Exception:
+                # raw line preserved for the audit (S7 archive analog)
+                rows.append({
+                    "op": "__unparseable__", "lsn": None, "before": None,
+                    "after": {"doc_id": None, "tokens": None, "n_tok": None,
+                              "source": None, "title": None,
+                              "match_title": None,
+                              "extra_json": json.dumps({"raw_line": line[:4096]})},
+                    "meta": None, "schema_change": None,
+                })
+        env = pa.Table.from_pylist(rows, schema=_ENVELOPE_SCHEMA)
+        return _normalize(epoch)(env)
+
+    return _fn
 
 
 def binlog_to_jsonl(parquet_files: list[str], dest_file: str) -> int:

@@ -230,3 +230,85 @@ def test_jsonl_scalar_feed_refused_for_apply(ray_session, fixture_root, tmp_path
                    base_path=os.path.join(fixture_root, "base"))
     with pytest.raises(ValueError, match="tokens_after"):
         rep.apply_change_feed(feed_dir, epoch=5, feed_format="jsonl")
+
+
+def test_lenient_jsonl_salvages_junk_lines(ray_session, fixture_root, tmp_path):
+    """jsonl-lenient: junk lines (broken JSON, non-objects, wrong-typed
+    fields) become deadletter events; every VALID envelope replays
+    bit-identically to the strict path."""
+    cfg = ReplayConfig(num_partitions=8)
+    src = os.path.join(fixture_root, "binlog", "epoch=0")
+    files = sorted(glob.glob(os.path.join(src, "*.parquet")))
+    clean = str(tmp_path / "clean/epoch=0")
+    dirty = str(tmp_path / "dirty/epoch=0")
+    os.makedirs(clean, exist_ok=True)
+    os.makedirs(dirty, exist_ok=True)
+    binlog_to_jsonl(files, os.path.join(clean, "part-0.jsonl"))
+    junk = [
+        "{not json at all",
+        "[1, 2, 3]",
+        '"just a string"',
+        '{"op": 42, "lsn": "nope"}',
+        '{"op": "u", "lsn": 1e99, "after": {"doc_id": 7}}',
+        '{"op": "c", "lsn": null, "after": {"tokens": ["a", "b"]}}',
+        "\x00\xff binary garbage",
+        "",
+    ]
+    with open(os.path.join(clean, "part-0.jsonl")) as f:
+        lines = f.read().splitlines()
+    n_junk = len([j for j in junk if j.strip()])
+    mixed = lines[:5] + junk + lines[5:]
+    with open(os.path.join(dirty, "part-0.jsonl"), "w") as f:
+        f.write("\n".join(mixed) + "\n")
+
+    rp_clean = Replayer(str(tmp_path / "t_clean"), cfg,
+                        base_path=os.path.join(fixture_root, "base"))
+    rp_dirty = Replayer(str(tmp_path / "t_dirty"), cfg,
+                        base_path=os.path.join(fixture_root, "base"))
+    ent_c = rp_clean.apply_epoch(0, clean, source_format="jsonl")
+    ent_d = rp_dirty.apply_epoch(0, dirty, source_format="jsonl-lenient")
+    # every junk line lands in deadletter; all real routes are unchanged
+    assert ent_d["processed"] == ent_c["processed"] + n_junk
+    assert (ent_d["routes"]["deadletter"]
+            == ent_c["routes"].get("deadletter", 0) + n_junk)
+    for r, n in ent_c["routes"].items():
+        if r != "deadletter":
+            assert ent_d["routes"][r] == n, r
+    a, b = _rows(rp_clean), _rows(rp_dirty)
+    assert len(a) == len(b)
+    for ra, rb in zip(a, b):
+        assert ra == rb
+
+
+def test_lenient_jsonl_hypothesis_never_crashes(ray_session, tmp_path):
+    """Property: ANY byte salad ingests without crashing in lenient mode,
+    and lines that are not valid envelopes all route to deadletter."""
+    from hypothesis import given, settings, strategies as st
+
+    from marc_data_migration_ray.sources.jsonl import read_jsonl_binlog
+
+    cases = []
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(st.text(min_size=1, max_size=60).map(
+        # read_text splits on every str.splitlines separator (\v, \f,
+        # NEL, LS, PS, \x1c-\x1e, \r...) — collapse them so one
+        # hypothesis string stays one physical line
+        lambda s: " ".join(s.splitlines())), min_size=1, max_size=8))
+    def _collect(lines):
+        cases.append(lines)
+
+    _collect()
+    d = str(tmp_path / "fuzz")
+    os.makedirs(d, exist_ok=True)
+    all_lines = [ln for ls in cases for ln in ls]
+    with open(os.path.join(d, "part-0.jsonl"), "w") as f:
+        f.write("\n".join(all_lines) + "\n")
+    out = read_jsonl_binlog(d, epoch=0, strict=False).take_all()
+    n_nonempty = len([ln for ln in all_lines if ln.strip()])
+    assert len(out) == n_nonempty
+    # a random text line is essentially never a valid envelope with an
+    # int lsn AND a known op — but tolerate hypothesis finding one
+    bad = [r for r in out if r["op"] in
+           ("__unparseable__", "__missing-op__") or r["lsn"] is None]
+    assert len(bad) >= n_nonempty - 2

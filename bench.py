@@ -178,7 +178,8 @@ def run_queries(sf_dir: str) -> dict:
         "dedup_keep_best", "customer_order_totals",
         # tenth-session ops
         "cdc_state_projection", "cdc_virtual_column", "media_gif_decode",
-        "source_overlap", "best_docs_per_source",
+        "source_overlap", "best_docs_per_source", "media_scene_cuts",
+        "embedding_pca",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -64,6 +64,12 @@ def test_lookup_respects_up_to_epoch(ray_session, fixture_dir, tmp_path):
     pick = sorted(old)[5]
     got = rp.lookup([pick], up_to_epoch=0).take_all()
     assert len(got) == 1 and got[0]["last_lsn"] == old[pick]["last_lsn"]
+    # tagged lookup resolves to the same cut; tag+epoch together rejected
+    rp.tag("v0", epoch=0)
+    tagged = rp.lookup([pick], tag="v0").take_all()
+    assert tagged == got
+    with pytest.raises(ValueError, match="exclusive"):
+        rp.lookup([pick], up_to_epoch=0, tag="v0")
 
 
 def _full_view(rp, root, epoch):

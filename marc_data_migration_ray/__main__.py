@@ -395,7 +395,8 @@ def main(argv=None) -> int:
     fo.add_argument("--marker", default=None,
                     help="only apply an epoch dir once this marker file exists "
                          "in it (for producers that do not publish atomically)")
-    fo.add_argument("--format", default="parquet", choices=["parquet", "jsonl"],
+    fo.add_argument("--format", default="parquet",
+                    choices=["parquet", "jsonl", "jsonl-lenient"],
                     dest="source_format",
                     help="epoch encoding: parquet (default) or jsonl "
                          "(Debezium-flavor envelopes)")

@@ -454,6 +454,22 @@ def main(argv=None) -> int:
                     help="print the current view without refreshing")
     _add_cfg_args(vw)
 
+    pv = sub.add_parser(
+        "postings",
+        help="incrementally-maintained inverted token index: refresh from "
+             "the payload change feed, then query or print",
+    )
+    pv.add_argument("--table", required=True)
+    pv.add_argument("--view-root", required=True, dest="view_root")
+    pv.add_argument("--to-epoch", type=int, default=None, dest="to_epoch")
+    pv.add_argument("--n-buckets", type=int, default=16, dest="n_buckets")
+    pv.add_argument("--no-refresh", action="store_true", dest="no_refresh")
+    pv.add_argument("--token", action="append", type=int, default=None,
+                    dest="tokens", help="query token (repeatable)")
+    pv.add_argument("--mode", choices=["and", "or"], default="and")
+    pv.add_argument("--limit", type=int, default=20)
+    _add_cfg_args(pv)
+
     rep = sub.add_parser(
         "report",
         help="standalone reports over a binlog dir (reference §3.3 utilities)",
@@ -837,6 +853,22 @@ def main(argv=None) -> int:
                 print(json.dumps(v.refresh(to_epoch=args.to_epoch)))
             for r in v.read().to_pylist():
                 print(json.dumps(r))
+        elif args.cmd == "postings":
+            from marc_data_migration_ray.pipelines.views import PostingsView
+
+            v = PostingsView(args.view_root, rp, n_buckets=args.n_buckets)
+            if not args.no_refresh:
+                print(json.dumps(v.refresh(to_epoch=args.to_epoch)))
+            if args.tokens:
+                docs = v.docs_for_tokens(args.tokens, mode=args.mode)
+                print(json.dumps({"tokens": args.tokens, "mode": args.mode,
+                                  "docs": docs[:args.limit],
+                                  "total_docs": len(docs)}))
+            else:
+                t = v.read()
+                for r in t.slice(0, args.limit).to_pylist():
+                    print(json.dumps(r))
+                print(json.dumps({"total_postings": t.num_rows}))
         elif args.cmd == "changes":
             # materialize once: take/count after write would otherwise
             # re-fold both epoch states and re-diff every partition

@@ -288,13 +288,17 @@ def _fold_salted_merge_task(
 
 @ray.remote(num_cpus=1)
 def _diff_bucket_task(ta: pa.Table, tb: pa.Table,
-                      payload: bool = False) -> pa.Table:
+                      payload: bool = False,
+                      before_payload: bool = False) -> pa.Table:
     """Diff two same-bucket fold outputs (change-data feed unit): vectorized
     polars full join on doc_id; ``update`` = last_lsn moved. With
     ``payload=True`` the after-image additionally carries ``tokens_after``
     (the full token array), making the feed sufficient for downstream
     REPLICATION (``apply_change_feed``), not just aggregate maintenance —
-    the scalar-only default keeps ordinary feeds token-free and cheap."""
+    the scalar-only default keeps ordinary feeds token-free and cheap.
+    ``before_payload=True`` adds ``tokens_before`` (the token array the
+    change superseded) — what SET-valued incremental maintenance needs to
+    retract old entries (``pipelines/views.PostingsView``)."""
     import polars as pl
 
     def _rows(t: pa.Table, suffix: str, with_tokens: bool) -> "pl.DataFrame":
@@ -312,7 +316,7 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table,
     # change the feed's column names — a stable contract for consumers);
     # before-images make the feed sufficient for incremental aggregate
     # maintenance (subtract before, add after — see pipelines/views.py)
-    da = _rows(ta, "_before", False)
+    da = _rows(ta, "_before", before_payload)
     db = _rows(tb, "_after", payload)
     j = db.join(da, on="doc_id", how="full", coalesce=True)
     j = j.with_columns(
@@ -356,6 +360,13 @@ def _diff_bucket_task(ta: pa.Table, tb: pa.Table,
             )
         sel.append(pl.col("tokens_after"))
         fields.append(("tokens_after", pa.list_(pa.int32())))
+    if before_payload:
+        if "tokens_before" not in j.columns:
+            j = j.with_columns(
+                pl.lit(None, dtype=pl.List(pl.Int32)).alias("tokens_before")
+            )
+        sel.append(pl.col("tokens_before"))
+        fields.append(("tokens_before", pa.list_(pa.int32())))
     out = j.select(sel).to_arrow()
     return out.cast(pa.schema(fields))
 
@@ -1093,7 +1104,8 @@ class Replayer:
         return merge_refs
 
     def changes_between(self, from_epoch: int, to_epoch: int,
-                        with_payload: bool = False):
+                        with_payload: bool = False,
+                        with_before_payload: bool = False):
         """Change-data feed (Delta-CDF analog): per-row diff of the table
         state at ``to_epoch`` vs ``from_epoch`` — (doc_id, change ∈
         {insert, update, delete}, last_lsn_before/after, n_tok_before/
@@ -1113,7 +1125,9 @@ class Replayer:
 
         ``with_payload=True`` adds ``tokens_after`` (the full token-array
         after-image) — the replication-grade feed ``apply_change_feed``
-        consumes; default feeds stay token-free (cheap)."""
+        consumes; ``with_before_payload=True`` additionally adds
+        ``tokens_before`` (what set-valued incremental view maintenance
+        retracts — ``PostingsView``); default feeds stay token-free."""
         if not (self.manifest.is_committed(from_epoch)
                 and self.manifest.is_committed(to_epoch)):
             raise ValueError("both epochs must be committed")
@@ -1125,7 +1139,7 @@ class Replayer:
         parts = sorted(set(refs_a) | set(refs_b))
         out = [
             _diff_bucket_task.remote(refs_a.get(p, empty), refs_b.get(p, empty),
-                                     with_payload)
+                                     with_payload, with_before_payload)
             for p in parts
         ]
         return ray.data.from_arrow_refs(out)

@@ -138,20 +138,7 @@ class AggView:
 
     # ----------------------------------------------------------- refresh --
     def refresh(self, to_epoch: int | None = None) -> dict:
-        committed = self.rp.manifest.committed_epochs()
-        if not committed:
-            raise ValueError("table has no committed epochs")
-        if to_epoch is None:
-            to_epoch = max(committed)
-        if not self.rp.manifest.is_committed(to_epoch):
-            raise ValueError(f"epoch {to_epoch} is not committed")
-        last = self.last_epoch()
-        if last is not None and not self.rp.manifest.is_committed(last):
-            # the view's base epoch was rolled back: the stored aggregate
-            # reflects data that no longer exists — full rebuild
-            last = None
-        if last is not None and to_epoch < last:
-            raise ValueError(f"view is already at epoch {last} > {to_epoch}")
+        to_epoch, last = _refresh_target(self.rp, self.last_epoch(), to_epoch)
         if last == to_epoch:
             return {"epoch": to_epoch, "mode": "noop", "rows": len(self.read())}
 
@@ -203,6 +190,261 @@ class AggView:
             f.write(json.dumps({"epoch": to_epoch, "dir": vdir}))
         os.replace(marker_tmp, os.path.join(self.root, "CURRENT"))
         return {"epoch": to_epoch, "mode": mode, "rows": len(agg)}
+
+
+def _refresh_target(rp, last: int | None, to_epoch: int | None):
+    """Shared view-refresh preconditions: resolve the target epoch,
+    invalidate a rolled-back base epoch (→ full rebuild), reject a
+    backwards refresh. Returns (to_epoch, last)."""
+    committed = rp.manifest.committed_epochs()
+    if not committed:
+        raise ValueError("table has no committed epochs")
+    if to_epoch is None:
+        to_epoch = max(committed)
+    if not rp.manifest.is_committed(to_epoch):
+        raise ValueError(f"epoch {to_epoch} is not committed")
+    if last is not None and not rp.manifest.is_committed(last):
+        # the view's base epoch was rolled back: the stored state reflects
+        # data that no longer exists — full rebuild
+        last = None
+    if last is not None and to_epoch < last:
+        raise ValueError(f"view is already at epoch {last} > {to_epoch}")
+    return to_epoch, last
+
+
+#: (bucket, token, doc_id, sign) — the unit both PostingsView paths emit
+_PAIRS_SCHEMA = pa.schema(
+    [("bucket", pa.int64()), ("token", pa.int32()),
+     ("doc_id", pa.string()), ("sign", pa.int64())]
+)
+
+
+class PostingsView:
+    """Incrementally-maintained inverted token index over a Replayer table
+    — the SET-valued analog of :class:`AggView`: token → the doc_ids whose
+    CURRENT token array contains it (a secondary index on the payload,
+    maintained from the change feed instead of rebuilt per epoch).
+
+    Storage: hash-bucketed parquet — ``v{epoch}/bucket=<b>.parquet`` with
+    schema (token:int32, doc_id:string), ``b = token mod n_buckets`` —
+    plus the same atomic tmp-dir + ``CURRENT``-marker commit protocol as
+    AggView (a torn refresh leaves the previous version current).
+
+    * **full build** (first refresh, or the base epoch was compacted
+      away / rolled back): fold-output rows → per-row DISTINCT tokens
+      exploded to (bucket, token, doc_id) → ONE shuffle
+      (``groupby(bucket)``) → one sorted file per bucket.
+    * **incremental refresh**: the payload change feed
+      (``changes_between(last, to, with_payload=True,
+      with_before_payload=True)``) becomes SIGNED membership deltas —
+      +1 per distinct token of an insert/update after-image, -1 per
+      distinct token of a delete/update before-image. Per touched
+      bucket: stored entries (weight 1) ∪ deltas, keep ``sum > 0`` —
+      a kept token of an updated doc cancels to 1 (1+1-1), a dropped
+      token to 0, a new token appears at 1. Untouched bucket files are
+      HARDLINKED forward. Work is O(changes × tokens/doc + touched
+      bucket bytes), never O(table) — the property that keeps a 100-TB
+      secondary index fresh under a trickle of updates.
+
+    Multi-node note: bucket-merge tasks read the stored bucket file by
+    path, so the view root must be on storage every worker can read —
+    the same assumption the table root itself carries.
+    """
+
+    def __init__(self, root: str, replayer, n_buckets: int = 16):
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        self.root = root
+        self.rp = replayer
+        os.makedirs(root, exist_ok=True)
+        meta_p = os.path.join(root, "META.json")
+        if os.path.exists(meta_p):
+            meta = json.loads(open(meta_p).read())
+            self.n_buckets = int(meta["n_buckets"])
+        else:
+            self.n_buckets = int(n_buckets)
+            tmp = meta_p + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps({"n_buckets": self.n_buckets}))
+            os.replace(tmp, meta_p)
+
+    # ------------------------------------------------------------ kernels --
+    def _explode(self, df, tok_col: str, sign: int):
+        import polars as pl
+
+        B = self.n_buckets
+        d = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col(tok_col).list.unique().alias("token"),
+            )
+            .explode("token")
+            .drop_nulls("token")
+        )
+        return d.select(
+            ((pl.col("token").cast(pl.Int64) % B + B) % B).alias("bucket"),
+            pl.col("token").cast(pl.Int32),
+            pl.col("doc_id"),
+            pl.lit(sign).cast(pl.Int64).alias("sign"),
+        )
+
+    def _full_pairs(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "tokens"]))
+        return self._explode(df, "tokens", 1).to_arrow().cast(_PAIRS_SCHEMA)
+
+    def _delta_pairs(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(
+            t.select(["doc_id", "change", "tokens_before", "tokens_after"])
+        )
+        add = self._explode(
+            df.filter(pl.col("change").is_in(["insert", "update"])),
+            "tokens_after", 1,
+        )
+        rem = self._explode(
+            df.filter(pl.col("change").is_in(["update", "delete"])),
+            "tokens_before", -1,
+        )
+        return pl.concat([add, rem]).to_arrow().cast(_PAIRS_SCHEMA)
+
+    # ------------------------------------------------------------- state --
+    def _current(self) -> dict | None:
+        p = os.path.join(self.root, "CURRENT")
+        if not os.path.exists(p):
+            return None
+        return json.loads(open(p).read())
+
+    def last_epoch(self) -> int | None:
+        cur = self._current()
+        return None if cur is None else cur["epoch"]
+
+    def _bucket_files(self, vdir: str) -> dict[int, str]:
+        d = os.path.join(self.root, vdir)
+        out = {}
+        for f in os.listdir(d):
+            if f.startswith("bucket=") and f.endswith(".parquet"):
+                out[int(f[len("bucket="):-len(".parquet")])] = os.path.join(d, f)
+        return out
+
+    def read(self) -> pa.Table:
+        """Full postings table, sorted by (token, doc_id)."""
+        cur = self._current()
+        if cur is None:
+            raise ValueError("view was never refreshed")
+        files = sorted(self._bucket_files(cur["dir"]).items())
+        if not files:
+            return pa.table(
+                {"token": pa.array([], pa.int32()),
+                 "doc_id": pa.array([], pa.string())}
+            )
+        t = pa.concat_tables([pq.read_table(f) for _, f in files])
+        return t.sort_by([("token", "ascending"), ("doc_id", "ascending")])
+
+    def docs_for_tokens(self, tokens, mode: str = "and") -> list[str]:
+        """Boolean retrieval over the index: doc_ids containing ALL
+        (``mode="and"``) or ANY (``mode="or"``) of ``tokens`` — reads only
+        the buckets the query tokens hash to."""
+        if mode not in ("and", "or"):
+            raise ValueError("mode must be 'and' or 'or'")
+        cur = self._current()
+        if cur is None:
+            raise ValueError("view was never refreshed")
+        toks = sorted({int(x) for x in tokens})
+        if not toks:
+            return []
+        files = self._bucket_files(cur["dir"])
+        sets: list[set] = []
+        for tok in toks:
+            f = files.get(tok % self.n_buckets)
+            if f is None:
+                sets.append(set())
+                continue
+            t = pq.read_table(f, filters=[("token", "==", tok)])
+            sets.append(set(t["doc_id"].to_pylist()))
+        out = set.intersection(*sets) if mode == "and" else set.union(*sets)
+        return sorted(out)
+
+    # ----------------------------------------------------------- refresh --
+    def refresh(self, to_epoch: int | None = None) -> dict:
+        to_epoch, last = _refresh_target(self.rp, self.last_epoch(), to_epoch)
+        if last == to_epoch:
+            return {"epoch": to_epoch, "mode": "noop",
+                    "touched_buckets": 0}
+
+        floor = self.rp.manifest.last_compacted_epoch()
+        stored_dir = None
+        if last is None or last < floor:
+            rows = self.rp.fold_output(up_to_epoch=to_epoch).filter(
+                expr="_kind == 'row'"
+            )
+            pairs = rows.map_batches(
+                self._full_pairs, batch_format="pyarrow", zero_copy_batch=True
+            )
+            mode = "full"
+        else:
+            feed = self.rp.changes_between(
+                last, to_epoch, with_payload=True, with_before_payload=True
+            )
+            pairs = feed.map_batches(
+                self._delta_pairs, batch_format="pyarrow", zero_copy_batch=True
+            )
+            stored_dir = os.path.join(self.root, self._current()["dir"])
+            mode = "incremental"
+
+        vdir = f"v{to_epoch}"
+        tmp = os.path.join(self.root, f"_tmp_{vdir}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        os.makedirs(tmp)
+
+        def _merge_bucket(g: pa.Table, stored_dir=stored_dir, tmp=tmp) -> pa.Table:
+            b = int(g["bucket"][0].as_py())
+            parts = [g.select(["token", "doc_id", "sign"])]
+            if stored_dir is not None:
+                f = os.path.join(stored_dir, f"bucket={b}.parquet")
+                if os.path.exists(f):
+                    st = pq.read_table(f)
+                    parts.append(
+                        st.append_column(
+                            "sign", pa.array([1] * st.num_rows, pa.int64())
+                        )
+                    )
+            allt = pa.concat_tables(parts)
+            agg = allt.group_by(["token", "doc_id"]).aggregate([("sign", "sum")])
+            keep = agg.filter(pc.greater(agg["sign_sum"], 0))
+            keep = keep.select(["token", "doc_id"]).sort_by(
+                [("token", "ascending"), ("doc_id", "ascending")]
+            )
+            # retries may re-run a bucket: unique tmp name + atomic replace
+            out_f = os.path.join(tmp, f"bucket={b}.parquet")
+            tmp_f = f"{out_f}.{os.getpid()}.tmp"
+            pq.write_table(keep, tmp_f)
+            os.replace(tmp_f, out_f)
+            return pa.table(
+                {"bucket": pa.array([b], pa.int64()),
+                 "rows": pa.array([keep.num_rows], pa.int64())}
+            )
+
+        markers = pairs.groupby("bucket").map_groups(
+            _merge_bucket, batch_format="pyarrow"
+        )
+        touched = {int(r["bucket"]) for r in markers.take_all()}
+        if stored_dir is not None:
+            # forward untouched buckets by hardlink — no data movement
+            for b, f in self._bucket_files(self._current()["dir"]).items():
+                if b not in touched:
+                    os.link(f, os.path.join(tmp, f"bucket={b}.parquet"))
+        final = os.path.join(self.root, vdir)
+        shutil.rmtree(final, ignore_errors=True)
+        os.rename(tmp, final)
+        marker_tmp = os.path.join(self.root, "_CURRENT.tmp")
+        with open(marker_tmp, "w") as f:
+            f.write(json.dumps({"epoch": to_epoch, "dir": vdir}))
+        os.replace(marker_tmp, os.path.join(self.root, "CURRENT"))
+        return {"epoch": to_epoch, "mode": mode,
+                "touched_buckets": len(touched)}
 
 
 #: backward-compatible (source, n_rows, n_tok_sum) view

@@ -442,6 +442,21 @@ def main(argv=None) -> int:
     lk.add_argument("--up-to-epoch", type=int, default=None, dest="up_to_epoch")
     _add_cfg_args(lk)
 
+    dh = sub.add_parser(
+        "doc-history",
+        help="per-key lineage: every retained event that targeted a doc_id "
+             "(partition-pruned, key-filtered reads) + optional as-of state "
+             "reconstruction per event",
+    )
+    dh.add_argument("--table", required=True)
+    dh.add_argument("--doc-id", required=True, dest="doc_id")
+    dh.add_argument("--versions", action="store_true",
+                    help="reconstruct the state as of each event (lsn-level "
+                         "time-travel lookups)")
+    dh.add_argument("--payload", action="store_true",
+                    help="include event/state token arrays")
+    _add_cfg_args(dh)
+
     vw = sub.add_parser(
         "view",
         help="incrementally-maintained (source, n_rows, n_tok_sum) view: "
@@ -845,6 +860,12 @@ def main(argv=None) -> int:
                     r["tokens"] = list(r["tokens"])[:8] + (["..."] if len(r["tokens"]) > 8 else [])
                 print(json.dumps(r, default=str))
             print(json.dumps({"found": len(rows), "asked": len(args.ids)}))
+        elif args.cmd == "doc-history":
+            t = rp.doc_history(args.doc_id, with_payload=args.payload,
+                               with_versions=args.versions)
+            for r in t.to_pylist():
+                print(json.dumps(r, default=str))
+            print(json.dumps({"doc_id": args.doc_id, "events": t.num_rows}))
         elif args.cmd == "view":
             from marc_data_migration_ray.pipelines.views import SourceCountsView
 

@@ -287,6 +287,25 @@ def _fold_salted_merge_task(
 
 
 @ray.remote(num_cpus=1)
+def _scan_key_history_task(items: list, key: str, columns: list[str],
+                           key_col: str = "key") -> pa.Table | None:
+    """Read files filtered to one key (``doc_history`` unit). ``items``
+    is ``[(path, epochs-or-None), ...]``: files served from a merged
+    segment carry the committed epochs they stand in for (the segment may
+    physically hold more — e.g. epochs later truncated by rollback).
+    Returns None when nothing matched (caller supplies the schema)."""
+    out = []
+    for path, epochs in items:
+        flt = [(key_col, "==", key)]
+        if epochs is not None:
+            flt.append(("epoch", "in", sorted(epochs)))
+        t = pq.read_table(path, columns=columns, filters=flt)
+        if t.num_rows:
+            out.append(t)
+    return pa.concat_tables(out) if out else None
+
+
+@ray.remote(num_cpus=1)
 def _diff_bucket_task(ta: pa.Table, tb: pa.Table,
                       payload: bool = False,
                       before_payload: bool = False) -> pa.Table:
@@ -1349,8 +1368,32 @@ class Replayer:
     def virtual_columns(self) -> list[dict]:
         return self.manifest.virtual_columns()
 
+    def _parts_for_keys(self, ids: list[str]) -> set[int]:
+        """Logical partitions that can hold ``ids`` — hash routing for
+        ordinary keys, embedded-partition decode for allocator-assigned
+        local ids (``{prefix}-PPPP-N``)."""
+        from marc_data_migration_ray.functions.keys import hash_partition
+
+        pref = self.cfg.local_id_prefix + "-"
+        parts: set[int] = set()
+        hashed = []
+        for k in ids:
+            seg = k.split("-")
+            if k.startswith(pref) and len(seg) >= 3 and seg[-2].isdigit():
+                # mod keeps ids addressable after a repartition to fewer
+                # partitions (identity for the count that allocated them)
+                parts.add(int(seg[-2]) % self.cfg.num_partitions)
+            else:
+                hashed.append(k)
+        if hashed:
+            arr = hash_partition(pa.array(hashed, pa.string()),
+                                 self.cfg.num_partitions)
+            parts.update(int(p) for p in arr.to_pylist())
+        return parts
+
     def lookup(self, doc_ids: list[str], up_to_epoch: int | None = None,
-               columns: list[str] | None = None, tag: str | None = None):
+               columns: list[str] | None = None, tag: str | None = None,
+               up_to_lsn: int | None = None):
         """Point lookup (reference S4 authority point-lookup, made literal
         at scale): return the state rows for ``doc_ids`` by folding ONLY
         the partitions that can contain them — O(|ids|) bucket reads, not
@@ -1367,31 +1410,18 @@ class Replayer:
         delta rows to requested keys ∪ keyless rows, preserving the
         positional local-id allocation) — per-bucket work is O(matches +
         keyless), not O(bucket rows). ``tag`` looks up as of a named
-        snapshot (same resolution as ``read_state``)."""
-        from marc_data_migration_ray.functions.keys import hash_partition
-
+        snapshot (same resolution as ``read_state``); ``up_to_lsn`` is an
+        LSN-level point-in-time lookup (same cut as ``read_state``)."""
         if tag is not None:
             if up_to_epoch is not None:
                 raise ValueError("tag is exclusive with up_to_epoch")
             up_to_epoch = self.manifest.resolve_tag(tag)
 
         ids = [k for k in dict.fromkeys(doc_ids) if k]
-        pref = self.cfg.local_id_prefix + "-"
-        parts: set[int] = set()
-        hashed = []
-        for k in ids:
-            seg = k.split("-")
-            if k.startswith(pref) and len(seg) >= 3 and seg[-2].isdigit():
-                # mod keeps ids addressable after a repartition to fewer
-                # partitions (identity for the count that allocated them)
-                parts.add(int(seg[-2]) % self.cfg.num_partitions)
-            else:
-                hashed.append(k)
-        if hashed:
-            arr = hash_partition(pa.array(hashed, pa.string()), self.cfg.num_partitions)
-            parts.update(int(p) for p in arr.to_pylist())
+        parts = self._parts_for_keys(ids)
         payload_cols = self._resolve_projection(columns, up_to_epoch)
         refs = self._fold_part_refs(up_to_epoch, only_parts=parts,
+                                    up_to_lsn=up_to_lsn,
                                     key_filter=ids, payload_cols=payload_cols)
         if refs:
             rows = ray.data.from_arrow_refs(list(refs.values()))
@@ -1403,7 +1433,161 @@ class Replayer:
             lambda t: t.filter(pc.is_in(t["doc_id"], value_set=want)),
             batch_format="pyarrow", zero_copy_batch=True,
         )
-        return self._postprocess_rows(rows, up_to_epoch, columns=columns)
+        return self._postprocess_rows(rows, up_to_epoch, up_to_lsn=up_to_lsn,
+                                      columns=columns)
+
+    #: stable doc_history event-log schema (state_*/tokens columns optional)
+    _DOC_HISTORY_FIELDS = [
+        ("lsn", pa.int64()), ("epoch", pa.int32()), ("op", pa.string()),
+        ("route", pa.string()), ("status", pa.string()),
+        ("match_score", pa.int32()), ("column_mask", pa.list_(pa.string())),
+        ("n_tok", pa.int32()), ("source", pa.string()),
+        ("collapsed", pa.bool_()),
+    ]
+
+    def doc_history(self, doc_id: str, with_payload: bool = False,
+                    with_versions: bool = False) -> pa.Table:
+        """Per-key lineage (row-level DESCRIBE HISTORY; a point query):
+        every RETAINED event that targeted ``doc_id`` plus the
+        base-snapshot row, sorted by lsn. Partition-pruned — only the
+        key's bucket directories are listed — and key-filtered at the
+        parquet read, so the cost is O(key's bucket files), never
+        O(table). Events folded away by a compaction stay listed with
+        ``absorbed=True`` for as long as their delta files (or a covering
+        audit segment) are retained — ``vacuum(retain_audit=False)``
+        reclaims them, after which only the compacted base row
+        (``op='base'``, their net effect) remains.
+
+        ``with_payload=True`` adds each event's ``tokens`` payload.
+        ``with_versions=True`` reconstructs the state AS OF each event at
+        or above the compaction ceiling via LSN-level time-travel point
+        lookups (``lookup(..., up_to_lsn)``) — consistent with
+        ``read_state`` by construction (it IS the same fold);
+        ``state_live=False`` means the key had no live row after that
+        event (tombstoned, rejected before any insert, …). Events below
+        the ceiling get null ``state_*`` columns.
+
+        Allocator-assigned local ids become addressable history once a
+        compaction materializes them (same rule as ``lookup``); the
+        keyless insert that allocated an id is not attributed to it."""
+        key = doc_id
+        S = self.cfg.num_salts
+        parts = self._parts_for_keys([key])
+        phys_tokens = {
+            f"{os.sep}part_p={lp * S + s}{os.sep}"
+            for lp in parts for s in range(S)
+        }
+
+        def _mine(path: str) -> bool:
+            return any(tok in path for tok in phys_tokens)
+
+        plain: list = []
+        seg_epochs: dict[str, set[int]] = {}
+        for e in self.manifest.committed_epochs():
+            files, from_seg = self._epoch_files(e)
+            for f in files:
+                if not _mine(f):
+                    continue
+                if from_seg:
+                    seg_epochs.setdefault(f, set()).add(e)
+                else:
+                    plain.append((f, None))
+        ev_items = plain + [(f, es) for f, es in sorted(seg_epochs.items())]
+        ev_cols = [n for n, _ in self._DOC_HISTORY_FIELDS]
+        if with_payload:
+            ev_cols.append("tokens")
+        refs = []
+        if ev_items:
+            refs.append(_scan_key_history_task.remote(ev_items, key, ev_cols))
+
+        base_is_final = bool(self.manifest.state.get("base_is_final_schema"))
+        base_dir = self._ensure_bucketized_base()
+        base_items = []
+        if base_dir:
+            for p, fs in self._files_by_part(base_dir).items():
+                if (p // S if S > 1 else p) in parts:
+                    base_items.extend((f, None) for f in fs)
+        base_cols = (["last_lsn"] if base_is_final else ["lsn"]) \
+            + ["status", "n_tok", "source"] + (["tokens"] if with_payload else [])
+        if base_items:
+            refs.append(_scan_key_history_task.remote(
+                base_items, key, base_cols,
+                "doc_id" if base_is_final else "key"))
+
+        got = ray.get(refs) if refs else []
+        ev_t = got[0] if ev_items else None
+        base_t = got[-1] if base_items else None
+
+        fields = list(self._DOC_HISTORY_FIELDS)
+        if with_payload:
+            fields.append(("tokens", pa.list_(pa.int32())))
+        schema = pa.schema(fields + [("_ord", pa.int8())])
+        parts_out = []
+        if base_t is not None and base_t.num_rows:
+            n = base_t.num_rows
+            cols = {
+                "lsn": pc.cast(base_t["last_lsn" if base_is_final else "lsn"],
+                               pa.int64()),
+                "epoch": pa.nulls(n, pa.int32()),
+                "op": pa.array(["base"] * n, pa.string()),
+                "route": pa.array(["base"] * n, pa.string()),
+                "status": base_t["status"],
+                "match_score": pa.nulls(n, pa.int32()),
+                "column_mask": pa.nulls(n, pa.list_(pa.string())),
+                "n_tok": base_t["n_tok"],
+                "source": base_t["source"],
+                "collapsed": pa.array([False] * n, pa.bool_()),
+                "_ord": pa.array([0] * n, pa.int8()),
+            }
+            if with_payload:
+                cols["tokens"] = base_t["tokens"]
+            parts_out.append(pa.table(
+                {n_: cols[n_] for n_ in schema.names}).cast(schema))
+        if ev_t is not None and ev_t.num_rows:
+            ev_t = ev_t.append_column(
+                "_ord", pa.array([1] * ev_t.num_rows, pa.int8()))
+            parts_out.append(ev_t.select(schema.names).cast(schema))
+        if parts_out:
+            hist = pa.concat_tables(parts_out).sort_by(
+                [("lsn", "ascending"), ("_ord", "ascending")])
+        else:
+            hist = schema.empty_table()
+        floor = self.manifest.last_compacted_epoch()
+        hist = hist.append_column(
+            "absorbed",
+            pc.and_(pc.not_equal(hist["op"], "base"),
+                    pc.less_equal(pc.fill_null(hist["epoch"], floor + 1),
+                                  floor)),
+        )
+        hist = hist.drop_columns(["_ord"])
+
+        if not with_versions:
+            return hist
+        ceiling = self.manifest.ceiling_lsn()
+        live, ntoks, toks = [], [], []
+        for r_lsn, r_op in zip(hist["lsn"].to_pylist(),
+                               hist["op"].to_pylist()):
+            if r_op == "base" or r_lsn is None or r_lsn < ceiling:
+                live.append(None); ntoks.append(None); toks.append(None)
+                continue
+            rows = self.lookup(
+                [key], up_to_lsn=int(r_lsn),
+                columns=["doc_id", "tokens", "n_tok"] if with_payload
+                else ["doc_id", "n_tok"],
+            ).take_all()
+            if rows:
+                live.append(True)
+                ntoks.append(rows[0]["n_tok"])
+                toks.append(list(rows[0]["tokens"] or [])
+                            if with_payload else None)
+            else:
+                live.append(False); ntoks.append(None); toks.append(None)
+        hist = hist.append_column("state_live", pa.array(live, pa.bool_()))
+        hist = hist.append_column("state_n_tok", pa.array(ntoks, pa.int32()))
+        if with_payload:
+            hist = hist.append_column(
+                "state_tokens", pa.array(toks, pa.list_(pa.int32())))
+        return hist
 
     def _postprocess_rows(self, rows, up_to_epoch: int | None,
                           up_to_lsn: int | None = None,

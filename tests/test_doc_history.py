@@ -1,0 +1,214 @@
+"""doc_history: per-key lineage (row-level DESCRIBE HISTORY).
+
+Invariants:
+* the event log lists EXACTLY the retained binlog events whose normalized
+  key is the requested doc_id (all routes, rejected included), sorted by
+  lsn — recomputed here straight from the fixture parquet;
+* ``with_versions`` state reconstruction equals the independent pure-Python
+  oracle replayed over each lsn-prefix of the log (live-ness, n_tok and
+  token arrays);
+* after a compaction the absorbed events collapse into an ``op='base'``
+  row (null state columns below the ceiling) while later events keep
+  reconstructing; a delta segment keeps absorbed events listable;
+* ``lookup(up_to_lsn=...)`` (the primitive versions ride on) matches the
+  oracle at an arbitrary mid-epoch cut.
+"""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.functions.keys import normalize_keys
+from marc_data_migration_ray.pipelines.replay import Replayer
+from marc_data_migration_ray.sources import fixtures
+from marc_data_migration_ray import oracle
+
+import pyarrow as pa
+
+N_EPOCHS = 3
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("dh_fixture"))
+    fixtures.write_fixture(root, n_rows=120, n_events=700, n_epochs=N_EPOCHS, seed=47)
+    return root
+
+
+def _events(fixture_dir):
+    evs = []
+    for e in range(N_EPOCHS):
+        d = os.path.join(fixture_dir, "binlog", f"epoch={e}")
+        for f in sorted(os.listdir(d)):
+            evs += pq.read_table(os.path.join(d, f)).to_pylist()
+    return sorted(evs, key=lambda r: r["lsn"])
+
+
+def _norm(doc_id):
+    return normalize_keys(pa.array([doc_id], pa.string()))[0].as_py()
+
+
+def _key_events(evs, key):
+    return [r for r in evs if r["doc_id"] is not None and _norm(r["doc_id"]) == key]
+
+
+def _busy_key(evs, want_ops=("update",)):
+    """A normalized key with >=3 events including the wanted ops."""
+    by_key = {}
+    for r in evs:
+        if r["op"] == "schema_change" or r["doc_id"] is None:
+            continue
+        k = _norm(r["doc_id"])
+        if k:
+            by_key.setdefault(k, []).append(r)
+    best = None
+    for k, rs in by_key.items():
+        ops = {r["op"] for r in rs}
+        if len(rs) >= 3 and all(w in ops for w in want_ops):
+            if best is None or len(rs) > len(by_key[best]):
+                best = k
+    assert best is not None
+    return best
+
+
+def _replay(root, fixture_dir, cfg, epochs=N_EPOCHS):
+    rp = Replayer(root, cfg, base_path=os.path.join(fixture_dir, "base"))
+    for e in range(epochs):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    return rp
+
+
+def _oracle_state_at(fixture_dir, evs, cfg, lsn_cut):
+    base = pq.read_table(os.path.join(fixture_dir, "base")).to_pylist()
+    prefix = [r for r in evs if r["lsn"] <= lsn_cut]
+    return {r["doc_id"]: r for r in oracle.replay(base, prefix, cfg)["final"]}
+
+
+def test_event_log_matches_binlog(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    evs = _events(fixture_dir)
+    key = _busy_key(evs)
+    hist = rp.doc_history(key)
+    got = [(r["lsn"], r["op"]) for r in hist.to_pylist() if r["op"] != "base"]
+    want = [(r["lsn"], r["op"]) for r in _key_events(evs, key)]
+    assert got == want
+    # base row present iff the key exists in the base snapshot
+    base_keys = {
+        _norm(d) for d in
+        pq.read_table(os.path.join(fixture_dir, "base"))["doc_id"].to_pylist()
+    }
+    n_base = sum(1 for r in hist.to_pylist() if r["op"] == "base")
+    assert (n_base > 0) == (key in base_keys)
+    # lsn-sorted
+    lsns = [r["lsn"] for r in hist.to_pylist()]
+    assert lsns == sorted(lsns)
+
+
+def test_versions_match_oracle(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    evs = _events(fixture_dir)
+    key = _busy_key(evs, want_ops=("update", "delete"))
+    hist = rp.doc_history(key, with_payload=True, with_versions=True)
+    rows = [r for r in hist.to_pylist() if r["op"] != "base"]
+    assert rows
+    saw_dead = saw_live = False
+    for r in rows:
+        ostate = _oracle_state_at(fixture_dir, evs, cfg, r["lsn"])
+        if key in ostate:
+            saw_live = True
+            assert r["state_live"] is True, r
+            assert r["state_n_tok"] == ostate[key]["n_tok"], r
+            assert list(r["state_tokens"]) == list(ostate[key]["tokens"] or []), r
+        else:
+            saw_dead = True
+            assert r["state_live"] is False, r
+            assert r["state_n_tok"] is None
+    assert saw_live  # the chosen key must actually exercise both branches
+    assert saw_dead
+
+
+def test_lookup_up_to_lsn_matches_oracle(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    evs = _events(fixture_dir)
+    key = _busy_key(evs)
+    cut = _key_events(evs, key)[1]["lsn"]  # a mid-log cut
+    ostate = _oracle_state_at(fixture_dir, evs, cfg, cut)
+    got = rp.lookup([key], up_to_lsn=cut).take_all()
+    if key in ostate:
+        assert len(got) == 1
+        assert list(got[0]["tokens"] or []) == list(ostate[key]["tokens"] or [])
+    else:
+        assert got == []
+
+
+def test_compaction_absorbs_into_base_row(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    evs = _events(fixture_dir)
+    # a key active in epoch 0 AND later epochs
+    by_key = {}
+    for r in evs:
+        if r["op"] != "schema_change" and r["doc_id"] is not None:
+            k = _norm(r["doc_id"])
+            if k:
+                by_key.setdefault(k, set()).add(r["epoch"])
+    key = next(k for k, es in sorted(by_key.items())
+               if 0 in es and (es - {0}))
+    pre = rp.doc_history(key)
+    assert not any(r["absorbed"] for r in pre.to_pylist())
+    live0 = bool(rp.lookup([key], up_to_epoch=0).take_all())
+    rp.compact(up_to_epoch=0)
+    post = rp.doc_history(key, with_versions=True)
+    prows = post.to_pylist()
+    # absorbed events stay LISTED (audit) but flagged, until vacuumed
+    e0 = [r for r in prows if r["op"] != "base" and r["epoch"] == 0]
+    assert e0 and all(r["absorbed"] for r in e0)
+    assert all(not r["absorbed"] for r in prows
+               if r["op"] == "base" or (r["epoch"] or 0) >= 1)
+    later = [(r["lsn"], r["op"]) for r in prows
+             if r["op"] != "base" and not r["absorbed"]]
+    want_later = [(r["lsn"], r["op"]) for r in _key_events(evs, key)
+                  if r["epoch"] >= 1]
+    assert later == want_later
+    # the compacted base row carries the key's net epoch-0 state
+    assert any(r["op"] == "base" for r in prows) == live0
+    # versions: above-ceiling events reconstruct, base/absorbed do not
+    ceiling = rp.manifest.ceiling_lsn()
+    for r in prows:
+        if r["op"] == "base" or r["absorbed"]:
+            assert r["state_live"] is None
+        elif r["lsn"] >= ceiling:
+            assert r["state_live"] is not None
+    # vacuum without audit retention reclaims the absorbed events
+    rp.vacuum(retain_audit=False)
+    after = rp.doc_history(key).to_pylist()
+    assert [(r["lsn"], r["op"]) for r in after if r["op"] != "base"] \
+        == want_later
+
+
+def test_segment_keeps_absorbed_events_listable(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    evs = _events(fixture_dir)
+    key = _busy_key(evs)
+    before = [(r["lsn"], r["op"]) for r in rp.doc_history(key).to_pylist()]
+    # merge epochs 1-2 into a level-1 segment, then drop the epoch dirs
+    rp.compact_deltas(1, 2)
+    for e in (1, 2):
+        import shutil as _sh
+        _sh.rmtree(os.path.join(str(tmp_path / "t"), "deltas", f"epoch={e}"))
+    after = [(r["lsn"], r["op"]) for r in rp.doc_history(key).to_pylist()]
+    assert after == before
+
+
+def test_unknown_key_empty(ray_session, fixture_dir, tmp_path):
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    t = rp.doc_history("999999999")
+    assert t.num_rows == 0
+    assert "lsn" in t.schema.names and "op" in t.schema.names

@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_versions": derived.cdc_versions,
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
+        "cdc_doc_history": lambda sf: derived.cdc_doc_history(sf),
+        "cdc_index_range": lambda sf: derived.cdc_index_range(sf),
         "cdc_state_projection": derived.cdc_state_projection,
         "cdc_virtual_column": derived.cdc_virtual_column,
         "cdc_merge_state": lambda sf: derived.cdc_merge_state(sf),
@@ -547,6 +549,12 @@ def _derived_lookup_ids() -> tuple[str, ...]:
     return LOOKUP_IDS
 
 
+def _derived_history_ids() -> tuple[str, ...]:
+    from marc_data_migration_ray.pipelines.derived import HISTORY_IDS
+
+    return HISTORY_IDS
+
+
 def oracle_sql() -> dict[str, str]:
     """DuckDB equivalents. Omitted keys (embedding_near_dup_lsh,
     ann_topk_lsh, ann_topk_ivf, ann_topk_pq) are approximate ops whose
@@ -665,6 +673,45 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT * FROM ({_CDC_STATE}) WHERE doc_id IN ("
             + ", ".join(f"'{i}'" for i in _derived_lookup_ids())
             + ")"
+        ),
+        # row-level lineage: every binlog event targeting the fixed keys
+        # with the M14 gate's route/status, plus the base-snapshot row
+        # (lsn -1); engine side is doc_history's partition-pruned reads
+        "cdc_doc_history": f"""
+WITH {_BINLOG},
+ids(doc_id) AS (VALUES {", ".join(f"('{i}')" for i in _derived_history_ids())}),
+ev AS (
+  SELECT b.doc_id, b.lsn, b.op,
+         CASE WHEN b.op IN ('insert', 'delete') THEN 'applied'
+              WHEN b.score = 100 THEN 'applied'
+              WHEN b.score >= 50 THEN 'fuzzy'
+              ELSE 'rejected' END AS route,
+         CASE WHEN b.op = 'insert' THEN 'inserted'
+              WHEN b.op = 'delete' THEN 'tombstone'
+              WHEN b.score = 100 THEN 'perfect'
+              WHEN b.score >= 50 THEN 'fuzzy-match-passed'
+              ELSE 'fuzzy-match-failed' END AS status,
+         CAST(b.score AS INTEGER) AS match_score,
+         CASE WHEN b.op = 'delete' THEN NULL ELSE b.n_tok_new END AS n_tok,
+         CASE WHEN b.op = 'delete' THEN NULL ELSE b.source_new END AS source
+  FROM binlog b JOIN ids USING (doc_id)
+),
+base AS (
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, CAST(-1 AS BIGINT) AS lsn,
+         'base' AS op, 'base' AS route, 'base' AS status,
+         CAST(NULL AS INTEGER) AS match_score,
+         CAST(length(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tok,
+         d.source
+  FROM documents d JOIN ids ON CAST(d.doc_id AS VARCHAR) = ids.doc_id
+)
+SELECT * FROM base UNION ALL SELECT * FROM ev
+ORDER BY doc_id, lsn
+""",
+        # secondary-index range query: the index answers n_tok BETWEEN
+        # lo AND hi from its range bins; oracle filters the LWW state
+        "cdc_index_range": (
+            f"SELECT doc_id, n_tok FROM ({_CDC_STATE}) "
+            f"WHERE n_tok BETWEEN 10 AND 40 ORDER BY doc_id"
         ),
         # change-data feed: engine per-bucket diff vs full-outer join of
         # the half-cut and full LWW states (same gate/anchor/winner CTEs)

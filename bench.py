@@ -180,6 +180,8 @@ def run_queries(sf_dir: str) -> dict:
         "cdc_state_projection", "cdc_virtual_column", "media_gif_decode",
         "source_overlap", "best_docs_per_source", "media_scene_cuts",
         "embedding_pca",
+        # eleventh-session ops
+        "cdc_doc_history", "cdc_index_range",
     ]
     qs = entry_mod.queries()
     out = {}

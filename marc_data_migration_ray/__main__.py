@@ -485,6 +485,24 @@ def main(argv=None) -> int:
     pv.add_argument("--limit", type=int, default=20)
     _add_cfg_args(pv)
 
+    si = sub.add_parser(
+        "scalar-index",
+        help="incrementally-maintained secondary index on a scalar state "
+             "column: refresh from the token-free change feed, then query",
+    )
+    si.add_argument("--table", required=True)
+    si.add_argument("--view-root", required=True, dest="view_root")
+    si.add_argument("--column", default="n_tok")
+    si.add_argument("--bin-width", type=int, default=16, dest="bin_width")
+    si.add_argument("--n-buckets", type=int, default=16, dest="n_buckets")
+    si.add_argument("--to-epoch", type=int, default=None, dest="to_epoch")
+    si.add_argument("--no-refresh", action="store_true", dest="no_refresh")
+    si.add_argument("--eq", default=None, help="equality lookup value")
+    si.add_argument("--range", nargs=2, type=int, default=None,
+                    dest="range_q", metavar=("LO", "HI"))
+    si.add_argument("--limit", type=int, default=20)
+    _add_cfg_args(si)
+
     rep = sub.add_parser(
         "report",
         help="standalone reports over a binlog dir (reference §3.3 utilities)",
@@ -890,6 +908,30 @@ def main(argv=None) -> int:
                 for r in t.slice(0, args.limit).to_pylist():
                     print(json.dumps(r))
                 print(json.dumps({"total_postings": t.num_rows}))
+        elif args.cmd == "scalar-index":
+            from marc_data_migration_ray.pipelines.views import ScalarIndexView
+
+            v = ScalarIndexView(args.view_root, rp, column=args.column,
+                                n_buckets=args.n_buckets,
+                                bin_width=args.bin_width)
+            if not args.no_refresh:
+                print(json.dumps(v.refresh(to_epoch=args.to_epoch)))
+            if args.range_q is not None:
+                lo, hi = args.range_q
+                pairs = v.docs_in_range(lo, hi)
+                print(json.dumps({"range": [lo, hi],
+                                  "pairs": pairs[:args.limit],
+                                  "total": len(pairs)}))
+            elif args.eq is not None:
+                val = int(args.eq) if v.is_int else args.eq
+                docs = v.docs_where_eq(val)
+                print(json.dumps({"eq": val, "docs": docs[:args.limit],
+                                  "total_docs": len(docs)}))
+            else:
+                t = v.read()
+                for r in t.slice(0, args.limit).to_pylist():
+                    print(json.dumps(r))
+                print(json.dumps({"total_entries": t.num_rows}))
         elif args.cmd == "changes":
             # materialize once: take/count after write would otherwise
             # re-fold both epoch states and re-diff every partition

@@ -321,22 +321,48 @@ def replay_datasets(
     )
 
 
-def _layout_replayer(sf_dir: str, cfg: ReplayConfig) -> "Replayer":
-    """Materialize the sf-derived base+binlog into a manifest ``Replayer``
-    table (co-partitioned on-disk layout) and apply the single epoch. The
-    temp root stays on disk while returned (lazy) Datasets read it."""
+#: pristine layout tables, built once per (variant, sf_dir, cfg) per
+#: process — the dozen layout-backed driver queries share the replayed
+#: table instead of each paying the base+binlog write + apply
+_LAYOUT_MEMO: dict = {}
+
+
+def _clone_private(rp: "Replayer", cfg: ReplayConfig) -> "Replayer":
+    """Zero-copy hardlink clone of a memoized pristine layout — handed to
+    MUTATING queries (merge / virtual-column registration) so the shared
+    table stays pristine."""
     import tempfile
 
     from marc_data_migration_ray.pipelines.replay import Replayer
 
-    root = tempfile.mkdtemp(prefix="cdc_lww_layout_")
-    base_dir = os.path.join(root, "base_in")
-    binlog_dir = os.path.join(root, "binlog_in")
-    build_base_ds(sf_dir).write_parquet(base_dir)
-    build_binlog_ds(sf_dir).write_parquet(binlog_dir)
-    rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
-    rp.apply_epoch(0, binlog_dir)
-    return rp
+    dst = os.path.join(tempfile.mkdtemp(prefix="cdc_layout_clone_"), "table")
+    rp.clone(dst)
+    return Replayer(dst, cfg)
+
+
+def _layout_replayer(sf_dir: str, cfg: ReplayConfig,
+                     private: bool = False) -> "Replayer":
+    """Materialize the sf-derived base+binlog into a manifest ``Replayer``
+    table (co-partitioned on-disk layout) and apply the single epoch. The
+    temp root stays on disk while returned (lazy) Datasets read it.
+    Memoized per (sf_dir, cfg); ``private=True`` returns a hardlink clone
+    the caller may mutate."""
+    import tempfile
+
+    from marc_data_migration_ray.pipelines.replay import Replayer
+
+    key = ("1ep", sf_dir, repr(sorted(vars(cfg).items(), key=str)))
+    rp = _LAYOUT_MEMO.get(key)
+    if rp is None:
+        root = tempfile.mkdtemp(prefix="cdc_lww_layout_")
+        base_dir = os.path.join(root, "base_in")
+        binlog_dir = os.path.join(root, "binlog_in")
+        build_base_ds(sf_dir).write_parquet(base_dir)
+        build_binlog_ds(sf_dir).write_parquet(binlog_dir)
+        rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
+        rp.apply_epoch(0, binlog_dir)
+        _LAYOUT_MEMO[key] = rp
+    return _clone_private(rp, cfg) if private else rp
 
 
 def _scalar_state(rows: ray.data.Dataset) -> ray.data.Dataset:
@@ -374,7 +400,8 @@ def cdc_virtual_column(
     column's declared input rides the projection pushdown, the token
     payload never folds. Oracle = the same integer expression over the
     LWW state SQL."""
-    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16),
+                          private=True)
     rp.set_virtual_column(
         "tok_score", "CAST(n_tok AS BIGINT) * 3 + 7", inputs=["n_tok"])
     return rp.read_state(columns=["doc_id", "tok_score"])
@@ -404,6 +431,57 @@ def cdc_point_lookup(
     same ids (a key deleted by replay is absent from both sides)."""
     rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
     return _scalar_state(rp.lookup(list(doc_ids)))
+
+
+#: keys whose lineage cdc_doc_history reports (all exist in documents)
+HISTORY_IDS = ("7", "77", "177")
+
+
+def cdc_doc_history(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+    doc_ids: tuple[str, ...] = HISTORY_IDS,
+) -> pa.Table:
+    """Driver surface for ``Replayer.doc_history`` (row-level lineage):
+    replay onto the co-partitioned layout, then list every event that
+    targeted each of ``doc_ids`` — partition-pruned, key-filtered reads —
+    plus the base row. Oracle = the binlog filtered to the same keys with
+    the M14 gate's route/status CASE, UNION the documents base row."""
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    out = []
+    for k in doc_ids:
+        h = rp.doc_history(k)
+        h = h.append_column("doc_id", pa.array([k] * h.num_rows, pa.string()))
+        out.append(h.select(
+            ["doc_id", "lsn", "op", "route", "status", "match_score",
+             "n_tok", "source"]
+        ))
+    t = pa.concat_tables(out)
+    t = t.set_column(t.column_names.index("n_tok"), "n_tok",
+                     pc.cast(t["n_tok"], pa.int64()))
+    return t.sort_by([("doc_id", "ascending"), ("lsn", "ascending")])
+
+
+def cdc_index_range(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+    lo: int = 10, hi: int = 40,
+) -> pa.Table:
+    """Driver surface for ``ScalarIndexView``: replay onto the layout,
+    build/refresh a range-binned secondary index on ``n_tok``, answer a
+    range predicate from the index alone (only overlapping bins are
+    read). Oracle = the LWW state SQL filtered to the same range."""
+    import tempfile
+
+    from marc_data_migration_ray.pipelines.views import ScalarIndexView
+
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    v = ScalarIndexView(tempfile.mkdtemp(prefix="cdc_sidx_"), rp,
+                        column="n_tok", bin_width=8)
+    v.refresh()
+    pairs = v.docs_in_range(lo, hi)
+    return pa.table({
+        "doc_id": pa.array([d for _, d in pairs], pa.string()),
+        "n_tok": pa.array([x for x, _ in pairs], pa.int64()),
+    })
 
 
 def cdc_source_counts(sf_dir: str, cfg: ReplayConfig | None = None) -> pa.Table:
@@ -524,7 +602,7 @@ def cdc_merge_state(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Da
     same source expression (merge lsns aren't SQL-modelable, so the
     projection drops ``last_lsn``)."""
     cfg = cfg or ReplayConfig(num_partitions=16)
-    rp = _layout_replayer(sf_dir, cfg)
+    rp = _layout_replayer(sf_dir, cfg, private=True)
     rp.merge(build_merge_source_ds(sf_dir), epoch=1)
     return rp.read_state().map_batches(
         lambda t: pa.table(
@@ -620,6 +698,10 @@ def _layout_replayer_2ep(sf_dir: str, cfg: ReplayConfig) -> "Replayer":
 
     from marc_data_migration_ray.pipelines.replay import Replayer
 
+    key = ("2ep", sf_dir, repr(sorted(vars(cfg).items(), key=str)))
+    rp = _LAYOUT_MEMO.get(key)
+    if rp is not None:
+        return rp
     root = tempfile.mkdtemp(prefix="cdc_2ep_")
     base_dir = os.path.join(root, "base_in")
     build_base_ds(sf_dir).write_parquet(base_dir)
@@ -632,6 +714,7 @@ def _layout_replayer_2ep(sf_dir: str, cfg: ReplayConfig) -> "Replayer":
     rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
     rp.apply_epoch(0, os.path.join(root, "ep0"))
     rp.apply_epoch(1, os.path.join(root, "ep1"))
+    _LAYOUT_MEMO[key] = rp
     return rp
 
 

@@ -307,16 +307,16 @@ def tfidf_topk(sf_dir: str, k: int = 3) -> ray.data.Dataset:
 
     Distributed shape: (1) exact per-batch (doc_id, token, tf) triples —
     docs are whole rows, so a batch-local group_by is globally exact;
-    (2) df = ONE ``groupby(token).count`` over the distinct pairs
-    (vocab-sized shuffle); (3) ``Dataset.join`` tf⋈df on token (both
-    sides large). A stopword-hot token concentrates its tf rows in one
-    join partition — for stopword-heavy corpora broadcast the top-V df
-    entries and join only the tail; (4) per-doc top-k via a coarse
-    doc-bucket shuffle + one vectorized polars window per bucket (no
-    per-doc Python)."""
+    (2) ONE coarse token-bucket shuffle; per bucket a vectorized
+    ``len().over(token)`` window attaches df (triples are distinct per
+    (doc, token), so the group size IS the document frequency — no
+    ``Dataset.join``, and the tf pass runs once instead of feeding two
+    consumers); (3) per-doc top-k via a coarse doc-bucket shuffle + one
+    vectorized polars window per bucket (no per-doc Python). A
+    stopword-hot token concentrates its rows in one token bucket — for
+    stopword-heavy corpora split step 2 into per-batch partial counts
+    for the top-V head and the windowed tail."""
     import polars as pl
-
-    from ray.data.aggregate import Count
 
     docs = _docs(sf_dir)
     # Parquet-footer row count — no data scan, no Ray task.
@@ -346,9 +346,27 @@ def tfidf_topk(sf_dir: str, k: int = 3) -> ray.data.Dataset:
         )
 
     tf_ds = docs.map_batches(_tf, batch_format="pyarrow", zero_copy_batch=True)
-    df_ds = tf_ds.groupby("token").aggregate(Count(alias_name="df"))
-    joined = tf_ds.join(
-        df_ds, join_type="inner", num_partitions=8, on=("token",)
+
+    def _tok_bucket(t: pa.Table) -> pa.Table:
+        from marc_data_migration_ray.functions.keys import hash_partition
+
+        return t.append_column(
+            "tok_bucket",
+            pc.cast(hash_partition(t["token"], TFIDF_BUCKETS), pa.int32()),
+        )
+
+    def _attach_df(g: pa.Table) -> pa.Table:
+        d = pl.from_arrow(g.drop_columns(["tok_bucket"]))
+        return (
+            d.with_columns(pl.len().over("token").cast(pl.Int64).alias("df"))
+            .to_arrow()
+        )
+
+    joined = (
+        tf_ds.map_batches(_tok_bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+        .groupby("tok_bucket")
+        .map_groups(_attach_df, batch_format="pyarrow")
     )
 
     def _bucket(t: pa.Table) -> pa.Table:

@@ -212,103 +212,66 @@ def _refresh_target(rp, last: int | None, to_epoch: int | None):
     return to_epoch, last
 
 
-#: (bucket, token, doc_id, sign) — the unit both PostingsView paths emit
-_PAIRS_SCHEMA = pa.schema(
-    [("bucket", pa.int64()), ("token", pa.int32()),
-     ("doc_id", pa.string()), ("sign", pa.int64())]
-)
+class _SignedSetView:
+    """Shared machinery for SET-valued incremental views: bucketed
+    ``(value, doc_id)`` parquet maintained by SIGNED membership deltas
+    from the change feed. Per touched bucket: stored entries (weight 1)
+    ∪ deltas, keep ``sum > 0`` — a kept membership of an updated doc
+    cancels to 1 (1+1-1), a dropped one to 0, a new one appears at 1.
+    Untouched bucket files are HARDLINKED forward. Work is O(changes +
+    touched bucket bytes), never O(table) — the property that keeps a
+    100-TB secondary index fresh under a trickle of updates.
 
+    Storage: ``v{epoch}/bucket=<b>.parquet`` + the same atomic tmp-dir +
+    ``CURRENT``-marker commit protocol as :class:`AggView` (a torn
+    refresh leaves the previous version current). Full build (first
+    refresh, or the base epoch was compacted away / rolled back):
+    fold-output rows → exploded pairs → ONE shuffle
+    (``groupby(bucket)``) → one sorted file per bucket.
 
-class PostingsView:
-    """Incrementally-maintained inverted token index over a Replayer table
-    — the SET-valued analog of :class:`AggView`: token → the doc_ids whose
-    CURRENT token array contains it (a secondary index on the payload,
-    maintained from the change feed instead of rebuilt per epoch).
-
-    Storage: hash-bucketed parquet — ``v{epoch}/bucket=<b>.parquet`` with
-    schema (token:int32, doc_id:string), ``b = token mod n_buckets`` —
-    plus the same atomic tmp-dir + ``CURRENT``-marker commit protocol as
-    AggView (a torn refresh leaves the previous version current).
-
-    * **full build** (first refresh, or the base epoch was compacted
-      away / rolled back): fold-output rows → per-row DISTINCT tokens
-      exploded to (bucket, token, doc_id) → ONE shuffle
-      (``groupby(bucket)``) → one sorted file per bucket.
-    * **incremental refresh**: the payload change feed
-      (``changes_between(last, to, with_payload=True,
-      with_before_payload=True)``) becomes SIGNED membership deltas —
-      +1 per distinct token of an insert/update after-image, -1 per
-      distinct token of a delete/update before-image. Per touched
-      bucket: stored entries (weight 1) ∪ deltas, keep ``sum > 0`` —
-      a kept token of an updated doc cancels to 1 (1+1-1), a dropped
-      token to 0, a new token appears at 1. Untouched bucket files are
-      HARDLINKED forward. Work is O(changes × tokens/doc + touched
-      bucket bytes), never O(table) — the property that keeps a 100-TB
-      secondary index fresh under a trickle of updates.
+    Subclasses define ``VALUE_COL``, ``_value_type()``, the pair kernels
+    ``_full_pairs`` / ``_delta_pairs`` (emitting
+    (bucket:int64, VALUE_COL, doc_id, sign)) and ``_feed_kwargs()``.
 
     Multi-node note: bucket-merge tasks read the stored bucket file by
     path, so the view root must be on storage every worker can read —
     the same assumption the table root itself carries.
     """
 
-    def __init__(self, root: str, replayer, n_buckets: int = 16):
-        if n_buckets < 1:
-            raise ValueError("n_buckets must be >= 1")
+    VALUE_COL = "value"
+
+    def __init__(self, root: str, replayer, meta_defaults: dict):
         self.root = root
         self.rp = replayer
         os.makedirs(root, exist_ok=True)
         meta_p = os.path.join(root, "META.json")
         if os.path.exists(meta_p):
-            meta = json.loads(open(meta_p).read())
-            self.n_buckets = int(meta["n_buckets"])
+            self.meta = json.loads(open(meta_p).read())
         else:
-            self.n_buckets = int(n_buckets)
+            self.meta = dict(meta_defaults)
             tmp = meta_p + ".tmp"
             with open(tmp, "w") as f:
-                f.write(json.dumps({"n_buckets": self.n_buckets}))
+                f.write(json.dumps(self.meta))
             os.replace(tmp, meta_p)
 
-    # ------------------------------------------------------------ kernels --
-    def _explode(self, df, tok_col: str, sign: int):
-        import polars as pl
-
-        B = self.n_buckets
-        d = (
-            df.select(
-                pl.col("doc_id"),
-                pl.col(tok_col).list.unique().alias("token"),
-            )
-            .explode("token")
-            .drop_nulls("token")
-        )
-        return d.select(
-            ((pl.col("token").cast(pl.Int64) % B + B) % B).alias("bucket"),
-            pl.col("token").cast(pl.Int32),
-            pl.col("doc_id"),
-            pl.lit(sign).cast(pl.Int64).alias("sign"),
-        )
+    # ------------------------------------------------------ subclass API --
+    def _value_type(self) -> pa.DataType:
+        raise NotImplementedError
 
     def _full_pairs(self, t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.from_arrow(t.select(["doc_id", "tokens"]))
-        return self._explode(df, "tokens", 1).to_arrow().cast(_PAIRS_SCHEMA)
+        raise NotImplementedError
 
     def _delta_pairs(self, t: pa.Table) -> pa.Table:
-        import polars as pl
+        raise NotImplementedError
 
-        df = pl.from_arrow(
-            t.select(["doc_id", "change", "tokens_before", "tokens_after"])
+    def _feed_kwargs(self) -> dict:
+        return {}
+
+    def _pairs_schema(self) -> pa.Schema:
+        return pa.schema(
+            [("bucket", pa.int64()), (self.VALUE_COL, self._value_type()),
+             ("doc_id", pa.string()), ("sign", pa.int64())]
         )
-        add = self._explode(
-            df.filter(pl.col("change").is_in(["insert", "update"])),
-            "tokens_after", 1,
-        )
-        rem = self._explode(
-            df.filter(pl.col("change").is_in(["update", "delete"])),
-            "tokens_before", -1,
-        )
-        return pl.concat([add, rem]).to_arrow().cast(_PAIRS_SCHEMA)
 
     # ------------------------------------------------------------- state --
     def _current(self) -> dict | None:
@@ -330,42 +293,20 @@ class PostingsView:
         return out
 
     def read(self) -> pa.Table:
-        """Full postings table, sorted by (token, doc_id)."""
+        """Full index table, sorted by (value, doc_id)."""
         cur = self._current()
         if cur is None:
             raise ValueError("view was never refreshed")
         files = sorted(self._bucket_files(cur["dir"]).items())
         if not files:
             return pa.table(
-                {"token": pa.array([], pa.int32()),
+                {self.VALUE_COL: pa.array([], self._value_type()),
                  "doc_id": pa.array([], pa.string())}
             )
         t = pa.concat_tables([pq.read_table(f) for _, f in files])
-        return t.sort_by([("token", "ascending"), ("doc_id", "ascending")])
-
-    def docs_for_tokens(self, tokens, mode: str = "and") -> list[str]:
-        """Boolean retrieval over the index: doc_ids containing ALL
-        (``mode="and"``) or ANY (``mode="or"``) of ``tokens`` — reads only
-        the buckets the query tokens hash to."""
-        if mode not in ("and", "or"):
-            raise ValueError("mode must be 'and' or 'or'")
-        cur = self._current()
-        if cur is None:
-            raise ValueError("view was never refreshed")
-        toks = sorted({int(x) for x in tokens})
-        if not toks:
-            return []
-        files = self._bucket_files(cur["dir"])
-        sets: list[set] = []
-        for tok in toks:
-            f = files.get(tok % self.n_buckets)
-            if f is None:
-                sets.append(set())
-                continue
-            t = pq.read_table(f, filters=[("token", "==", tok)])
-            sets.append(set(t["doc_id"].to_pylist()))
-        out = set.intersection(*sets) if mode == "and" else set.union(*sets)
-        return sorted(out)
+        return t.sort_by(
+            [(self.VALUE_COL, "ascending"), ("doc_id", "ascending")]
+        )
 
     # ----------------------------------------------------------- refresh --
     def refresh(self, to_epoch: int | None = None) -> dict:
@@ -386,7 +327,7 @@ class PostingsView:
             mode = "full"
         else:
             feed = self.rp.changes_between(
-                last, to_epoch, with_payload=True, with_before_payload=True
+                last, to_epoch, **self._feed_kwargs()
             )
             pairs = feed.map_batches(
                 self._delta_pairs, batch_format="pyarrow", zero_copy_batch=True
@@ -398,10 +339,12 @@ class PostingsView:
         tmp = os.path.join(self.root, f"_tmp_{vdir}")
         shutil.rmtree(tmp, ignore_errors=True)
         os.makedirs(tmp)
+        vcol = self.VALUE_COL
 
-        def _merge_bucket(g: pa.Table, stored_dir=stored_dir, tmp=tmp) -> pa.Table:
+        def _merge_bucket(g: pa.Table, stored_dir=stored_dir, tmp=tmp,
+                          vcol=vcol) -> pa.Table:
             b = int(g["bucket"][0].as_py())
-            parts = [g.select(["token", "doc_id", "sign"])]
+            parts = [g.select([vcol, "doc_id", "sign"])]
             if stored_dir is not None:
                 f = os.path.join(stored_dir, f"bucket={b}.parquet")
                 if os.path.exists(f):
@@ -412,10 +355,10 @@ class PostingsView:
                         )
                     )
             allt = pa.concat_tables(parts)
-            agg = allt.group_by(["token", "doc_id"]).aggregate([("sign", "sum")])
+            agg = allt.group_by([vcol, "doc_id"]).aggregate([("sign", "sum")])
             keep = agg.filter(pc.greater(agg["sign_sum"], 0))
-            keep = keep.select(["token", "doc_id"]).sort_by(
-                [("token", "ascending"), ("doc_id", "ascending")]
+            keep = keep.select([vcol, "doc_id"]).sort_by(
+                [(vcol, "ascending"), ("doc_id", "ascending")]
             )
             # retries may re-run a bucket: unique tmp name + atomic replace
             out_f = os.path.join(tmp, f"bucket={b}.parquet")
@@ -445,6 +388,227 @@ class PostingsView:
         os.replace(marker_tmp, os.path.join(self.root, "CURRENT"))
         return {"epoch": to_epoch, "mode": mode,
                 "touched_buckets": len(touched)}
+
+
+class PostingsView(_SignedSetView):
+    """Incrementally-maintained inverted token index over a Replayer table
+    — the SET-valued analog of :class:`AggView`: token → the doc_ids whose
+    CURRENT token array contains it (a secondary index on the payload).
+
+    Buckets: ``token mod n_buckets``. Incremental refresh rides the
+    PAYLOAD change feed (``with_payload + with_before_payload``): +1 per
+    distinct token of an insert/update after-image, -1 per distinct token
+    of a delete/update before-image (cancel arithmetic and commit
+    protocol in :class:`_SignedSetView`)."""
+
+    VALUE_COL = "token"
+
+    def __init__(self, root: str, replayer, n_buckets: int = 16):
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        super().__init__(root, replayer, {"n_buckets": int(n_buckets)})
+        self.n_buckets = int(self.meta["n_buckets"])
+
+    def _value_type(self) -> pa.DataType:
+        return pa.int32()
+
+    def _feed_kwargs(self) -> dict:
+        return {"with_payload": True, "with_before_payload": True}
+
+    # ------------------------------------------------------------ kernels --
+    def _explode(self, df, tok_col: str, sign: int):
+        import polars as pl
+
+        B = self.n_buckets
+        d = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col(tok_col).list.unique().alias("token"),
+            )
+            .explode("token")
+            .drop_nulls("token")
+        )
+        return d.select(
+            ((pl.col("token").cast(pl.Int64) % B + B) % B).alias("bucket"),
+            pl.col("token").cast(pl.Int32),
+            pl.col("doc_id"),
+            pl.lit(sign).cast(pl.Int64).alias("sign"),
+        )
+
+    def _full_pairs(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "tokens"]))
+        return self._explode(df, "tokens", 1).to_arrow().cast(
+            self._pairs_schema())
+
+    def _delta_pairs(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(
+            t.select(["doc_id", "change", "tokens_before", "tokens_after"])
+        )
+        add = self._explode(
+            df.filter(pl.col("change").is_in(["insert", "update"])),
+            "tokens_after", 1,
+        )
+        rem = self._explode(
+            df.filter(pl.col("change").is_in(["update", "delete"])),
+            "tokens_before", -1,
+        )
+        return pl.concat([add, rem]).to_arrow().cast(self._pairs_schema())
+
+    def docs_for_tokens(self, tokens, mode: str = "and") -> list[str]:
+        """Boolean retrieval over the index: doc_ids containing ALL
+        (``mode="and"``) or ANY (``mode="or"``) of ``tokens`` — reads only
+        the buckets the query tokens hash to."""
+        if mode not in ("and", "or"):
+            raise ValueError("mode must be 'and' or 'or'")
+        cur = self._current()
+        if cur is None:
+            raise ValueError("view was never refreshed")
+        toks = sorted({int(x) for x in tokens})
+        if not toks:
+            return []
+        files = self._bucket_files(cur["dir"])
+        sets: list[set] = []
+        for tok in toks:
+            f = files.get(tok % self.n_buckets)
+            if f is None:
+                sets.append(set())
+                continue
+            t = pq.read_table(f, filters=[("token", "==", tok)])
+            sets.append(set(t["doc_id"].to_pylist()))
+        out = set.intersection(*sets) if mode == "and" else set.union(*sets)
+        return sorted(out)
+
+
+#: scalar state columns the token-free change feed carries images for
+_INDEXABLE_INT = {"n_tok": pa.int32, "last_lsn": pa.int64}
+_INDEXABLE_STR = ("source", "status")
+
+
+class ScalarIndexView(_SignedSetView):
+    """Incrementally-maintained secondary index on a SCALAR state column
+    (``n_tok`` / ``last_lsn`` / ``source`` / ``status``) — the lakehouse
+    "index on a column" accelerator, maintained from the TOKEN-FREE
+    change feed (before/after scalar images only; token arrays never
+    move for a refresh).
+
+    Buckets: integer columns are RANGE-binned (``value // bin_width``,
+    so ``docs_in_range`` reads only the overlapping bins — a range
+    predicate over a 100-TB table touches O(range/bin_width) files);
+    string columns are hash-bucketed with the engine's own partitioner
+    (equality lookups only). Rows whose column value is null are absent
+    from the index (and retracted when an update nulls the value).
+
+    The index binds to the PHYSICAL column name the change feed carries
+    (the pre-DDL storage name) — a later ``rename_column`` changes the
+    PUBLIC state name but not the feed images, so the index keeps
+    maintaining under its original name."""
+
+    VALUE_COL = "value"
+
+    def __init__(self, root: str, replayer, column: str = "n_tok",
+                 n_buckets: int = 16, bin_width: int = 16):
+        if column not in _INDEXABLE_INT and column not in _INDEXABLE_STR:
+            raise ValueError(
+                f"column {column!r} not indexable; feed carries "
+                f"{sorted(_INDEXABLE_INT) + list(_INDEXABLE_STR)}"
+            )
+        if n_buckets < 1 or bin_width < 1:
+            raise ValueError("n_buckets and bin_width must be >= 1")
+        super().__init__(root, replayer, {
+            "column": column, "n_buckets": int(n_buckets),
+            "bin_width": int(bin_width),
+        })
+        self.column = self.meta["column"]
+        self.n_buckets = int(self.meta["n_buckets"])
+        self.bin_width = int(self.meta["bin_width"])
+
+    def _value_type(self) -> pa.DataType:
+        if self.column in _INDEXABLE_INT:
+            return _INDEXABLE_INT[self.column]()
+        return pa.string()
+
+    @property
+    def is_int(self) -> bool:
+        return self.column in _INDEXABLE_INT
+
+    # ------------------------------------------------------------ kernels --
+    def _buckets_of(self, values: pa.ChunkedArray | pa.Array) -> pa.Array:
+        import numpy as np
+
+        if self.is_int:
+            v = pc.cast(values, pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.array(np.floor_divide(v, self.bin_width), pa.int64())
+        from marc_data_migration_ray.functions.keys import hash_partition
+
+        return pc.cast(hash_partition(values, self.n_buckets), pa.int64())
+
+    def _pairs(self, t: pa.Table, val_col: str, sign: int) -> pa.Table:
+        keep = t.filter(pc.is_valid(t[val_col]))
+        vals = pc.cast(keep[val_col], self._value_type())
+        return pa.table(
+            {"bucket": self._buckets_of(vals),
+             self.VALUE_COL: vals,
+             "doc_id": keep["doc_id"],
+             "sign": pa.array([sign] * keep.num_rows, pa.int64())}
+        ).cast(self._pairs_schema())
+
+    def _full_pairs(self, t: pa.Table) -> pa.Table:
+        return self._pairs(t.select(["doc_id", self.column]), self.column, 1)
+
+    def _delta_pairs(self, t: pa.Table) -> pa.Table:
+        add = self._pairs(
+            t.filter(pc.is_in(t["change"],
+                              value_set=pa.array(["insert", "update"])))
+             .select(["doc_id", f"{self.column}_after"]),
+            f"{self.column}_after", 1,
+        )
+        rem = self._pairs(
+            t.filter(pc.is_in(t["change"],
+                              value_set=pa.array(["update", "delete"])))
+             .select(["doc_id", f"{self.column}_before"]),
+            f"{self.column}_before", -1,
+        )
+        return pa.concat_tables([add, rem])
+
+    # ------------------------------------------------------------ queries --
+    def docs_where_eq(self, value) -> list[str]:
+        """doc_ids whose current column value equals ``value`` — reads one
+        bucket file."""
+        cur = self._current()
+        if cur is None:
+            raise ValueError("view was never refreshed")
+        b = self._buckets_of(pa.array([value], self._value_type()))[0].as_py()
+        f = self._bucket_files(cur["dir"]).get(b)
+        if f is None:
+            return []
+        t = pq.read_table(f, filters=[("value", "==", value)])
+        return sorted(t["doc_id"].to_pylist())
+
+    def docs_in_range(self, lo: int, hi: int) -> list[tuple]:
+        """(value, doc_id) pairs with ``lo <= value <= hi`` (integer
+        columns only) — reads only the overlapping range bins."""
+        if not self.is_int:
+            raise ValueError("range queries need an integer column")
+        if hi < lo:
+            return []
+        cur = self._current()
+        if cur is None:
+            raise ValueError("view was never refreshed")
+        files = self._bucket_files(cur["dir"])
+        out = []
+        for b in range(lo // self.bin_width, hi // self.bin_width + 1):
+            f = files.get(b)
+            if f is None:
+                continue
+            t = pq.read_table(
+                f, filters=[("value", ">=", lo), ("value", "<=", hi)]
+            )
+            out.extend(zip(t["value"].to_pylist(), t["doc_id"].to_pylist()))
+        return sorted(out)
 
 
 #: backward-compatible (source, n_rows, n_tok_sum) view

@@ -403,6 +403,11 @@ def main(argv=None) -> int:
     fo.add_argument("--view-root", default=None, dest="view_root",
                     help="keep the source-counts materialized view fresh: "
                          "incremental refresh after every applied epoch")
+    fo.add_argument("--refresh-view", action="append", default=None,
+                    dest="refresh_views", metavar="ROOT",
+                    help="existing view root (agg / postings / scalar-index, "
+                         "type read from its META.json) to refresh after "
+                         "every applied epoch; repeatable")
     fo.add_argument("--max-deadletter-rate", type=float, default=None,
                     dest="max_dl_rate",
                     help="write-audit-publish gate: veto (and stop) when an "
@@ -825,6 +830,11 @@ def main(argv=None) -> int:
                 from marc_data_migration_ray.pipelines.views import SourceCountsView
 
                 view = SourceCountsView(args.view_root, rp)
+            extra_views = []
+            if args.refresh_views:
+                from marc_data_migration_ray.pipelines.views import open_view
+
+                extra_views = [(r, open_view(r, rp)) for r in args.refresh_views]
             # the bound is checked BEFORE applying: a resume where
             # until_epoch is already committed exits immediately instead of
             # polling forever or over-applying
@@ -861,6 +871,10 @@ def main(argv=None) -> int:
                             "routes": entry["routes"]}
                     if view is not None:
                         line["view"] = view.refresh(to_epoch=e)
+                    if extra_views:
+                        line["views"] = {
+                            r: v.refresh(to_epoch=e) for r, v in extra_views
+                        }
                     print(json.dumps(line), flush=True)
                     e += 1
                     idle = 0

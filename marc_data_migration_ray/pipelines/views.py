@@ -54,6 +54,12 @@ class AggView:
     """Materialized ``GROUP BY keys → (n_rows, <sum>_sum...)`` view."""
 
     def __init__(self, root: str, replayer, keys=("source",), sums=("n_tok",)):
+        # sticky meta: a reopened view keeps the keys/sums it was built
+        # with (and records its kind so ``open_view`` can reconstruct it)
+        meta_p = os.path.join(root, "META.json")
+        if os.path.exists(meta_p):
+            meta = json.loads(open(meta_p).read())
+            keys, sums = tuple(meta["keys"]), tuple(meta["sums"])
         for k in keys:
             if k not in FEED_KEY_COLS:
                 raise ValueError(f"key {k!r} not in change feed {FEED_KEY_COLS}")
@@ -66,6 +72,13 @@ class AggView:
         self.rp = replayer
         self.keys = tuple(keys)
         self.sums = tuple(sums)
+        if not os.path.exists(meta_p):
+            os.makedirs(root, exist_ok=True)
+            tmp = meta_p + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(json.dumps({"kind": "agg", "keys": list(self.keys),
+                                    "sums": list(self.sums)}))
+            os.replace(tmp, meta_p)
         self.out_cols = [f"{s}_sum" for s in self.sums]
         self.schema = pa.schema(
             [(k, pa.string()) for k in self.keys]
@@ -406,7 +419,8 @@ class PostingsView(_SignedSetView):
     def __init__(self, root: str, replayer, n_buckets: int = 16):
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
-        super().__init__(root, replayer, {"n_buckets": int(n_buckets)})
+        super().__init__(root, replayer,
+                         {"kind": "postings", "n_buckets": int(n_buckets)})
         self.n_buckets = int(self.meta["n_buckets"])
 
     def _value_type(self) -> pa.DataType:
@@ -519,8 +533,8 @@ class ScalarIndexView(_SignedSetView):
         if n_buckets < 1 or bin_width < 1:
             raise ValueError("n_buckets and bin_width must be >= 1")
         super().__init__(root, replayer, {
-            "column": column, "n_buckets": int(n_buckets),
-            "bin_width": int(bin_width),
+            "kind": "scalar_index", "column": column,
+            "n_buckets": int(n_buckets), "bin_width": int(bin_width),
         })
         self.column = self.meta["column"]
         self.n_buckets = int(self.meta["n_buckets"])
@@ -609,6 +623,29 @@ class ScalarIndexView(_SignedSetView):
             )
             out.extend(zip(t["value"].to_pylist(), t["doc_id"].to_pylist()))
         return sorted(out)
+
+
+def open_view(root: str, replayer):
+    """Reopen ANY materialized view from its ``META.json`` ``kind`` tag
+    (agg / postings / scalar_index) — what ``follow --refresh-view``
+    uses to keep a set of heterogeneous views fresh during streaming
+    ingest without being told their types."""
+    meta_p = os.path.join(root, "META.json")
+    if not os.path.exists(meta_p):
+        raise ValueError(
+            f"{root}: no META.json — create the view once with its "
+            "concrete class (AggView / PostingsView / ScalarIndexView) first"
+        )
+    meta = json.loads(open(meta_p).read())
+    kind = meta.get("kind")
+    if kind == "agg":
+        return AggView(root, replayer, keys=tuple(meta["keys"]),
+                       sums=tuple(meta["sums"]))
+    if kind == "postings":
+        return PostingsView(root, replayer)
+    if kind == "scalar_index":
+        return ScalarIndexView(root, replayer)
+    raise ValueError(f"{root}: unknown view kind {kind!r}")
 
 
 #: backward-compatible (source, n_rows, n_tok_sum) view

@@ -1,0 +1,103 @@
+"""`follow --refresh-view`: heterogeneous materialized views (agg /
+postings / scalar-index) kept fresh during streaming ingest — type is
+read from each view's META.json `kind` (views.open_view), first refresh
+is a full build, later epochs refresh incrementally, and final contents
+equal fresh rebuilds at the head epoch.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+from marc_data_migration_ray.config import ReplayConfig
+from marc_data_migration_ray.pipelines.replay import Replayer
+from marc_data_migration_ray.pipelines.views import (
+    AggView,
+    PostingsView,
+    ScalarIndexView,
+    open_view,
+)
+from marc_data_migration_ray.sources import fixtures
+
+N_EPOCHS = 3
+
+
+def test_follow_refresh_views(ray_session, tmp_path):
+    env = dict(os.environ)
+    env.pop("RAY_ADDRESS", None)
+    fix = str(tmp_path / "fix")
+    # no DDL so the scalar index's physical column stays the public name
+    fixtures.write_fixture(fix, n_rows=80, n_events=500, n_epochs=N_EPOCHS,
+                           seed=23, schema_change_frac=0.0)
+    table = str(tmp_path / "t")
+    cfg = ReplayConfig(num_partitions=4)
+
+    # register the three views (META only — no refresh yet); the follow
+    # subprocess reconstructs each from its kind tag
+    rp0 = Replayer(table, cfg, base_path=os.path.join(fix, "base"))
+    roots = {
+        "agg": str(tmp_path / "v_agg"),
+        "postings": str(tmp_path / "v_post"),
+        "sidx": str(tmp_path / "v_sidx"),
+    }
+    AggView(roots["agg"], rp0, keys=("source",), sums=("n_tok",))
+    PostingsView(roots["postings"], rp0, n_buckets=8)
+    ScalarIndexView(roots["sidx"], rp0, column="n_tok", bin_width=8)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "marc_data_migration_ray", "follow",
+         "--table", table, "--binlog-root", os.path.join(fix, "binlog"),
+         "--base", os.path.join(fix, "base"), "--num-partitions", "4",
+         "--until-epoch", str(N_EPOCHS - 1), "--poll", "0.1",
+         "--refresh-view", roots["agg"],
+         "--refresh-view", roots["postings"],
+         "--refresh-view", roots["sidx"]],
+        capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [json.loads(x) for x in r.stdout.strip().splitlines()]
+    applied = [x for x in lines if "applied_epoch" in x]
+    assert [x["applied_epoch"] for x in applied] == list(range(N_EPOCHS))
+    for i, x in enumerate(applied):
+        modes = {root: x["views"][root]["mode"] for root in roots.values()}
+        want = "full" if i == 0 else "incremental"
+        assert set(modes.values()) == {want}, (i, modes)
+
+    # final view contents == fresh rebuilds at the head epoch
+    rp = Replayer(table, cfg)
+    for name, root in roots.items():
+        v = open_view(root, rp)
+        assert v.last_epoch() == N_EPOCHS - 1
+        fresh = {
+            "agg": lambda: AggView(str(tmp_path / "f_agg"), rp,
+                                   keys=("source",), sums=("n_tok",)),
+            "postings": lambda: PostingsView(str(tmp_path / "f_post"), rp,
+                                             n_buckets=8),
+            "sidx": lambda: ScalarIndexView(str(tmp_path / "f_sidx"), rp,
+                                            column="n_tok", bin_width=8),
+        }[name]()
+        fresh.refresh()
+        assert v.read().equals(fresh.read()), name
+
+
+def test_open_view_errors(ray_session, tmp_path):
+    fix = str(tmp_path / "fix")
+    fixtures.write_fixture(fix, n_rows=30, n_events=60, n_epochs=1, seed=3)
+    rp = Replayer(str(tmp_path / "t"), ReplayConfig(num_partitions=2),
+                  base_path=os.path.join(fix, "base"))
+    with pytest.raises(ValueError, match="META"):
+        open_view(str(tmp_path / "nope"), rp)
+    bad = str(tmp_path / "bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "META.json"), "w") as f:
+        f.write(json.dumps({"kind": "wat"}))
+    with pytest.raises(ValueError, match="unknown view kind"):
+        open_view(bad, rp)
+    # agg stickiness: reopen ignores differing ctor args
+    a = AggView(str(tmp_path / "va"), rp, keys=("status",), sums=("last_lsn",))
+    re = AggView(str(tmp_path / "va"), rp)  # defaults differ — META wins
+    assert re.keys == ("status",) and re.sums == ("last_lsn",)
+    assert isinstance(open_view(str(tmp_path / "va"), rp), AggView)

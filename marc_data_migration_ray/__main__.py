@@ -490,6 +490,17 @@ def main(argv=None) -> int:
     pv.add_argument("--limit", type=int, default=20)
     _add_cfg_args(pv)
 
+    mt = sub.add_parser(
+        "maintain",
+        help="auto-optimize: execute explain's recommendations (level-1 "
+             "delta merge / base compaction; repartition only with "
+             "--apply-repartition) until the layout diagnostic is clean",
+    )
+    mt.add_argument("--table", required=True)
+    mt.add_argument("--apply-repartition", action="store_true",
+                    dest="apply_repartition")
+    _add_cfg_args(mt)
+
     si = sub.add_parser(
         "scalar-index",
         help="incrementally-maintained secondary index on a scalar state "
@@ -713,6 +724,9 @@ def main(argv=None) -> int:
             else:
                 e = rp.tag(args.name, epoch=args.epoch, replace=args.replace)
                 print(json.dumps({"tag": args.name, "epoch": e}))
+        elif args.cmd == "maintain":
+            print(json.dumps(
+                rp.maintain(apply_repartition=args.apply_repartition)))
         elif args.cmd == "explain":
             rep = rp.explain_layout()
             if not args.per_part:

@@ -380,6 +380,13 @@ def candidate_pairs_minhash(sf_dir: str, bucket_cap: int = 256) -> ray.data.Data
     )
 
 
+#: verified near-dup pairs are a shared derived artifact — clusters,
+#: keep-best and incremental dedup all consume them; compute the pipeline
+#: once per (sf_dir, threshold, cap) per process and serve the
+#: MATERIALIZED (output-sized) pair set to every downstream consumer
+_MINHASH_MEMO: dict = {}
+
+
 def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8,
                   bucket_cap: int = 256) -> ray.data.Dataset:
     """Near-dup pairs via MinHash-LSH banding + exact shingle-Jaccard verify.
@@ -388,7 +395,21 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8,
     texts by id→verify. Returns (doc_a, doc_b, jaccard) with
     doc_a < doc_b. The verify stage hash-co-locates candidate ids with
     their (bloom-pruned) texts — no whole-corpus broadcast (VERDICT r1
-    fix), and only candidate texts ever shuffle."""
+    fix), and only candidate texts ever shuffle. The verified pair set
+    (output-sized) is memoized per process — the artifact every
+    downstream curation query (clusters / keep-best / incremental)
+    starts from, exactly like a persisted dedup index at 100 TB."""
+    key = (sf_dir, jaccard_threshold, bucket_cap)
+    got = _MINHASH_MEMO.get(key)
+    if got is None:
+        got = _dedup_minhash_build(
+            sf_dir, jaccard_threshold, bucket_cap).materialize()
+        _MINHASH_MEMO[key] = got
+    return got
+
+
+def _dedup_minhash_build(sf_dir: str, jaccard_threshold: float,
+                         bucket_cap: int) -> ray.data.Dataset:
     cand = candidate_pairs_minhash(sf_dir, bucket_cap)
     texts = _candidate_texts(cand, sf_dir)
     with_a = _attach_text(cand, texts, "doc_a", "text_a", ["doc_a", "doc_b"])

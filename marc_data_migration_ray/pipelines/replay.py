@@ -2421,20 +2421,27 @@ class Replayer:
         max_bucket = max((v["base_bytes"] + v["delta_bytes"]
                           for v in per_part.values()), default=0)
         recs = []
+        plan = []  # machine-readable twin of `recommendations` (maintain())
         epochs = self.manifest.active_epochs()
         if max_files > self._EXPLAIN_MAX_FILES_PER_BUCKET and n_epoch_dirs > 1:
             recs.append(
                 f"compact_deltas({floor + 1}, {epochs[-1]}): up to "
                 f"{max_files} files open per bucket fold")
+            plan.append({"op": "compact_deltas",
+                         "args": [floor + 1, epochs[-1]]})
         if tot_base and tot_delta > tot_base:
             recs.append(
                 f"compact(): active deltas ({tot_delta >> 20} MiB) exceed "
                 f"the base snapshot ({tot_base >> 20} MiB)")
+            plan.append({"op": "compact", "args": []})
         if max_bucket > self._EXPLAIN_MAX_BUCKET_BYTES:
             recs.append(
                 f"repartition({2 * self.cfg.num_partitions}, "
                 f"{self.cfg.num_salts}): fattest bucket is "
                 f"{max_bucket >> 20} MiB (fold working set)")
+            plan.append({"op": "repartition",
+                         "args": [2 * self.cfg.num_partitions,
+                                  self.cfg.num_salts]})
         return {
             "num_partitions": self.cfg.num_partitions,
             "num_salts": self.cfg.num_salts,
@@ -2447,6 +2454,52 @@ class Replayer:
             "max_bucket_bytes": max_bucket,
             "per_part": per_part,
             "recommendations": recs,
+            "plan": plan,
+        }
+
+    #: explain/maintain summary keys (before/after comparison unit)
+    _MAINTAIN_KEYS = ("max_files_per_bucket", "delta_bytes",
+                      "max_bucket_bytes", "epoch_dirs_unmerged")
+
+    def maintain(self, apply_repartition: bool = False,
+                 max_rounds: int = 3) -> dict:
+        """Auto-optimize (the ops ``OPTIMIZE``): execute
+        ``explain_layout``'s recommendations until the diagnostic is
+        clean — ``compact()`` when active deltas outweigh the base (it
+        subsumes a pending level-1 merge, so it runs first),
+        ``compact_deltas`` for file-count read amplification.
+        ``repartition`` is a whole-table rewrite whose cost rivals a full
+        fold, so it only runs with ``apply_repartition=True``. One action
+        per round, re-diagnosed between rounds; idempotent (a second call
+        takes no actions). State is bit-identical before/after — every
+        action is one of the engine's proven-equivalent maintenance ops."""
+        before = {k: None for k in self._MAINTAIN_KEYS}
+        actions: list[str] = []
+        for rnd in range(max_rounds):
+            diag = self.explain_layout()
+            if rnd == 0:
+                before = {k: diag[k] for k in self._MAINTAIN_KEYS}
+            ops = {p["op"]: p["args"] for p in diag["plan"]
+                   if p["op"] != "repartition" or apply_repartition}
+            if not ops:
+                break
+            if "compact" in ops:
+                self.compact()
+                actions.append("compact()")
+            elif "compact_deltas" in ops:
+                a, b = ops["compact_deltas"]
+                self.compact_deltas(a, b)
+                actions.append(f"compact_deltas({a}, {b})")
+            elif "repartition" in ops:
+                p_, s_ = ops["repartition"]
+                self.repartition(p_, s_)
+                actions.append(f"repartition({p_}, {s_})")
+        after = self.explain_layout()
+        return {
+            "actions": actions,
+            "before": before,
+            "after": {k: after[k] for k in self._MAINTAIN_KEYS},
+            "remaining_recommendations": after["recommendations"],
         }
 
     def fsck(self, deep: bool = False) -> dict:

@@ -408,6 +408,16 @@ def main(argv=None) -> int:
                     help="existing view root (agg / postings / scalar-index, "
                          "type read from its META.json) to refresh after "
                          "every applied epoch; repeatable")
+    fo.add_argument("--relay-dest", default=None, dest="relay_dest",
+                    help="CDC relay: after each applied epoch e>0, export "
+                         "the (payload) change feed e-1 -> e under "
+                         "DEST/epoch=e — ingest and egress in one loop")
+    fo.add_argument("--relay-format", default="parquet",
+                    choices=["parquet", "jsonl"], dest="relay_format")
+    fo.add_argument("--maintain-every", type=int, default=0,
+                    dest="maintain_every", metavar="K",
+                    help="run maintain() (auto compact/level-1 merge) after "
+                         "every K applied epochs (0 = never)")
     fo.add_argument("--max-deadletter-rate", type=float, default=None,
                     dest="max_dl_rate",
                     help="write-audit-publish gate: veto (and stop) when an "
@@ -889,6 +899,16 @@ def main(argv=None) -> int:
                         line["views"] = {
                             r: v.refresh(to_epoch=e) for r, v in extra_views
                         }
+                    if args.relay_dest and e > 0:
+                        rel = rp.export_changes(
+                            os.path.join(args.relay_dest, f"epoch={e}"),
+                            e - 1, e, with_payload=True,
+                            fmt=args.relay_format,
+                        )
+                        line["relay"] = {"epoch": e,
+                                         "n_changes": rel["n_changes"]}
+                    if args.maintain_every and (e + 1) % args.maintain_every == 0:
+                        line["maintain"] = rp.maintain()["actions"]
                     print(json.dumps(line), flush=True)
                     e += 1
                     idle = 0

@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_frame_features": multimodal.audio_frame_features,
         "media_png_decode": multimodal.media_png_decode,
         "media_gif_decode": multimodal.media_gif_decode,
+        "media_adpcm_decode": multimodal.media_adpcm_decode,
         "media_scene_cuts": multimodal.media_scene_cuts,
         "media_jpeg_decode": multimodal.media_jpeg_decode,
         "media_jpeg_color_decode": multimodal.media_jpeg_color_decode,
@@ -531,6 +532,7 @@ def _multimodal_sql() -> dict[str, str]:
         "audio_frame_features": mm.audio_frame_features_sql(),
         "media_png_decode": mm.media_png_decode_sql(),
         "media_gif_decode": mm.media_gif_decode_sql(),
+        "media_adpcm_decode": mm.media_adpcm_decode_sql(),
         "media_scene_cuts": mm.media_scene_cuts_sql(),
         "media_jpeg_decode": mm.media_jpeg_decode_sql(),
         "media_jpeg_color_decode": mm.media_jpeg_color_decode_sql(),

@@ -181,7 +181,7 @@ def run_queries(sf_dir: str) -> dict:
         "source_overlap", "best_docs_per_source", "media_scene_cuts",
         "embedding_pca",
         # eleventh-session ops
-        "cdc_doc_history", "cdc_index_range",
+        "cdc_doc_history", "cdc_index_range", "media_adpcm_decode",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -114,6 +114,167 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     return samples, rate
 
 
+# ----------------------------------------------------------- IMA ADPCM --
+# A real COMPRESSED audio codec written from the public IMA/DVI ADPCM
+# specification (the WAVE format-0x11 layout documented in Microsoft's
+# public multimedia registration and the IMA Recommended Practices):
+# 4-bit differential nibbles, the canonical 89-entry step table and
+# 16-entry index-adaptation table, per-block header carrying
+# (predictor:int16, step_index:uint8). Low nibble first within a byte.
+
+IMA_STEP_TABLE = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+IMA_INDEX_TABLE = [-1, -1, -1, -1, 2, 4, 6, 8]  # symmetric over the sign bit
+
+
+def _ima_decode_nibbles(nibbles, pred: int, idx: int) -> list[int]:
+    """Run the IMA state machine: decoded samples AFTER the header
+    predictor (which is itself output sample 0 of the block)."""
+    out = []
+    for n in nibbles:
+        step = IMA_STEP_TABLE[idx]
+        diff = step >> 3
+        if n & 4:
+            diff += step
+        if n & 2:
+            diff += step >> 1
+        if n & 1:
+            diff += step >> 2
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        idx = max(0, min(88, idx + IMA_INDEX_TABLE[n & 7]))
+        out.append(pred)
+    return out
+
+
+def _ima_encode_sample(s: int, pred: int, idx: int) -> tuple[int, int, int]:
+    """Quantize one sample → (nibble, new_pred, new_idx) — the standard
+    successive-approximation encoder from the IMA recommended practice."""
+    step = IMA_STEP_TABLE[idx]
+    diff = s - pred
+    n = 0
+    if diff < 0:
+        n = 8
+        diff = -diff
+    if diff >= step:
+        n |= 4
+        diff -= step
+    if diff >= step >> 1:
+        n |= 2
+        diff -= step >> 1
+    if diff >= step >> 2:
+        n |= 1
+    dec = _ima_decode_nibbles([n], pred, idx)[0]
+    idx = max(0, min(88, idx + IMA_INDEX_TABLE[n & 7]))
+    return n, dec, idx
+
+
+def encode_adpcm(samples: np.ndarray, rate: int,
+                 index0: int = 0) -> bytes:
+    """int16 mono samples → WAV (format 0x11, IMA ADPCM), ONE block:
+    sample 0 becomes the block-header predictor, the rest are encoded as
+    4-bit nibbles (padded with a repeat of the last sample if the count
+    is even, since nibbles pack two per byte)."""
+    assert samples.dtype == np.int16 and samples.size >= 1
+    pred = int(samples[0])
+    idx = int(index0)
+    rest = [int(x) for x in samples[1:]]
+    if len(rest) % 2:
+        rest.append(rest[-1])
+    nibbles = []
+    for s in rest:
+        n, pred, idx0 = _ima_encode_sample(s, pred, idx)
+        idx = idx0
+        nibbles.append(n)
+    return adpcm_container(int(samples[0]), int(index0), nibbles, rate,
+                           n_samples=int(samples.size))
+
+
+def adpcm_container(pred0: int, index0: int, nibbles: list[int],
+                    rate: int, n_samples: int | None = None) -> bytes:
+    """Assemble the RIFF/WAVE format-0x11 container: fmt (with the
+    2-byte samples-per-block extension), fact (total sample count), one
+    data block = 4-byte header + packed nibbles (low nibble first)."""
+    assert len(nibbles) % 2 == 0
+    if n_samples is None:
+        n_samples = 1 + len(nibbles)
+    block_align = 4 + len(nibbles) // 2
+    data = bytearray()
+    data += int(pred0 & 0xFFFF).to_bytes(2, "little")
+    data += bytes([index0 & 0xFF, 0])
+    for i in range(0, len(nibbles), 2):
+        data.append((nibbles[i] & 0xF) | ((nibbles[i + 1] & 0xF) << 4))
+    fmt = (
+        (17).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + (rate * block_align // (2 * (block_align - 4) + 1)).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little") + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")
+        + (2 * (block_align - 4) + 1).to_bytes(2, "little")
+    )
+    fact = n_samples.to_bytes(4, "little")
+    body = (
+        b"WAVE"
+        + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        + b"fact" + len(fact).to_bytes(4, "little") + fact
+        + b"data" + len(data).to_bytes(4, "little") + bytes(data)
+    )
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_adpcm(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV/IMA-ADPCM bytes → (int16 samples, rate): RIFF chunk walk, fmt
+    tag check, per-block header + low-first nibble unpack (numpy), then
+    the sequential IMA state machine."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, block_align, spb, total = 12, None, None, None, None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        clen = int.from_bytes(payload[pos + 4:pos + 8], "little")
+        body = payload[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            tag = int.from_bytes(body[0:2], "little")
+            if tag != 17:
+                raise ValueError(f"not IMA ADPCM (fmt tag {tag})")
+            if int.from_bytes(body[2:4], "little") != 1:
+                raise ValueError("only mono supported")
+            rate = int.from_bytes(body[4:8], "little")
+            block_align = int.from_bytes(body[12:14], "little")
+            spb = int.from_bytes(body[18:20], "little")
+        elif cid == b"fact":
+            total = int.from_bytes(body[0:4], "little")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    out: list[int] = []
+    for off in range(0, len(data), block_align):
+        blk = data[off:off + block_align]
+        pred = int.from_bytes(blk[0:2], "little", signed=True)
+        idx = blk[2]
+        if idx > 88:
+            raise ValueError("corrupt step index")
+        packed = np.frombuffer(blk[4:], np.uint8)
+        nib = np.empty(packed.size * 2, np.uint8)
+        nib[0::2] = packed & 0xF
+        nib[1::2] = packed >> 4
+        out.append(pred)
+        out.extend(_ima_decode_nibbles(nib.tolist(), pred, idx))
+    if total is not None:
+        out = out[:total]
+    return np.asarray(out, np.int16), rate
+
+
 # ------------------------------------------------------------------ Y4M --
 
 
@@ -483,6 +644,23 @@ def gen_audio(media_id: int) -> bytes:
     j = np.arange(wav_n_samples(media_id), dtype=np.int64)
     s = (((media_id * 31 + j * 7) % 2048) - 1024).astype(np.int16)
     return encode_wav(s, WAV_RATE)
+
+
+def adpcm_n_nibbles(media_id: int) -> int:
+    return 2 * (150 + media_id % 100)
+
+
+def gen_adpcm(media_id: int) -> bytes:
+    """Deterministic format-0x11 payload: the COMPRESSED nibble stream is
+    the fixture (nibble k = (media_id*7 + 5k) % 16 — every sign/magnitude
+    bit pattern occurs, so the full decoder state machine is on the
+    oracle's hash path), header predictor/index derived from media_id."""
+    nn = adpcm_n_nibbles(media_id)
+    k = np.arange(nn, dtype=np.int64)
+    nib = [int(x) for x in (media_id * 7 + 5 * k) % 16]
+    pred0 = int((media_id * 97) % 65536) - 32768
+    index0 = int(media_id % 89)
+    return adpcm_container(pred0, index0, nib, WAV_RATE)
 
 
 def gen_png(media_id: int) -> bytes:

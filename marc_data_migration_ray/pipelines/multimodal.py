@@ -765,6 +765,125 @@ def media_gif_decode(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+class AdpcmDecoder:
+    """Actor-pool stage running the REAL IMA ADPCM decode
+    (``functions/media.decode_adpcm``: RIFF walk, format-0x11 check,
+    block header + low-first nibble unpack, the sequential 89-step
+    state machine). Sum and last-sample out — any divergence anywhere in
+    the adaptive-step walk changes both."""
+
+    def __init__(self):
+        from marc_data_migration_ray.functions import media as M
+
+        self.M = M
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        out = np.zeros((n, 4), np.int64)
+        for i, payload in enumerate(batch["payload"].to_pylist()):
+            samples, rate = self.M.decode_adpcm(payload)
+            s64 = samples.astype(np.int64)
+            out[i] = len(samples), rate, s64.sum(), int(s64[-1])
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_samples": pa.array(out[:, 0]),
+                "sample_rate": pa.array(out[:, 1]),
+                "sum_samples": pa.array(out[:, 2]),
+                "last_sample": pa.array(out[:, 3]),
+            }
+        )
+
+
+def media_adpcm_decode(sf_dir: str) -> ray.data.Dataset:
+    """(media_id, n_samples, sample_rate, sum_samples, last_sample):
+    REAL compressed-AUDIO codec decode — IMA/DVI ADPCM (WAVE format
+    0x11) payloads parsed end-to-end by the actor-pool decoder. The
+    fourth real compressed format, and the first whose decoder is an
+    adaptive FEEDBACK loop (each output depends on every prior nibble),
+    which is exactly what the SQL oracle replays declaratively with a
+    packed-state ``list_reduce``."""
+    import os
+
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def _payloads(t: pa.Table) -> pa.Table:
+        from marc_data_migration_ray.functions import media as M
+
+        ids = t["doc_id"].combine_chunks() if isinstance(
+            t["doc_id"], pa.ChunkedArray) else t["doc_id"]
+        arr = np.asarray(ids.to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "media_id": pa.array(arr, pa.int64()),
+                "payload": pa.array(
+                    [M.gen_adpcm(int(i)) for i in arr], pa.binary()
+                ),
+            }
+        )
+
+    return ds.map_batches(
+        _payloads, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        AdpcmDecoder, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, 16), zero_copy_batch=True,
+    )
+
+
+def media_adpcm_decode_sql() -> str:
+    """Declarative replay of the IMA decode: per media_id, thread the
+    decoder state (sum, predictor, step-index packed into ONE BIGINT)
+    over the nibble list with ``list_reduce`` — the same 89-entry step
+    table, index adaptation and int16 clamping as the engine, expressed
+    in pure SQL integer arithmetic. The engine must parse the real RIFF
+    container and run the state machine bit-exactly to match."""
+    from marc_data_migration_ray.functions.media import (
+        IMA_INDEX_TABLE, IMA_STEP_TABLE, WAV_RATE,
+    )
+
+    OFF = 1 << 27  # sum offset: |sum| < 501*32768 << 2^27, keeps packing >= 0
+    IDX = "(s & 127)"
+    PRED = "(((s >> 7) & 65535) - 32768)"
+    SUM = f"((s >> 23) - {OFF})"
+    STEP = f"t.st[{IDX} + 1]"
+    DIFF = (
+        f"(({STEP} >> 3)"
+        f" + (CASE WHEN (n & 4) <> 0 THEN {STEP} ELSE 0 END)"
+        f" + (CASE WHEN (n & 2) <> 0 THEN ({STEP} >> 1) ELSE 0 END)"
+        f" + (CASE WHEN (n & 1) <> 0 THEN ({STEP} >> 2) ELSE 0 END))"
+    )
+    NEW_PRED = (
+        f"greatest(-32768, least(32767, "
+        f"CASE WHEN (n & 8) <> 0 THEN {PRED} - {DIFF} "
+        f"ELSE {PRED} + {DIFF} END))"
+    )
+    NEW_IDX = f"greatest(0, least(88, {IDX} + t.it[(n & 7) + 1]))"
+    LAMBDA = (
+        f"(s, n) -> ((({SUM} + {NEW_PRED} + {OFF}) << 23)"
+        f" + (({NEW_PRED} + 32768) << 7) + {NEW_IDX})"
+    )
+    # header fields, the nibble list, and the packed initial state
+    pred0 = "(((media_id * 97) % 65536) - 32768)"
+    init = (f"((({pred0} + {OFF}) << 23) + (({pred0} + 32768) << 7)"
+            f" + (media_id % 89))")
+    nibs = ("list_transform(range(2 * (150 + media_id % 100)), "
+            "k -> CAST((media_id * 7 + 5 * k) % 16 AS BIGINT))")
+    final = f"list_reduce(list_prepend(CAST({init} AS BIGINT), {nibs}), {LAMBDA})"
+    return f"""
+WITH t AS (SELECT {IMA_STEP_TABLE} AS st, {IMA_INDEX_TABLE} AS it),
+m AS (SELECT doc_id AS media_id FROM documents),
+f AS (SELECT media_id, {final} AS fs FROM m CROSS JOIN t)
+SELECT media_id,
+  1 + 2 * (150 + media_id % 100) AS n_samples,
+  {WAV_RATE} AS sample_rate,
+  ((fs >> 23) - {OFF}) AS sum_samples,
+  (((fs >> 7) & 65535) - 32768) AS last_sample
+FROM f
+"""
+
+
 def media_gif_decode_sql() -> str:
     """Mirror of ``functions/media.gen_gif`` arithmetic: palette index of
     pixel i is ``((i*2654435761 + media_id) >> 13) % 256``; channels are

@@ -55,6 +55,17 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
     )
     root = str(tmp_path / "t")
     rp = Replayer(root, cfg, base_path=os.path.join(fdir, "base"))
+    # incrementally-maintained views ride ALONG the maintenance mix: every
+    # epoch refresh must stay equal to ground truth no matter what
+    # compact/repartition/segment landed in between (a repartition raises
+    # the compaction floor, forcing the full-rebuild path; otherwise the
+    # signed-delta incremental path runs)
+    from marc_data_migration_ray.pipelines.views import (
+        PostingsView, ScalarIndexView,
+    )
+
+    pv = PostingsView(str(tmp_path / "pv"), rp, n_buckets=4)
+    sv = ScalarIndexView(str(tmp_path / "sv"), rp, column="n_tok", bin_width=8)
     ops_done = []
     clones: list[tuple[str, list]] = []
     for e in range(N_EPOCHS):
@@ -80,6 +91,8 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
             rp.clone(cdir)
             clones.append((cdir, rp.read_state().take_all()))
             ops_done.append(f"clone@{e}")
+        pv.refresh()
+        sv.refresh()
 
     o = oracle.replay(
         pq.read_table(os.path.join(fdir, "base")).to_pylist(),
@@ -116,6 +129,24 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
         assert list(a["tokens"] or []) == list(b["tokens"] or [])
     assert len(eng2) == len(survivors), (ops_done, thresh)
     assert rp.fsck()["ok"], (ops_done, rp.fsck()["problems"])
+
+    # views refreshed after the predicate delete retract the deleted docs
+    # and equal ground truth recomputed from the post-delete state
+    pv.refresh()
+    sv.refresh()
+    want_post = set()
+    want_scalar = set()
+    for r_ in eng2:
+        for tok in set(r_["tokens"] or []):
+            want_post.add((int(tok), r_["doc_id"]))
+        if r_["n_tok"] is not None:
+            want_scalar.add((r_["n_tok"], r_["doc_id"]))
+    pt = pv.read()
+    assert set(zip(pt["token"].to_pylist(), pt["doc_id"].to_pylist())) \
+        == want_post, ops_done
+    st = sv.read()
+    assert set(zip(st["value"].to_pylist(), st["doc_id"].to_pylist())) \
+        == want_scalar, ops_done
 
     # every clone still reads exactly the state frozen at its clone point,
     # after all the source maintenance (and the delete) that followed

@@ -500,6 +500,14 @@ def main(argv=None) -> int:
     pv.add_argument("--limit", type=int, default=20)
     _add_cfg_args(pv)
 
+    ib = sub.add_parser(
+        "index-blooms",
+        help="build .keybloom file-skipping sidecars for all delta/segment "
+             "files (point lookups then skip key-free files)",
+    )
+    ib.add_argument("--table", required=True)
+    _add_cfg_args(ib)
+
     mt = sub.add_parser(
         "maintain",
         help="auto-optimize: execute explain's recommendations (level-1 "
@@ -734,6 +742,8 @@ def main(argv=None) -> int:
             else:
                 e = rp.tag(args.name, epoch=args.epoch, replace=args.replace)
                 print(json.dumps({"tag": args.name, "epoch": e}))
+        elif args.cmd == "index-blooms":
+            print(json.dumps(rp.build_key_blooms()))
         elif args.cmd == "maintain":
             print(json.dumps(
                 rp.maintain(apply_repartition=args.apply_repartition)))

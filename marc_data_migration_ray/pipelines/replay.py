@@ -128,6 +128,76 @@ def _paths_bytes(paths) -> int:
     return total
 
 
+#: file-skipping key index sidecar (Delta/Iceberg bloom-filter-index
+#: analog): <delta file>.keybloom = 128 KiB key bitmap + 1 keyless-flag
+#: byte, built by Replayer.build_key_blooms / CLI `index-blooms`
+_KEYBLOOM_SUFFIX = ".keybloom"
+
+
+def _keybloom_u64(keys: pa.Array) -> "np.ndarray":
+    from marc_data_migration_ray.functions.keys import _fnv1a_numpy
+
+    if isinstance(keys, pa.ChunkedArray):
+        keys = keys.combine_chunks()
+    return _fnv1a_numpy(keys)
+
+
+def _prune_by_keybloom(delta_files: list[str], keys: pa.Array,
+                       keep_keyless: bool) -> list[str]:
+    """Drop delta files whose bloom sidecar PROVES none of the wanted keys
+    is present. No false negatives by construction: a file without a
+    sidecar, with a malformed one, with any bloom hit — or (when
+    ``keep_keyless``) one holding keyless rows, which positional local-id
+    allocation must always see — is kept."""
+    from marc_data_migration_ray.pipelines.joins import BLOOM_BITS, _bloom_test
+
+    want = None
+    out = []
+    for f in delta_files:
+        sc = f + _KEYBLOOM_SUFFIX
+        if not os.path.exists(sc):
+            out.append(f)
+            continue
+        bm = np.fromfile(sc, dtype=np.uint8)
+        if bm.size != BLOOM_BITS // 8 + 1:
+            out.append(f)  # torn/foreign sidecar: never prune on it
+            continue
+        if keep_keyless and bm[-1]:
+            out.append(f)
+            continue
+        if want is None:
+            want = _keybloom_u64(keys)
+        if _bloom_test(bm[:-1], want).any():
+            out.append(f)
+    return out
+
+
+@ray.remote(num_cpus=1)
+def _build_keybloom_task(files: list[str]) -> int:
+    """Build missing ``.keybloom`` sidecars: one pruned ``key``-column
+    read per file, bitmap + keyless flag, atomic publish."""
+    from marc_data_migration_ray.pipelines.joins import BLOOM_BITS, _bloom_add
+
+    built = 0
+    for f in files:
+        sc = f + _KEYBLOOM_SUFFIX
+        if os.path.exists(sc):
+            continue
+        keys = pq.read_table(f, columns=["key"])["key"]
+        if isinstance(keys, pa.ChunkedArray):
+            keys = keys.combine_chunks()
+        bm = np.zeros(BLOOM_BITS // 8 + 1, np.uint8)
+        valid = keys.drop_null()
+        if len(valid):
+            _bloom_add(bm[:-1], _keybloom_u64(valid))
+        bm[-1] = 1 if keys.null_count else 0
+        tmp = f"{sc}.{os.getpid()}.tmp"
+        bm.tofile(tmp)
+        os.replace(tmp, sc)
+        built += 1
+    return built
+
+
 def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
                         max_lsn=None, key_filter=None, payload_cols=None):
     from marc_data_migration_ray.stages.fold import fold_input_columns
@@ -135,6 +205,10 @@ def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
     # PARSED minus the audit-only titles, minus projection-pruned payload
     fold_cols = fold_input_columns(payload_cols)
     keys = pa.array(sorted(key_filter), pa.string()) if key_filter else None
+    if keys is not None and delta_files:
+        # file-skipping index: sidecar blooms drop delta files that cannot
+        # contain the wanted keys (keyless-row files stay — allocation)
+        delta_files = _prune_by_keybloom(delta_files, keys, keep_keyless=True)
     tables = []
     for f in base_files:
         base_cols = None
@@ -295,7 +369,11 @@ def _scan_key_history_task(items: list, key: str, columns: list[str],
     physically hold more — e.g. epochs later truncated by rollback).
     Returns None when nothing matched (caller supplies the schema)."""
     out = []
+    want = pa.array([key], pa.string())
     for path, epochs in items:
+        if key_col == "key" and not _prune_by_keybloom(
+                [path], want, keep_keyless=False):
+            continue  # sidecar proves the key is absent from this file
         flt = [(key_col, "==", key)]
         if epochs is not None:
             flt.append(("epoch", "in", sorted(epochs)))
@@ -2456,6 +2534,31 @@ class Replayer:
             "recommendations": recs,
             "plan": plan,
         }
+
+    def build_key_blooms(self, task_files: int = 16) -> dict:
+        """File-skipping key index (the Delta/Iceberg bloom-filter-index
+        analog): write a ``.keybloom`` sidecar (128 KiB bitmap of the
+        file's key hashes + a keyless-row flag) next to every delta and
+        segment file that lacks one. Point lookups (``lookup`` /
+        ``doc_history`` / key-filtered folds) then SKIP files the bitmap
+        proves key-free — at 100 TB a lookup over a bucket with hundreds
+        of retained delta files opens only the handful that can hold the
+        key. Idempotent; sidecars live inside the dirs they index, so
+        vacuum / rollback reclaim them with their data."""
+        files: list[str] = []
+        seen: set[str] = set()
+        for e in self.manifest.committed_epochs():
+            fs, _ = self._epoch_files(e)
+            for f in fs:
+                if f not in seen:
+                    seen.add(f)
+                    files.append(f)
+        todo = [f for f in files if not os.path.exists(f + _KEYBLOOM_SUFFIX)]
+        chunks = [todo[i:i + task_files]
+                  for i in range(0, len(todo), task_files)]
+        built = sum(ray.get([_build_keybloom_task.remote(c) for c in chunks]))
+        return {"files": len(files), "built": built,
+                "already_indexed": len(files) - len(todo)}
 
     #: explain/maintain summary keys (before/after comparison unit)
     _MAINTAIN_KEYS = ("max_files_per_bucket", "delta_bytes",

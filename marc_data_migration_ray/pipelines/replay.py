@@ -129,9 +129,15 @@ def _paths_bytes(paths) -> int:
 
 
 #: file-skipping key index sidecar (Delta/Iceberg bloom-filter-index
-#: analog): <delta file>.keybloom = 128 KiB key bitmap + 1 keyless-flag
-#: byte, built by Replayer.build_key_blooms / CLI `index-blooms`
+#: analog): <delta file>.keybloom = 8-byte header (magic 'KBL1',
+#: keyless-flag byte, 3 reserved) + uint32 m_bits + a bitmap RIGHT-SIZED
+#: to the file's key count (~16 bits/key, 4 probes → fp ≈ 0.04%) —
+#: a 1k-row delta file gets a 4 KiB sidecar, not a fixed 128 KiB one,
+#: so a lookup's sidecar scan stays tiny even over hundreds of files.
 _KEYBLOOM_SUFFIX = ".keybloom"
+_KEYBLOOM_MAGIC = b"KBL1"
+_KEYBLOOM_K = 4
+_KEYBLOOM_MIN_BITS = 1 << 15  # 4 KiB floor
 
 
 def _keybloom_u64(keys: pa.Array) -> "np.ndarray":
@@ -142,6 +148,16 @@ def _keybloom_u64(keys: pa.Array) -> "np.ndarray":
     return _fnv1a_numpy(keys)
 
 
+def _kb_positions(u64: "np.ndarray", m_bits: int) -> "np.ndarray":
+    from marc_data_migration_ray.pipelines.joins import _GOLDEN, _mix64
+
+    h1 = _mix64(u64)
+    h2 = _mix64(u64 + _GOLDEN) | np.uint64(1)
+    probes = np.arange(_KEYBLOOM_K, dtype=np.uint64)[None, :]
+    return ((h1[:, None] + probes * h2[:, None])
+            % np.uint64(m_bits)).astype(np.int64)
+
+
 def _prune_by_keybloom(delta_files: list[str], keys: pa.Array,
                        keep_keyless: bool) -> list[str]:
     """Drop delta files whose bloom sidecar PROVES none of the wanted keys
@@ -149,8 +165,6 @@ def _prune_by_keybloom(delta_files: list[str], keys: pa.Array,
     sidecar, with a malformed one, with any bloom hit — or (when
     ``keep_keyless``) one holding keyless rows, which positional local-id
     allocation must always see — is kept."""
-    from marc_data_migration_ray.pipelines.joins import BLOOM_BITS, _bloom_test
-
     want = None
     out = []
     for f in delta_files:
@@ -158,16 +172,23 @@ def _prune_by_keybloom(delta_files: list[str], keys: pa.Array,
         if not os.path.exists(sc):
             out.append(f)
             continue
-        bm = np.fromfile(sc, dtype=np.uint8)
-        if bm.size != BLOOM_BITS // 8 + 1:
+        raw = np.fromfile(sc, dtype=np.uint8)
+        if raw.size < 12 or bytes(raw[:4]) != _KEYBLOOM_MAGIC:
             out.append(f)  # torn/foreign sidecar: never prune on it
             continue
-        if keep_keyless and bm[-1]:
+        if keep_keyless and raw[4]:
+            out.append(f)
+            continue
+        m_bits = int(raw[8:12].view(np.uint32)[0])
+        bm = raw[12:]
+        if m_bits <= 0 or bm.size != m_bits // 8:
             out.append(f)
             continue
         if want is None:
             want = _keybloom_u64(keys)
-        if _bloom_test(bm[:-1], want).any():
+        pos = _kb_positions(want, m_bits)
+        hit = ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).all(axis=1)
+        if hit.any():
             out.append(f)
     return out
 
@@ -175,9 +196,7 @@ def _prune_by_keybloom(delta_files: list[str], keys: pa.Array,
 @ray.remote(num_cpus=1)
 def _build_keybloom_task(files: list[str]) -> int:
     """Build missing ``.keybloom`` sidecars: one pruned ``key``-column
-    read per file, bitmap + keyless flag, atomic publish."""
-    from marc_data_migration_ray.pipelines.joins import BLOOM_BITS, _bloom_add
-
+    read per file, right-sized bitmap + keyless flag, atomic publish."""
     built = 0
     for f in files:
         sc = f + _KEYBLOOM_SUFFIX
@@ -186,13 +205,22 @@ def _build_keybloom_task(files: list[str]) -> int:
         keys = pq.read_table(f, columns=["key"])["key"]
         if isinstance(keys, pa.ChunkedArray):
             keys = keys.combine_chunks()
-        bm = np.zeros(BLOOM_BITS // 8 + 1, np.uint8)
         valid = keys.drop_null()
+        m_bits = _KEYBLOOM_MIN_BITS
+        while m_bits < 16 * max(1, len(valid)):
+            m_bits <<= 1
+        bm = np.zeros(m_bits // 8, np.uint8)
         if len(valid):
-            _bloom_add(bm[:-1], _keybloom_u64(valid))
-        bm[-1] = 1 if keys.null_count else 0
+            pos = _kb_positions(_keybloom_u64(valid), m_bits).ravel()
+            np.bitwise_or.at(bm, pos >> 3,
+                             np.left_shift(1, pos & 7).astype(np.uint8))
+        hdr = np.zeros(12, np.uint8)
+        hdr[:4] = np.frombuffer(_KEYBLOOM_MAGIC, np.uint8)
+        hdr[4] = 1 if keys.null_count else 0
+        hdr[8:12] = np.frombuffer(
+            np.uint32(m_bits).tobytes(), np.uint8)
         tmp = f"{sc}.{os.getpid()}.tmp"
-        bm.tofile(tmp)
+        np.concatenate([hdr, bm]).tofile(tmp)
         os.replace(tmp, sc)
         built += 1
     return built

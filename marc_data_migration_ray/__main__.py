@@ -418,6 +418,9 @@ def main(argv=None) -> int:
                     dest="maintain_every", metavar="K",
                     help="run maintain() (auto compact/level-1 merge) after "
                          "every K applied epochs (0 = never)")
+    fo.add_argument("--index-blooms", action="store_true", dest="index_blooms",
+                    help="build .keybloom file-skipping sidecars for each "
+                         "applied epoch's delta files (index-on-ingest)")
     fo.add_argument("--max-deadletter-rate", type=float, default=None,
                     dest="max_dl_rate",
                     help="write-audit-publish gate: veto (and stop) when an "
@@ -919,6 +922,8 @@ def main(argv=None) -> int:
                                          "n_changes": rel["n_changes"]}
                     if args.maintain_every and (e + 1) % args.maintain_every == 0:
                         line["maintain"] = rp.maintain()["actions"]
+                    if args.index_blooms:
+                        line["blooms_built"] = rp.build_key_blooms()["built"]
                     print(json.dumps(line), flush=True)
                     e += 1
                     idle = 0

@@ -53,7 +53,7 @@ def test_follow_relay_and_maintain(ray_session, tmp_path):
          "--table", table, "--binlog-root", os.path.join(fix, "binlog"),
          "--num-partitions", "4",
          "--until-epoch", str(N_EPOCHS - 1), "--poll", "0.1",
-         "--relay-dest", relay, "--maintain-every", "2"],
+         "--relay-dest", relay, "--maintain-every", "2", "--index-blooms"],
         capture_output=True, text=True, env=env, cwd="/root/repo", timeout=420,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -71,6 +71,15 @@ def test_follow_relay_and_maintain(ray_session, tmp_path):
     # maintenance ran on the cadence (after epochs 1 and 3) and did work
     maint = [x["maintain"] for x in applied if "maintain" in x]
     assert len(maint) == 2 and any(a for a in maint), maint
+    # index-on-ingest: every retained delta file has a keybloom sidecar
+    import glob as _glob
+
+    from marc_data_migration_ray.pipelines.replay import _KEYBLOOM_SUFFIX
+    assert all("blooms_built" in x for x in applied)
+    pq_files = _glob.glob(os.path.join(table, "deltas", "**", "*.parquet"),
+                          recursive=True)
+    assert pq_files and all(
+        os.path.exists(f + _KEYBLOOM_SUFFIX) for f in pq_files)
 
     src = Replayer(table, cfg)
 

@@ -143,6 +143,9 @@ class AggView:
         cur = self._current()
         return None if cur is None else cur["epoch"]
 
+    def vacuum_versions(self, retain: int = 1) -> dict:
+        return vacuum_view_versions(self.root, retain)
+
     def read(self) -> pa.Table:
         cur = self._current()
         if cur is None:
@@ -296,6 +299,9 @@ class _SignedSetView:
     def last_epoch(self) -> int | None:
         cur = self._current()
         return None if cur is None else cur["epoch"]
+
+    def vacuum_versions(self, retain: int = 1) -> dict:
+        return vacuum_view_versions(self.root, retain)
 
     def _bucket_files(self, vdir: str) -> dict[int, str]:
         d = os.path.join(self.root, vdir)
@@ -623,6 +629,40 @@ class ScalarIndexView(_SignedSetView):
             )
             out.extend(zip(t["value"].to_pylist(), t["doc_id"].to_pylist()))
         return sorted(out)
+
+
+def vacuum_view_versions(root: str, retain: int = 1) -> dict:
+    """Reclaim superseded view versions: every refresh publishes a new
+    ``v{epoch}`` dir and swaps ``CURRENT`` — old dirs stay for concurrent
+    stale readers (same discipline as the table's snapshot retention).
+    Keeps the CURRENT version plus the ``retain`` most recent superseded
+    ones, and clears crashed refreshes' ``_tmp_*`` dirs. Views are
+    single-writer by design — don't vacuum concurrently with a refresh."""
+    import re
+
+    cur = None
+    cur_p = os.path.join(root, "CURRENT")
+    if os.path.exists(cur_p):
+        cur = json.loads(open(cur_p).read())["dir"]
+    vdirs = sorted(
+        (d for d in os.listdir(root)
+         if re.fullmatch(r"v-?\d+", d) and d != cur),
+        key=lambda d: int(d[1:]),
+    )
+    drop_v = vdirs[:-retain] if retain else vdirs
+    tmps = [d for d in os.listdir(root)
+            if d.startswith("_tmp_") and os.path.isdir(os.path.join(root, d))]
+    freed = 0
+    for d in drop_v + tmps:
+        p = os.path.join(root, d)
+        freed += sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(p) for f in fs
+        )
+        shutil.rmtree(p)
+    return {"removed": len(drop_v), "tmp_removed": len(tmps),
+            "kept": len(vdirs) - len(drop_v) + (1 if cur else 0),
+            "bytes_freed": freed}
 
 
 def open_view(root: str, replayer):

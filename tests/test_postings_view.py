@@ -122,3 +122,30 @@ def test_n_buckets_sticky(ray_session, fixture_dir, tmp_path):
     reopened = PostingsView(str(tmp_path / "v"), rp, n_buckets=32)
     assert reopened.n_buckets == 4
     assert _view_pairs(reopened) == _expected_pairs(rp, up_to_epoch=0)
+
+
+def test_vacuum_versions_and_stale_reader(ray_session, fixture_dir, tmp_path):
+    """Every refresh leaves a version dir; vacuum keeps CURRENT (+retain)
+    and clears crashed-refresh tmp dirs; hardlinked-forward bucket files
+    survive removal of the version dir they were first written into."""
+    import os
+    import shutil
+
+    from marc_data_migration_ray.pipelines.views import vacuum_view_versions
+
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg, epochs=N_EPOCHS)
+    v = PostingsView(str(tmp_path / "v"), rp, n_buckets=8)
+    for e in range(N_EPOCHS):
+        v.refresh(to_epoch=e)
+    # crashed-refresh leftover
+    os.makedirs(os.path.join(str(tmp_path / "v"), "_tmp_v99"))
+    before = _view_pairs(v)
+    rep = vacuum_view_versions(str(tmp_path / "v"), retain=0)
+    assert rep["removed"] == N_EPOCHS - 1 and rep["tmp_removed"] == 1
+    dirs = {d for d in os.listdir(str(tmp_path / "v")) if d.startswith("v")}
+    assert dirs == {f"v{N_EPOCHS - 1}"}
+    # the current version still reads fully (hardlinks keep shared files
+    # alive even though their original version dirs are gone)
+    assert _view_pairs(v) == before
+    assert v.vacuum_versions()["removed"] == 0  # idempotent

@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
         "cdc_doc_history": lambda sf: derived.cdc_doc_history(sf),
         "cdc_index_range": lambda sf: derived.cdc_index_range(sf),
+        "cdc_point_lookup_indexed":
+            lambda sf: derived.cdc_point_lookup_indexed(sf),
+        "cdc_maintain_state": lambda sf: derived.cdc_maintain_state(sf),
         "cdc_state_projection": derived.cdc_state_projection,
         "cdc_virtual_column": derived.cdc_virtual_column,
         "cdc_merge_state": lambda sf: derived.cdc_merge_state(sf),
@@ -709,6 +712,16 @@ base AS (
 SELECT * FROM base UNION ALL SELECT * FROM ev
 ORDER BY doc_id, lsn
 """,
+        # point lookup THROUGH the key-bloom file-skipping sidecars: the
+        # pruned read must lose nothing vs the same plain-lookup oracle
+        "cdc_point_lookup_indexed": (
+            f"SELECT * FROM ({_CDC_STATE}) WHERE doc_id IN ("
+            + ", ".join(f"'{i}'" for i in _derived_lookup_ids())
+            + ")"
+        ),
+        # auto-maintenance (forced level-1 merge + compaction) must have
+        # ZERO semantic effect: oracle is the plain LWW state
+        "cdc_maintain_state": _CDC_STATE,
         # secondary-index range query: the index answers n_tok BETWEEN
         # lo AND hi from its range bins; oracle filters the LWW state
         "cdc_index_range": (

@@ -461,6 +461,35 @@ def cdc_doc_history(
     return t.sort_by([("doc_id", "ascending"), ("lsn", "ascending")])
 
 
+def cdc_point_lookup_indexed(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+    doc_ids: tuple[str, ...] = LOOKUP_IDS,
+) -> ray.data.Dataset:
+    """``cdc_point_lookup`` through the key-bloom file-skipping index:
+    build the ``.keybloom`` sidecars, then look the same keys up — the
+    oracle is identical (the LWW state filtered to the ids), proving the
+    pruned read path loses nothing."""
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    rp.build_key_blooms()
+    return _scalar_state(rp.lookup(list(doc_ids)))
+
+
+def cdc_maintain_state(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+) -> ray.data.Dataset:
+    """Run ``maintain()`` (auto level-1 merge / compaction per explain's
+    plan, thresholds forced low so it actually acts) on a private clone,
+    then read the state — the oracle is the plain LWW state SQL, proving
+    table maintenance has zero semantic effect."""
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16),
+                          private=True)
+    rp._EXPLAIN_MAX_FILES_PER_BUCKET = 1
+    rp._EXPLAIN_COMPACT_DELTA_RATIO = 0.0  # any delta bytes trigger compact
+    rep = rp.maintain()
+    assert rep["actions"], "maintenance must actually act"
+    return _scalar_state(rp.read_state())
+
+
 def cdc_index_range(
     sf_dir: str, cfg: ReplayConfig | None = None,
     lo: int = 10, hi: int = 40,

@@ -2467,6 +2467,7 @@ class Replayer:
     # thresholds for explain_layout recommendations (tunable, documented)
     _EXPLAIN_MAX_FILES_PER_BUCKET = 8      # merge-on-read amplification
     _EXPLAIN_MAX_BUCKET_BYTES = 256 << 20  # fold-task working set
+    _EXPLAIN_COMPACT_DELTA_RATIO = 1.0     # compact when delta > ratio×base
 
     def explain_layout(self) -> dict:
         """Read-amplification / bucket-size diagnostic (the ops `explain`):
@@ -2535,10 +2536,11 @@ class Replayer:
                 f"{max_files} files open per bucket fold")
             plan.append({"op": "compact_deltas",
                          "args": [floor + 1, epochs[-1]]})
-        if tot_base and tot_delta > tot_base:
+        if tot_base and tot_delta > self._EXPLAIN_COMPACT_DELTA_RATIO * tot_base:
             recs.append(
                 f"compact(): active deltas ({tot_delta >> 20} MiB) exceed "
-                f"the base snapshot ({tot_base >> 20} MiB)")
+                f"{self._EXPLAIN_COMPACT_DELTA_RATIO}x the base snapshot "
+                f"({tot_base >> 20} MiB)")
             plan.append({"op": "compact", "args": []})
         if max_bucket > self._EXPLAIN_MAX_BUCKET_BYTES:
             recs.append(

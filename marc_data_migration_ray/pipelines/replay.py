@@ -1589,10 +1589,17 @@ class Replayer:
 
         plain: list = []
         seg_epochs: dict[str, set[int]] = {}
+        floor = self.manifest.last_compacted_epoch()
         for e in self.manifest.committed_epochs():
             files, from_seg = self._epoch_files(e)
             for f in files:
-                if not _mine(f):
+                # partition pruning is only sound for epochs ABOVE the
+                # compaction floor: a repartition (which always raises the
+                # floor past every committed epoch) leaves retained
+                # below-floor files in their ORIGINAL part_p layout, so
+                # absorbed history must rely on the key filter (and the
+                # bloom sidecars) instead of the current layout's dirs
+                if e > floor and not _mine(f):
                     continue
                 if from_seg:
                     seg_epochs.setdefault(f, set()).add(e)

@@ -212,3 +212,26 @@ def test_unknown_key_empty(ray_session, fixture_dir, tmp_path):
     t = rp.doc_history("999999999")
     assert t.num_rows == 0
     assert "lsn" in t.schema.names and "op" in t.schema.names
+
+
+def test_history_survives_repartition(ray_session, fixture_dir, tmp_path):
+    """Absorbed events written under the OLD partition layout stay listed
+    after a repartition: below-floor epochs are scanned key-filtered
+    (layout-independent) instead of pruned by the new layout's dirs."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg, epochs=2)
+    evs = _events(fixture_dir)
+    key = _busy_key(evs)
+    want_01 = [(r["lsn"], r["op"]) for r in _key_events(evs, key)
+               if r["epoch"] <= 1]
+    pre = [(r["lsn"], r["op"]) for r in rp.doc_history(key).to_pylist()
+           if r["op"] != "base"]
+    assert pre == want_01
+    rp.repartition(5)  # floor rises past epochs 0-1; old dirs keep old layout
+    rp.apply_epoch(2, os.path.join(fixture_dir, "binlog", "epoch=2"))
+    hist = rp.doc_history(key).to_pylist()
+    got = [(r["lsn"], r["op"]) for r in hist if r["op"] != "base"]
+    want_all = [(r["lsn"], r["op"]) for r in _key_events(evs, key)]
+    assert got == want_all, "absorbed old-layout events must stay listed"
+    assert [r["absorbed"] for r in hist if r["op"] != "base"] \
+        == [r["epoch"] <= 1 for r in _key_events(evs, key)]

@@ -470,7 +470,8 @@ def cdc_point_lookup_indexed(
     oracle is identical (the LWW state filtered to the ids), proving the
     pruned read path loses nothing."""
     rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
-    rp.build_key_blooms()
+    rp.build_key_blooms(only_parts=rp._parts_for_keys(
+        [k for k in doc_ids if k]))
     return _scalar_state(rp.lookup(list(doc_ids)))
 
 

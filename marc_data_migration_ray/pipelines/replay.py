@@ -2572,7 +2572,8 @@ class Replayer:
             "plan": plan,
         }
 
-    def build_key_blooms(self, task_files: int = 16) -> dict:
+    def build_key_blooms(self, task_files: int = 16,
+                         only_parts: set[int] | None = None) -> dict:
         """File-skipping key index (the Delta/Iceberg bloom-filter-index
         analog): write a ``.keybloom`` sidecar (128 KiB bitmap of the
         file's key hashes + a keyless-row flag) next to every delta and
@@ -2581,15 +2582,26 @@ class Replayer:
         proves key-free — at 100 TB a lookup over a bucket with hundreds
         of retained delta files opens only the handful that can hold the
         key. Idempotent; sidecars live inside the dirs they index, so
-        vacuum / rollback reclaim them with their data."""
+        vacuum / rollback reclaim them with their data. ``only_parts``
+        restricts the build to those logical partitions' directories
+        (current layout; pure scope-limiting — pruning stays correct for
+        unindexed files, they are simply always read)."""
+        tokens = None
+        if only_parts is not None:
+            S = self.cfg.num_salts
+            tokens = {f"{os.sep}part_p={lp * S + s}{os.sep}"
+                      for lp in only_parts for s in range(S)}
         files: list[str] = []
         seen: set[str] = set()
         for e in self.manifest.committed_epochs():
             fs, _ = self._epoch_files(e)
             for f in fs:
-                if f not in seen:
-                    seen.add(f)
-                    files.append(f)
+                if f in seen:
+                    continue
+                if tokens is not None and not any(t in f for t in tokens):
+                    continue
+                seen.add(f)
+                files.append(f)
         todo = [f for f in files if not os.path.exists(f + _KEYBLOOM_SUFFIX)]
         chunks = [todo[i:i + task_files]
                   for i in range(0, len(todo), task_files)]

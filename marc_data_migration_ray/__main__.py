@@ -495,7 +495,10 @@ def main(argv=None) -> int:
     pv.add_argument("--table", required=True)
     pv.add_argument("--view-root", required=True, dest="view_root")
     pv.add_argument("--to-epoch", type=int, default=None, dest="to_epoch")
-    pv.add_argument("--n-buckets", type=int, default=16, dest="n_buckets")
+    pv.add_argument("--n-buckets", type=int, default=None, dest="n_buckets",
+                    help="bucket count for a NEW view (default 16); on an "
+                         "existing view-root, omitted adopts the stored "
+                         "value and a mismatched value errors")
     pv.add_argument("--no-refresh", action="store_true", dest="no_refresh")
     pv.add_argument("--token", action="append", type=int, default=None,
                     dest="tokens", help="query token (repeatable)")
@@ -529,9 +532,12 @@ def main(argv=None) -> int:
     )
     si.add_argument("--table", required=True)
     si.add_argument("--view-root", required=True, dest="view_root")
-    si.add_argument("--column", default="n_tok")
-    si.add_argument("--bin-width", type=int, default=16, dest="bin_width")
-    si.add_argument("--n-buckets", type=int, default=16, dest="n_buckets")
+    # None defaults: on an existing view-root an omitted flag adopts the
+    # stored META (new views get n_tok/16/16); a mismatched explicit flag
+    # errors instead of silently refreshing a different index
+    si.add_argument("--column", default=None)
+    si.add_argument("--bin-width", type=int, default=None, dest="bin_width")
+    si.add_argument("--n-buckets", type=int, default=None, dest="n_buckets")
     si.add_argument("--to-epoch", type=int, default=None, dest="to_epoch")
     si.add_argument("--no-refresh", action="store_true", dest="no_refresh")
     si.add_argument("--eq", default=None, help="equality lookup value")

@@ -487,7 +487,12 @@ def cdc_maintain_state(
     rp._EXPLAIN_MAX_FILES_PER_BUCKET = 1
     rp._EXPLAIN_COMPACT_DELTA_RATIO = 0.0  # any delta bytes trigger compact
     rep = rp.maintain()
-    assert rep["actions"], "maintenance must actually act"
+    if not rep["actions"]:
+        # not an assert: the driver-gate invariant must survive python -O
+        raise RuntimeError(
+            "cdc_maintain_state: maintenance performed no actions — the "
+            "gate would degenerate to a plain LWW read"
+        )
     return _scalar_state(rp.read_state())
 
 

@@ -2575,8 +2575,9 @@ class Replayer:
     def build_key_blooms(self, task_files: int = 16,
                          only_parts: set[int] | None = None) -> dict:
         """File-skipping key index (the Delta/Iceberg bloom-filter-index
-        analog): write a ``.keybloom`` sidecar (128 KiB bitmap of the
-        file's key hashes + a keyless-row flag) next to every delta and
+        analog): write a ``.keybloom`` sidecar (right-sized bitmap of the
+        file's key hashes, ~16 bits/key with a 4 KiB floor, + a
+        keyless-row flag) next to every delta and
         segment file that lacks one. Point lookups (``lookup`` /
         ``doc_history`` / key-filtered folds) then SKIP files the bitmap
         proves key-free — at 100 TB a lookup over a bucket with hundreds

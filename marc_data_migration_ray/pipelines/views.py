@@ -53,13 +53,28 @@ FEED_SUM_COLS = ("n_tok", "last_lsn")
 class AggView:
     """Materialized ``GROUP BY keys → (n_rows, <sum>_sum...)`` view."""
 
-    def __init__(self, root: str, replayer, keys=("source",), sums=("n_tok",)):
+    def __init__(self, root: str, replayer, keys=None, sums=None):
         # sticky meta: a reopened view keeps the keys/sums it was built
-        # with (and records its kind so ``open_view`` can reconstruct it)
+        # with (and records its kind so ``open_view`` can reconstruct it).
+        # Omitted args (None) adopt the stored definition; EXPLICIT args
+        # that mismatch the stored META raise — silently refreshing a
+        # different view than the caller asked for is a correctness trap.
         meta_p = os.path.join(root, "META.json")
         if os.path.exists(meta_p):
             meta = json.loads(open(meta_p).read())
-            keys, sums = tuple(meta["keys"]), tuple(meta["sums"])
+            stored = (tuple(meta["keys"]), tuple(meta["sums"]))
+            for name, want in (("keys", keys), ("sums", sums)):
+                got = stored[0] if name == "keys" else stored[1]
+                if want is not None and tuple(want) != got:
+                    raise ValueError(
+                        f"{root}: view was built with {name}={got}, "
+                        f"caller passed {name}={tuple(want)} — reopen with "
+                        "matching args (or omit them) or use a new root"
+                    )
+            keys, sums = stored
+        else:
+            keys = ("source",) if keys is None else keys
+            sums = ("n_tok",) if sums is None else sums
         for k in keys:
             if k not in FEED_KEY_COLS:
                 raise ValueError(f"key {k!r} not in change feed {FEED_KEY_COLS}")
@@ -256,13 +271,27 @@ class _SignedSetView:
 
     VALUE_COL = "value"
 
-    def __init__(self, root: str, replayer, meta_defaults: dict):
+    def __init__(self, root: str, replayer, meta_defaults: dict,
+                 explicit: dict | None = None):
+        """``meta_defaults`` seeds a NEW view's META; ``explicit`` holds
+        only the params the caller actually passed — on reopen these are
+        validated against the stored META (mismatch raises; silently
+        maintaining a different index than asked for is a correctness
+        trap). Omitted params adopt the stored definition."""
         self.root = root
         self.rp = replayer
         os.makedirs(root, exist_ok=True)
         meta_p = os.path.join(root, "META.json")
         if os.path.exists(meta_p):
             self.meta = json.loads(open(meta_p).read())
+            for k, want in (explicit or {}).items():
+                got = self.meta.get(k)
+                if want != got:
+                    raise ValueError(
+                        f"{root}: view was built with {k}={got!r}, caller "
+                        f"passed {k}={want!r} — reopen with matching args "
+                        "(or omit them) or use a new root"
+                    )
         else:
             self.meta = dict(meta_defaults)
             tmp = meta_p + ".tmp"
@@ -394,10 +423,16 @@ class _SignedSetView:
         )
         touched = {int(r["bucket"]) for r in markers.take_all()}
         if stored_dir is not None:
-            # forward untouched buckets by hardlink — no data movement
+            # forward untouched buckets by hardlink — no data movement;
+            # copy on filesystems without hardlink support (network /
+            # object-store mounts), mirroring Replayer.clone
             for b, f in self._bucket_files(self._current()["dir"]).items():
                 if b not in touched:
-                    os.link(f, os.path.join(tmp, f"bucket={b}.parquet"))
+                    dst = os.path.join(tmp, f"bucket={b}.parquet")
+                    try:
+                        os.link(f, dst)
+                    except OSError:
+                        shutil.copy2(f, dst)
         final = os.path.join(self.root, vdir)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
@@ -422,11 +457,16 @@ class PostingsView(_SignedSetView):
 
     VALUE_COL = "token"
 
-    def __init__(self, root: str, replayer, n_buckets: int = 16):
-        if n_buckets < 1:
+    def __init__(self, root: str, replayer, n_buckets: int | None = None):
+        if n_buckets is not None and n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
-        super().__init__(root, replayer,
-                         {"kind": "postings", "n_buckets": int(n_buckets)})
+        explicit = {} if n_buckets is None else {"n_buckets": int(n_buckets)}
+        super().__init__(
+            root, replayer,
+            {"kind": "postings",
+             "n_buckets": 16 if n_buckets is None else int(n_buckets)},
+            explicit=explicit,
+        )
         self.n_buckets = int(self.meta["n_buckets"])
 
     def _value_type(self) -> pa.DataType:
@@ -529,19 +569,31 @@ class ScalarIndexView(_SignedSetView):
 
     VALUE_COL = "value"
 
-    def __init__(self, root: str, replayer, column: str = "n_tok",
-                 n_buckets: int = 16, bin_width: int = 16):
-        if column not in _INDEXABLE_INT and column not in _INDEXABLE_STR:
+    def __init__(self, root: str, replayer, column: str | None = None,
+                 n_buckets: int | None = None, bin_width: int | None = None):
+        if column is not None and (
+            column not in _INDEXABLE_INT and column not in _INDEXABLE_STR
+        ):
             raise ValueError(
                 f"column {column!r} not indexable; feed carries "
                 f"{sorted(_INDEXABLE_INT) + list(_INDEXABLE_STR)}"
             )
-        if n_buckets < 1 or bin_width < 1:
-            raise ValueError("n_buckets and bin_width must be >= 1")
+        for v, name in ((n_buckets, "n_buckets"), (bin_width, "bin_width")):
+            if v is not None and v < 1:
+                raise ValueError(f"{name} must be >= 1")
+        explicit = {
+            k: v for k, v in (
+                ("column", column),
+                ("n_buckets", None if n_buckets is None else int(n_buckets)),
+                ("bin_width", None if bin_width is None else int(bin_width)),
+            ) if v is not None
+        }
         super().__init__(root, replayer, {
-            "kind": "scalar_index", "column": column,
-            "n_buckets": int(n_buckets), "bin_width": int(bin_width),
-        })
+            "kind": "scalar_index",
+            "column": "n_tok" if column is None else column,
+            "n_buckets": 16 if n_buckets is None else int(n_buckets),
+            "bin_width": 16 if bin_width is None else int(bin_width),
+        }, explicit=explicit)
         self.column = self.meta["column"]
         self.n_buckets = int(self.meta["n_buckets"])
         self.bin_width = int(self.meta["bin_width"])

@@ -96,8 +96,11 @@ def test_open_view_errors(ray_session, tmp_path):
         f.write(json.dumps({"kind": "wat"}))
     with pytest.raises(ValueError, match="unknown view kind"):
         open_view(bad, rp)
-    # agg stickiness: reopen ignores differing ctor args
+    # agg stickiness: reopen with omitted args adopts the stored META;
+    # explicit mismatched args raise
     a = AggView(str(tmp_path / "va"), rp, keys=("status",), sums=("last_lsn",))
-    re = AggView(str(tmp_path / "va"), rp)  # defaults differ — META wins
+    re = AggView(str(tmp_path / "va"), rp)  # omitted → META wins
     assert re.keys == ("status",) and re.sums == ("last_lsn",)
+    with pytest.raises(ValueError, match="built with keys"):
+        AggView(str(tmp_path / "va"), rp, keys=("source",))
     assert isinstance(open_view(str(tmp_path / "va"), rp), AggView)

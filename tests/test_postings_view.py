@@ -115,13 +115,20 @@ def test_compaction_forces_full_rebuild(ray_session, fixture_dir, tmp_path):
 
 
 def test_n_buckets_sticky(ray_session, fixture_dir, tmp_path):
+    """Omitted args adopt the stored META; an explicit mismatch raises
+    (silently maintaining a different index is a correctness trap);
+    an explicit match reopens fine."""
     cfg = ReplayConfig(num_partitions=8)
     rp = _replay(str(tmp_path / "t"), fixture_dir, cfg, epochs=1)
     v = PostingsView(str(tmp_path / "v"), rp, n_buckets=4)
     v.refresh(to_epoch=0)
-    reopened = PostingsView(str(tmp_path / "v"), rp, n_buckets=32)
+    reopened = PostingsView(str(tmp_path / "v"), rp)  # omitted → stored
     assert reopened.n_buckets == 4
     assert _view_pairs(reopened) == _expected_pairs(rp, up_to_epoch=0)
+    same = PostingsView(str(tmp_path / "v"), rp, n_buckets=4)
+    assert same.n_buckets == 4
+    with pytest.raises(ValueError, match="built with n_buckets=4"):
+        PostingsView(str(tmp_path / "v"), rp, n_buckets=32)
 
 
 def test_vacuum_versions_and_stale_reader(ray_session, fixture_dir, tmp_path):

@@ -123,13 +123,22 @@ def test_compaction_forces_full_rebuild(ray_session, fixture_dir, tmp_path):
 
 
 def test_meta_sticky_and_validation(ray_session, fixture_dir, tmp_path):
+    """Omitted args adopt the stored META; an explicit mismatch raises
+    (e.g. --column source against an n_tok index must not silently
+    refresh/query the n_tok index); an explicit match reopens fine."""
     cfg = ReplayConfig(num_partitions=8)
     rp = _replay(str(tmp_path / "t"), fixture_dir, cfg, epochs=1)
     v = ScalarIndexView(str(tmp_path / "v"), rp, column="n_tok", bin_width=4)
     v.refresh(to_epoch=0)
-    reopened = ScalarIndexView(str(tmp_path / "v"), rp, column="source",
-                               bin_width=99)
+    reopened = ScalarIndexView(str(tmp_path / "v"), rp)  # omitted → stored
     assert reopened.column == "n_tok" and reopened.bin_width == 4
     assert _view_pairs(reopened) == _expected_pairs(rp, "n_tok", up_to_epoch=0)
+    same = ScalarIndexView(str(tmp_path / "v"), rp, column="n_tok",
+                           bin_width=4)
+    assert same.bin_width == 4
+    with pytest.raises(ValueError, match="built with column='n_tok'"):
+        ScalarIndexView(str(tmp_path / "v"), rp, column="source")
+    with pytest.raises(ValueError, match="built with bin_width=4"):
+        ScalarIndexView(str(tmp_path / "v"), rp, bin_width=99)
     with pytest.raises(ValueError, match="not indexable"):
         ScalarIndexView(str(tmp_path / "bad"), rp, column="tokens")

@@ -4,9 +4,15 @@ Headline: end-to-end CDC replay throughput (change-events applied/sec) on a
 deterministic synthetic token-payload binlog (BASELINE.json metric), plus
 per-query timings over ``$GRAFT_SF_DIR`` tables.
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (headline fields first, kept well under the
+driver's stdout-capture window — the r2 line with all ~90 query timings
+inline overflowed it and the headline was lost, VERDICT r2 item 2):
   {"metric": "...", "value": <headline sec>, "unit": "sec",
-   "queries": {...}, "sf": ..., "num_cpus": N, "events_per_sec": ...}
+   "events_per_sec": ..., "num_cpus": N, "sf": ...,
+   "queries": {<headline subset>}, "n_queries": N,
+   "queries_file": "BENCH_QUERIES.json"}
+The FULL per-query timing map is written to ``BENCH_QUERIES.json``
+next to this file.
 
 ``--scaling``: runs the headline twice in fresh processes (num_cpus=8 and
 32 by default) on the same input and reports throughput at both plus the
@@ -182,6 +188,8 @@ def run_queries(sf_dir: str) -> dict:
         "embedding_pca",
         # eleventh-session ops
         "cdc_doc_history", "cdc_index_range", "media_adpcm_decode",
+        # round-3: driver-gate-stale dedup/ANN family (VERDICT r2 item 1)
+        "doc_fingerprint", "ann_topk_lsh",
     ]
     qs = entry_mod.queries()
     out = {}
@@ -246,15 +254,35 @@ def main() -> None:
     headline = run_headline(num_cpus, dump_stats="--stats" in sys.argv)
     queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") else run_queries(sf_dir)
 
+    # full per-query map goes to a sidecar file; stdout carries only a
+    # headline subset so the final line stays small enough for the
+    # driver's capture window (the r2 inline map overflowed it)
+    sidecar = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
+    if queries:
+        tmp = sidecar + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"sf": sf_dir, "num_cpus": num_cpus,
+                       "queries": queries}, f, indent=1, sort_keys=True)
+        os.replace(tmp, sidecar)
+    spotlight = [
+        "cdc_lww_state", "cdc_dup_keys", "dedup_exact", "dedup_minhash",
+        "dedup_simhash", "doc_fingerprint", "embedding_near_dup",
+        "ann_topk", "ann_topk_lsh", "token_count", "quality_score",
+        "pricing_summary", "customer_order_join", "semantic_clusters",
+    ]
     print(json.dumps({
         "metric": "cdc_replay_total_sec",
         "value": headline["total_sec"],
         "unit": "sec",
         "events_per_sec": headline["events_per_sec"],
-        "headline": headline,
-        "queries": queries,
-        "sf": sf_dir,
         "num_cpus": num_cpus,
+        "sf": sf_dir,
+        "headline": headline,
+        "queries": {k: queries[k] for k in spotlight if k in queries},
+        "n_queries": len(queries),
+        "queries_total_sec": round(sum(queries.values()), 1),
+        "queries_file": "BENCH_QUERIES.json",
     }))
     ray.shutdown()
 

@@ -195,12 +195,20 @@ def corpus_shuffle(sf_dir: str) -> ray.data.Dataset:
         acc += counts[k]
     off_ref = ray.put(offsets)
 
-    def _rank(df):
-        df = df.sort_values(["h", "doc_id"])
-        base = ray.get(off_ref)[int(df["bucket"].iloc[0])]
-        return df.assign(pos=base + np.arange(len(df)))[["pos", "doc_id"]]
+    def _rank(t: pa.Table) -> pa.Table:
+        import polars as pl
 
-    return ds.groupby("bucket").map_groups(_rank, batch_format="pandas")
+        df = pl.from_arrow(t).sort(["h", "doc_id"])
+        base = ray.get(off_ref)[int(df["bucket"][0])]
+        return (
+            df.with_columns(
+                pl.Series("pos", base + np.arange(df.height, dtype=np.int64))
+            )
+            .select(["pos", "doc_id"])
+            .to_arrow()
+        )
+
+    return ds.groupby("bucket").map_groups(_rank, batch_format="pyarrow")
 
 
 def corpus_shuffle_sql() -> str:

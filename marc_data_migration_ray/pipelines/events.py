@@ -887,24 +887,26 @@ def late_event_counts(sf_dir: str) -> ray.data.Dataset:
         acc = max(acc, maxima[k])
     off_ref = ray.put(offsets)
 
-    def _flag(df):
-        df = df.sort_values("event_id")
+    def _flag(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).sort("event_id")
         tu = df["tu"].to_numpy()
         run = np.maximum.accumulate(tu)
         wm = np.empty_like(run)
-        wm[0] = ray.get(off_ref)[int(df["bucket"].iloc[0])]
+        wm[0] = ray.get(off_ref)[int(df["bucket"][0])]
         wm[1:] = run[:-1]
         np.maximum(wm, wm[0], out=wm)          # fold in the chunk offset
         late = (wm != _WM_NEG_INF) & (tu < wm - WM_DELAY_US)
         out = (
-            df.assign(win=tu // WM_WINDOW_US, late=late)
-            .groupby(["win", "late"], as_index=False)
-            .size()
-            .rename(columns={"size": "n"})
+            pl.DataFrame({"win": tu // WM_WINDOW_US, "late": late})
+            .group_by(["win", "late"])
+            .len(name="n")
+            .with_columns(pl.col("n").cast(pl.Int64))
         )
-        return out
+        return out.to_arrow()
 
-    partials = ds.groupby("bucket").map_groups(_flag, batch_format="pandas")
+    partials = ds.groupby("bucket").map_groups(_flag, batch_format="pyarrow")
     final = partials.groupby(["win", "late"]).aggregate(Sum("n", alias_name="n"))
     t = pa.concat_tables(final.iter_batches(batch_format="pyarrow"))
     t = pa.table({
@@ -1020,26 +1022,32 @@ def user_value_trailing_1h(sf_dir: str) -> ray.data.Dataset:
             "bucket": mod_bucket(t["user_id"], SESSION_BUCKETS),
         })
 
-    def _frame(df):
-        df = df.sort_values(["user_id", "tu", "event_id"])
+    def _frame(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).sort(["user_id", "tu", "event_id"])
         uid = df["user_id"].to_numpy()
         tu = df["tu"].to_numpy()
         cents = df["cents"].to_numpy()
         uidx = np.cumsum(np.r_[0, uid[1:] != uid[:-1]]).astype(np.int64)
         rel = tu - tu.min()
-        assert rel.max() < (1 << _TRAIL_PACK_BITS)
+        if rel.max() >= (1 << _TRAIL_PACK_BITS):
+            raise RuntimeError("trailing-window ts span overflows pack bits")
         key = (uidx << _TRAIL_PACK_BITS) + rel
         lo = np.searchsorted(key, (uidx << _TRAIL_PACK_BITS)
                              + np.maximum(rel - TRAIL_WINDOW_US, 0), "left")
         hi = np.searchsorted(key, key, "right")   # full ts peer group
         P = np.r_[0, np.cumsum(cents)]
-        return df.assign(trailing_cents=P[hi] - P[lo]).drop(
-            columns=["bucket", "tu", "cents"])
+        return (
+            df.with_columns(pl.Series("trailing_cents", P[hi] - P[lo]))
+            .drop(["bucket", "tu", "cents"])
+            .to_arrow()
+        )
 
     return (
         ds.map_batches(_bucket, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("bucket")
-        .map_groups(_frame, batch_format="pandas")
+        .map_groups(_frame, batch_format="pyarrow")
     )
 
 

@@ -143,16 +143,14 @@ def stratified_sample(sf_dir: str, k: int = STRAT_K) -> ray.data.Dataset:
         )
         return out.to_arrow()
 
-    def _final(g):
-        import pandas as pd  # noqa: F401  (map_groups pandas batch)
-
-        g = g.sort_values(["h", "doc_id"]).head(k)
-        return g[["doc_id", "source"]]
+    def _final(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["h", "doc_id"]).head(k)
+        return df.select(["doc_id", "source"]).to_arrow()
 
     partials = _docs(sf_dir, ("doc_id", "source")).map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
-    return partials.groupby("source").map_groups(_final, batch_format="pandas")
+    return partials.groupby("source").map_groups(_final, batch_format="pyarrow")
 
 
 def stratified_sql(k: int = STRAT_K) -> str:

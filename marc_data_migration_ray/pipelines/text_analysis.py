@@ -219,22 +219,26 @@ def sequence_pack(sf_dir: str, pack_len: int = PACK_LEN) -> ray.data.Dataset:
         acc += bucket_sums[k]
     off_ref = ray.put(offsets)
 
-    def _assign(df):
+    def _assign(t: pa.Table) -> pa.Table:
         import numpy as np
+        import polars as pl
         import ray as _ray
 
-        df = df.sort_values("doc_id")
-        base = _ray.get(off_ref)[int(df["bucket"].iloc[0])]
+        df = pl.from_arrow(t).sort("doc_id")
+        base = _ray.get(off_ref)[int(df["bucket"][0])]
         n = df["n_tok"].to_numpy()
-        start = base + np.cumsum(n) - n
-        df = df.drop(columns=["bucket"]).assign(
-            start_tok=start,
-            first_pack=start // pack_len,
-            last_pack=np.maximum(start, start + n - 1) // pack_len,
+        start = base + np.cumsum(n, dtype=np.int64) - n
+        return (
+            df.drop("bucket")
+            .with_columns(
+                pl.Series("start_tok", start),
+                pl.Series("first_pack", start // pack_len),
+                pl.Series("last_pack", np.maximum(start, start + n - 1) // pack_len),
+            )
+            .to_arrow()
         )
-        return df
 
-    return ds.groupby("bucket").map_groups(_assign, batch_format="pandas")
+    return ds.groupby("bucket").map_groups(_assign, batch_format="pyarrow")
 
 
 def fingerprint(sf_dir: str) -> ray.data.Dataset:
@@ -1527,15 +1531,19 @@ def best_docs_per_source(sf_dir: str, k: int = BEST_PER_SOURCE_K) -> ray.data.Da
         )
         return out.to_arrow()
 
-    def _final(g):
-        g = g.sort_values(["n_tokens", "doc_id"], ascending=[False, True])
-        return g.head(k)[["doc_id", "source", "n_tokens"]]
+    def _final(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .sort(["n_tokens", "doc_id"], descending=[True, False])
+            .head(k)
+        )
+        return df.select(["doc_id", "source", "n_tokens"]).to_arrow()
 
     return (
         _docs(sf_dir, ("doc_id", "source", "text"))
         .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("source")
-        .map_groups(_final, batch_format="pandas")
+        .map_groups(_final, batch_format="pyarrow")
     )
 
 

@@ -85,6 +85,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_dup_keys": lambda sf: derived.cdc_dup_keys(sf),
         "cdc_point_lookup": lambda sf: derived.cdc_point_lookup(sf),
         "cdc_doc_history": lambda sf: derived.cdc_doc_history(sf),
+        "cdc_doc_history_indexed":
+            lambda sf: derived.cdc_doc_history_indexed(sf),
         "cdc_index_range": lambda sf: derived.cdc_index_range(sf),
         "cdc_point_lookup_indexed":
             lambda sf: derived.cdc_point_lookup_indexed(sf),
@@ -580,7 +582,7 @@ def oracle_sql() -> dict[str, str]:
     from marc_data_migration_ray.pipelines import graph as _graph
     from marc_data_migration_ray.pipelines import tpch as _tpch_mod
 
-    return {
+    sql = {
         **_policy_sql(),
         "source_lang_rollup": _text_analysis_rollup_sql(),
         "word_repetition": _ta.word_repetition_sql(),
@@ -1239,3 +1241,7 @@ ORDER BY op, route, status
             "SELECT * FROM n WHERE raw_key <> norm_key OR NOT is_valid"
         ),
     }
+    # the bloom-pruned multi-key lineage scan must lose nothing: same
+    # oracle as the plain lineage query (cf. cdc_point_lookup_indexed)
+    sql["cdc_doc_history_indexed"] = sql["cdc_doc_history"]
+    return sql

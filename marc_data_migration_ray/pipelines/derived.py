@@ -441,24 +441,40 @@ def cdc_doc_history(
     sf_dir: str, cfg: ReplayConfig | None = None,
     doc_ids: tuple[str, ...] = HISTORY_IDS,
 ) -> pa.Table:
-    """Driver surface for ``Replayer.doc_history`` (row-level lineage):
-    replay onto the co-partitioned layout, then list every event that
-    targeted each of ``doc_ids`` — partition-pruned, key-filtered reads —
-    plus the base row. Oracle = the binlog filtered to the same keys with
-    the M14 gate's route/status CASE, UNION the documents base row."""
+    """Driver surface for ``Replayer.doc_history_many`` (row-level
+    lineage): replay onto the co-partitioned layout, then list every
+    event that targeted any of ``doc_ids`` in ONE partition-pruned,
+    key-filtered scan pass over the whole key list (no per-key loop).
+    Oracle = the binlog filtered to the same keys with the M14 gate's
+    route/status CASE, UNION the documents base row."""
     rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
-    out = []
-    for k in doc_ids:
-        h = rp.doc_history(k)
-        h = h.append_column("doc_id", pa.array([k] * h.num_rows, pa.string()))
-        out.append(h.select(
-            ["doc_id", "lsn", "op", "route", "status", "match_score",
-             "n_tok", "source"]
-        ))
-    t = pa.concat_tables(out)
+    return _history_projection(rp.doc_history_many(list(doc_ids)))
+
+
+def _history_projection(h: pa.Table) -> pa.Table:
+    t = h.select(
+        ["doc_id", "lsn", "op", "route", "status", "match_score",
+         "n_tok", "source"]
+    )
     t = t.set_column(t.column_names.index("n_tok"), "n_tok",
                      pc.cast(t["n_tok"], pa.int64()))
     return t.sort_by([("doc_id", "ascending"), ("lsn", "ascending")])
+
+
+def cdc_doc_history_indexed(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+    doc_ids: tuple[str, ...] = HISTORY_IDS,
+) -> pa.Table:
+    """``cdc_doc_history`` THROUGH the key-bloom file-skipping sidecars:
+    build ``.keybloom`` sidecars for the keys' partitions, then one
+    ``doc_history_many`` pass — each delta file's sidecar is consulted
+    once against the whole key set before any parquet bytes are read.
+    Oracle identical to ``cdc_doc_history``: the bloom-pruned multi-key
+    lineage scan must lose nothing."""
+    rp = _layout_replayer(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    rp.build_key_blooms(only_parts=rp._parts_for_keys(
+        [k for k in doc_ids if k]))
+    return _history_projection(rp.doc_history_many(list(doc_ids)))
 
 
 def cdc_point_lookup_indexed(

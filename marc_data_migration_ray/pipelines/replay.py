@@ -389,26 +389,77 @@ def _fold_salted_merge_task(
 
 
 @ray.remote(num_cpus=1)
-def _scan_key_history_task(items: list, key: str, columns: list[str],
+def _scan_key_history_task(items: list, keys: list[str], columns: list[str],
                            key_col: str = "key") -> pa.Table | None:
-    """Read files filtered to one key (``doc_history`` unit). ``items``
+    """Read files filtered to a KEY SET (``doc_history`` unit). ``items``
     is ``[(path, epochs-or-None), ...]``: files served from a merged
     segment carry the committed epochs they stand in for (the segment may
     physically hold more — e.g. epochs later truncated by rollback).
-    Returns None when nothing matched (caller supplies the schema)."""
+    Delta files are first pruned by their ``.keybloom`` sidecars against
+    the WHOLE key set — one sidecar read decides the file for every
+    requested key at once. Output carries the matched key as
+    ``_hist_key``. Returns None when nothing matched (caller supplies the
+    schema)."""
     out = []
-    want = pa.array([key], pa.string())
+    keys = sorted(set(keys))
+    want = pa.array(keys, pa.string())
     for path, epochs in items:
         if key_col == "key" and not _prune_by_keybloom(
                 [path], want, keep_keyless=False):
-            continue  # sidecar proves the key is absent from this file
-        flt = [(key_col, "==", key)]
+            continue  # sidecar proves every requested key is absent
+        flt = [(key_col, "in", keys)]
         if epochs is not None:
             flt.append(("epoch", "in", sorted(epochs)))
-        t = pq.read_table(path, columns=columns, filters=flt)
+        t = pq.read_table(path, columns=columns + [key_col], filters=flt)
         if t.num_rows:
-            out.append(t)
+            out.append(t.rename_columns(columns + ["_hist_key"]))
     return pa.concat_tables(out) if out else None
+
+
+@ray.remote(num_cpus=1)
+def _asof_key_states_task(
+    base_files: list[str],
+    delta_files: list[str],
+    cfg: ReplayConfig,
+    local_id_offsets: dict[int, int],
+    base_is_final_schema: bool,
+    cuts: list[tuple[int, list | None]],
+    keys: list[str],
+    payload_cols: tuple[str, ...] | None,
+) -> pa.Table:
+    """Batched as-of reconstruction (``doc_history(with_versions=True)``
+    unit): ONE key-filtered read of the keys' partition files, then one
+    in-process LWW fold per LSN cut over the ALREADY-READ rows — replacing
+    the per-event sequential ``lookup()`` round trips (each a fresh read +
+    Ray Data pipeline). Every cut's fold is bit-identical to
+    ``lookup(keys, up_to_lsn=cut)``'s fold of this partition: the same
+    reader, the same ``fold_bucket``, the cut applied as the same
+    ``lsn <= cut`` event filter. Returns FOLD_SCHEMA 'row' rows filtered
+    to ``keys``, tagged with an ``_asof_lsn`` column."""
+    from marc_data_migration_ray.stages.fold import fold_bucket
+
+    max_cut = max(lsn for lsn, _ in cuts)
+    allr = _read_bucket_tables(base_files, delta_files, cfg,
+                               base_is_final_schema, max_cut, keys,
+                               payload_cols)
+    want = pa.array(sorted(keys), pa.string())
+    out: list[pa.Table] = []
+    for lsn_cut, schema_ops in cuts:
+        if allr is None:
+            continue
+        sub = allr.filter(pc.or_kleene(
+            allr["is_base"], pc.less_equal(allr["lsn"], lsn_cut)))
+        r = fold_bucket(sub, cfg, local_id_offsets, schema_ops,
+                        payload_cols=payload_cols)
+        r = r.filter(pc.and_(pc.equal(r["_kind"], "row"),
+                             pc.is_in(r["doc_id"], value_set=want)))
+        if r.num_rows:
+            out.append(r.append_column(
+                "_asof_lsn", pa.array([lsn_cut] * r.num_rows, pa.int64())))
+    if not out:
+        return _empty_fold().append_column(
+            "_asof_lsn", pa.array([], pa.int64()))
+    return pa.concat_tables(out)
 
 
 @ray.remote(num_cpus=1)
@@ -1115,20 +1166,14 @@ class Replayer:
                                     payload_cols=payload_cols)
         return ray.data.from_arrow_refs(list(refs.values()))
 
-    def _fold_part_refs(
-        self,
-        up_to_epoch: int | None = None,
-        only_parts: set[int] | None = None,
-        up_to_lsn: int | None = None,
-        key_filter: list[str] | None = None,
-        payload_cols: tuple[str, ...] | None = None,
-    ) -> dict[int, "ray.ObjectRef"]:
-        """One fold ObjectRef per LOGICAL partition (keyed by partition id) —
-        the co-partitioned unit ``changes_between`` diffs pairwise.
-        ``only_parts`` restricts the fold to those logical partitions
-        (point lookups: touch only the buckets that can hold the keys).
-        ``payload_cols`` prunes the fold to the requested payload / added
-        columns (projection pushdown — see ``fold_bucket``)."""
+    def _fold_layout(
+        self, up_to_epoch: int | None = None, up_to_lsn: int | None = None,
+    ) -> tuple[bool, dict[int, list[str]], dict[int, list[str]]]:
+        """Enumerate the fold's input files per PHYSICAL partition:
+        (base_is_final_schema, base_by_part, delta_by_part). Validates the
+        read cut against the compaction floor/ceiling and prefers level-1
+        merged segments when they fully fit the range (shared by
+        ``_fold_part_refs`` and the batched as-of path)."""
         st = self.manifest.state
         floor = self.manifest.last_compacted_epoch()
         if up_to_lsn is not None and up_to_lsn < self.manifest.ceiling_lsn():
@@ -1176,6 +1221,24 @@ class Replayer:
                 continue  # empty epoch: committed, no data dir
             for p, fs in self._files_by_part(d).items():
                 delta_by_part.setdefault(p, []).extend(fs)
+        return base_is_final, base_by_part, delta_by_part
+
+    def _fold_part_refs(
+        self,
+        up_to_epoch: int | None = None,
+        only_parts: set[int] | None = None,
+        up_to_lsn: int | None = None,
+        key_filter: list[str] | None = None,
+        payload_cols: tuple[str, ...] | None = None,
+    ) -> dict[int, "ray.ObjectRef"]:
+        """One fold ObjectRef per LOGICAL partition (keyed by partition id) —
+        the co-partitioned unit ``changes_between`` diffs pairwise.
+        ``only_parts`` restricts the fold to those logical partitions
+        (point lookups: touch only the buckets that can hold the keys).
+        ``payload_cols`` prunes the fold to the requested payload / added
+        columns (projection pushdown — see ``fold_bucket``)."""
+        base_is_final, base_by_part, delta_by_part = self._fold_layout(
+            up_to_epoch, up_to_lsn)
         parts = sorted(set(base_by_part) | set(delta_by_part))
         if not parts:
             raise ValueError("nothing to fold: no base and no committed deltas")
@@ -1576,9 +1639,27 @@ class Replayer:
         Allocator-assigned local ids become addressable history once a
         compaction materializes them (same rule as ``lookup``); the
         keyless insert that allocated an id is not attributed to it."""
-        key = doc_id
+        return self.doc_history_many(
+            [doc_id], with_payload=with_payload, with_versions=with_versions,
+        ).drop_columns(["doc_id"])
+
+    def doc_history_many(self, doc_ids: list[str],
+                         with_payload: bool = False,
+                         with_versions: bool = False) -> pa.Table:
+        """Lineage over a KEY LIST (``doc_history`` generalized — VERDICT
+        r2 item 8): one partition-pruned, bloom-pruned scan pass serves
+        every requested key at once (each file's ``.keybloom`` sidecar is
+        consulted once against the whole set), and ``with_versions=True``
+        reconstructs all as-of states with one key-filtered fold pass per
+        partition over the union of the keys' event LSNs
+        (``_asof_states``) — never a per-key or per-event round trip.
+        Output adds a leading ``doc_id`` column; rows sort by
+        (doc_id, lsn)."""
+        keys = [k for k in dict.fromkeys(doc_ids) if k]
+        if not keys:
+            raise ValueError("doc_ids must contain at least one key")
         S = self.cfg.num_salts
-        parts = self._parts_for_keys([key])
+        parts = self._parts_for_keys(keys)
         phys_tokens = {
             f"{os.sep}part_p={lp * S + s}{os.sep}"
             for lp in parts for s in range(S)
@@ -1611,7 +1692,7 @@ class Replayer:
             ev_cols.append("tokens")
         refs = []
         if ev_items:
-            refs.append(_scan_key_history_task.remote(ev_items, key, ev_cols))
+            refs.append(_scan_key_history_task.remote(ev_items, keys, ev_cols))
 
         base_is_final = bool(self.manifest.state.get("base_is_final_schema"))
         base_dir = self._ensure_bucketized_base()
@@ -1624,7 +1705,7 @@ class Replayer:
             + ["status", "n_tok", "source"] + (["tokens"] if with_payload else [])
         if base_items:
             refs.append(_scan_key_history_task.remote(
-                base_items, key, base_cols,
+                base_items, keys, base_cols,
                 "doc_id" if base_is_final else "key"))
 
         got = ray.get(refs) if refs else []
@@ -1634,11 +1715,13 @@ class Replayer:
         fields = list(self._DOC_HISTORY_FIELDS)
         if with_payload:
             fields.append(("tokens", pa.list_(pa.int32())))
-        schema = pa.schema(fields + [("_ord", pa.int8())])
+        schema = pa.schema([("doc_id", pa.string())] + fields
+                           + [("_ord", pa.int8())])
         parts_out = []
         if base_t is not None and base_t.num_rows:
             n = base_t.num_rows
             cols = {
+                "doc_id": pc.cast(base_t["_hist_key"], pa.string()),
                 "lsn": pc.cast(base_t["last_lsn" if base_is_final else "lsn"],
                                pa.int64()),
                 "epoch": pa.nulls(n, pa.int32()),
@@ -1658,11 +1741,14 @@ class Replayer:
                 {n_: cols[n_] for n_ in schema.names}).cast(schema))
         if ev_t is not None and ev_t.num_rows:
             ev_t = ev_t.append_column(
+                "doc_id", pc.cast(ev_t["_hist_key"], pa.string()))
+            ev_t = ev_t.append_column(
                 "_ord", pa.array([1] * ev_t.num_rows, pa.int8()))
             parts_out.append(ev_t.select(schema.names).cast(schema))
         if parts_out:
             hist = pa.concat_tables(parts_out).sort_by(
-                [("lsn", "ascending"), ("_ord", "ascending")])
+                [("doc_id", "ascending"), ("lsn", "ascending"),
+                 ("_ord", "ascending")])
         else:
             hist = schema.empty_table()
         floor = self.manifest.last_compacted_epoch()
@@ -1677,21 +1763,27 @@ class Replayer:
         if not with_versions:
             return hist
         ceiling = self.manifest.ceiling_lsn()
+        cols = (["doc_id", "tokens", "n_tok"] if with_payload
+                else ["doc_id", "n_tok"])
+        # batched as-of reconstruction: ONE key-filtered partition read +
+        # one in-process fold per distinct LSN (VERDICT r2 item 7) instead
+        # of a sequential lookup() round trip per retained event
+        want = [int(l) for l, op in zip(hist["lsn"].to_pylist(),
+                                        hist["op"].to_pylist())
+                if op != "base" and l is not None and l >= ceiling]
+        states = self._asof_states(keys, want, cols)
         live, ntoks, toks = [], [], []
-        for r_lsn, r_op in zip(hist["lsn"].to_pylist(),
-                               hist["op"].to_pylist()):
+        for r_key, r_lsn, r_op in zip(hist["doc_id"].to_pylist(),
+                                      hist["lsn"].to_pylist(),
+                                      hist["op"].to_pylist()):
             if r_op == "base" or r_lsn is None or r_lsn < ceiling:
                 live.append(None); ntoks.append(None); toks.append(None)
                 continue
-            rows = self.lookup(
-                [key], up_to_lsn=int(r_lsn),
-                columns=["doc_id", "tokens", "n_tok"] if with_payload
-                else ["doc_id", "n_tok"],
-            ).take_all()
-            if rows:
+            row = states.get((r_key, int(r_lsn)))
+            if row is not None:
                 live.append(True)
-                ntoks.append(rows[0]["n_tok"])
-                toks.append(list(rows[0]["tokens"] or [])
+                ntoks.append(row["n_tok"])
+                toks.append(list(row["tokens"] or [])
                             if with_payload else None)
             else:
                 live.append(False); ntoks.append(None); toks.append(None)
@@ -1702,6 +1794,56 @@ class Replayer:
                 "state_tokens", pa.array(toks, pa.list_(pa.int32())))
         return hist
 
+    def _asof_states(self, keys: list[str], lsns: list[int],
+                     columns: list[str]) -> dict[tuple[str, int], dict]:
+        """State rows for ``keys`` AS OF each LSN in ``lsns`` — the batched
+        form of ``lookup(keys, up_to_lsn=L)`` over many L values: one
+        key-filtered read per touched partition + one in-process fold per
+        distinct cut over the already-read rows, then the identical
+        postprocess chain applied per cut (each cut sees its own as-of
+        schema). Returns ``{(doc_id, lsn): state_row}``; a missing pair
+        means the key had no live row as of that cut.
+
+        Salted tables (``num_salts > 1``) fall back to per-cut lookups:
+        the salted fold is a two-stage exchange, and as-of point-debug on
+        declared hot keys is the rare case."""
+        cut_lsns = sorted({int(l) for l in lsns})
+        if not cut_lsns or not keys:
+            return {}
+        out: dict[tuple[str, int], dict] = {}
+        if self.cfg.num_salts > 1:
+            for L in cut_lsns:
+                for row in self.lookup(keys, up_to_lsn=L,
+                                       columns=columns).take_all():
+                    out[(row["doc_id"], L)] = row
+            return out
+        base_is_final, base_by_part, delta_by_part = self._fold_layout()
+        offsets = self.manifest.local_id_offsets()
+        payload_cols = self._resolve_projection(columns, None, cut_lsns[-1])
+        cuts = [(L, self._schema_ops_up_to(None, L)) for L in cut_lsns]
+        keys_by_part: dict[int, list[str]] = {}
+        for k in dict.fromkeys(keys):
+            for p in self._parts_for_keys([k]):
+                keys_by_part.setdefault(p, []).append(k)
+        refs = [
+            _asof_key_states_task.remote(
+                base_by_part.get(p, []), delta_by_part.get(p, []),
+                self.cfg, offsets, base_is_final, cuts, ks, payload_cols)
+            for p, ks in sorted(keys_by_part.items())
+        ]
+        for t in ray.get(refs):
+            if not t.num_rows:
+                continue
+            asof = np.asarray(t["_asof_lsn"].to_numpy(zero_copy_only=False))
+            body = t.drop_columns(["_asof_lsn"])
+            for L in sorted(set(asof.tolist())):
+                sub = body.filter(pa.array(asof == L))
+                done = self._postprocess_table(sub, None, up_to_lsn=int(L),
+                                               columns=columns)
+                for row in done.to_pylist():
+                    out[(row["doc_id"], int(L))] = row
+        return out
+
     def _postprocess_rows(self, rows, up_to_epoch: int | None,
                           up_to_lsn: int | None = None,
                           columns: list[str] | None = None):
@@ -1709,9 +1851,29 @@ class Replayer:
         ``read_state`` and ``lookup``). ``columns`` applies the requested
         projection as the FINAL step (after schema evolution and policy
         plugins), in the caller's order."""
-        rows = rows.map_batches(
-            lambda t: t.select(_ROW_COLS), batch_format="pyarrow", zero_copy_batch=True
-        )
+        for fn in self._postprocess_fns(up_to_epoch, up_to_lsn, columns):
+            rows = rows.map_batches(fn, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        return rows
+
+    def _postprocess_table(self, t: pa.Table, up_to_epoch: int | None,
+                           up_to_lsn: int | None = None,
+                           columns: list[str] | None = None) -> pa.Table:
+        """Local (driver / in-task) variant of ``_postprocess_rows`` for
+        TINY tables (point lookups, per-LSN as-of states): applies the
+        identical transform chain to one pa.Table without spinning up a
+        Ray Data pipeline per call."""
+        for fn in self._postprocess_fns(up_to_epoch, up_to_lsn, columns):
+            t = fn(t)
+        return t
+
+    def _postprocess_fns(self, up_to_epoch: int | None,
+                         up_to_lsn: int | None = None,
+                         columns: list[str] | None = None) -> list:
+        """The fold-rows → public-state transform chain as a list of pure
+        ``pa.Table -> pa.Table`` functions (one ``map_batches`` each on the
+        Dataset path; applied in-process on the point-query path)."""
+        fns = [lambda t: t.select(_ROW_COLS)]
         ops = self._schema_ops_up_to(up_to_epoch, up_to_lsn)
         final_schema, _renames, added = self.manifest.resolve_schema(_DISPLAY_COLS, ops)
         if added or _renames:
@@ -1731,16 +1893,13 @@ class Replayer:
                     t = t.append_column(name, pc.cast(vals, pa.string()))
                 return t.rename_columns(list(names))
 
-            rows = rows.map_batches(_evolve, batch_format="pyarrow", zero_copy_batch=True)
+            fns.append(_evolve)
         else:
-            rows = rows.map_batches(
-                lambda t: t.select(_DISPLAY_COLS), batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
+            fns.append(lambda t: t.select(_DISPLAY_COLS))
         if self.cfg.policy_plugins:
-            from marc_data_migration_ray.stages.policy import apply_policies
+            from marc_data_migration_ray.stages.policy import _PolicyStage
 
-            rows = apply_policies(rows, self.cfg)
+            fns.extend(_PolicyStage(p) for p in self.cfg.policy_plugins)
         vcs = self.manifest.virtual_columns()
         if vcs:
             # generated columns: vectorized polars-SQL exprs over the
@@ -1757,15 +1916,11 @@ class Replayer:
                 )
                 return df.to_arrow()
 
-            rows = rows.map_batches(_generate, batch_format="pyarrow",
-                                    zero_copy_batch=True)
+            fns.append(_generate)
         if columns is not None:
             sel = list(columns)
-            rows = rows.map_batches(
-                lambda t: t.select(sel), batch_format="pyarrow",
-                zero_copy_batch=True,
-            )
-        return rows
+            fns.append(lambda t: t.select(sel))
+        return fns
 
     def _aggregate_metrics_rows(self, out, seed: dict | None = None) -> dict:
         """Sum the per-bucket ``_kind == 'metrics'`` rows of a fold output.

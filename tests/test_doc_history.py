@@ -235,3 +235,74 @@ def test_history_survives_repartition(ray_session, fixture_dir, tmp_path):
     assert got == want_all, "absorbed old-layout events must stay listed"
     assert [r["absorbed"] for r in hist if r["op"] != "base"] \
         == [r["epoch"] <= 1 for r in _key_events(evs, key)]
+
+
+def _busiest_keys(evs, n=4):
+    by_key = {}
+    for r in evs:
+        if r["op"] == "schema_change" or r["doc_id"] is None:
+            continue
+        k = _norm(r["doc_id"])
+        if k:
+            by_key.setdefault(k, []).append(r)
+    return sorted(by_key, key=lambda k: (-len(by_key[k]), k))[:n]
+
+
+def test_doc_history_many_matches_singles(ray_session, fixture_dir, tmp_path):
+    """Multi-key lineage == per-key lineage, rowset-identical (VERDICT r2
+    item 8): one scan pass over the union of the keys' partitions must
+    reproduce every single-key call exactly, versions included."""
+    import pyarrow.compute as pc
+
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    evs = _events(fixture_dir)
+    keys = _busiest_keys(evs)
+    assert len(keys) >= 3
+    multi = rp.doc_history_many(keys, with_payload=True, with_versions=True)
+    assert multi.schema.names[0] == "doc_id"
+    for k in keys:
+        single = rp.doc_history(k, with_payload=True, with_versions=True)
+        part = multi.filter(pc.equal(multi["doc_id"], k)).drop_columns(
+            ["doc_id"])
+        assert part.to_pylist() == single.to_pylist(), k
+    # no rows for keys never requested
+    got_keys = set(multi["doc_id"].to_pylist())
+    assert got_keys <= set(keys)
+
+
+def test_versions_are_batched_not_per_event(ray_session, fixture_dir, tmp_path):
+    """The with_versions reconstruction must run through the batched
+    _asof_states fold (one key-filtered pass per partition), NOT a
+    sequential lookup() per retained event (VERDICT r2 item 7)."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    evs = _events(fixture_dir)
+    key = _busy_key(evs)
+    assert len(_key_events(evs, key)) >= 3  # a many-event key
+    calls = []
+    orig = rp.lookup
+
+    def _spy(*a, **kw):
+        calls.append((a, kw))
+        return orig(*a, **kw)
+
+    rp.lookup = _spy
+    hist = rp.doc_history(key, with_versions=True)
+    assert any(r["state_live"] is not None for r in hist.to_pylist())
+    assert calls == [], "versions path must not issue per-event lookups"
+
+
+def test_doc_history_many_after_bloom_index(ray_session, fixture_dir, tmp_path):
+    """Multi-key lineage over a bloom-indexed table: sidecars prune delta
+    files against the WHOLE key set in one pass and the result is
+    unchanged (the pruned read path and the plain one agree)."""
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    evs = _events(fixture_dir)
+    keys = _busiest_keys(evs, n=3)
+    plain = rp.doc_history_many(keys, with_versions=True).to_pylist()
+    rep = rp.build_key_blooms()
+    assert rep["built"] > 0
+    pruned = rp.doc_history_many(keys, with_versions=True).to_pylist()
+    assert pruned == plain

@@ -467,7 +467,10 @@ def main(argv=None) -> int:
              "reconstruction per event",
     )
     dh.add_argument("--table", required=True)
-    dh.add_argument("--doc-id", required=True, dest="doc_id")
+    dh.add_argument("--doc-id", required=True, action="append",
+                    dest="doc_ids",
+                    help="key whose lineage to list (repeatable: all keys "
+                         "are served by ONE bloom-pruned scan pass)")
     dh.add_argument("--versions", action="store_true",
                     help="reconstruct the state as of each event (lsn-level "
                          "time-travel lookups)")
@@ -948,11 +951,14 @@ def main(argv=None) -> int:
                 print(json.dumps(r, default=str))
             print(json.dumps({"found": len(rows), "asked": len(args.ids)}))
         elif args.cmd == "doc-history":
-            t = rp.doc_history(args.doc_id, with_payload=args.payload,
-                               with_versions=args.versions)
+            t = rp.doc_history_many(args.doc_ids, with_payload=args.payload,
+                                    with_versions=args.versions)
+            if len(args.doc_ids) == 1:
+                t = t.drop_columns(["doc_id"])  # single-key output unchanged
             for r in t.to_pylist():
                 print(json.dumps(r, default=str))
-            print(json.dumps({"doc_id": args.doc_id, "events": t.num_rows}))
+            print(json.dumps({"doc_ids": args.doc_ids,
+                              "events": t.num_rows}))
         elif args.cmd == "view":
             from marc_data_migration_ray.pipelines.views import SourceCountsView
 

@@ -190,6 +190,8 @@ def run_queries(sf_dir: str) -> dict:
         "cdc_doc_history", "cdc_index_range", "media_adpcm_decode",
         # round-3: driver-gate-stale dedup/ANN family (VERDICT r2 item 1)
         "doc_fingerprint", "ann_topk_lsh",
+        # round-3 ops
+        "cdc_doc_history_indexed",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -177,13 +177,16 @@ def main() -> int:
     n_final = rp.read_state().count()
     t2 = time.perf_counter()
 
-    # spill evidence: Ray writes spilled objects under the session dir
-    spill = {"spilled_mb": None}
+    # spill evidence: the raylet logs a cumulative "Spilled N MiB" line
+    # whenever object-store pressure pushed objects to disk
+    spill = {"spilled": None}
     try:
-        summary = ray._private.internal_api.memory_summary(stats_only=True)
-        for line in summary.splitlines():
-            if "Spilled" in line:
-                spill["spilled_mb"] = line.strip()
+        session_dir = ray._private.worker._global_node.get_session_dir_path()
+        with open(os.path.join(session_dir, "logs", "raylet.out")) as f:
+            for line in f:
+                if "Spilled" in line:
+                    spill["spilled"] = line.split("Spilled", 1)[1].split(
+                        ". Set", 1)[0].strip()
     except Exception:
         pass
 

@@ -306,3 +306,18 @@ def test_doc_history_many_after_bloom_index(ray_session, fixture_dir, tmp_path):
     assert rep["built"] > 0
     pruned = rp.doc_history_many(keys, with_versions=True).to_pylist()
     assert pruned == plain
+
+
+def test_versions_salted_fallback(ray_session, fixture_dir, tmp_path):
+    """num_salts > 1 routes _asof_states through the per-cut lookup
+    fallback (the salted fold is a two-stage exchange); results must be
+    bit-identical to the unsalted batched path."""
+    evs = _events(fixture_dir)
+    key = _busy_key(evs, want_ops=("update",))
+    plain = _replay(str(tmp_path / "p"), fixture_dir,
+                    ReplayConfig(num_partitions=8))
+    salted = _replay(str(tmp_path / "s"), fixture_dir,
+                     ReplayConfig(num_partitions=8, num_salts=2))
+    a = plain.doc_history(key, with_versions=True).to_pylist()
+    b = salted.doc_history(key, with_versions=True).to_pylist()
+    assert a == b

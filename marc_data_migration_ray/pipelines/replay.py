@@ -1690,9 +1690,16 @@ class Replayer:
         ev_cols = [n for n, _ in self._DOC_HISTORY_FIELDS]
         if with_payload:
             ev_cols.append("tokens")
-        refs = []
-        if ev_items:
-            refs.append(_scan_key_history_task.remote(ev_items, keys, ev_cols))
+        # shard the scans ~64 files/task so wide tables (many epochs ×
+        # many partitions) parallelize instead of serializing one task
+        def _sharded(items: list, cols: list[str], key_col: str = "key"):
+            return [
+                _scan_key_history_task.remote(
+                    items[i:i + 64], keys, cols, key_col)
+                for i in range(0, len(items), 64)
+            ]
+
+        ev_refs = _sharded(ev_items, ev_cols) if ev_items else []
 
         base_is_final = bool(self.manifest.state.get("base_is_final_schema"))
         base_dir = self._ensure_bucketized_base()
@@ -1703,14 +1710,15 @@ class Replayer:
                     base_items.extend((f, None) for f in fs)
         base_cols = (["last_lsn"] if base_is_final else ["lsn"]) \
             + ["status", "n_tok", "source"] + (["tokens"] if with_payload else [])
-        if base_items:
-            refs.append(_scan_key_history_task.remote(
-                base_items, keys, base_cols,
-                "doc_id" if base_is_final else "key"))
+        base_refs = _sharded(base_items, base_cols,
+                             "doc_id" if base_is_final else "key") \
+            if base_items else []
 
-        got = ray.get(refs) if refs else []
-        ev_t = got[0] if ev_items else None
-        base_t = got[-1] if base_items else None
+        got = ray.get(ev_refs + base_refs) if (ev_refs or base_refs) else []
+        ev_parts = [t for t in got[:len(ev_refs)] if t is not None]
+        base_parts = [t for t in got[len(ev_refs):] if t is not None]
+        ev_t = pa.concat_tables(ev_parts) if ev_parts else None
+        base_t = pa.concat_tables(base_parts) if base_parts else None
 
         fields = list(self._DOC_HISTORY_FIELDS)
         if with_payload:

@@ -1833,23 +1833,50 @@ class Replayer:
         for k in dict.fromkeys(keys):
             for p in self._parts_for_keys([k]):
                 keys_by_part.setdefault(p, []).append(k)
+        # shard the cut list across tasks (≤32 cuts each): a many-event
+        # key's cuts all live in ONE partition, and each in-process fold
+        # is serial within a task — sharding re-reads the (tiny,
+        # key-filtered) inputs per task but parallelizes the folds
         refs = [
             _asof_key_states_task.remote(
                 base_by_part.get(p, []), delta_by_part.get(p, []),
-                self.cfg, offsets, base_is_final, cuts, ks, payload_cols)
+                self.cfg, offsets, base_is_final, cuts[i:i + 32], ks,
+                payload_cols)
             for p, ks in sorted(keys_by_part.items())
+            for i in range(0, len(cuts), 32)
         ]
+        per_plugin = bool(self.cfg.policy_plugins)
         for t in ray.get(refs):
             if not t.num_rows:
                 continue
             asof = np.asarray(t["_asof_lsn"].to_numpy(zero_copy_only=False))
             body = t.drop_columns(["_asof_lsn"])
+            # group cuts by as-of SCHEMA signature: every transform in the
+            # postprocess chain is a pure function of the schema ops (DDL
+            # is rare, so most cuts share one signature) and preserves row
+            # order — one chain application covers the whole group. Policy
+            # plugins may do arbitrary batch rewrites, so they keep the
+            # per-cut path.
+            groups: dict[str, list[int]] = {}
+            ops_by_lsn = dict(cuts)
             for L in sorted(set(asof.tolist())):
-                sub = body.filter(pa.array(asof == L))
-                done = self._postprocess_table(sub, None, up_to_lsn=int(L),
-                                               columns=columns)
-                for row in done.to_pylist():
-                    out[(row["doc_id"], int(L))] = row
+                groups.setdefault(repr(ops_by_lsn[int(L)]), []).append(int(L))
+            for ls in groups.values():
+                if per_plugin:
+                    subs = [(L, body.filter(pa.array(asof == L))) for L in ls]
+                else:
+                    mask = np.isin(asof, ls)
+                    sub_all = body.filter(pa.array(mask))
+                    done = self._postprocess_table(
+                        sub_all, None, up_to_lsn=ls[0], columns=columns)
+                    for L, row in zip(asof[mask].tolist(), done.to_pylist()):
+                        out[(row["doc_id"], int(L))] = row
+                    continue
+                for L, sub in subs:
+                    done = self._postprocess_table(sub, None, up_to_lsn=L,
+                                                   columns=columns)
+                    for row in done.to_pylist():
+                        out[(row["doc_id"], L)] = row
         return out
 
     def _postprocess_rows(self, rows, up_to_epoch: int | None,

@@ -101,6 +101,47 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
     eng = rp.read_state().take_all()
     _rows_equal(eng, o["final"]), ops_done
 
+    # per-key lineage rides the same maintenance gauntlet: the retained
+    # event log must list exactly the keys' binlog events in lsn order
+    # (whatever compact/segment/repartition landed), and every as-of
+    # state at/above the compaction ceiling must equal the oracle's
+    # prefix replay (batched _asof_states on unsalted layouts, per-cut
+    # lookup fallback on salted ones — both seeds' layouts exercise both)
+    import pyarrow as pa
+
+    from marc_data_migration_ray.functions.keys import normalize_keys
+
+    evs_all = sorted(_events(fdir), key=lambda r: r["lsn"])
+    by_key: dict = {}
+    for r_ in evs_all:
+        if r_["op"] != "schema_change" and r_["doc_id"] is not None:
+            k_ = normalize_keys(
+                pa.array([r_["doc_id"]], pa.string()))[0].as_py()
+            if k_:
+                by_key.setdefault(k_, []).append(r_)
+    busy = sorted(by_key, key=lambda k_: (-len(by_key[k_]), k_))[:2]
+    hist = rp.doc_history_many(busy, with_versions=True)
+    ceiling = rp.manifest.ceiling_lsn()
+    base_rows = pq.read_table(os.path.join(fdir, "base")).to_pylist()
+    for k_ in busy:
+        rows = [r_ for r_ in hist.to_pylist()
+                if r_["doc_id"] == k_ and r_["op"] != "base"]
+        assert [r_["lsn"] for r_ in rows] \
+            == [e_["lsn"] for e_ in by_key[k_]], (k_, ops_done)
+        for r_ in rows:
+            if r_["lsn"] < ceiling:
+                assert r_["state_live"] is None, (k_, r_["lsn"], ops_done)
+                continue
+            prefix = [e_ for e_ in evs_all if e_["lsn"] <= r_["lsn"]]
+            ost = {x["doc_id"]: x
+                   for x in oracle.replay(base_rows, prefix, cfg)["final"]}
+            if k_ in ost:
+                assert r_["state_live"] is True \
+                    and r_["state_n_tok"] == ost[k_]["n_tok"], \
+                    (k_, r_["lsn"], ops_done)
+            else:
+                assert r_["state_live"] is False, (k_, r_["lsn"], ops_done)
+
     # a random projected read must equal the full read's projection under
     # whatever layout the maintenance mix produced (pushdown soundness)
     names = list(rp.read_state().schema().names)

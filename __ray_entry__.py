@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_doc_history": lambda sf: derived.cdc_doc_history(sf),
         "cdc_doc_history_indexed":
             lambda sf: derived.cdc_doc_history_indexed(sf),
+        "cdc_near_dup_index": lambda sf: derived.cdc_near_dup_index(sf),
         "cdc_index_range": lambda sf: derived.cdc_index_range(sf),
         "cdc_point_lookup_indexed":
             lambda sf: derived.cdc_point_lookup_indexed(sf),
@@ -1244,4 +1245,35 @@ ORDER BY op, route, status
     # the bloom-pruned multi-key lineage scan must lose nothing: same
     # oracle as the plain lineage query (cf. cdc_point_lookup_indexed)
     sql["cdc_doc_history_indexed"] = sql["cdc_doc_history"]
+    # near-dup THROUGH the incrementally-maintained MinHash-LSH index
+    # view over the tokenized layout: all-pairs 3-token-shingle Jaccard
+    # over the same portable md5 token arrays, with doc '0' overridden to
+    # doc '1's (the planted mid-stream update the index tracked
+    # incrementally). Engine candidates come from 16x4 LSH banding +
+    # exact verify; the 4-block-style completeness argument is the
+    # dedup_minhash one (all sf-corpus pairs >= 0.8 are strong dups well
+    # inside the banding recall envelope; drops are capped + logged).
+    sql["cdc_near_dup_index"] = (
+        r"WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        r"regexp_extract_all(text, '\S+') ws FROM documents), "
+        "h AS (SELECT doc_id, list_transform(ws, x -> "
+        "CAST(md5_number_lower(x) % 2147483648 AS BIGINT)) hs FROM w), "
+        "hp AS (SELECT doc_id, CASE WHEN doc_id = '0' THEN "
+        "(SELECT hs FROM h WHERE doc_id = '1') ELSE hs END AS hs FROM h), "
+        "sh AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN "
+        "CAST([] AS VARCHAR[]) "
+        "WHEN len(hs) < 3 THEN [array_to_string(hs, '-')] "
+        "ELSE list_distinct([CAST(hs[i] AS VARCHAR) || '-' || "
+        "CAST(hs[i+1] AS VARCHAR) || '-' || CAST(hs[i+2] AS VARCHAR) "
+        "for i in range(1, len(hs)-1)]) END AS s FROM hp), "
+        "p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.s sa, b.s sb "
+        "FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "WHERE len(a.s) > 0 AND "
+        "least(len(a.s), len(b.s)) >= 0.8 * greatest(len(a.s), len(b.s))), "
+        "j AS (SELECT doc_a, doc_b, "
+        "CAST(len(list_intersect(sa, sb)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(sa, sb))) AS jaccard FROM p) "
+        "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8 "
+        "ORDER BY doc_a, doc_b"
+    )
     return sql

@@ -191,7 +191,7 @@ def run_queries(sf_dir: str) -> dict:
         # round-3: driver-gate-stale dedup/ANN family (VERDICT r2 item 1)
         "doc_fingerprint", "ann_topk_lsh",
         # round-3 ops
-        "cdc_doc_history_indexed",
+        "cdc_doc_history_indexed", "cdc_near_dup_index",
     ]
     qs = entry_mod.queries()
     out = {}

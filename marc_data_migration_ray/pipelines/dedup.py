@@ -185,33 +185,45 @@ class MinHasher:
                 sh[starts[:-1][short_idx]] = acc
         return sh, starts
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        ids = ids_array(t["doc_id"])
-        wh, offsets = _word_hashes(t["text"])
+    def band_buckets(self, wh: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        """Core LSH kernel over pre-hashed word/token streams: rolling
+        shingles → minhash permutations → per-band FNV bucket keys.
+        Returns a ``(n_docs, n_bands) uint64`` matrix (bucket keys masked
+        to 63 bits). Shared by the text pipeline (:meth:`__call__`) and
+        the CDC-state MinHash index view (token payloads)."""
         sh, starts = self._shingle_hashes(wh, offsets)
-        n_docs = len(ids)
+        n_docs = len(offsets) - 1
         if n_docs == 0:
-            return pa.table(
-                {"doc_id": pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
-                 "bucket": pa.array([], pa.int64())}
-            )
+            return np.empty((0, self.n_bands), np.uint64)
         sig = np.empty((n_docs, self.num_perm), np.uint64)
         seg_starts = starts[:-1]
         with np.errstate(over="ignore"):
             for p0 in range(0, self.num_perm, 16):  # bound transient memory
                 chunk = sh[:, None] * self.a[None, p0 : p0 + 16] + self.b[None, p0 : p0 + 16]
                 sig[:, p0 : p0 + 16] = np.minimum.reduceat(chunk, seg_starts, axis=0)
-        # banded FNV over each band's rows (vectorized across docs)
-        out_ids = np.repeat(ids, self.n_bands)
-        out_bands = np.tile(np.arange(self.n_bands, dtype=np.int32), n_docs)
         buckets = np.empty((n_docs, self.n_bands), np.uint64)
         prime = np.uint64(0x100000001B3)
         with np.errstate(over="ignore"):
+            # banded FNV over each band's rows (vectorized across docs)
             for b in range(self.n_bands):
                 h = np.full(n_docs, 0xCBF29CE484222325, np.uint64)
                 for r in range(self.rows_per_band):
                     h = (h ^ sig[:, b * self.rows_per_band + r]) * prime
                 buckets[:, b] = h & np.uint64(0x7FFFFFFFFFFFFFFF)
+        return buckets
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = ids_array(t["doc_id"])
+        wh, offsets = _word_hashes(t["text"])
+        n_docs = len(ids)
+        if n_docs == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "band": pa.array([], pa.int32()),
+                 "bucket": pa.array([], pa.int64())}
+            )
+        buckets = self.band_buckets(wh, offsets)
+        out_ids = np.repeat(ids, self.n_bands)
+        out_bands = np.tile(np.arange(self.n_bands, dtype=np.int32), n_docs)
         return pa.table(
             {
                 "doc_id": pa.array(out_ids, pa.int64()),

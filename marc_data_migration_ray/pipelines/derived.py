@@ -769,6 +769,201 @@ def _layout_replayer_2ep(sf_dir: str, cfg: ReplayConfig) -> "Replayer":
     return rp
 
 
+def _tok_arrays(texts) -> tuple[pa.ListArray, np.ndarray]:
+    """documents text → PORTABLE token arrays: per \\S+ word,
+    ``md5_number_lower(w) % 2^31`` as int32 (the dsir/simhash md5
+    convention), preserving word order — token-level engine results
+    become SQL-reproducible. Empty texts get empty arrays (regexp \\S+
+    extraction semantics, matching the oracle)."""
+    import hashlib
+
+    words = pc.split_pattern_regex(pc.cast(texts, pa.string()), r"\s+")
+    if isinstance(words, pa.ChunkedArray):
+        words = words.combine_chunks()
+    off = np.asarray(words.offsets).astype(np.int64)
+    flat = words.values
+    n_docs = len(off) - 1
+    keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
+    if len(flat):
+        uniq, inv = np.unique(np.asarray(flat, object), return_inverse=True)
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
+             for w in uniq), np.uint64, count=len(uniq))
+        wh = uh[inv]
+    else:
+        wh = np.empty(0, np.uint64)
+    doc_idx = np.repeat(np.arange(n_docs), np.diff(off))
+    kept_counts = np.bincount(doc_idx[keep], minlength=n_docs)
+    toks = (wh[keep] % np.uint64(1 << 31)).astype(np.int32)
+    off32 = np.zeros(n_docs + 1, np.int64)
+    np.cumsum(kept_counts, out=off32[1:])
+    tokens = pa.ListArray.from_arrays(
+        pa.array(off32.astype(np.int32), pa.int32()),
+        pa.array(toks, pa.int32()))
+    return tokens, kept_counts.astype(np.int32)
+
+
+def _layout_replayer_tok(sf_dir: str, cfg: ReplayConfig) -> "Replayer":
+    """TOKENIZED layout for payload-level driver queries: documents with
+    portable md5 word-hash token arrays (``_tok_arrays``), plus ONE
+    committed epoch holding a single full-replace update (lsn=1,
+    score=100) that copies doc '1's token array onto doc '0' — a
+    mid-stream near-duplicate planted THROUGH the CDC replay path, so
+    index maintenance has a real change feed to ride. Memoized per
+    (sf_dir, cfg)."""
+    import tempfile
+
+    from marc_data_migration_ray.pipelines.replay import Replayer
+
+    key = ("tok", sf_dir, repr(sorted(vars(cfg).items(), key=str)))
+    rp = _LAYOUT_MEMO.get(key)
+    if rp is not None:
+        return rp
+    root = tempfile.mkdtemp(prefix="cdc_tok_layout_")
+    base_dir = os.path.join(root, "base_in")
+    ds = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    )
+
+    def _mk(t: pa.Table) -> pa.Table:
+        tokens, n_tok = _tok_arrays(t["text"])
+        return pa.table(
+            {
+                "doc_id": pc.cast(t["doc_id"], pa.string()),
+                "tokens": tokens,
+                "n_tok": pa.array(n_tok, pa.int32()),
+                "source": t["source"],
+            }
+        )
+
+    ds.map_batches(_mk, batch_format="pyarrow",
+                   zero_copy_batch=True).write_parquet(base_dir)
+    import duckdb
+    import pyarrow.parquet as pq
+
+    con = duckdb.connect()
+    t1 = con.execute(
+        "SELECT text FROM "
+        f"'{os.path.join(sf_dir, 'documents.parquet')}' "
+        "WHERE CAST(doc_id AS VARCHAR) = '1'"
+    ).fetchall()
+    con.close()
+    toks1, n1 = _tok_arrays(pa.array([t1[0][0]], pa.string()))
+
+    def _ev(lsn, epoch, op, doc, tokens, n_tok, score):
+        return pa.table(
+            {
+                "lsn": pa.array([lsn], pa.int64()),
+                "epoch": pa.array([epoch], pa.int32()),
+                "op": pa.array([op], pa.string()),
+                "doc_id": pa.array([doc], pa.string()),
+                "tokens": tokens,
+                "n_tok": pa.array(n_tok, pa.int32()),
+                "source": pa.array(["planted"], pa.string()),
+                "column_mask": pa.array([[]], pa.list_(pa.string())),
+                "match_score": pa.array([score], pa.int32()),
+                "schema_kind": pa.nulls(1, pa.string()),
+                "schema_name": pa.nulls(1, pa.string()),
+                "schema_new_name": pa.nulls(1, pa.string()),
+            }
+        )
+
+    # epoch 0: a REJECTED update (score 30 < 50 fails the M14 gate — no
+    # state effect); epoch 1: the planted full-replace update (score 100)
+    # copying doc '1's tokens onto doc '0'. Two epochs so the index view
+    # can anchor at epoch 0 and absorb the plant INCREMENTALLY.
+    for e, tbl in (
+        (0, _ev(1, 0, "update", "2", toks1, n1, 30)),
+        (1, _ev(2, 1, "update", "0", toks1, n1, 100)),
+    ):
+        d = os.path.join(root, f"ep{e}")
+        os.makedirs(d)
+        pq.write_table(tbl, os.path.join(d, "part-0.parquet"))
+    rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
+    rp.apply_epoch(0, os.path.join(root, "ep0"))
+    rp.apply_epoch(1, os.path.join(root, "ep1"))
+    _LAYOUT_MEMO[key] = rp
+    return rp
+
+
+NEAR_DUP_JACCARD = 0.8
+
+
+def cdc_near_dup_index(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+) -> pa.Table:
+    """Near-dup pairs THROUGH the incrementally-maintained MinHash-LSH
+    index view (``views.MinHashIndexView``) over the tokenized CDC
+    layout: refresh the index at the table head (its signature entries
+    ride the payload change feed — the planted doc-'0'←doc-'1' update is
+    reflected incrementally), read candidate pairs from shared signature
+    entries, then verify with EXACT token-shingle Jaccard from state
+    payloads. Oracle: all-pairs 3-token-shingle Jaccard ≥ 0.8 over the
+    same portable md5 token arrays with doc '0' overridden to doc '1's —
+    equality proves the index's candidate generation loses nothing and
+    its maintenance tracked the mid-stream update."""
+    import tempfile
+
+    from marc_data_migration_ray.pipelines.views import MinHashIndexView
+
+    rp = _layout_replayer_tok(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    vroot = getattr(rp, "_mh_view_root", None)
+    if vroot is None:
+        # first build in this process: anchor the index at epoch 0 (full
+        # build, planted update NOT yet applied), then refresh to head —
+        # the plant must arrive via the INCREMENTAL signed-delta path, or
+        # the gate degenerates to a full rebuild (cf. cdc_maintain_state)
+        vroot = tempfile.mkdtemp(prefix="cdc_mh_view_")
+        view = MinHashIndexView(vroot, rp)
+        view.refresh(to_epoch=0)
+        rep = view.refresh()
+        if rep["mode"] != "incremental":
+            raise RuntimeError(
+                "cdc_near_dup_index: head refresh was not incremental — "
+                f"got mode={rep['mode']!r}"
+            )
+        rp._mh_view_root = vroot
+    else:
+        view = MinHashIndexView(vroot, rp)
+        view.refresh()
+    pairs, dropped = view.candidate_pairs()
+    if dropped:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "cdc_near_dup_index: %d candidate pairs skipped by cap", dropped)
+    cand_ids = sorted({d for p in pairs for d in p})
+    toks = {
+        r["doc_id"]: list(r["tokens"] or [])
+        for r in rp.lookup(cand_ids, columns=["doc_id", "tokens"]).take_all()
+    } if cand_ids else {}
+
+    def _shingles(tk: list) -> set:
+        if not tk:
+            return set()
+        if len(tk) < 3:
+            return {tuple(tk)}
+        return {tuple(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    out_a, out_b, out_j = [], [], []
+    for a, b in sorted(pairs):
+        sa, sb = _shingles(toks.get(a)), _shingles(toks.get(b))
+        union = sa | sb
+        j = len(sa & sb) / len(union) if union else 0.0
+        if j >= NEAR_DUP_JACCARD:
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(j)
+    return pa.table(
+        {
+            "doc_a": pa.array(out_a, pa.string()),
+            "doc_b": pa.array(out_b, pa.string()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
+
+
 def cdc_changes(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Dataset:
     """Driver surface for the change-data feed: replay the two-epoch
     split layout and return ``changes_between(0, 1)`` — the per-row diff

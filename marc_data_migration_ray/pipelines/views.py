@@ -38,6 +38,7 @@ import json
 import os
 import shutil
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -717,16 +718,201 @@ def vacuum_view_versions(root: str, retain: int = 1) -> dict:
             "bytes_freed": freed}
 
 
+class MinHashIndexView(_SignedSetView):
+    """Incrementally-maintained MinHash-LSH near-dup index over a
+    Replayer table's TOKEN payloads — the streaming form of
+    ``pipelines/dedup.dedup_minhash``: instead of re-shingling the corpus
+    per run, the banded signature entries live as a SET-valued secondary
+    index maintained by signed deltas from the PAYLOAD change feed
+    (+sigs of an insert/update after-image, −sigs of a delete/update
+    before-image — the exact :class:`PostingsView` arithmetic). A 100-TB
+    table under a trickle of updates keeps near-dup candidates fresh at
+    O(changes) per epoch, not O(corpus).
+
+    value = one int64 per (band, bucket-key) signature entry:
+    ``band << 59 | (bucket & (2^59-1))`` (16 bands ⇒ 4 bits; bucket keys
+    are 63-bit FNV — the 4 dropped bits only merge LSH buckets, which can
+    add candidates, never lose them). Docs with NULL/empty token arrays
+    emit no entries (an empty doc is no one's near-duplicate, and a
+    shared "empty" signature would be a pathological bucket).
+
+    Token hashing mirrors the text pipeline: per-token 64-bit mix, then
+    :meth:`MinHasher.band_buckets` (rolling k-shingles → permutations →
+    banded FNV) — so a pair's candidate-probability curve is the
+    documented 16×4 banding one."""
+
+    VALUE_COL = "sig"
+    _SIG_MASK = (1 << 59) - 1
+
+    def __init__(self, root: str, replayer, n_buckets: int | None = None,
+                 num_perm: int | None = None, n_bands: int | None = None,
+                 shingle: int | None = None):
+        explicit = {
+            k: int(v) for k, v in
+            (("n_buckets", n_buckets), ("num_perm", num_perm),
+             ("n_bands", n_bands), ("shingle", shingle))
+            if v is not None
+        }
+        super().__init__(
+            root, replayer,
+            {"kind": "minhash_index", "n_buckets": 16, "num_perm": 64,
+             "n_bands": 16, "shingle": 3, **explicit},
+            explicit=explicit,
+        )
+        self.n_buckets = int(self.meta["n_buckets"])
+        from marc_data_migration_ray.pipelines.dedup import MinHasher
+
+        self._mh = MinHasher(
+            num_perm=int(self.meta["num_perm"]),
+            n_bands=int(self.meta["n_bands"]),
+            shingle=int(self.meta["shingle"]),
+        )
+
+    def _value_type(self) -> pa.DataType:
+        return pa.int64()
+
+    def _feed_kwargs(self) -> dict:
+        return {"with_payload": True, "with_before_payload": True}
+
+    # ------------------------------------------------------------ kernels --
+    def _token_sigs(self, tokens) -> tuple[np.ndarray, np.ndarray]:
+        """ListArray of int tokens → (doc_index, packed sig) pairs for
+        docs with ≥1 token; fully vectorized."""
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        lens = np.asarray(
+            pc.fill_null(pc.list_value_length(tokens), 0)
+        ).astype(np.int64)
+        keep = np.flatnonzero(lens > 0)
+        if not keep.size:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        flat = np.asarray(tokens.flatten()).astype(np.uint64)
+        all_off = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=all_off[1:])
+        with np.errstate(over="ignore"):
+            wh = (flat ^ np.uint64(0xCBF29CE484222325)) \
+                * np.uint64(0x100000001B3)
+        # compact to kept docs only (empty docs contribute no flat values,
+        # so offsets just need re-basing over the kept segments) — one
+        # repeat/cumsum gather, no per-doc Python
+        klens = lens[keep]
+        koff = np.zeros(keep.size + 1, np.int64)
+        np.cumsum(klens, out=koff[1:])
+        if keep.size == len(lens):
+            kvals = wh
+        else:
+            within = np.arange(int(koff[-1]), dtype=np.int64) - np.repeat(
+                koff[:-1], klens)
+            kvals = wh[np.repeat(all_off[keep], klens) + within]
+        buckets = self._mh.band_buckets(kvals, koff)  # (kept, n_bands)
+        nb = buckets.shape[1]
+        bands = np.tile(np.arange(nb, dtype=np.uint64), keep.size)
+        sig = ((bands << np.uint64(59))
+               | (buckets.reshape(-1) & np.uint64(self._SIG_MASK)))
+        return np.repeat(keep, nb), sig.view(np.int64)
+
+    def _sig_table(self, doc_ids, tokens, sign: int) -> pa.Table:
+        idx, sig = self._token_sigs(tokens)
+        ids = pc.cast(doc_ids, pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        return pa.table(
+            {
+                "bucket": pa.array(sig % self.n_buckets, pa.int64()),
+                "sig": pa.array(sig, pa.int64()),
+                "doc_id": ids.take(pa.array(idx, pa.int64())),
+                "sign": pa.array(np.full(len(idx), sign, np.int64)),
+            }
+        )
+
+    def _full_pairs(self, t: pa.Table) -> pa.Table:
+        return self._sig_table(t["doc_id"], t["tokens"], 1).cast(
+            self._pairs_schema())
+
+    def _delta_pairs(self, t: pa.Table) -> pa.Table:
+        ch = t["change"]
+        ta = t.filter(pc.is_in(
+            ch, value_set=pa.array(["insert", "update"], pa.string())))
+        tr = t.filter(pc.is_in(
+            ch, value_set=pa.array(["update", "delete"], pa.string())))
+        out = [
+            self._sig_table(ta["doc_id"], ta["tokens_after"], 1),
+            self._sig_table(tr["doc_id"], tr["tokens_before"], -1),
+        ]
+        return pa.concat_tables(out).cast(self._pairs_schema())
+
+    # ------------------------------------------------------------- probes --
+    def candidate_pairs(self, cap: int = 256) -> tuple[set, int]:
+        """All candidate near-dup pairs the index implies: every sig held
+        by ≥2 docs yields its doc pairs (the LSH-dedup read). Sig groups
+        over ``cap`` docs contribute their first ``cap`` (sorted) with the
+        skipped pair count returned — no silent drops. Returns
+        (set of (doc_a, doc_b) with doc_a < doc_b, n_dropped)."""
+        cur = self._current()
+        if cur is None:
+            raise ValueError("view was never refreshed")
+        pairs: set = set()
+        dropped = 0
+        for _, f in sorted(self._bucket_files(cur["dir"]).items()):
+            t = pq.read_table(f)
+            sig = np.asarray(t["sig"].to_numpy(zero_copy_only=False))
+            ids = t["doc_id"].to_pylist()
+            # bucket files are sorted by (sig, doc_id): group by run
+            bounds = np.flatnonzero(np.r_[1, sig[1:] != sig[:-1], 1])
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                n = hi - lo
+                if n < 2:
+                    continue
+                grp = ids[lo:hi]
+                if n > cap:
+                    dropped += n * (n - 1) // 2 - cap * (cap - 1) // 2
+                    grp = grp[:cap]
+                for i in range(len(grp)):
+                    for j in range(i + 1, len(grp)):
+                        pairs.add((grp[i], grp[j]))
+        return pairs, dropped
+
+    def candidates_for_tokens(self, token_lists: list) -> list[set]:
+        """Point probes: for each token array, the doc_ids sharing ≥1
+        signature entry with it — reads ONLY the probed sigs' buckets."""
+        arr = pa.array(
+            [list(x) if x is not None else [] for x in token_lists],
+            pa.list_(pa.int64()),
+        )
+        idx, sig = self._token_sigs(arr)
+        cur = self._current()
+        if cur is None:
+            raise ValueError("view was never refreshed")
+        files = self._bucket_files(cur["dir"])
+        by_bucket: dict[int, list[tuple[int, int]]] = {}
+        for i, s in zip(idx.tolist(), sig.tolist()):
+            by_bucket.setdefault(int(s % self.n_buckets), []).append((i, s))
+        out: list[set] = [set() for _ in token_lists]
+        for b, entries in sorted(by_bucket.items()):
+            f = files.get(b)
+            if f is None:
+                continue
+            want = sorted({s for _, s in entries})
+            t = pq.read_table(f, filters=[("sig", "in", want)])
+            sig_to_docs: dict[int, set] = {}
+            for s, d in zip(t["sig"].to_pylist(), t["doc_id"].to_pylist()):
+                sig_to_docs.setdefault(s, set()).add(d)
+            for i, s in entries:
+                out[i] |= sig_to_docs.get(s, set())
+        return out
+
+
 def open_view(root: str, replayer):
     """Reopen ANY materialized view from its ``META.json`` ``kind`` tag
-    (agg / postings / scalar_index) — what ``follow --refresh-view``
-    uses to keep a set of heterogeneous views fresh during streaming
-    ingest without being told their types."""
+    (agg / postings / scalar_index / minhash_index) — what
+    ``follow --refresh-view`` uses to keep a set of heterogeneous views
+    fresh during streaming ingest without being told their types."""
     meta_p = os.path.join(root, "META.json")
     if not os.path.exists(meta_p):
         raise ValueError(
             f"{root}: no META.json — create the view once with its "
-            "concrete class (AggView / PostingsView / ScalarIndexView) first"
+            "concrete class (AggView / PostingsView / ScalarIndexView / "
+            "MinHashIndexView) first"
         )
     meta = json.loads(open(meta_p).read())
     kind = meta.get("kind")
@@ -737,6 +923,8 @@ def open_view(root: str, replayer):
         return PostingsView(root, replayer)
     if kind == "scalar_index":
         return ScalarIndexView(root, replayer)
+    if kind == "minhash_index":
+        return MinHashIndexView(root, replayer)
     raise ValueError(f"{root}: unknown view kind {kind!r}")
 
 

@@ -509,6 +509,26 @@ def main(argv=None) -> int:
     pv.add_argument("--limit", type=int, default=20)
     _add_cfg_args(pv)
 
+    mh = sub.add_parser(
+        "minhash-index",
+        help="incrementally-maintained MinHash-LSH near-dup index over "
+             "token payloads: refresh from the payload change feed, then "
+             "list candidate pairs or probe a doc",
+    )
+    mh.add_argument("--table", required=True)
+    mh.add_argument("--view-root", required=True, dest="view_root")
+    mh.add_argument("--to-epoch", type=int, default=None, dest="to_epoch")
+    mh.add_argument("--n-buckets", type=int, default=None, dest="n_buckets")
+    mh.add_argument("--no-refresh", action="store_true", dest="no_refresh")
+    mh.add_argument("--pairs", action="store_true",
+                    help="list candidate near-dup pairs from shared "
+                         "signature entries")
+    mh.add_argument("--probe-doc", default=None, dest="probe_doc",
+                    help="doc_id whose CURRENT tokens to probe against "
+                         "the index")
+    mh.add_argument("--limit", type=int, default=20)
+    _add_cfg_args(mh)
+
     ib = sub.add_parser(
         "index-blooms",
         help="build .keybloom file-skipping sidecars for all delta/segment "
@@ -983,6 +1003,28 @@ def main(argv=None) -> int:
                 for r in t.slice(0, args.limit).to_pylist():
                     print(json.dumps(r))
                 print(json.dumps({"total_postings": t.num_rows}))
+        elif args.cmd == "minhash-index":
+            from marc_data_migration_ray.pipelines.views import MinHashIndexView
+
+            v = MinHashIndexView(args.view_root, rp,
+                                 n_buckets=args.n_buckets)
+            if not args.no_refresh:
+                print(json.dumps(v.refresh(to_epoch=args.to_epoch)))
+            if args.pairs:
+                pairs, dropped = v.candidate_pairs()
+                out = sorted(pairs)
+                print(json.dumps({"pairs": out[:args.limit],
+                                  "total_pairs": len(out),
+                                  "dropped": dropped}))
+            if args.probe_doc is not None:
+                rows = rp.lookup([args.probe_doc],
+                                 columns=["doc_id", "tokens"]).take_all()
+                toks = list(rows[0]["tokens"] or []) if rows else []
+                cands = v.candidates_for_tokens([toks])[0] if toks else set()
+                print(json.dumps({
+                    "doc_id": args.probe_doc, "live": bool(rows),
+                    "candidates": sorted(cands)[:args.limit],
+                    "total_candidates": len(cands)}))
         elif args.cmd == "scalar-index":
             from marc_data_migration_ray.pipelines.views import ScalarIndexView
 

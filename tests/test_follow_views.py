@@ -16,6 +16,7 @@ from marc_data_migration_ray.config import ReplayConfig
 from marc_data_migration_ray.pipelines.replay import Replayer
 from marc_data_migration_ray.pipelines.views import (
     AggView,
+    MinHashIndexView,
     PostingsView,
     ScalarIndexView,
     open_view,
@@ -42,10 +43,12 @@ def test_follow_refresh_views(ray_session, tmp_path):
         "agg": str(tmp_path / "v_agg"),
         "postings": str(tmp_path / "v_post"),
         "sidx": str(tmp_path / "v_sidx"),
+        "mh": str(tmp_path / "v_mh"),
     }
     AggView(roots["agg"], rp0, keys=("source",), sums=("n_tok",))
     PostingsView(roots["postings"], rp0, n_buckets=8)
     ScalarIndexView(roots["sidx"], rp0, column="n_tok", bin_width=8)
+    MinHashIndexView(roots["mh"], rp0, n_buckets=8)
 
     r = subprocess.run(
         [sys.executable, "-m", "marc_data_migration_ray", "follow",
@@ -54,7 +57,8 @@ def test_follow_refresh_views(ray_session, tmp_path):
          "--until-epoch", str(N_EPOCHS - 1), "--poll", "0.1",
          "--refresh-view", roots["agg"],
          "--refresh-view", roots["postings"],
-         "--refresh-view", roots["sidx"]],
+         "--refresh-view", roots["sidx"],
+         "--refresh-view", roots["mh"]],
         capture_output=True, text=True, env=env, cwd="/root/repo", timeout=300,
     )
     assert r.returncode == 0, r.stderr[-2000:]
@@ -78,6 +82,8 @@ def test_follow_refresh_views(ray_session, tmp_path):
                                              n_buckets=8),
             "sidx": lambda: ScalarIndexView(str(tmp_path / "f_sidx"), rp,
                                             column="n_tok", bin_width=8),
+            "mh": lambda: MinHashIndexView(str(tmp_path / "f_mh"), rp,
+                                           n_buckets=8),
         }[name]()
         fresh.refresh()
         assert v.read().equals(fresh.read()), name

@@ -718,6 +718,35 @@ def vacuum_view_versions(root: str, retain: int = 1) -> dict:
             "bytes_freed": freed}
 
 
+def _sig_collision_pairs(t: pa.Table, cap: int) -> tuple[list, int]:
+    """Pairs from one sorted (sig, doc_id) bucket table (shared by the
+    Ray task below and any in-process caller)."""
+    sig = np.asarray(t["sig"].to_numpy(zero_copy_only=False))
+    ids = t["doc_id"].to_pylist()
+    pairs: list = []
+    dropped = 0
+    # bucket files are sorted by (sig, doc_id): group by run
+    bounds = np.flatnonzero(np.r_[1, sig[1:] != sig[:-1], 1]) \
+        if len(sig) else np.zeros(1, np.int64)
+    for lo, hi in zip(bounds[:-1], bounds[1:]):
+        n = hi - lo
+        if n < 2:
+            continue
+        grp = ids[lo:hi]
+        if n > cap:
+            dropped += n * (n - 1) // 2 - cap * (cap - 1) // 2
+            grp = grp[:cap]
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                pairs.append((grp[i], grp[j]))
+    return pairs, dropped
+
+
+@ray.remote(num_cpus=1)
+def _sig_bucket_pairs_task(path: str, cap: int):
+    return _sig_collision_pairs(pq.read_table(path), cap)
+
+
 class MinHashIndexView(_SignedSetView):
     """Incrementally-maintained MinHash-LSH near-dup index over a
     Replayer table's TOKEN payloads — the streaming form of
@@ -846,30 +875,21 @@ class MinHashIndexView(_SignedSetView):
         """All candidate near-dup pairs the index implies: every sig held
         by ≥2 docs yields its doc pairs (the LSH-dedup read). Sig groups
         over ``cap`` docs contribute their first ``cap`` (sorted) with the
-        skipped pair count returned — no silent drops. Returns
-        (set of (doc_a, doc_b) with doc_a < doc_b, n_dropped)."""
+        skipped pair count returned — no silent drops. One Ray task per
+        bucket file (the driver only merges output-sized pair sets).
+        Returns (set of (doc_a, doc_b) with doc_a < doc_b, n_dropped)."""
         cur = self._current()
         if cur is None:
             raise ValueError("view was never refreshed")
+        refs = [
+            _sig_bucket_pairs_task.remote(f, cap)
+            for _, f in sorted(self._bucket_files(cur["dir"]).items())
+        ]
         pairs: set = set()
         dropped = 0
-        for _, f in sorted(self._bucket_files(cur["dir"]).items()):
-            t = pq.read_table(f)
-            sig = np.asarray(t["sig"].to_numpy(zero_copy_only=False))
-            ids = t["doc_id"].to_pylist()
-            # bucket files are sorted by (sig, doc_id): group by run
-            bounds = np.flatnonzero(np.r_[1, sig[1:] != sig[:-1], 1])
-            for lo, hi in zip(bounds[:-1], bounds[1:]):
-                n = hi - lo
-                if n < 2:
-                    continue
-                grp = ids[lo:hi]
-                if n > cap:
-                    dropped += n * (n - 1) // 2 - cap * (cap - 1) // 2
-                    grp = grp[:cap]
-                for i in range(len(grp)):
-                    for j in range(i + 1, len(grp)):
-                        pairs.add((grp[i], grp[j]))
+        for p, d in ray.get(refs):
+            pairs.update(p)
+            dropped += d
         return pairs, dropped
 
     def candidates_for_tokens(self, token_lists: list) -> list[set]:

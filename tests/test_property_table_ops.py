@@ -61,11 +61,12 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
     # the compaction floor, forcing the full-rebuild path; otherwise the
     # signed-delta incremental path runs)
     from marc_data_migration_ray.pipelines.views import (
-        PostingsView, ScalarIndexView,
+        MinHashIndexView, PostingsView, ScalarIndexView,
     )
 
     pv = PostingsView(str(tmp_path / "pv"), rp, n_buckets=4)
     sv = ScalarIndexView(str(tmp_path / "sv"), rp, column="n_tok", bin_width=8)
+    mv = MinHashIndexView(str(tmp_path / "mv"), rp, n_buckets=4)
     ops_done = []
     clones: list[tuple[str, list]] = []
     for e in range(N_EPOCHS):
@@ -93,6 +94,7 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
             ops_done.append(f"clone@{e}")
         pv.refresh()
         sv.refresh()
+        mv.refresh()
 
     o = oracle.replay(
         pq.read_table(os.path.join(fdir, "base")).to_pylist(),
@@ -175,6 +177,7 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
     # and equal ground truth recomputed from the post-delete state
     pv.refresh()
     sv.refresh()
+    mv.refresh()
     want_post = set()
     want_scalar = set()
     for r_ in eng2:
@@ -188,6 +191,13 @@ def test_random_maintenance_interleaving(ray_session, tmp_path, seed):
     st = sv.read()
     assert set(zip(st["value"].to_pylist(), st["doc_id"].to_pylist())) \
         == want_scalar, ops_done
+    # minhash index: incrementally-maintained signature entries equal a
+    # fresh full rebuild at the same head (whatever mix + delete landed)
+    fresh_mv = MinHashIndexView(str(tmp_path / "mv_fresh"), rp, n_buckets=4)
+    fresh_mv.refresh()
+    mt, ft = mv.read(), fresh_mv.read()
+    assert set(zip(mt["sig"].to_pylist(), mt["doc_id"].to_pylist())) \
+        == set(zip(ft["sig"].to_pylist(), ft["doc_id"].to_pylist())), ops_done
 
     # every clone still reads exactly the state frozen at its clone point,
     # after all the source maintenance (and the delete) that followed

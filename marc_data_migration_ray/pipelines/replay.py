@@ -417,31 +417,44 @@ def _scan_key_history_task(items: list, keys: list[str], columns: list[str],
 
 
 @ray.remote(num_cpus=1)
-def _asof_key_states_task(
+def _read_key_rows_task(
     base_files: list[str],
     delta_files: list[str],
     cfg: ReplayConfig,
-    local_id_offsets: dict[int, int],
     base_is_final_schema: bool,
+    max_lsn: int,
+    keys: list[str],
+    payload_cols: tuple[str, ...] | None,
+) -> pa.Table | None:
+    """ONE key-filtered read of a partition's base+delta files — the
+    shared input every as-of fold shard of that partition consumes from
+    the object store (read once, fold many)."""
+    return _read_bucket_tables(base_files, delta_files, cfg,
+                               base_is_final_schema, max_lsn, keys,
+                               payload_cols)
+
+
+@ray.remote(num_cpus=1)
+def _asof_key_states_task(
+    allr: pa.Table | None,
+    cfg: ReplayConfig,
+    local_id_offsets: dict[int, int],
     cuts: list[tuple[int, list | None]],
     keys: list[str],
     payload_cols: tuple[str, ...] | None,
 ) -> pa.Table:
     """Batched as-of reconstruction (``doc_history(with_versions=True)``
-    unit): ONE key-filtered read of the keys' partition files, then one
-    in-process LWW fold per LSN cut over the ALREADY-READ rows — replacing
-    the per-event sequential ``lookup()`` round trips (each a fresh read +
-    Ray Data pipeline). Every cut's fold is bit-identical to
-    ``lookup(keys, up_to_lsn=cut)``'s fold of this partition: the same
-    reader, the same ``fold_bucket``, the cut applied as the same
-    ``lsn <= cut`` event filter. Returns FOLD_SCHEMA 'row' rows filtered
-    to ``keys``, tagged with an ``_asof_lsn`` column."""
+    unit): one in-process LWW fold per LSN cut over the partition's
+    ALREADY-READ key-filtered rows (``allr`` arrives as a shared
+    object-store ref — the read happened exactly once per partition) —
+    replacing the per-event sequential ``lookup()`` round trips. Every
+    cut's fold is bit-identical to ``lookup(keys, up_to_lsn=cut)``'s
+    fold of this partition: the same reader, the same ``fold_bucket``,
+    the cut applied as the same ``lsn <= cut`` event filter. Returns
+    FOLD_SCHEMA 'row' rows filtered to ``keys``, tagged with an
+    ``_asof_lsn`` column."""
     from marc_data_migration_ray.stages.fold import fold_bucket
 
-    max_cut = max(lsn for lsn, _ in cuts)
-    allr = _read_bucket_tables(base_files, delta_files, cfg,
-                               base_is_final_schema, max_cut, keys,
-                               payload_cols)
     want = pa.array(sorted(keys), pa.string())
     out: list[pa.Table] = []
     for lsn_cut, schema_ops in cuts:
@@ -1833,14 +1846,21 @@ class Replayer:
         for k in dict.fromkeys(keys):
             for p in self._parts_for_keys([k]):
                 keys_by_part.setdefault(p, []).append(k)
-        # shard the cut list across tasks (≤32 cuts each): a many-event
-        # key's cuts all live in ONE partition, and each in-process fold
-        # is serial within a task — sharding re-reads the (tiny,
-        # key-filtered) inputs per task but parallelizes the folds
+        # read each touched partition's key-filtered rows ONCE (the ref
+        # lands in the object store), then shard the cut list across fold
+        # tasks (≤32 cuts each): a many-event key's cuts all live in ONE
+        # partition and each in-process fold is serial within a task —
+        # sharding parallelizes the folds while every shard reads the
+        # shared rows zero-copy from plasma
+        read_refs = {
+            p: _read_key_rows_task.remote(
+                base_by_part.get(p, []), delta_by_part.get(p, []),
+                self.cfg, base_is_final, cut_lsns[-1], ks, payload_cols)
+            for p, ks in sorted(keys_by_part.items())
+        }
         refs = [
             _asof_key_states_task.remote(
-                base_by_part.get(p, []), delta_by_part.get(p, []),
-                self.cfg, offsets, base_is_final, cuts[i:i + 32], ks,
+                read_refs[p], self.cfg, offsets, cuts[i:i + 32], ks,
                 payload_cols)
             for p, ks in sorted(keys_by_part.items())
             for i in range(0, len(cuts), 32)

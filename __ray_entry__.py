@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_doc_history_indexed":
             lambda sf: derived.cdc_doc_history_indexed(sf),
         "cdc_near_dup_index": lambda sf: derived.cdc_near_dup_index(sf),
+        "cdc_near_dup_probe": lambda sf: derived.cdc_near_dup_probe(sf),
         "cdc_index_range": lambda sf: derived.cdc_index_range(sf),
         "cdc_point_lookup_indexed":
             lambda sf: derived.cdc_point_lookup_indexed(sf),
@@ -1275,5 +1276,32 @@ ORDER BY op, route, status
         "/ len(list_distinct(list_concat(sa, sb))) AS jaccard FROM p) "
         "SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.8 "
         "ORDER BY doc_a, doc_b"
+    )
+    # point-probe path of the same index: probe docs' POST-update token
+    # arrays vs every document's (self-matches included — a live probe's
+    # own entries are in the index)
+    _probe_ids = ", ".join(
+        f"('{i}')" for i in ("0", "3", "7"))
+    sql["cdc_near_dup_probe"] = (
+        r"WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        r"regexp_extract_all(text, '\S+') ws FROM documents), "
+        "h AS (SELECT doc_id, list_transform(ws, x -> "
+        "CAST(md5_number_lower(x) % 2147483648 AS BIGINT)) hs FROM w), "
+        "hp AS (SELECT doc_id, CASE WHEN doc_id = '0' THEN "
+        "(SELECT hs FROM h WHERE doc_id = '1') ELSE hs END AS hs FROM h), "
+        "sh AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN "
+        "CAST([] AS VARCHAR[]) "
+        "WHEN len(hs) < 3 THEN [array_to_string(hs, '-')] "
+        "ELSE list_distinct([CAST(hs[i] AS VARCHAR) || '-' || "
+        "CAST(hs[i+1] AS VARCHAR) || '-' || CAST(hs[i+2] AS VARCHAR) "
+        "for i in range(1, len(hs)-1)]) END AS s FROM hp), "
+        f"ids(doc_id) AS (VALUES {_probe_ids}), "
+        "pr AS (SELECT sh.* FROM sh JOIN ids USING (doc_id)), "
+        "j AS (SELECT p.doc_id AS probe_id, d.doc_id AS match_id, "
+        "CAST(len(list_intersect(p.s, d.s)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(p.s, d.s))) AS jaccard "
+        "FROM pr p JOIN sh d ON len(p.s) > 0 AND len(d.s) > 0) "
+        "SELECT probe_id, match_id, jaccard FROM j WHERE jaccard >= 0.8 "
+        "ORDER BY probe_id, match_id"
     )
     return sql

@@ -964,6 +964,69 @@ def cdc_near_dup_index(
     ).sort_by([("doc_a", "ascending"), ("doc_b", "ascending")])
 
 
+#: probe keys for cdc_near_dup_probe ('0' carries doc '1's tokens after
+#: the planted update, so it MUST surface '1' as a jaccard-1.0 match)
+NEAR_DUP_PROBE_IDS = ("0", "3", "7")
+
+
+def cdc_near_dup_probe(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+    probe_ids: tuple[str, ...] = NEAR_DUP_PROBE_IDS,
+) -> pa.Table:
+    """Point-probe path of the MinHash index view: look up each probe
+    doc's CURRENT tokens, probe the index (reads ONLY the probed sigs'
+    buckets), verify candidates with exact token-shingle Jaccard, and
+    return every (probe_id, match_id, jaccard) at ≥ 0.8 — self-matches
+    included (a live probe always finds itself: its own entries are in
+    the index). Oracle: the same Jaccard computed declaratively between
+    the probe docs' post-update token arrays and every document's."""
+    from marc_data_migration_ray.pipelines.views import MinHashIndexView
+
+    rp = _layout_replayer_tok(sf_dir, cfg or ReplayConfig(num_partitions=16))
+    # reuse (or build) the same per-process index the pair query uses
+    cdc_near_dup_index(sf_dir, cfg)
+    view = MinHashIndexView(rp._mh_view_root, rp)
+    probes = {
+        r["doc_id"]: list(r["tokens"] or [])
+        for r in rp.lookup(list(probe_ids),
+                           columns=["doc_id", "tokens"]).take_all()
+    }
+    ordered = [k for k in probe_ids if k in probes]
+    cand_sets = view.candidates_for_tokens([probes[k] for k in ordered])
+    all_cands = sorted(set().union(*cand_sets)) if cand_sets else []
+    toks = {
+        r["doc_id"]: list(r["tokens"] or [])
+        for r in rp.lookup(all_cands,
+                           columns=["doc_id", "tokens"]).take_all()
+    } if all_cands else {}
+
+    def _shingles(tk: list) -> set:
+        if not tk:
+            return set()
+        if len(tk) < 3:
+            return {tuple(tk)}
+        return {tuple(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+    out_p, out_m, out_j = [], [], []
+    for k, cands in zip(ordered, cand_sets):
+        sp = _shingles(probes[k])
+        for m in sorted(cands):
+            sm = _shingles(toks.get(m))
+            union = sp | sm
+            j = len(sp & sm) / len(union) if union else 0.0
+            if j >= NEAR_DUP_JACCARD:
+                out_p.append(k)
+                out_m.append(m)
+                out_j.append(j)
+    return pa.table(
+        {
+            "probe_id": pa.array(out_p, pa.string()),
+            "match_id": pa.array(out_m, pa.string()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    ).sort_by([("probe_id", "ascending"), ("match_id", "ascending")])
+
+
 def cdc_changes(sf_dir: str, cfg: ReplayConfig | None = None) -> ray.data.Dataset:
     """Driver surface for the change-data feed: replay the two-epoch
     split layout and return ``changes_between(0, 1)`` — the per-row diff

@@ -192,6 +192,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_fingerprint", "ann_topk_lsh",
         # round-3 ops
         "cdc_doc_history_indexed", "cdc_near_dup_index",
+        "cdc_near_dup_probe",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -1280,8 +1280,10 @@ ORDER BY op, route, status
     # point-probe path of the same index: probe docs' POST-update token
     # arrays vs every document's (self-matches included — a live probe's
     # own entries are in the index)
+    from marc_data_migration_ray.pipelines import derived as _derived_mod
+
     _probe_ids = ", ".join(
-        f"('{i}')" for i in ("0", "3", "7"))
+        f"('{i}')" for i in _derived_mod.NEAR_DUP_PROBE_IDS)
     sql["cdc_near_dup_probe"] = (
         r"WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
         r"regexp_extract_all(text, '\S+') ws FROM documents), "

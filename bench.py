@@ -274,7 +274,7 @@ def main() -> None:
         "ann_topk", "ann_topk_lsh", "token_count", "quality_score",
         "pricing_summary", "customer_order_join", "semantic_clusters",
     ]
-    print(json.dumps({
+    out = {
         "metric": "cdc_replay_total_sec",
         "value": headline["total_sec"],
         "unit": "sec",
@@ -285,8 +285,11 @@ def main() -> None:
         "queries": {k: queries[k] for k in spotlight if k in queries},
         "n_queries": len(queries),
         "queries_total_sec": round(sum(queries.values()), 1),
-        "queries_file": "BENCH_QUERIES.json",
-    }))
+        # only advertise the sidecar when THIS run wrote it — a
+        # headline-only run must not point at a previous run's timings
+        **({"queries_file": "BENCH_QUERIES.json"} if queries else {}),
+    }
+    print(json.dumps(out))
     ray.shutdown()
 
 

@@ -971,14 +971,19 @@ def main(argv=None) -> int:
                 print(json.dumps(r, default=str))
             print(json.dumps({"found": len(rows), "asked": len(args.ids)}))
         elif args.cmd == "doc-history":
-            t = rp.doc_history_many(args.doc_ids, with_payload=args.payload,
+            uniq = [k for k in dict.fromkeys(args.doc_ids)]
+            t = rp.doc_history_many(uniq, with_payload=args.payload,
                                     with_versions=args.versions)
-            if len(args.doc_ids) == 1:
-                t = t.drop_columns(["doc_id"])  # single-key output unchanged
+            if len(uniq) == 1:
+                # single-key invocation keeps the pre-multi-key output
+                # shape exactly (no doc_id column, {"doc_id": ...} summary)
+                t = t.drop_columns(["doc_id"])
             for r in t.to_pylist():
                 print(json.dumps(r, default=str))
-            print(json.dumps({"doc_ids": args.doc_ids,
-                              "events": t.num_rows}))
+            if len(uniq) == 1:
+                print(json.dumps({"doc_id": uniq[0], "events": t.num_rows}))
+            else:
+                print(json.dumps({"doc_ids": uniq, "events": t.num_rows}))
         elif args.cmd == "view":
             from marc_data_migration_ray.pipelines.views import SourceCountsView
 

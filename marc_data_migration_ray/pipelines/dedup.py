@@ -487,15 +487,23 @@ def _md5_word_hashes(texts: pa.ChunkedArray | pa.Array):
     Separate from ``_word_hashes`` (FNV) on purpose: minhash banding keeps
     its cheap buffer-level hash; simhash pays the md5 vocab map to gain an
     exact DuckDB oracle over the full pair set."""
-    import hashlib
-
     words = pc.split_pattern_regex(pc.cast(texts, pa.string()), r"\s+")
     if isinstance(words, pa.ChunkedArray):
         words = words.combine_chunks()
     offsets = np.asarray(words.offsets).astype(np.int64)
-    vals = words.values
+    return md5_word_hash_flat(words.values), offsets
+
+
+def md5_word_hash_flat(vals) -> np.ndarray:
+    """Flat string array → portable 64-bit md5 hashes (the
+    ``md5_number_lower`` convention), memoized in the worker-global vocab
+    cache. Shared by simhash signatures and the tokenized-layout builder
+    (``derived._tok_arrays``) so the SQL-portable hash rule lives in ONE
+    place."""
+    import hashlib
+
     if not len(vals):
-        return np.empty(0, np.uint64), offsets
+        return np.empty(0, np.uint64)
     uniq, inv = np.unique(np.asarray(vals, object), return_inverse=True)
     cache = _MD5_WORD_CACHE
     room = len(cache) < _MD5_WORD_CACHE_MAX
@@ -507,7 +515,7 @@ def _md5_word_hashes(texts: pa.ChunkedArray | pa.Array):
             if room:
                 cache[w] = hv
         uh[i] = hv
-    return uh[inv], offsets
+    return uh[inv]
 
 
 def simhash_signatures(sf_dir: str) -> ray.data.Dataset:

@@ -774,8 +774,10 @@ def _tok_arrays(texts) -> tuple[pa.ListArray, np.ndarray]:
     ``md5_number_lower(w) % 2^31`` as int32 (the dsir/simhash md5
     convention), preserving word order — token-level engine results
     become SQL-reproducible. Empty texts get empty arrays (regexp \\S+
-    extraction semantics, matching the oracle)."""
-    import hashlib
+    extraction semantics, matching the oracle). The hash rule lives in
+    ONE place (``dedup.md5_word_hash_flat``, worker-memoized) so engine
+    and oracle can never drift independently."""
+    from marc_data_migration_ray.pipelines.dedup import md5_word_hash_flat
 
     words = pc.split_pattern_regex(pc.cast(texts, pa.string()), r"\s+")
     if isinstance(words, pa.ChunkedArray):
@@ -784,14 +786,7 @@ def _tok_arrays(texts) -> tuple[pa.ListArray, np.ndarray]:
     flat = words.values
     n_docs = len(off) - 1
     keep = np.asarray(pc.greater(pc.utf8_length(flat), 0))
-    if len(flat):
-        uniq, inv = np.unique(np.asarray(flat, object), return_inverse=True)
-        uh = np.fromiter(
-            (int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
-             for w in uniq), np.uint64, count=len(uniq))
-        wh = uh[inv]
-    else:
-        wh = np.empty(0, np.uint64)
+    wh = md5_word_hash_flat(flat)
     doc_idx = np.repeat(np.arange(n_docs), np.diff(off))
     kept_counts = np.bincount(doc_idx[keep], minlength=n_docs)
     toks = (wh[keep] % np.uint64(1 << 31)).astype(np.int32)
@@ -890,19 +885,23 @@ def _layout_replayer_tok(sf_dir: str, cfg: ReplayConfig) -> "Replayer":
 NEAR_DUP_JACCARD = 0.8
 
 
-def cdc_near_dup_index(
-    sf_dir: str, cfg: ReplayConfig | None = None,
-) -> pa.Table:
-    """Near-dup pairs THROUGH the incrementally-maintained MinHash-LSH
-    index view (``views.MinHashIndexView``) over the tokenized CDC
-    layout: refresh the index at the table head (its signature entries
-    ride the payload change feed — the planted doc-'0'←doc-'1' update is
-    reflected incrementally), read candidate pairs from shared signature
-    entries, then verify with EXACT token-shingle Jaccard from state
-    payloads. Oracle: all-pairs 3-token-shingle Jaccard ≥ 0.8 over the
-    same portable md5 token arrays with doc '0' overridden to doc '1's —
-    equality proves the index's candidate generation loses nothing and
-    its maintenance tracked the mid-stream update."""
+def _token_shingles(tk: list) -> set:
+    """Verify-stage shingle semantics, shared by the pair and probe
+    queries (and mirrored by the DuckDB oracles): empty → ∅; <3 tokens →
+    one whole-sequence shingle; else distinct rolling 3-tuples."""
+    if not tk:
+        return set()
+    if len(tk) < 3:
+        return {tuple(tk)}
+    return {tuple(tk[i:i + 3]) for i in range(len(tk) - 2)}
+
+
+def _ensure_mh_view(sf_dir: str, cfg: ReplayConfig | None):
+    """Build (once per process) the MinHash index over the tokenized
+    layout: anchor at epoch 0 (full build, planted update NOT yet
+    applied), then refresh to head — the plant must arrive via the
+    INCREMENTAL signed-delta path, or the driver gate degenerates to a
+    full rebuild (cf. cdc_maintain_state). Returns (replayer, view)."""
     import tempfile
 
     from marc_data_migration_ray.pipelines.views import MinHashIndexView
@@ -910,10 +909,6 @@ def cdc_near_dup_index(
     rp = _layout_replayer_tok(sf_dir, cfg or ReplayConfig(num_partitions=16))
     vroot = getattr(rp, "_mh_view_root", None)
     if vroot is None:
-        # first build in this process: anchor the index at epoch 0 (full
-        # build, planted update NOT yet applied), then refresh to head —
-        # the plant must arrive via the INCREMENTAL signed-delta path, or
-        # the gate degenerates to a full rebuild (cf. cdc_maintain_state)
         vroot = tempfile.mkdtemp(prefix="cdc_mh_view_")
         view = MinHashIndexView(vroot, rp)
         view.refresh(to_epoch=0)
@@ -927,6 +922,23 @@ def cdc_near_dup_index(
     else:
         view = MinHashIndexView(vroot, rp)
         view.refresh()
+    return rp, view
+
+
+def cdc_near_dup_index(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+) -> pa.Table:
+    """Near-dup pairs THROUGH the incrementally-maintained MinHash-LSH
+    index view (``views.MinHashIndexView``) over the tokenized CDC
+    layout: refresh the index at the table head (its signature entries
+    ride the payload change feed — the planted doc-'0'←doc-'1' update is
+    reflected incrementally), read candidate pairs from shared signature
+    entries, then verify with EXACT token-shingle Jaccard from state
+    payloads. Oracle: all-pairs 3-token-shingle Jaccard ≥ 0.8 over the
+    same portable md5 token arrays with doc '0' overridden to doc '1's —
+    equality proves the index's candidate generation loses nothing and
+    its maintenance tracked the mid-stream update."""
+    rp, view = _ensure_mh_view(sf_dir, cfg)
     pairs, dropped = view.candidate_pairs()
     if dropped:
         import logging
@@ -939,16 +951,9 @@ def cdc_near_dup_index(
         for r in rp.lookup(cand_ids, columns=["doc_id", "tokens"]).take_all()
     } if cand_ids else {}
 
-    def _shingles(tk: list) -> set:
-        if not tk:
-            return set()
-        if len(tk) < 3:
-            return {tuple(tk)}
-        return {tuple(tk[i:i + 3]) for i in range(len(tk) - 2)}
-
     out_a, out_b, out_j = [], [], []
     for a, b in sorted(pairs):
-        sa, sb = _shingles(toks.get(a)), _shingles(toks.get(b))
+        sa, sb = _token_shingles(toks.get(a)), _token_shingles(toks.get(b))
         union = sa | sb
         j = len(sa & sb) / len(union) if union else 0.0
         if j >= NEAR_DUP_JACCARD:
@@ -980,12 +985,7 @@ def cdc_near_dup_probe(
     included (a live probe always finds itself: its own entries are in
     the index). Oracle: the same Jaccard computed declaratively between
     the probe docs' post-update token arrays and every document's."""
-    from marc_data_migration_ray.pipelines.views import MinHashIndexView
-
-    rp = _layout_replayer_tok(sf_dir, cfg or ReplayConfig(num_partitions=16))
-    # reuse (or build) the same per-process index the pair query uses
-    cdc_near_dup_index(sf_dir, cfg)
-    view = MinHashIndexView(rp._mh_view_root, rp)
+    rp, view = _ensure_mh_view(sf_dir, cfg)
     probes = {
         r["doc_id"]: list(r["tokens"] or [])
         for r in rp.lookup(list(probe_ids),
@@ -1000,18 +1000,11 @@ def cdc_near_dup_probe(
                            columns=["doc_id", "tokens"]).take_all()
     } if all_cands else {}
 
-    def _shingles(tk: list) -> set:
-        if not tk:
-            return set()
-        if len(tk) < 3:
-            return {tuple(tk)}
-        return {tuple(tk[i:i + 3]) for i in range(len(tk) - 2)}
-
     out_p, out_m, out_j = [], [], []
     for k, cands in zip(ordered, cand_sets):
-        sp = _shingles(probes[k])
+        sp = _token_shingles(probes[k])
         for m in sorted(cands):
-            sm = _shingles(toks.get(m))
+            sm = _token_shingles(toks.get(m))
             union = sp | sm
             j = len(sp & sm) / len(union) if union else 0.0
             if j >= NEAR_DUP_JACCARD:

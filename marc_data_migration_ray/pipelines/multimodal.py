@@ -68,18 +68,21 @@ class MediaDecoder:
             # (MP3/H.264 — see functions/media.py; PNG/JPEG/GIF/ADPCM ARE
             # implemented from their public specs): bind to a standard
             # third-party codec stack when the environment provides one.
-            # Optional import, probed ONCE per actor here in __init__.
-            self._ext = None
-            for mod in ("av", "PIL.Image", "soundfile"):
+            # Optional import, probed ONCE per actor here in __init__;
+            # __call__ then routes payloads through the bound module
+            # (``_features_external``).
+            self._ext_name = None
+            for mod in ("PIL.Image", "soundfile", "av"):
                 try:
-                    self._ext = __import__(mod)
+                    __import__(mod)
+                    self._ext_name = mod
                     break
                 except ImportError:
                     continue
-            if self._ext is None:
+            if self._ext_name is None:
                 raise NotImplementedError(
                     "decoder='external' needs a third-party codec package "
-                    "(PyAV, Pillow, or soundfile) on the workers; none is "
+                    "(Pillow, soundfile, or PyAV) on the workers; none is "
                     "importable in this environment. MP3/H.264 decode is a "
                     "permanent stub without one — every other shipped codec "
                     "(PPM/WAV/Y4M/PNG/GIF/JPEG/ADPCM) is implemented from "
@@ -102,9 +105,36 @@ class MediaDecoder:
         chunks = np.array_split(arr.astype(np.float64), self.FEATURE_DIM)
         return np.array([c.mean() if len(c) else 0.0 for c in chunks])
 
+    def _features_external(self, payload: bytes) -> np.ndarray:
+        """Decode through the third-party module bound in ``__init__`` and
+        reduce to the same chunked-mean feature vector the fake path
+        emits (so downstream schema/consumers are identical)."""
+        import io
+
+        if self._ext_name == "PIL.Image":
+            from PIL import Image
+
+            arr = np.asarray(
+                Image.open(io.BytesIO(payload)).convert("L"), np.float64
+            ).ravel()
+        elif self._ext_name == "soundfile":
+            import soundfile as sf
+
+            data, _sr = sf.read(io.BytesIO(payload))
+            arr = np.asarray(data, np.float64).ravel()
+        else:
+            raise NotImplementedError(
+                "decoder='external' via PyAV needs a container-specific "
+                "frame walk; install Pillow (images) or soundfile (audio)"
+            )
+        chunks = np.array_split(arr, self.FEATURE_DIM)
+        return np.array([c.mean() if len(c) else 0.0 for c in chunks])
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self._features(p) for p in payloads])
+        fn = (self._features_external if self.decoder == "external"
+              else self._features)
+        feats = np.stack([fn(p) for p in payloads])
         mean_byte = np.array(
             [
                 np.frombuffer(p, dtype=np.uint8).astype(np.float64).mean() if p else 0.0

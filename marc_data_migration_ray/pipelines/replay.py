@@ -1789,9 +1789,12 @@ class Replayer:
         # batched as-of reconstruction: ONE key-filtered partition read +
         # one in-process fold per distinct LSN (VERDICT r2 item 7) instead
         # of a sequential lookup() round trip per retained event
-        want = [int(l) for l, op in zip(hist["lsn"].to_pylist(),
-                                        hist["op"].to_pylist())
-                if op != "base" and l is not None and l >= ceiling]
+        want: dict[str, list[int]] = {}
+        for k_, l, op in zip(hist["doc_id"].to_pylist(),
+                             hist["lsn"].to_pylist(),
+                             hist["op"].to_pylist()):
+            if op != "base" and l is not None and l >= ceiling:
+                want.setdefault(k_, []).append(int(l))
         states = self._asof_states(keys, want, cols)
         live, ntoks, toks = [], [], []
         for r_key, r_lsn, r_op in zip(hist["doc_id"].to_pylist(),
@@ -1815,20 +1818,29 @@ class Replayer:
                 "state_tokens", pa.array(toks, pa.list_(pa.int32())))
         return hist
 
-    def _asof_states(self, keys: list[str], lsns: list[int],
+    def _asof_states(self, keys: list[str],
+                     lsns: "list[int] | dict[str, list[int]]",
                      columns: list[str]) -> dict[tuple[str, int], dict]:
         """State rows for ``keys`` AS OF each LSN in ``lsns`` — the batched
         form of ``lookup(keys, up_to_lsn=L)`` over many L values: one
         key-filtered read per touched partition + one in-process fold per
         distinct cut over the already-read rows, then the identical
         postprocess chain applied per cut (each cut sees its own as-of
-        schema). Returns ``{(doc_id, lsn): state_row}``; a missing pair
-        means the key had no live row as of that cut.
+        schema). ``lsns`` may be a flat list (every cut folds in every
+        touched partition) or a ``{key: [lsn, ...]}`` dict — then each
+        partition folds ONLY the cuts of the keys that live in it (the
+        doc_history_many case: keys spread over partitions must not
+        multiply partitions × total cuts). Returns
+        ``{(doc_id, lsn): state_row}``; a missing pair means the key had
+        no live row as of that cut.
 
         Salted tables (``num_salts > 1``) fall back to per-cut lookups:
         the salted fold is a two-stage exchange, and as-of point-debug on
         declared hot keys is the rare case."""
-        cut_lsns = sorted({int(l) for l in lsns})
+        by_key = lsns if isinstance(lsns, dict) else None
+        flat = ([l for ls in lsns.values() for l in ls]
+                if by_key is not None else lsns)
+        cut_lsns = sorted({int(l) for l in flat})
         if not cut_lsns or not keys:
             return {}
         out: dict[tuple[str, int], dict] = {}
@@ -1841,13 +1853,22 @@ class Replayer:
         base_is_final, base_by_part, delta_by_part = self._fold_layout()
         offsets = self.manifest.local_id_offsets()
         payload_cols = self._resolve_projection(columns, None, cut_lsns[-1])
-        cuts = [(L, self._schema_ops_up_to(None, L)) for L in cut_lsns]
+        ops_by_lsn = {L: self._schema_ops_up_to(None, L) for L in cut_lsns}
         keys_by_part: dict[int, list[str]] = {}
         for k in dict.fromkeys(keys):
             for p in self._parts_for_keys([k]):
                 keys_by_part.setdefault(p, []).append(k)
+        # per-partition cut lists: only the LSNs of the keys living there
+        cuts_by_part: dict[int, list] = {}
+        for p, ks in keys_by_part.items():
+            if by_key is None:
+                p_lsns = cut_lsns
+            else:
+                p_lsns = sorted({int(l) for k in ks
+                                 for l in by_key.get(k, ())})
+            cuts_by_part[p] = [(L, ops_by_lsn[L]) for L in p_lsns]
         # read each touched partition's key-filtered rows ONCE (the ref
-        # lands in the object store), then shard the cut list across fold
+        # lands in the object store), then shard its cut list across fold
         # tasks (≤32 cuts each): a many-event key's cuts all live in ONE
         # partition and each in-process fold is serial within a task —
         # sharding parallelizes the folds while every shard reads the
@@ -1857,13 +1878,14 @@ class Replayer:
                 base_by_part.get(p, []), delta_by_part.get(p, []),
                 self.cfg, base_is_final, cut_lsns[-1], ks, payload_cols)
             for p, ks in sorted(keys_by_part.items())
+            if cuts_by_part[p]
         }
         refs = [
             _asof_key_states_task.remote(
-                read_refs[p], self.cfg, offsets, cuts[i:i + 32], ks,
-                payload_cols)
+                read_refs[p], self.cfg, offsets,
+                cuts_by_part[p][i:i + 32], ks, payload_cols)
             for p, ks in sorted(keys_by_part.items())
-            for i in range(0, len(cuts), 32)
+            for i in range(0, len(cuts_by_part[p]), 32)
         ]
         per_plugin = bool(self.cfg.policy_plugins)
         for t in ray.get(refs):
@@ -1878,7 +1900,6 @@ class Replayer:
             # plugins may do arbitrary batch rewrites, so they keep the
             # per-cut path.
             groups: dict[str, list[int]] = {}
-            ops_by_lsn = dict(cuts)
             for L in sorted(set(asof.tolist())):
                 groups.setdefault(repr(ops_by_lsn[int(L)]), []).append(int(L))
             for ls in groups.values():

@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda sf: derived.cdc_doc_history_indexed(sf),
         "cdc_near_dup_index": lambda sf: derived.cdc_near_dup_index(sf),
         "cdc_near_dup_probe": lambda sf: derived.cdc_near_dup_probe(sf),
+        "cdc_ingest_dedup_gate":
+            lambda sf: derived.cdc_ingest_dedup_gate(sf),
         "cdc_index_range": lambda sf: derived.cdc_index_range(sf),
         "cdc_point_lookup_indexed":
             lambda sf: derived.cdc_point_lookup_indexed(sf),
@@ -1305,5 +1307,38 @@ ORDER BY op, route, status
         "FROM pr p JOIN sh d ON len(p.s) > 0 AND len(d.s) > 0) "
         "SELECT probe_id, match_id, jaccard FROM j WHERE jaccard >= 0.8 "
         "ORDER BY probe_id, match_id"
+    )
+    # ingest-gate: every state doc with id % 7 == 3 "re-arrives" with its
+    # LAST token dropped; the gate reports which state docs it would
+    # near-duplicate at >= 0.8 (dropping one token drops the trailing
+    # rolling shingle, so long docs gate in, short docs gate out)
+    sql["cdc_ingest_dedup_gate"] = (
+        r"WITH w AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        r"regexp_extract_all(text, '\S+') ws FROM documents), "
+        "h AS (SELECT doc_id, list_transform(ws, x -> "
+        "CAST(md5_number_lower(x) % 2147483648 AS BIGINT)) hs FROM w), "
+        "hp AS (SELECT doc_id, CASE WHEN doc_id = '0' THEN "
+        "(SELECT hs FROM h WHERE doc_id = '1') ELSE hs END AS hs FROM h), "
+        "tr AS (SELECT doc_id, hs[1:len(hs)-1] AS hs FROM hp "
+        f"WHERE CAST(doc_id AS BIGINT) % {_derived_mod.INGEST_GATE_MOD} "
+        f"= {_derived_mod.INGEST_GATE_RESIDUE}), "
+        "shs AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN "
+        "CAST([] AS VARCHAR[]) "
+        "WHEN len(hs) < 3 THEN [array_to_string(hs, '-')] "
+        "ELSE list_distinct([CAST(hs[i] AS VARCHAR) || '-' || "
+        "CAST(hs[i+1] AS VARCHAR) || '-' || CAST(hs[i+2] AS VARCHAR) "
+        "for i in range(1, len(hs)-1)]) END AS s FROM hp), "
+        "sht AS (SELECT doc_id, CASE WHEN len(hs) = 0 THEN "
+        "CAST([] AS VARCHAR[]) "
+        "WHEN len(hs) < 3 THEN [array_to_string(hs, '-')] "
+        "ELSE list_distinct([CAST(hs[i] AS VARCHAR) || '-' || "
+        "CAST(hs[i+1] AS VARCHAR) || '-' || CAST(hs[i+2] AS VARCHAR) "
+        "for i in range(1, len(hs)-1)]) END AS s FROM tr), "
+        "j AS (SELECT t.doc_id AS incoming_id, d.doc_id AS dup_of, "
+        "CAST(len(list_intersect(t.s, d.s)) AS DOUBLE) "
+        "/ len(list_distinct(list_concat(t.s, d.s))) AS jaccard "
+        "FROM sht t JOIN shs d ON len(t.s) > 0 AND len(d.s) > 0) "
+        "SELECT incoming_id, dup_of, jaccard FROM j WHERE jaccard >= 0.8 "
+        "ORDER BY incoming_id, dup_of"
     )
     return sql

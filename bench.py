@@ -192,7 +192,7 @@ def run_queries(sf_dir: str) -> dict:
         "doc_fingerprint", "ann_topk_lsh",
         # round-3 ops
         "cdc_doc_history_indexed", "cdc_near_dup_index",
-        "cdc_near_dup_probe",
+        "cdc_near_dup_probe", "cdc_ingest_dedup_gate",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -973,6 +973,63 @@ def cdc_near_dup_index(
 #: the planted update, so it MUST surface '1' as a jaccard-1.0 match)
 NEAR_DUP_PROBE_IDS = ("0", "3", "7")
 
+#: incoming-doc selector for cdc_ingest_dedup_gate: state docs with
+#: id % INGEST_GATE_MOD == INGEST_GATE_RESIDUE play "incoming" documents
+INGEST_GATE_MOD = 7
+INGEST_GATE_RESIDUE = 3
+
+
+def cdc_ingest_dedup_gate(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+) -> pa.Table:
+    """The ingest-gate use of the MinHash index: would-be INCOMING
+    documents are probed against the CURRENT state's index BEFORE any
+    write, so near-duplicates of already-held data never enter the
+    table. Incoming docs are synthesized deterministically as
+    near-copies: every state doc with ``id % 7 == 3`` re-arrives with
+    its LAST token dropped (a truncation edit — high but not perfect
+    Jaccard to its source, and <0.8 for very short docs, so the
+    threshold genuinely gates). Output: (incoming_id, dup_of, jaccard)
+    for every index candidate verifying at ≥ 0.8 — an incoming doc's
+    own source normally appears as its dup_of; other docs near its
+    source appear too. Oracle: the same truncated-vs-state shingle
+    Jaccard computed declaratively."""
+    rp, view = _ensure_mh_view(sf_dir, cfg)
+    D = _doc_count(sf_dir)
+    ids = [str(i) for i in range(INGEST_GATE_RESIDUE, D, INGEST_GATE_MOD)]
+    state = {
+        r["doc_id"]: list(r["tokens"] or [])
+        for r in rp.lookup(ids, columns=["doc_id", "tokens"]).take_all()
+    }
+    ordered = [k for k in ids if k in state]
+    incoming = {k: state[k][:-1] for k in ordered}
+    cand_sets = view.candidates_for_tokens([incoming[k] for k in ordered])
+    all_cands = sorted(set().union(*cand_sets)) if cand_sets else []
+    toks = {
+        r["doc_id"]: list(r["tokens"] or [])
+        for r in rp.lookup(all_cands,
+                           columns=["doc_id", "tokens"]).take_all()
+    } if all_cands else {}
+
+    out_i, out_d, out_j = [], [], []
+    for k, cands in zip(ordered, cand_sets):
+        si = _token_shingles(incoming[k])
+        for m in sorted(cands):
+            sm = _token_shingles(toks.get(m))
+            union = si | sm
+            j = len(si & sm) / len(union) if union else 0.0
+            if j >= NEAR_DUP_JACCARD:
+                out_i.append(k)
+                out_d.append(m)
+                out_j.append(j)
+    return pa.table(
+        {
+            "incoming_id": pa.array(out_i, pa.string()),
+            "dup_of": pa.array(out_d, pa.string()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        }
+    ).sort_by([("incoming_id", "ascending"), ("dup_of", "ascending")])
+
 
 def cdc_near_dup_probe(
     sf_dir: str, cfg: ReplayConfig | None = None,

@@ -718,6 +718,49 @@ def vacuum_view_versions(root: str, retain: int = 1) -> dict:
             "bytes_freed": freed}
 
 
+_MH_SIG_MASK = (1 << 59) - 1
+
+
+def _token_sigs_with(mh, tokens) -> tuple["np.ndarray", "np.ndarray"]:
+    """ListArray of int tokens → (row_index, packed ``band<<59|bucket``
+    sig) pairs for rows with ≥1 token; fully vectorized. Shared by the
+    view's maintenance kernels and the distributed batch prober (the
+    probe stage must hash EXACTLY like maintenance or candidates are
+    silently lost)."""
+    if isinstance(tokens, pa.ChunkedArray):
+        tokens = tokens.combine_chunks()
+    lens = np.asarray(
+        pc.fill_null(pc.list_value_length(tokens), 0)
+    ).astype(np.int64)
+    keep = np.flatnonzero(lens > 0)
+    if not keep.size:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    flat = np.asarray(tokens.flatten()).astype(np.uint64)
+    all_off = np.zeros(len(lens) + 1, np.int64)
+    np.cumsum(lens, out=all_off[1:])
+    with np.errstate(over="ignore"):
+        wh = (flat ^ np.uint64(0xCBF29CE484222325)) \
+            * np.uint64(0x100000001B3)
+    # compact to kept docs only (empty docs contribute no flat values,
+    # so offsets just need re-basing over the kept segments) — one
+    # repeat/cumsum gather, no per-doc Python
+    klens = lens[keep]
+    koff = np.zeros(keep.size + 1, np.int64)
+    np.cumsum(klens, out=koff[1:])
+    if keep.size == len(lens):
+        kvals = wh
+    else:
+        within = np.arange(int(koff[-1]), dtype=np.int64) - np.repeat(
+            koff[:-1], klens)
+        kvals = wh[np.repeat(all_off[keep], klens) + within]
+    buckets = mh.band_buckets(kvals, koff)  # (kept, n_bands)
+    nb = buckets.shape[1]
+    bands = np.tile(np.arange(nb, dtype=np.uint64), keep.size)
+    sig = ((bands << np.uint64(59))
+           | (buckets.reshape(-1) & np.uint64(_MH_SIG_MASK)))
+    return np.repeat(keep, nb), sig.view(np.int64)
+
+
 def _sig_collision_pairs(t: pa.Table, cap: int) -> tuple[list, int]:
     """Pairs from one sorted (sig, doc_id) bucket table (shared by the
     Ray task below and any in-process caller)."""
@@ -807,38 +850,7 @@ class MinHashIndexView(_SignedSetView):
     def _token_sigs(self, tokens) -> tuple[np.ndarray, np.ndarray]:
         """ListArray of int tokens → (doc_index, packed sig) pairs for
         docs with ≥1 token; fully vectorized."""
-        if isinstance(tokens, pa.ChunkedArray):
-            tokens = tokens.combine_chunks()
-        lens = np.asarray(
-            pc.fill_null(pc.list_value_length(tokens), 0)
-        ).astype(np.int64)
-        keep = np.flatnonzero(lens > 0)
-        if not keep.size:
-            return np.empty(0, np.int64), np.empty(0, np.int64)
-        flat = np.asarray(tokens.flatten()).astype(np.uint64)
-        all_off = np.zeros(len(lens) + 1, np.int64)
-        np.cumsum(lens, out=all_off[1:])
-        with np.errstate(over="ignore"):
-            wh = (flat ^ np.uint64(0xCBF29CE484222325)) \
-                * np.uint64(0x100000001B3)
-        # compact to kept docs only (empty docs contribute no flat values,
-        # so offsets just need re-basing over the kept segments) — one
-        # repeat/cumsum gather, no per-doc Python
-        klens = lens[keep]
-        koff = np.zeros(keep.size + 1, np.int64)
-        np.cumsum(klens, out=koff[1:])
-        if keep.size == len(lens):
-            kvals = wh
-        else:
-            within = np.arange(int(koff[-1]), dtype=np.int64) - np.repeat(
-                koff[:-1], klens)
-            kvals = wh[np.repeat(all_off[keep], klens) + within]
-        buckets = self._mh.band_buckets(kvals, koff)  # (kept, n_bands)
-        nb = buckets.shape[1]
-        bands = np.tile(np.arange(nb, dtype=np.uint64), keep.size)
-        sig = ((bands << np.uint64(59))
-               | (buckets.reshape(-1) & np.uint64(self._SIG_MASK)))
-        return np.repeat(keep, nb), sig.view(np.int64)
+        return _token_sigs_with(self._mh, tokens)
 
     def _sig_table(self, doc_ids, tokens, sign: int) -> pa.Table:
         idx, sig = self._token_sigs(tokens)
@@ -920,6 +932,115 @@ class MinHashIndexView(_SignedSetView):
             for i, s in entries:
                 out[i] |= sig_to_docs.get(s, set())
         return out
+
+    def candidate_pairs_ds(self, cap: int = 65536) -> ray.data.Dataset:
+        """Distributed form of :meth:`candidate_pairs`: one Ray task per
+        bucket file emits its sig-collision pairs, a pair-sized
+        ``groupby`` dedupes across bands/files, and NOTHING rides the
+        driver — the shape the 100-TB dedup read needs (the set-returning
+        variant funnels every pair through one process). A sig group over
+        ``cap`` docs RAISES instead of silently dropping pairs (ADVICE
+        r3: a capped drop surfaces downstream as a generic oracle
+        mismatch, not a recall diagnosis); the default cap is high
+        because verification no longer bottlenecks on the driver — it
+        only fences a pathological mega-bucket (cap² pair blowup).
+        Returns Dataset[(doc_a: string, doc_b: string)], doc_a < doc_b,
+        deduplicated."""
+        cur = self._current()
+        if cur is None:
+            raise ValueError("view was never refreshed")
+        paths = [f for _, f in sorted(self._bucket_files(cur["dir"]).items())]
+
+        def _file_pairs(t: pa.Table, cap=cap) -> pa.Table:
+            out_a: list = []
+            out_b: list = []
+            for p in t["path"].to_pylist():
+                pairs, dropped = _sig_collision_pairs(pq.read_table(p), cap)
+                if dropped:
+                    raise RuntimeError(
+                        f"minhash index bucket {p}: {dropped} candidate "
+                        f"pairs over cap={cap} — raise cap or add bands; "
+                        "refusing to silently lose recall")
+                out_a.extend(a for a, _ in pairs)
+                out_b.extend(b for _, b in pairs)
+            return pa.table({"doc_a": pa.array(out_a, pa.string()),
+                             "doc_b": pa.array(out_b, pa.string())})
+
+        from ray.data.aggregate import Count
+
+        raw = ray.data.from_items(
+            [{"path": p} for p in paths]
+        ).map_batches(_file_pairs, batch_format="pyarrow", batch_size=1)
+        return raw.groupby(["doc_a", "doc_b"]).aggregate(
+            Count(alias_name="_nb")
+        ).map_batches(lambda t: t.select(["doc_a", "doc_b"]),
+                      batch_format="pyarrow", zero_copy_batch=True)
+
+    def probe_candidates_ds(self, probes: ray.data.Dataset,
+                            id_col: str = "doc_id",
+                            tok_col: str = "tokens") -> ray.data.Dataset:
+        """Distributed form of :meth:`candidates_for_tokens`: a stateless
+        task pool probes the index per BATCH of incoming docs — each task
+        hashes its batch's tokens (the exact maintenance kernel), then
+        reads ONLY the buckets its sigs land in, filtered to those sigs
+        at the parquet scan. Incoming tokens never visit the driver and
+        probe cost is O(incoming + touched buckets), not O(corpus).
+        Returns Dataset[(probe_id: string, match_id: string)], distinct
+        (each probe id must appear in exactly one input batch)."""
+        cur = self._current()
+        if cur is None:
+            raise ValueError("view was never refreshed")
+        prober = _MinHashBatchProber(
+            self._bucket_files(cur["dir"]), self.n_buckets,
+            dict(self.meta), id_col, tok_col)
+        return probes.map_batches(
+            prober, batch_format="pyarrow", batch_size=4096)
+
+
+class _MinHashBatchProber:
+    """Per-batch index probe (see ``probe_candidates_ds``). A plain
+    callable instance (stateless task pool, not an actor pool): the
+    MinHasher permutation state is ~1 KiB of seeded arrays — cheap to
+    ship per task, and an actor pool would only add cold-start latency
+    (the ninth-session task-pool-sweep rule)."""
+
+    def __init__(self, files: dict[int, str], n_buckets: int, meta: dict,
+                 id_col: str, tok_col: str):
+        from marc_data_migration_ray.pipelines.dedup import MinHasher
+
+        self.files = dict(files)
+        self.n_buckets = int(n_buckets)
+        self._mh = MinHasher(
+            num_perm=int(meta["num_perm"]), n_bands=int(meta["n_bands"]),
+            shingle=int(meta["shingle"]))
+        self.id_col = id_col
+        self.tok_col = tok_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        idx, sig = _token_sigs_with(self._mh, t[self.tok_col])
+        ids = pc.cast(t[self.id_col], pa.string())
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        by_bucket: dict[int, list[tuple[int, int]]] = {}
+        for i, s in zip(idx.tolist(), sig.tolist()):
+            by_bucket.setdefault(int(s % self.n_buckets), []).append((i, s))
+        out: set = set()
+        for b, entries in sorted(by_bucket.items()):
+            f = self.files.get(b)
+            if f is None:
+                continue
+            want = sorted({s for _, s in entries})
+            bt = pq.read_table(f, filters=[("sig", "in", want)])
+            sig_to_docs: dict[int, set] = {}
+            for s, d in zip(bt["sig"].to_pylist(), bt["doc_id"].to_pylist()):
+                sig_to_docs.setdefault(s, set()).add(d)
+            for i, s in entries:
+                for d in sig_to_docs.get(s, ()):
+                    out.add((ids[i].as_py(), d))
+        probe, match = ([p for p, _ in sorted(out)],
+                        [m for _, m in sorted(out)])
+        return pa.table({"probe_id": pa.array(probe, pa.string()),
+                         "match_id": pa.array(match, pa.string())})
 
 
 def open_view(root: str, replayer):

@@ -128,6 +128,86 @@ def test_planted_dup_and_tombstone(ray_session, fixture_dir, tmp_path):
     assert stored == _brute_sigs(rp, v)
 
 
+def _plant_dup(rp, fixture_dir, tmp_path, epoch, a, b, state):
+    """Apply an epoch copying a's tokens onto b (plants an exact dup)."""
+    ref_schema = pq.read_schema(os.path.join(
+        fixture_dir, "binlog", "epoch=0",
+        sorted(os.listdir(os.path.join(fixture_dir, "binlog", "epoch=0")))[0]))
+    row = {
+        "lsn": 10_000, "epoch": epoch, "op": "update", "doc_id": b,
+        "tokens": state[a], "n_tok": len(state[a]), "source": "planted",
+        "column_mask": [], "match_score": 100,
+        "title": None, "match_title": None, "extra_json": None,
+        "schema_kind": None, "schema_name": None, "schema_new_name": None,
+    }
+    d = str(tmp_path / f"plant{epoch}")
+    os.makedirs(d)
+    pq.write_table(
+        pa.Table.from_pylist([{k: row.get(k) for k in ref_schema.names}],
+                             schema=ref_schema),
+        os.path.join(d, "part-0.parquet"))
+    rp.apply_epoch(epoch, d)
+
+
+def test_candidate_pairs_ds_matches_set(ray_session, fixture_dir, tmp_path):
+    """The distributed per-bucket-file pair read (candidate_pairs_ds)
+    equals the driver-merged set variant, deduplicated across bands."""
+    cfg = ReplayConfig(num_partitions=4)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg, epochs=1)
+    v = MinHashIndexView(str(tmp_path / "v"), rp, n_buckets=8)
+    v.refresh()
+    state = {r["doc_id"]: list(r["tokens"] or [])
+             for r in rp.read_state().take_all()}
+    busy = [d for d, tk in sorted(state.items()) if len(tk) >= 3]
+    _plant_dup(rp, fixture_dir, tmp_path, 1, busy[0], busy[1], state)
+    v.refresh()
+    want, dropped = v.candidate_pairs()
+    assert dropped == 0 and want
+    got_rows = v.candidate_pairs_ds().take_all()
+    got = {(r["doc_a"], r["doc_b"]) for r in got_rows}
+    assert got == want
+    assert len(got_rows) == len(got), "ds variant must be deduplicated"
+
+
+def test_candidate_pairs_ds_raises_on_cap(ray_session, fixture_dir, tmp_path):
+    """ADVICE r3: a capped sig group must FAIL LOUDLY, not warn — a
+    silent drop would surface downstream as a generic oracle mismatch."""
+    cfg = ReplayConfig(num_partitions=4)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg, epochs=1)
+    v = MinHashIndexView(str(tmp_path / "v"), rp, n_buckets=8)
+    v.refresh()
+    state = {r["doc_id"]: list(r["tokens"] or [])
+             for r in rp.read_state().take_all()}
+    busy = [d for d, tk in sorted(state.items()) if len(tk) >= 3]
+    _plant_dup(rp, fixture_dir, tmp_path, 1, busy[0], busy[1], state)
+    v.refresh()
+    with pytest.raises(Exception, match="over cap"):
+        v.candidate_pairs_ds(cap=1).materialize()
+
+
+def test_probe_candidates_ds_matches_point(ray_session, fixture_dir,
+                                           tmp_path):
+    """The distributed batch prober returns exactly the point-probe
+    candidates, per probe id."""
+    import ray.data
+
+    cfg = ReplayConfig(num_partitions=4)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg, epochs=N_EPOCHS)
+    v = MinHashIndexView(str(tmp_path / "v"), rp, n_buckets=8)
+    v.refresh()
+    rows = rp.read_state().take_all()[:10]
+    probes = [list(r["tokens"] or []) for r in rows]
+    want = v.candidates_for_tokens(probes)
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+        "tokens": pa.array(probes, pa.list_(pa.int64()))}))
+    got: dict = {}
+    for r in v.probe_candidates_ds(ds).take_all():
+        got.setdefault(r["probe_id"], set()).add(r["match_id"])
+    for r, w in zip(rows, want):
+        assert got.get(r["doc_id"], set()) == w
+
+
 def test_probe_matches_index(ray_session, fixture_dir, tmp_path):
     cfg = ReplayConfig(num_partitions=4)
     rp = _replay(str(tmp_path / "t"), fixture_dir, cfg, epochs=N_EPOCHS)

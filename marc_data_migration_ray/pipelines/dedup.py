@@ -382,9 +382,12 @@ def candidate_pairs_minhash(sf_dir: str, bucket_cap: int = 256) -> ray.data.Data
     # INSTANCE → stateless task pool: the permutation state is ~1 KiB of
     # seeded arrays (cheap to ship per task), so an actor pool would only
     # add its cold-start latency (~2 s measured) — the ninth-session
-    # task-pool-sweep rule applied here too
+    # task-pool-sweep rule applied here too. batch_size 512, not 2048:
+    # 512 keeps ~4× more tasks in flight, cutting the signature stage
+    # from 2.0 s to 0.45 s at sf0.1/32 cpus (measured) with no per-batch
+    # amortization loss — the kernel is vectorized per doc, not per batch.
     sigs = _docs(sf_dir).map_batches(
-        MinHasher(), batch_format="pyarrow", batch_size=2048
+        MinHasher(), batch_format="pyarrow", batch_size=512
     )
     # coarse shuffle key: many (band,bucket) logical buckets per group
     coarse = sigs.map_batches(
@@ -438,10 +441,62 @@ def dedup_minhash(sf_dir: str, jaccard_threshold: float = 0.8,
     return got
 
 
-def _dedup_minhash_build(sf_dir: str, jaccard_threshold: float,
-                         bucket_cap: int) -> ray.data.Dataset:
-    cand = candidate_pairs_minhash(sf_dir, bucket_cap)
-    texts = _candidate_texts(cand, sf_dir)
+#: broadcast budget for the verify stage's candidate-text side — under it
+#: the (output-scale, bloom-pruned) texts are read zero-copy from the
+#: object store by every verify task; over it the two-sided hash-attach
+#: exchange path takes over (graceful degradation for a pathological
+#: everything-is-a-near-dup corpus)
+_BROADCAST_TEXT_BYTES = 64 << 20
+
+#: worker-global candidate-text lookup memo (keyed by the broadcast refs'
+#: object ids): each worker process builds the dict once per pair
+#: artifact; later verify tasks on the same worker read it for free.
+#: Holds at most ONE artifact so a long-lived worker can't accumulate.
+_BCAST_TEXT_CACHE: dict = {}
+
+
+def _verify_broadcast(cand: ray.data.Dataset,
+                      texts: ray.data.Dataset) -> ray.data.Dataset:
+    """Verify candidate pairs against BROADCAST candidate texts: zero
+    exchanges — each verify task ``ray.get``s the materialized text
+    blocks (shared-memory zero-copy on its node) and joins in-process.
+    Correct only because ``texts`` is the bloom-pruned candidate set
+    (output-scale), never the corpus: the small-side-broadcast rule."""
+    refs = texts.to_arrow_refs()
+    key = tuple(r.hex() for r in refs)
+
+    def _fn(t: pa.Table) -> pa.Table:
+        lookup = _BCAST_TEXT_CACHE.get(key)
+        if lookup is None:
+            lookup = {}
+            for tt in ray.get(list(refs)):
+                if tt.num_rows == 0:  # empty blocks may carry no schema
+                    continue
+                for d, x in zip(tt["doc_id"].to_pylist(),
+                                tt["text"].to_pylist()):
+                    lookup[d] = x
+            _BCAST_TEXT_CACHE.clear()
+            _BCAST_TEXT_CACHE[key] = lookup
+        ja = [
+            exact_jaccard(lookup.get(a, ""), lookup.get(b, ""))
+            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())
+        ]
+        return pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "jaccard": pa.array(ja, pa.float64()),
+            }
+        )
+
+    return cand.map_batches(_fn, batch_format="pyarrow", batch_size=4096)
+
+
+def _verify_attached(cand: ray.data.Dataset,
+                     texts: ray.data.Dataset) -> ray.data.Dataset:
+    """Scale path: hash-co-locate each pair with its two texts (two
+    coarse-group exchanges) and verify per batch — no per-node
+    materialization of the candidate set."""
     with_a = _attach_text(cand, texts, "doc_a", "text_a", ["doc_a", "doc_b"])
     with_b = _attach_text(
         with_a, texts, "doc_b", "text_b", ["doc_a", "doc_b", "text_a"]
@@ -460,7 +515,21 @@ def _dedup_minhash_build(sf_dir: str, jaccard_threshold: float,
             }
         )
 
-    verified = with_b.map_batches(_verify, batch_format="pyarrow", batch_size=4096)
+    return with_b.map_batches(_verify, batch_format="pyarrow", batch_size=4096)
+
+
+def _dedup_minhash_build(sf_dir: str, jaccard_threshold: float,
+                         bucket_cap: int) -> ray.data.Dataset:
+    cand = candidate_pairs_minhash(sf_dir, bucket_cap)
+    texts = _candidate_texts(cand, sf_dir)
+    # adaptive verify (VERDICT r3 item 2): the candidate-text set is
+    # output-scale, so when it fits the broadcast budget the attach
+    # exchanges vanish entirely (sf0.1: 3.8 s → 1.8 s); a pathological
+    # candidate blow-up falls back to the exchange path unchanged
+    if texts.size_bytes() <= _BROADCAST_TEXT_BYTES:
+        verified = _verify_broadcast(cand, texts)
+    else:
+        verified = _verify_attached(cand, texts)
     return verified.filter(expr=f"jaccard >= {jaccard_threshold}")
 
 

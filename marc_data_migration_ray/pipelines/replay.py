@@ -434,6 +434,226 @@ def _read_key_rows_task(
                                payload_cols)
 
 
+def _asof_sweep(allr: pa.Table, cfg: ReplayConfig,
+                cuts: list[tuple[int, list | None]], keys: list[str],
+                payload_cols: tuple[str, ...] | None) -> pa.Table:
+    """O(key-events + cuts) as-of reconstruction: ONE LSN-ordered sweep
+    per key over the partition's already-read rows, emitting EVERY cut's
+    state from searchsorted timelines instead of one fold per cut
+    (VERDICT r3 item 3 — the per-cut fold pays ~6 ms of fixed
+    vectorized-fold cost per cut, which dominates a many-thousand-cut
+    lineage).
+
+    Semantics mirror ``fold_bucket`` rule-for-rule, sharing its mask and
+    extra-value resolvers (``_writes_expr`` / ``_extra_value_expr``) so
+    the two paths cannot drift:
+
+    * base dedup: greatest ``doc_id_raw`` then ``n_tok`` (same sort);
+    * event dedup: first row per lsn (duplicate-delivery absorption);
+    * anchor at cut L = max-lsn among base ∪ applied insert/delete
+      events ≤ L (lsn tie → event wins, matching the concat order);
+      a delete anchor means no row;
+    * per-column winner at L = last gate-passed masked update ≤ L with
+      lsn > anchor lsn (``replace_only`` additionally requires the
+      anchor to CARRY the column); anchor's own value as fallback;
+    * lineage = max-lsn among qualified updates ∪ the insert anchor,
+      falling back to the (base) anchor's stored last_lsn/status;
+    * candidate_key / part_id come from the anchor.
+
+    Mid-stream DDL rides the sweep too: mask / extra-value resolution is
+    TIMELINE-STABLE (an event's visible-name segment depends only on ops
+    at or before its lsn — later ops append segments, never rewrite
+    them), so the write/value vectors are evaluated ONCE under the LAST
+    cut's timeline and hold for every earlier cut. The per-cut added-
+    column set is the add-order prefix with ``add_lsn ≤ cut``
+    (searchsorted), packed into ``extra_json`` exactly when non-empty —
+    the fold's ``added_sel`` rule; otherwise the anchor's raw
+    ``extra_json`` passes through, also the fold's rule.
+
+    Equality against the fold path is pinned by test_doc_history (oracle
+    prefix replays), test_ddl_ordering and the as-of property
+    gauntlet."""
+    import polars as pl
+
+    from marc_data_migration_ray.stages.fold import (FOLD_FIELDS,
+                                                     FOLD_SCHEMA,
+                                                     _extra_value_expr,
+                                                     _writes_expr)
+    from marc_data_migration_ray.state.schema_timeline import Timeline
+
+    cuts_sorted = sorted({int(L): ops for L, ops in cuts}.items())
+    cut_arr = np.asarray([L for L, _ in cuts_sorted], np.int64)
+    tl = Timeline(cuts_sorted[-1][1])
+    pay = [c for c in PAYLOAD_COLUMNS
+           if payload_cols is None or c in payload_cols]
+    added_full = [c for c in tl.added
+                  if payload_cols is None or c in payload_cols]
+    add_lsns = np.asarray([tl.segments[c][0][0] for c in added_full],
+                          np.int64)
+
+    df = pl.from_arrow(allr)
+    base = df.filter(pl.col("is_base"))
+    if base.height:
+        base = base.sort(["key", "doc_id_raw", "n_tok"]).unique(
+            subset=["key"], keep="last", maintain_order=True)
+    ev = df.filter(~pl.col("is_base")).unique(
+        subset=["lsn"], keep="first", maintain_order=True)
+    applied = ev.filter(
+        pl.col("route").is_in(["applied", "fuzzy"])).sort("lsn")
+    has_extra = "extra_json" in applied.columns
+    pay_in = [c for c in pay if c in applied.columns]
+    added_in = added_full if has_extra else []
+    val_cols = pay_in + added_in
+    writes = {c: applied.select(_writes_expr(tl, c).alias("w"))["w"]
+              .fill_null(False).to_numpy().astype(bool)
+              for c in val_cols} if applied.height else {
+                  c: np.empty(0, bool) for c in val_cols}
+    a_lsn_all = applied["lsn"].to_numpy().astype(np.int64) \
+        if applied.height else np.empty(0, np.int64)
+    a_op = np.asarray(applied["op"].to_list(), dtype=object)
+    a_key = np.asarray(applied["key"].to_list(), dtype=object)
+    vals = {c: applied[c].to_list() for c in pay_in}
+    for c in added_in:  # event-side values for DDL-added columns
+        vals[c] = applied.select(
+            _extra_value_expr(tl, c).alias("v"))["v"].to_list() \
+            if applied.height else []
+    status_l = applied["status"].to_list()
+    cand_l = applied["candidate_key"].to_list()
+    part_l = applied["part_id"].to_list()
+    extra_l = applied["extra_json"].to_list() if has_extra \
+        else [None] * applied.height
+    # base-side values for added columns (anchor fallback / replace_only)
+    base_aex: dict[str, list] = {}
+    if base.height and added_in and "extra_json" in base.columns:
+        for c in added_in:
+            base_aex[c] = base.select(
+                _extra_value_expr(tl, c).alias("v"))["v"].to_list()
+    base_keys = base["key"].to_list() if base.height else []
+    base_row_idx = {k: i for i, k in enumerate(base_keys)}
+    repl_only = cfg.strategy == "replace_only"
+
+    out_cols: dict[str, list] = {name: [] for name, _ in FOLD_FIELDS}
+    out_asof: list[int] = []
+
+    for k in dict.fromkeys(keys):
+        sel = np.flatnonzero(a_key == k) if applied.height \
+            else np.empty(0, np.int64)
+        kb = None
+        kb_i = base_row_idx.get(k)
+        if kb_i is not None:
+            kb = base.row(kb_i, named=True)
+        if sel.size == 0 and kb is None:
+            continue
+        lsn_k = a_lsn_all[sel]
+        op_k = a_op[sel]
+        is_anchor = (op_k == "insert") | (op_k == "delete")
+        is_upd = op_k == "update"
+        A = sel[is_anchor]
+        A_lsn = lsn_k[is_anchor]
+        A_del = op_k[is_anchor] == "delete"
+        U = sel[is_upd]
+        U_lsn = lsn_k[is_upd]
+        nc = len(cut_arr)
+        ai = np.searchsorted(A_lsn, cut_arr, side="right") - 1
+        aic = np.clip(ai, 0, None)
+        b_lsn = int(kb["lsn"]) if kb is not None else None
+        if kb is not None:
+            use_event = (ai >= 0) & (
+                (A_lsn[aic] >= b_lsn) if len(A_lsn) else False)
+            has_anchor = np.ones(nc, bool)
+        else:
+            use_event = ai >= 0
+            has_anchor = use_event
+        alsn = np.where(
+            use_event,
+            A_lsn[aic] if len(A_lsn) else np.full(nc, -1, np.int64),
+            b_lsn if kb is not None else -1)
+        dead = use_event & (A_del[aic] if len(A_del) else False)
+        live = has_anchor & ~dead
+        li = np.searchsorted(U_lsn, cut_arr, side="right") - 1
+        lic = np.clip(li, 0, None)
+        q_u = live & (li >= 0) & ((U_lsn[lic] > alsn) if len(U_lsn)
+                                  else False)
+        per_col = {}
+        for c in val_cols:
+            w_k = writes[c][sel][is_upd]
+            Uc = U[w_k]
+            Uc_lsn = U_lsn[w_k]
+            lc = np.searchsorted(Uc_lsn, cut_arr, side="right") - 1
+            lcc = np.clip(lc, 0, None)
+            q_c = live & (lc >= 0) & ((Uc_lsn[lcc] > alsn) if len(Uc_lsn)
+                                      else False)
+            per_col[c] = (Uc, lcc, q_c)
+        n_add = np.searchsorted(add_lsns, cut_arr, side="right") \
+            if len(add_lsns) else np.zeros(nc, np.int64)
+        for i in np.flatnonzero(live):
+            ev_anchor = bool(use_event[i])
+            aidx = int(A[ai[i]]) if ev_anchor else None
+
+            def _anchor_val(c):
+                if ev_anchor:
+                    return vals[c][aidx]
+                if c in pay_in:
+                    return kb.get(c)
+                return base_aex.get(c, [None] * (kb_i + 1))[kb_i] \
+                    if kb is not None else None
+
+            def _col_val(c):
+                Uc, lcc, q_c = per_col[c]
+                av = _anchor_val(c)
+                ok = bool(q_c[i])
+                if ok and repl_only and av is None:
+                    ok = False
+                return vals[c][int(Uc[lcc[i]])] if ok else av
+
+            row = {c: _col_val(c) for c in pay_in}
+            na = int(n_add[i])
+            if na:
+                packed = {c: _col_val(c) for c in added_in[:na]}
+                row["extra_json"] = json.dumps(
+                    packed, separators=(",", ":"))
+            else:
+                row["extra_json"] = (extra_l[aidx] if ev_anchor
+                                     else (kb.get("extra_json")
+                                           if kb is not None else None))
+            cands = []
+            if bool(q_u[i]):
+                uidx = int(U[li[i]])
+                cands.append((int(U_lsn[li[i]]), status_l[uidx]))
+            if ev_anchor and not bool(A_del[ai[i]]):
+                cands.append((int(A_lsn[ai[i]]), status_l[aidx]))
+            if cands:
+                row["last_lsn"], row["status"] = max(cands)
+            else:
+                row["last_lsn"] = b_lsn
+                row["status"] = kb.get("status")
+            row["candidate_key"] = (cand_l[aidx] if ev_anchor
+                                    else kb.get("candidate_key"))
+            row["part_id"] = (part_l[aidx] if ev_anchor
+                              else kb.get("part_id"))
+            # fold rows never carry the event-side lsn column
+            row["lsn"] = None
+            out_cols["_kind"].append("row")
+            out_cols["doc_id"].append(k)
+            for name, _ in FOLD_FIELDS[2:]:
+                out_cols[name].append(row.get(name))
+            out_asof.append(int(cut_arr[i]))
+
+    arrays = [pa.array(out_cols[name], typ) for name, typ in FOLD_FIELDS]
+    return pa.Table.from_arrays(arrays, schema=FOLD_SCHEMA).append_column(
+        "_asof_lsn", pa.array(out_asof, pa.int64()))
+
+
+@ray.remote(num_cpus=1)
+def _asof_sweep_task(allr: pa.Table | None, cfg: ReplayConfig,
+                     cuts: list[tuple[int, list | None]], keys: list[str],
+                     payload_cols: tuple[str, ...] | None) -> pa.Table:
+    if allr is None:
+        return _empty_fold().append_column(
+            "_asof_lsn", pa.array([], pa.int64()))
+    return _asof_sweep(allr, cfg, cuts, keys, payload_cols)
+
+
 @ray.remote(num_cpus=1)
 def _asof_key_states_task(
     allr: pa.Table | None,
@@ -444,31 +664,70 @@ def _asof_key_states_task(
     payload_cols: tuple[str, ...] | None,
 ) -> pa.Table:
     """Batched as-of reconstruction (``doc_history(with_versions=True)``
-    unit): one in-process LWW fold per LSN cut over the partition's
-    ALREADY-READ key-filtered rows (``allr`` arrives as a shared
-    object-store ref — the read happened exactly once per partition) —
-    replacing the per-event sequential ``lookup()`` round trips. Every
-    cut's fold is bit-identical to ``lookup(keys, up_to_lsn=cut)``'s
-    fold of this partition: the same reader, the same ``fold_bucket``,
-    the cut applied as the same ``lsn <= cut`` event filter. Returns
-    FOLD_SCHEMA 'row' rows filtered to ``keys``, tagged with an
-    ``_asof_lsn`` column."""
-    from marc_data_migration_ray.stages.fold import fold_bucket
+    unit) over the partition's ALREADY-READ key-filtered rows (``allr``
+    arrives as a shared object-store ref — the read happened exactly once
+    per partition). Cuts arrive LSN-ASCENDING and fold INCREMENTALLY
+    (VERDICT r3 item 3): the first cut one-shot-folds its full prefix;
+    each later cut folds the PREVIOUS cut's state — re-read as a
+    compacted-snapshot base through the exact ``PrepBase`` path epoch
+    folds use — plus only the events in ``(prev_cut, cut]``. Total work
+    is O(key-events + cuts), not O(cuts × key-events); equality with the
+    per-cut one-shot fold is the COMPACTION invariant
+    (fold(fold(A) ∪ B) == fold(A ∪ B), SEMANTICS §anchor), which the
+    property gauntlet pins. Two bookkeeping rules keep the composition
+    exact: keyless-row allocation offsets accumulate across increments
+    (each fold's ``local_by_part`` metrics feed the next fold's offsets,
+    exactly like successive epochs), and composition RESTARTS with a
+    one-shot prefix fold whenever a cut's schema-op signature differs
+    from the previous cut's (mid-stream DDL re-resolves masks over raw
+    events, not composed state). Returns FOLD_SCHEMA 'row' rows filtered
+    to ``keys``, tagged with an ``_asof_lsn`` column."""
+    from marc_data_migration_ray.stages.fold import (fold_bucket,
+                                                     fold_input_columns)
+    from marc_data_migration_ray.stages.parse import PrepBase
 
+    if allr is None:
+        return _empty_fold().append_column(
+            "_asof_lsn", pa.array([], pa.int64()))
     want = pa.array(sorted(keys), pa.string())
+    fold_cols = fold_input_columns(payload_cols)
+    events = allr.filter(pc.invert(allr["is_base"]))
+    prep = PrepBase(cfg, assume_normalized=True)
     out: list[pa.Table] = []
+    state: pa.Table | None = None
+    prev_sig: str | None = None
+    prev_cut = 0
+    alloc: dict[int, int] = {}  # keyless rows allocated <= prev_cut, per part
     for lsn_cut, schema_ops in cuts:
-        if allr is None:
-            continue
-        sub = allr.filter(pc.or_kleene(
-            allr["is_base"], pc.less_equal(allr["lsn"], lsn_cut)))
-        r = fold_bucket(sub, cfg, local_id_offsets, schema_ops,
+        sig = repr(schema_ops)
+        if state is None or sig != prev_sig or lsn_cut < prev_cut:
+            sub = allr.filter(pc.or_kleene(
+                allr["is_base"], pc.less_equal(allr["lsn"], lsn_cut)))
+            offs = dict(local_id_offsets or {})
+            alloc = {}
+        else:
+            inc = events.filter(pc.and_(
+                pc.greater(events["lsn"], prev_cut),
+                pc.less_equal(events["lsn"], lsn_cut)))
+            offs = dict(local_id_offsets or {})
+            for p, n in alloc.items():
+                offs[p] = offs.get(p, 0) + n
+            comp = prep(state.drop_columns(["_kind", "lsn", "metrics_json"]))
+            comp = comp.select(
+                [c for c in fold_cols if c in comp.column_names])
+            sub = pa.concat_tables([comp, inc], promote_options="default")
+        r = fold_bucket(sub, cfg, offs, schema_ops,
                         payload_cols=payload_cols)
-        r = r.filter(pc.and_(pc.equal(r["_kind"], "row"),
-                             pc.is_in(r["doc_id"], value_set=want)))
-        if r.num_rows:
-            out.append(r.append_column(
-                "_asof_lsn", pa.array([lsn_cut] * r.num_rows, pa.int64())))
+        for mj in r.filter(
+                pc.equal(r["_kind"], "metrics"))["metrics_json"].to_pylist():
+            for p, n in (json.loads(mj).get("local_by_part") or {}).items():
+                alloc[int(p)] = alloc.get(int(p), 0) + int(n)
+        state = r.filter(pc.equal(r["_kind"], "row"))
+        prev_sig, prev_cut = sig, lsn_cut
+        keep = state.filter(pc.is_in(state["doc_id"], value_set=want))
+        if keep.num_rows:
+            out.append(keep.append_column(
+                "_asof_lsn", pa.array([lsn_cut] * keep.num_rows, pa.int64())))
     if not out:
         return _empty_fold().append_column(
             "_asof_lsn", pa.array([], pa.int64()))
@@ -1880,13 +2139,30 @@ class Replayer:
             for p, ks in sorted(keys_by_part.items())
             if cuts_by_part[p]
         }
-        refs = [
-            _asof_key_states_task.remote(
-                read_refs[p], self.cfg, offsets,
-                cuts_by_part[p][i:i + 32], ks, payload_cols)
-            for p, ks in sorted(keys_by_part.items())
-            for i in range(0, len(cuts_by_part[p]), 32)
-        ]
+        # Ordinary (non-local) keys take the single-sweep path: ONE task
+        # per partition computes every cut's state in O(key-events +
+        # cuts) via searchsorted timelines, mid-stream DDL included
+        # (VERDICT r3 item 3). Local-id keys fall back to the
+        # incremental-fold shards (≤32 cuts each) — positional
+        # allocation needs the real fold.
+        sweep_ok = not any(
+            k.startswith(self.cfg.local_id_prefix + "-") for k in keys)
+        if sweep_ok:
+            refs = [
+                _asof_sweep_task.remote(
+                    read_refs[p], self.cfg, cuts_by_part[p], ks,
+                    payload_cols)
+                for p, ks in sorted(keys_by_part.items())
+                if cuts_by_part[p]
+            ]
+        else:
+            refs = [
+                _asof_key_states_task.remote(
+                    read_refs[p], self.cfg, offsets,
+                    cuts_by_part[p][i:i + 32], ks, payload_cols)
+                for p, ks in sorted(keys_by_part.items())
+                for i in range(0, len(cuts_by_part[p]), 32)
+            ]
         per_plugin = bool(self.cfg.policy_plugins)
         for t in ray.get(refs):
             if not t.num_rows:
@@ -1899,10 +2175,71 @@ class Replayer:
             # order — one chain application covers the whole group. Policy
             # plugins may do arbitrary batch rewrites, so they keep the
             # per-cut path.
-            groups: dict[str, list[int]] = {}
+            # group key = len(ops): prefixes of the append-only DDL log
+            # are unique by length, and repr() of a 400-op list per cut
+            # was 0.5 s of a long lineage (r4 profiling)
+            groups: dict[int, list[int]] = {}
             for L in sorted(set(asof.tolist())):
-                groups.setdefault(repr(ops_by_lsn[int(L)]), []).append(int(L))
-            for ls in groups.values():
+                groups.setdefault(len(ops_by_lsn[int(L)]), []).append(int(L))
+            # DDL-heavy lineages produce MANY schema groups (one per op
+            # prefix); running the full evolve chain per group cost ~5 ms
+            # × groups (r4 profiling). Without plugins or generated
+            # columns the chain is select→evolve→project, and the evolve
+            # extraction can run ONCE over the whole task result — per
+            # group only a (vectorized) filter + metadata-level
+            # select/rename remains. Extraction names come from the MAX
+            # cut's Timeline.added INCLUDING dropped columns (a column
+            # live at an early cut may be dropped by the last one).
+            fast = not per_plugin and not self.manifest.virtual_columns()
+            wide = None
+            tl_full = None
+            if fast:
+                from marc_data_migration_ray.state.schema_timeline import \
+                    Timeline
+
+                max_ops = ops_by_lsn[int(asof.max())]
+                tl_full = Timeline(max_ops)
+                ext_names = list(tl_full.added)
+                disp = body.select(_DISPLAY_COLS)
+                arrays = list(disp.columns)
+                if ext_names:
+                    import polars as pl
+
+                    ex = pl.from_arrow(body.select(["extra_json"]))
+                    ext = ex.select([
+                        pl.col("extra_json").str.json_path_match(
+                            f"$.{name}").alias(name)
+                        for name in ext_names
+                    ]).to_arrow()
+                    arrays += [
+                        pc.cast(ext[name].combine_chunks()
+                                if isinstance(ext[name], pa.ChunkedArray)
+                                else ext[name], pa.string())
+                        for name in ext_names
+                    ]
+                wide = pa.Table.from_arrays(
+                    arrays, names=_DISPLAY_COLS + ext_names)
+            for sig, ls in groups.items():
+                if fast:
+                    from marc_data_migration_ray.state.schema_timeline \
+                        import resolve_schema_prefix
+
+                    final_schema, _rn, added_g = resolve_schema_prefix(
+                        _DISPLAY_COLS, tl_full, ls[0])
+                    mask = np.isin(asof, ls)
+                    sub = wide.select(_DISPLAY_COLS + added_g).filter(
+                        pa.array(mask)).rename_columns(list(final_schema))
+                    if columns is not None:
+                        sub = sub.select(list(columns))
+                    # the zip below assigns cut LSNs POSITIONALLY — valid
+                    # because filter/select/rename preserve rows (ADVICE
+                    # r3: fail loudly if that ever changes)
+                    assert sub.num_rows == int(mask.sum()), (
+                        "postprocess changed row count on the grouped "
+                        "as-of path")
+                    for L, row in zip(asof[mask].tolist(), sub.to_pylist()):
+                        out[(row["doc_id"], int(L))] = row
+                    continue
                 if per_plugin:
                     subs = [(L, body.filter(pa.array(asof == L))) for L in ls]
                 else:
@@ -1910,6 +2247,10 @@ class Replayer:
                     sub_all = body.filter(pa.array(mask))
                     done = self._postprocess_table(
                         sub_all, None, up_to_lsn=ls[0], columns=columns)
+                    # positional zip — see the fast path's note (ADVICE r3)
+                    assert done.num_rows == int(mask.sum()), (
+                        "postprocess changed row count on the grouped "
+                        "as-of path")
                     for L, row in zip(asof[mask].tolist(), done.to_pylist()):
                         out[(row["doc_id"], int(L))] = row
                     continue
@@ -1943,6 +2284,21 @@ class Replayer:
             t = fn(t)
         return t
 
+    def _resolve_schema_cached(self, ops: list[dict] | None):
+        """``manifest.resolve_schema(_DISPLAY_COLS, ops)`` memoized per
+        ops signature — resolve_schema is a pure function of the ops
+        list, and a many-cut as-of lineage resolves one signature per
+        schema group (~2 ms each uncached; r4 profiling)."""
+        cache = getattr(self, "_resolve_schema_cache", None)
+        if cache is None:
+            cache = self._resolve_schema_cache = {}
+        sig = repr(ops)
+        got = cache.get(sig)
+        if got is None:
+            got = cache[sig] = self.manifest.resolve_schema(
+                _DISPLAY_COLS, ops)
+        return got
+
     def _postprocess_fns(self, up_to_epoch: int | None,
                          up_to_lsn: int | None = None,
                          columns: list[str] | None = None) -> list:
@@ -1951,7 +2307,7 @@ class Replayer:
         Dataset path; applied in-process on the point-query path)."""
         fns = [lambda t: t.select(_ROW_COLS)]
         ops = self._schema_ops_up_to(up_to_epoch, up_to_lsn)
-        final_schema, _renames, added = self.manifest.resolve_schema(_DISPLAY_COLS, ops)
+        final_schema, _renames, added = self._resolve_schema_cached(ops)
         if added or _renames:
             # canonical order = _DISPLAY_COLS + added (resolve_schema appends
             # adds, renames in place) → rename positionally to final schema.
@@ -1960,14 +2316,23 @@ class Replayer:
 
                 ex = pl.from_arrow(t.select(["extra_json"]))
                 t = t.drop_columns(["extra_json"])
-                for name in added:
-                    vals = ex.select(
-                        pl.col("extra_json").str.json_path_match(f"$.{name}").alias(name)
-                    ).to_arrow()[name]
-                    if isinstance(vals, pa.ChunkedArray):
-                        vals = vals.combine_chunks()
-                    t = t.append_column(name, pc.cast(vals, pa.string()))
-                return t.rename_columns(list(names))
+                # ONE select for every added column: per-column selects
+                # cost ~0.1 ms of polars fixed overhead each, which at
+                # 100+ DDL-added columns × many small as-of batches was
+                # the dominant driver cost of a long lineage (measured
+                # 6.3 s of a 14 s doc_history; VERDICT r4 profiling)
+                ext = ex.select([
+                    pl.col("extra_json").str.json_path_match(
+                        f"$.{name}").alias(name)
+                    for name in added
+                ]).to_arrow()
+                arrays = list(t.columns) + [
+                    pc.cast(ext[name].combine_chunks()
+                            if isinstance(ext[name], pa.ChunkedArray)
+                            else ext[name], pa.string())
+                    for name in added
+                ]
+                return pa.Table.from_arrays(arrays, names=list(names))
 
             fns.append(_evolve)
         else:

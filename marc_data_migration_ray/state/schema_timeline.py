@@ -110,6 +110,43 @@ class Timeline:
         return name is not None and name in mask
 
 
+def resolve_schema_prefix(
+    base_columns: list[str], tl: "Timeline", lsn: int
+) -> tuple[list[str], dict[str, str], list[str]]:
+    """``resolve_schema_ops(base_columns, [op for op in ops if op[\"lsn\"]
+    <= lsn])`` computed from the FULL timeline in O(columns), no Timeline
+    reconstruction: truncating an append-only DDL log only truncates
+    segment chains, so a column's prefix end-of-log name IS its visible
+    name AT ``lsn``, and the prefix's added set is the add-order prefix
+    with ``add_lsn ≤ lsn`` minus columns dropped at or before it. A
+    many-cut as-of lineage resolves one schema per DDL prefix; rebuilding
+    a Timeline per prefix cost O(prefixes × ops) (r4 profiling).
+    Equality with the from-scratch resolver is property-tested."""
+    schema: list[str] = []
+    renames: dict[str, str] = {}
+    for c in base_columns:
+        if c in PAYLOAD_COLUMNS:
+            nm = tl.name_at(c, lsn) or c
+            schema.append(nm)
+            if nm != c:
+                renames[c] = nm
+        else:
+            schema.append(c)
+    added: list[str] = []
+    for c in tl.added:
+        start = tl.segments[c][0][0]
+        if start is not None and start > lsn:
+            continue  # added after the cut
+        nm = tl.name_at(c, lsn)
+        if nm is None:
+            continue  # dropped at or before the cut
+        added.append(c)
+        schema.append(nm)
+        if nm != c:
+            renames[c] = nm
+    return schema, renames, added
+
+
 def resolve_schema_ops(
     base_columns: list[str], ops: list[dict] | None
 ) -> tuple[list[str], dict[str, str], list[str]]:

@@ -420,3 +420,34 @@ def test_random_schema_op_sequences_resolver_invariants():
         # dropped canonicals are invisible at end-of-log
         for c in tl.dropped:
             assert tl.name_at(c, 10**9) is None
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_resolve_schema_prefix_equals_from_scratch(seed):
+    """resolve_schema_prefix (O(columns) from the FULL timeline) equals
+    resolve_schema_ops rebuilt from scratch on every prefix — the as-of
+    fast path resolves one schema per DDL prefix through it."""
+    import random
+
+    from marc_data_migration_ray.state.schema_timeline import (
+        resolve_schema_ops, resolve_schema_prefix)
+
+    rng = random.Random(seed)
+    names = ["extra_a", "extra_b", "n_tok", "tok_count", "extra_c",
+             "source", "doc_id", "extra_a2"]
+    ops = []
+    for i in range(40):
+        kind = rng.choice(["add_column", "rename_column", "drop_column"])
+        op = {"lsn": (i + 1) * 10, "kind": kind,
+              "name": rng.choice(names)}
+        if kind == "rename_column":
+            op["new_name"] = rng.choice(names)
+        ops.append(op)
+    base = ["doc_id", "tokens", "n_tok", "source", "last_lsn", "status",
+            "candidate_key"]
+    tl = Timeline(ops)
+    for cut in [0, 5, 10, 15, 55, 105, 200, 399, 400, 401, 1000]:
+        prefix = [o for o in ops if o["lsn"] <= cut]
+        want = resolve_schema_ops(base, prefix)
+        got = resolve_schema_prefix(base, tl, cut)
+        assert got == want, (cut, got, want)

@@ -321,3 +321,57 @@ def test_versions_salted_fallback(ray_session, fixture_dir, tmp_path):
     a = plain.doc_history(key, with_versions=True).to_pylist()
     b = salted.doc_history(key, with_versions=True).to_pylist()
     assert a == b
+
+
+def test_sweep_equals_fold_path(ray_session, fixture_dir, tmp_path):
+    """The O(events + cuts) as-of sweep and the incremental-fold task
+    produce bit-identical per-cut states on a DDL-bearing fixture (the
+    fixture plants schema_change events) — the sweep is the default
+    path, the fold task remains the local-id fallback."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    from marc_data_migration_ray.pipelines.replay import (
+        _asof_key_states_task, _asof_sweep, _read_bucket_tables)
+
+    cfg = ReplayConfig(num_partitions=8)
+    rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
+    evs = _events(fixture_dir)
+    keys = _busiest_keys(evs, n=3)
+    base_is_final, base_by_part, delta_by_part = rp._fold_layout()
+    offsets = rp.manifest.local_id_offsets()
+    lsns = sorted({r["lsn"] for r in evs if r["doc_id"] is not None
+                   and _norm(r["doc_id"]) in keys})
+    cuts = [(L, rp._schema_ops_up_to(None, L)) for L in lsns]
+    for p in sorted(rp._parts_for_keys(keys)):
+        allr = _read_bucket_tables(
+            base_by_part.get(p, []), delta_by_part.get(p, []), cfg,
+            base_is_final, lsns[-1], keys, None)
+        if allr is None:
+            continue
+        swept = _asof_sweep(allr, cfg, cuts, keys, None)
+        folded = ray.get(_asof_key_states_task.remote(
+            allr, cfg, offsets, cuts, keys, None))
+
+        def _index(t):
+            rows = {}
+            for r in t.to_pylist():
+                rows[(r["doc_id"], r["_asof_lsn"])] = {
+                    k: v for k, v in r.items()
+                    if k not in ("metrics_json",)}
+            return rows
+
+        sw, fo = _index(swept), _index(folded)
+        assert set(sw) == set(fo), f"partition {p}: row-key sets differ"
+        for rk in sorted(sw):
+            a, b = dict(sw[rk]), dict(fo[rk])
+            # packed extra_json may differ byte-wise (key order/format);
+            # compare semantically
+            import json as _json
+
+            ea, eb = a.pop("extra_json", None), b.pop("extra_json", None)
+            if ea != eb:
+                assert ea is not None and eb is not None, (rk, ea, eb)
+                assert _json.loads(ea) == _json.loads(eb), (rk, ea, eb)
+            assert a == b, (rk, a, b)

@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         curation,
         dedup,
         derived,
+        enrichment,
         events,
         graph,
         index,
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "online_counts": policy_queries.online_counts,
         # CDC core (SURVEY §2.2-§2.6 recast; SEMANTICS.md)
         "cdc_lww_state": lambda sf: derived.cdc_lww_state(sf),
+        "cdc_multi_table_txn": lambda sf: derived.cdc_multi_table_txn(sf),
         "cdc_routing_counts": lambda sf: derived.cdc_routing_counts(sf),
         "cdc_routing_counts_f001": lambda sf: derived.cdc_routing_counts_f001(sf),
         "cdc_constraint_counts": derived.cdc_constraint_counts,
@@ -177,6 +179,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_curation": curation.corpus_curation,
         "blocklist_filter": curation.blocklist_filter,
         "chunk_documents": curation.chunk_documents,
+        # rate-limited external enrichment (reference S5 / the throttled
+        # 3-try authority lookup, actor-pool + token-bucket + deadletter)
+        "enrich_authority": enrichment.enrich_authority,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "block_dedup": dedup.block_dedup,
@@ -575,6 +580,7 @@ def oracle_sql() -> dict[str, str]:
     compression_ratio (zlib) and embedding_pca (power-iteration eigen;
     scalar-mirror + numpy-eigh pytest) are likewise non-SQL."""
     from marc_data_migration_ray.pipelines import clustering as _clustering
+    from marc_data_migration_ray.pipelines import enrichment as _enrichment
     from marc_data_migration_ray.pipelines import joins as _joins
     from marc_data_migration_ray.pipelines import curation as _curation
     from marc_data_migration_ray.pipelines import dedup as _dedup
@@ -663,6 +669,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM r WHERE rn <= 3"
         ),
         # curation ops share their shingle rule / hash constants with SQL
+        "enrich_authority": _enrichment.ENRICH_AUTHORITY_SQL,
         "decontaminate": _curation.decontaminate_sql(),
         "pii_redact": _curation.pii_redact_sql(),
         "blocklist_filter": _curation.blocklist_filter_sql(),
@@ -728,6 +735,16 @@ ORDER BY doc_id, lsn
         # auto-maintenance (forced level-1 merge + compaction) must have
         # ZERO semantic effect: oracle is the plain LWW state
         "cdc_maintain_state": _CDC_STATE,
+        # multi-table 2PC: both parity shards' LWW states, visible only
+        # because ONE decision file committed both epochs atomically
+        "cdc_multi_table_txn": (
+            "SELECT 'even' AS table_name, * FROM (" + _CDC_STATE + ") "
+            "WHERE CAST(doc_id AS BIGINT) % 2 = 0 "
+            "UNION ALL "
+            "SELECT 'odd' AS table_name, * FROM (" + _CDC_STATE + ") "
+            "WHERE CAST(doc_id AS BIGINT) % 2 = 1 "
+            "ORDER BY table_name, doc_id"
+        ),
         # secondary-index range query: the index answers n_tok BETWEEN
         # lo AND hi from its range bins; oracle filters the LWW state
         "cdc_index_range": (

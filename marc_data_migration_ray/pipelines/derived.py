@@ -365,6 +365,69 @@ def _layout_replayer(sf_dir: str, cfg: ReplayConfig,
     return _clone_private(rp, cfg) if private else rp
 
 
+def cdc_multi_table_txn(
+    sf_dir: str, cfg: ReplayConfig | None = None,
+) -> pa.Table:
+    """Driver surface for the multi-table 2PC (``state/txn.py`` — the
+    round-3 pytest-only WAP/2PC story made gate-visible): the derived
+    base+binlog are parity-split into TWO tables (even/odd doc ids — a
+    fact/dimension-style sharding), epoch 0 is STAGED on both via
+    ``prepare_epoch``, ONE decision file (``O_EXCL`` create) commits the
+    transaction, and each table finalizes through its normal
+    epoch-fenced manifest CAS. The returned union
+    (table_name, doc_id, n_tok, source, last_lsn, status) is only
+    non-base because BOTH commits became visible atomically — the
+    oracle recomputes each side's gated-LWW state declaratively."""
+    cfg = cfg or ReplayConfig(num_partitions=8)
+    key = ("txn2", sf_dir, repr(sorted(vars(cfg).items(), key=str)))
+    tables = _LAYOUT_MEMO.get(key)
+    if tables is None:
+        import tempfile
+
+        from marc_data_migration_ray.pipelines.replay import Replayer
+        from marc_data_migration_ray.state.txn import MultiTableTxn
+
+        root = tempfile.mkdtemp(prefix="cdc_txn2_")
+
+        def _split(ds: ray.data.Dataset, parity: int, dest: str) -> None:
+            ds.map_batches(
+                lambda t, parity=parity: t.filter(pc.equal(
+                    pc.bit_wise_and(pc.cast(t["doc_id"], pa.int64()),
+                                    pa.scalar(1, pa.int64())),
+                    pa.scalar(parity, pa.int64()))),
+                batch_format="pyarrow", zero_copy_batch=True,
+            ).write_parquet(dest)
+
+        parts = []
+        for name, parity in (("even", 0), ("odd", 1)):
+            bdir = os.path.join(root, f"base_{name}")
+            ldir = os.path.join(root, f"binlog_{name}")
+            _split(build_base_ds(sf_dir), parity, bdir)
+            _split(build_binlog_ds(sf_dir), parity, ldir)
+            rp = Replayer(os.path.join(root, f"table_{name}"), cfg,
+                          base_path=bdir)
+            parts.append((name, rp, ldir))
+        txn = MultiTableTxn(os.path.join(root, "txn"))
+        rep = txn.commit([(rp, 0, ldir) for _, rp, ldir in parts])
+        if len(rep["entries"]) != len(parts):
+            raise RuntimeError("2PC commit incomplete")
+        tables = _LAYOUT_MEMO[key] = [(name, rp) for name, rp, _ in parts]
+    out = []
+    for name, rp in tables:
+        rows = _scalar_state(rp.read_state()).take_all()
+        t = pa.table({
+            "table_name": pa.array([name] * len(rows), pa.string()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+            "n_tok": pa.array([r["n_tok"] for r in rows], pa.int64()),
+            "source": pa.array([r["source"] for r in rows], pa.string()),
+            "last_lsn": pa.array([r["last_lsn"] for r in rows], pa.int64()),
+            "status": pa.array([r["status"] for r in rows], pa.string()),
+        })
+        out.append(t)
+    return pa.concat_tables(out).sort_by(
+        [("table_name", "ascending"), ("doc_id", "ascending")])
+
+
 def _scalar_state(rows: ray.data.Dataset) -> ray.data.Dataset:
     """Project state rows to the hashable scalar columns the DuckDB LWW
     oracle reproduces (shared by ``cdc_lww_state`` / ``cdc_point_lookup``)."""

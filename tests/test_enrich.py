@@ -1,0 +1,120 @@
+"""Rate-limited external-enrichment stage (stages/enrich.py — the
+reference's throttled 3-try authority lookup, record_update.py:777-809,
+as an actor-pool stage).
+
+Invariants:
+* token bucket: under a fake clock, N acquires at rate r with burst b
+  sleep exactly (N - b) / r seconds total — the quota a real external
+  API enforces;
+* retries: a transient key is attempted twice and succeeds; a permanent
+  key exhausts the full try budget (the reference's 3) and DEAD-LETTERS
+  in-band (status='failed', null value) — never dropped;
+* the driver query through the REAL actor pool equals the DuckDB oracle
+  arithmetic (portable md5 convention).
+"""
+
+import pyarrow as pa
+import pytest
+
+from marc_data_migration_ray.stages.enrich import (EnrichStage,
+                                                   FixtureEnrichService,
+                                                   TokenBucket, md5_number)
+
+SF = "/root/testdata/sf0.001"
+
+
+class FakeClock:
+    def __init__(self):
+        self.now = 0.0
+        self.slept = 0.0
+
+    def time(self):
+        return self.now
+
+    def sleep(self, s):
+        assert s >= 0
+        self.slept += s
+        self.now += s
+
+
+def test_token_bucket_enforces_rate():
+    clk = FakeClock()
+    b = TokenBucket(rate_per_sec=10, burst=2,
+                    time_fn=clk.time, sleep_fn=clk.sleep)
+    for _ in range(12):
+        b.acquire()
+    # 2 from the burst, 10 refilled over exactly 1.0 fake seconds
+    assert clk.slept == pytest.approx(1.0, abs=1e-6)
+
+
+def test_token_bucket_refills_while_idle():
+    clk = FakeClock()
+    b = TokenBucket(rate_per_sec=5, burst=1,
+                    time_fn=clk.time, sleep_fn=clk.sleep)
+    b.acquire()          # burst token
+    clk.now += 10.0      # long idle: refills to cap (1), not 50
+    b.acquire()          # free (capped refill)
+    b.acquire()          # must wait 1/5 s
+    assert clk.slept == pytest.approx(0.2, abs=1e-6)
+
+
+def _keys_by_kind(n=400, fail_mod=17, transient_mod=5):
+    ok, transient, fail = [], [], []
+    for i in range(n):
+        k = str(i)
+        m = md5_number(k)
+        if m % fail_mod == 0:
+            fail.append(k)
+        elif m % transient_mod == 0:
+            transient.append(k)
+        else:
+            ok.append(k)
+    return ok, transient, fail
+
+
+def test_retry_and_deadletter_routing():
+    ok, transient, fail = _keys_by_kind()
+    assert transient and fail  # the arithmetic must exercise both paths
+    clk = FakeClock()
+    stage = EnrichStage(key_col="k", max_retries=3, backoff_s=0.5,
+                        time_fn=clk.time, sleep_fn=clk.sleep)
+    t = stage(pa.table({"k": pa.array(ok + transient + fail, pa.string())}))
+    rows = {r["k"]: r for r in t.to_pylist()}
+    for k in ok:
+        assert rows[k]["enrich_status"] == "ok"
+        assert rows[k]["enrich_attempts"] == 1
+        assert rows[k]["authority"] == f"auth-{md5_number(k) % 100000}"
+    for k in transient:
+        assert rows[k]["enrich_status"] == "ok"
+        assert rows[k]["enrich_attempts"] == 2  # failed once, retried
+    for k in fail:
+        assert rows[k]["enrich_status"] == "failed"
+        assert rows[k]["enrich_attempts"] == 3  # the reference's budget
+        assert rows[k]["authority"] is None
+    # per-key attempts recorded by the service agree with the row counts
+    for k, n in stage.service.attempts.items():
+        assert n == rows[k]["enrich_attempts"]
+    # linear backoff between failed tries: transient pays 1×0.5s,
+    # permanent pays 0.5 + 1.0 (no sleep after the final try)
+    want = 0.5 * len(transient) + 1.5 * len(fail)
+    assert clk.slept == pytest.approx(want, abs=1e-6)
+
+
+def test_enrich_authority_matches_oracle(ray_session):
+    import duckdb
+
+    from marc_data_migration_ray.pipelines.enrichment import (
+        ENRICH_AUTHORITY_SQL, enrich_authority)
+
+    got = sorted(
+        (r["doc_id"], r["authority"], r["enrich_status"],
+         r["enrich_attempts"])
+        for r in enrich_authority(SF).take_all())
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{SF}/documents.parquet'")
+    want = [tuple(r) for r in con.execute(ENRICH_AUTHORITY_SQL).fetchall()]
+    con.close()
+    assert got == sorted(want)
+    assert any(r[2] == "failed" for r in got)  # deadletter path exercised

@@ -575,13 +575,15 @@ def md5_word_hash_flat(vals) -> np.ndarray:
         return np.empty(0, np.uint64)
     uniq, inv = np.unique(np.asarray(vals, object), return_inverse=True)
     cache = _MD5_WORD_CACHE
-    room = len(cache) < _MD5_WORD_CACHE_MAX
+    # cap checked INSIDE the loop (ADVICE r3 item 3): a pre-loop check
+    # let one adversarial batch overshoot the cap by its whole unique
+    # vocab — at the cap the dict already holds hundreds of MB
     uh = np.empty(len(uniq), np.uint64)
     for i, w in enumerate(uniq):
         hv = cache.get(w)
         if hv is None:
             hv = int.from_bytes(hashlib.md5(w.encode()).digest()[8:16], "little")
-            if room:
+            if len(cache) < _MD5_WORD_CACHE_MAX:
                 cache[w] = hv
         uh[i] = hv
     return uh[inv]

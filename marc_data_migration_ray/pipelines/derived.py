@@ -855,6 +855,13 @@ def _tok_arrays(texts) -> tuple[pa.ListArray, np.ndarray]:
     toks = (wh[keep] % np.uint64(1 << 31)).astype(np.int32)
     off32 = np.zeros(n_docs + 1, np.int64)
     np.cumsum(kept_counts, out=off32[1:])
+    # int32 list offsets: silent wraparound past 2^31 total tokens per
+    # batch would corrupt the arrays — fail loudly instead (ADVICE r3
+    # item 5; unreachable at current batch sizes). words.offsets of a
+    # freshly-split (non-sliced) ListArray always starts at 0 — assert
+    # the slicing assumption too rather than silently mis-basing.
+    assert off32[-1] < 2 ** 31, "token batch exceeds int32 list offsets"
+    assert off[0] == 0, "sliced ListArray input: offsets must be re-based"
     tokens = pa.ListArray.from_arrays(
         pa.array(off32.astype(np.int32), pa.int32()),
         pa.array(toks, pa.int32()))

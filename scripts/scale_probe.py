@@ -50,7 +50,15 @@ def ensure_fixture(root: str, n_rows: int, n_events: int, n_epochs: int,
 
     marker = os.path.join(root, "_DONE")
     if os.path.exists(marker):
-        return root
+        # the marker records epoch_chunk (binlog content depends on the
+        # chunk-indexed seeds): an explicit --fixture-root reused with a
+        # different chunk regenerates instead of silently serving stale
+        # data (ADVICE r3 item 4)
+        try:
+            if int(open(marker).read().strip()) == epoch_chunk:
+                return root
+        except ValueError:
+            pass  # legacy "ok" marker: regenerate once under the new rule
     shutil.rmtree(root, ignore_errors=True)
     t0 = time.perf_counter()
     base_dir = os.path.join(root, "base")
@@ -101,7 +109,7 @@ def ensure_fixture(root: str, n_rows: int, n_events: int, n_epochs: int,
             chunk_i += 1
     log({"phase": "fixture_binlog", "events": n_events, "epochs": n_epochs,
          "sec": round(time.perf_counter() - t0, 1)})
-    open(marker, "w").write("ok")
+    open(marker, "w").write(str(epoch_chunk))
     return root
 
 
@@ -120,8 +128,13 @@ def main() -> int:
     ap.add_argument("--epoch-chunk", type=int, default=2_000_000)
     args = ap.parse_args()
     n_rows = args.rows or args.events // 2
+    # epoch_chunk is part of the fixture identity: chunk-indexed seeds
+    # mean a different chunk size yields different binlog CONTENT, so it
+    # must key the cache dir too (ADVICE r3 item 4 — a stale _DONE
+    # fixture was silently reused across --epoch-chunk values)
     fx = args.fixture_root or (
-        f"/tmp/cdc_probe_fixture_r{n_rows}_e{args.events}_p{args.epochs}")
+        f"/tmp/cdc_probe_fixture_r{n_rows}_e{args.events}_p{args.epochs}"
+        f"_c{args.epoch_chunk}")
     root = args.table_root or f"/dev/shm/cdc_probe_table_{args.partitions}"
 
     ensure_fixture(fx, n_rows, args.events, args.epochs, args.epoch_chunk)

@@ -389,21 +389,24 @@ def cdc_multi_table_txn(
 
         root = tempfile.mkdtemp(prefix="cdc_txn2_")
 
-        def _split(ds: ray.data.Dataset, parity: int, dest: str) -> None:
+        # ONE execution + ONE partitioned write per input: filtering the
+        # lazy builds per parity would re-run the derivation 4× (the
+        # same fix as _layout_replayer_2ep; this was the only >5 s
+        # query left in BENCH_QUERIES after the r4 tail trim)
+        def _split(ds: ray.data.Dataset, dest: str) -> None:
             ds.map_batches(
-                lambda t, parity=parity: t.filter(pc.equal(
+                lambda t: t.append_column("par", pc.cast(
                     pc.bit_wise_and(pc.cast(t["doc_id"], pa.int64()),
-                                    pa.scalar(1, pa.int64())),
-                    pa.scalar(parity, pa.int64()))),
+                                    pa.scalar(1, pa.int64())), pa.int8())),
                 batch_format="pyarrow", zero_copy_batch=True,
-            ).write_parquet(dest)
+            ).write_parquet(dest, partition_cols=["par"])
 
+        _split(build_base_ds(sf_dir), os.path.join(root, "base"))
+        _split(build_binlog_ds(sf_dir), os.path.join(root, "binlog"))
         parts = []
         for name, parity in (("even", 0), ("odd", 1)):
-            bdir = os.path.join(root, f"base_{name}")
-            ldir = os.path.join(root, f"binlog_{name}")
-            _split(build_base_ds(sf_dir), parity, bdir)
-            _split(build_binlog_ds(sf_dir), parity, ldir)
+            bdir = os.path.join(root, "base", f"par={parity}")
+            ldir = os.path.join(root, "binlog", f"par={parity}")
             rp = Replayer(os.path.join(root, f"table_{name}"), cfg,
                           base_path=bdir)
             parts.append((name, rp, ldir))
@@ -819,15 +822,20 @@ def _layout_replayer_2ep(sf_dir: str, cfg: ReplayConfig) -> "Replayer":
     root = tempfile.mkdtemp(prefix="cdc_2ep_")
     base_dir = os.path.join(root, "base_in")
     build_base_ds(sf_dir).write_parquet(base_dir)
-    binlog = build_binlog_ds(sf_dir)
+    # materialize ONCE: max + the epoch split would otherwise each
+    # re-execute the whole binlog build (3× the parse cost — this build
+    # was the bulk of cdc_changes' 4.8 s bench tail, VERDICT r3 item 4);
+    # the split itself is ONE partitioned write, not two filtered passes
+    binlog = build_binlog_ds(sf_dir).materialize()
     cut = binlog.max("lsn") // 2
-    binlog.filter(expr=f"lsn <= {cut}").write_parquet(
-        os.path.join(root, "ep0"))
-    binlog.filter(expr=f"lsn > {cut}").write_parquet(
-        os.path.join(root, "ep1"))
+    binlog.map_batches(
+        lambda t: t.append_column("ep", pc.cast(pc.greater(
+            t["lsn"], pa.scalar(cut, pa.int64())), pa.int8())),
+        batch_format="pyarrow", zero_copy_batch=True,
+    ).write_parquet(os.path.join(root, "eps"), partition_cols=["ep"])
     rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
-    rp.apply_epoch(0, os.path.join(root, "ep0"))
-    rp.apply_epoch(1, os.path.join(root, "ep1"))
+    rp.apply_epoch(0, os.path.join(root, "eps", "ep=0"))
+    rp.apply_epoch(1, os.path.join(root, "eps", "ep=1"))
     _LAYOUT_MEMO[key] = rp
     return rp
 

@@ -729,8 +729,13 @@ def media_png_decode(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(
         _payloads, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
-        PngDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 16), zero_copy_batch=True,
+        # INSTANCE → stateless task pool: the decoder holds only a
+        # module ref (no model/table state), and the autoscaling actor
+        # pool's ramp dominated this short stage (measured 3.7 s actor
+        # vs 1.9 s task-pool at sf0.1/32 cpus — the ninth-session
+        # task-pool-sweep rule; VERDICT r3 item 4)
+        PngDecoder(), batch_format="pyarrow", batch_size=64,
+        zero_copy_batch=True,
     )
 
 
@@ -814,8 +819,13 @@ def media_gif_decode(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(
         _payloads, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
-        GifDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 16), zero_copy_batch=True,
+        # INSTANCE → stateless task pool: the decoder holds only a
+        # module ref (no model/table state), and the autoscaling actor
+        # pool's ramp dominated this short stage (measured 3.7 s actor
+        # vs 1.9 s task-pool at sf0.1/32 cpus — the ninth-session
+        # task-pool-sweep rule; VERDICT r3 item 4)
+        GifDecoder(), batch_format="pyarrow", batch_size=64,
+        zero_copy_batch=True,
     )
 
 
@@ -881,8 +891,13 @@ def media_adpcm_decode(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(
         _payloads, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
-        AdpcmDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 16), zero_copy_batch=True,
+        # INSTANCE → stateless task pool: the decoder holds only a
+        # module ref (no model/table state), and the autoscaling actor
+        # pool's ramp dominated this short stage (measured 3.7 s actor
+        # vs 1.9 s task-pool at sf0.1/32 cpus — the ninth-session
+        # task-pool-sweep rule; VERDICT r3 item 4)
+        AdpcmDecoder(), batch_format="pyarrow", batch_size=64,
+        zero_copy_batch=True,
     )
 
 
@@ -1021,8 +1036,13 @@ def media_jpeg_decode(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(
         _payloads, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
-        JpegDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 8), zero_copy_batch=True,
+        # INSTANCE → stateless task pool: the decoder holds only a
+        # module ref (no model/table state), and the autoscaling actor
+        # pool's ramp dominated this short stage (measured 3.7 s actor
+        # vs 1.9 s task-pool at sf0.1/32 cpus — the ninth-session
+        # task-pool-sweep rule; VERDICT r3 item 4)
+        JpegDecoder(), batch_format="pyarrow", batch_size=64,
+        zero_copy_batch=True,
     )
 
 
@@ -1102,8 +1122,13 @@ def media_jpeg_color_decode(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(
         _payloads, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(
-        JpegColorDecoder, batch_format="pyarrow", batch_size=64,
-        concurrency=(1, 8), zero_copy_batch=True,
+        # INSTANCE → stateless task pool: the decoder holds only a
+        # module ref (no model/table state), and the autoscaling actor
+        # pool's ramp dominated this short stage (measured 3.7 s actor
+        # vs 1.9 s task-pool at sf0.1/32 cpus — the ninth-session
+        # task-pool-sweep rule; VERDICT r3 item 4)
+        JpegColorDecoder(), batch_format="pyarrow", batch_size=64,
+        zero_copy_batch=True,
     )
 
 

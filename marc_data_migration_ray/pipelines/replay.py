@@ -345,8 +345,41 @@ def _fold_bucket_task(
                                max_lsn, key_filter, payload_cols)
     if allr is None:
         return _empty_fold()
-    return fold_bucket(allr, cfg, local_id_offsets, schema_ops,
-                       payload_cols=payload_cols)
+    return _fold_maybe_split(allr, cfg, local_id_offsets, schema_ops,
+                             payload_cols)
+
+
+def _fold_maybe_split(allr: pa.Table, cfg: ReplayConfig,
+                      local_id_offsets: dict[int, int],
+                      schema_ops: list[dict] | None,
+                      payload_cols: tuple[str, ...] | None) -> pa.Table:
+    """Fold a bucket, auto-splitting a FAT one (VERDICT r3 item 6): when
+    the read rows exceed ~2× ``cfg.fold_split_bytes``, split by key hash
+    and fold the sub-groups SEQUENTIALLY in this task — peak polars
+    working set stays O(fold_split_bytes) however fat the partition,
+    replacing the 'repartition so a partition fits a worker's heap'
+    runbook knob. Exactness: keys are disjoint across sub-groups (fold is
+    per-key independent), keyless rows all hash to sub-group 0 so
+    local-id allocation ranks exactly as unsplit, and metrics rows sum
+    downstream (``_aggregate_metrics_rows`` already merges per-bucket
+    rows). Bit-equality vs the unsplit fold is pytest-pinned."""
+    from marc_data_migration_ray.functions.keys import hash_partition
+    from marc_data_migration_ray.stages.fold import fold_bucket
+
+    target = int(getattr(cfg, "fold_split_bytes", 0) or 0)
+    if not target or allr.nbytes <= 2 * target:
+        return fold_bucket(allr, cfg, local_id_offsets, schema_ops,
+                           payload_cols=payload_cols)
+    n_sub = min(64, -(-allr.nbytes // target))
+    sub = hash_partition(pc.cast(allr["key"], pa.string()), n_sub)
+    sub_np = np.asarray(sub)
+    out: list[pa.Table] = []
+    for s in range(n_sub):
+        part = allr.filter(pa.array(sub_np == s))
+        if part.num_rows:
+            out.append(fold_bucket(part, cfg, local_id_offsets,
+                                   schema_ops, payload_cols=payload_cols))
+    return pa.concat_tables(out) if out else _empty_fold()
 
 
 @ray.remote(num_cpus=1)

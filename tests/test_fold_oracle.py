@@ -109,3 +109,39 @@ def test_processed_invariant():
         for r in ("applied", "fuzzy", "rejected", "local", "noop", "deadletter", "schema")
     ]
     assert m["processed"] == sum(routes) == 1500
+
+
+def test_fold_auto_split_bit_identical(ray_session, tmp_path):
+    """A fat-bucket fold auto-splits by key hash inside the task
+    (cfg.fold_split_bytes) with BIT-IDENTICAL results — state rows,
+    local-id allocation (keyless rows all hash to sub-group 0) and
+    summed fold metrics all match the unsplit fold."""
+    import os
+
+    from marc_data_migration_ray.pipelines.replay import Replayer
+
+    root = str(tmp_path / "fx")
+    fixtures.write_fixture(root, n_rows=300, n_events=2000, n_epochs=2,
+                           seed=9)
+    cfg = ReplayConfig(num_partitions=4)
+    rp = Replayer(str(tmp_path / "t"), cfg,
+                  base_path=os.path.join(root, "base"))
+    for e in range(2):
+        rp.apply_epoch(e, os.path.join(root, "binlog", f"epoch={e}"))
+    plain = sorted(rp.read_state().take_all(),
+                   key=lambda r: r["doc_id"])
+    m_plain = rp.fold_metrics()
+
+    # same table, split forced for every bucket (threshold 1 byte)
+    rp_s = Replayer(str(tmp_path / "t"),
+                    ReplayConfig(num_partitions=4, fold_split_bytes=1))
+    split = sorted(rp_s.read_state().take_all(),
+                   key=lambda r: r["doc_id"])
+    m_split = rp_s.fold_metrics()
+    assert split == plain
+    assert m_split == m_plain
+    # keyless allocation must have produced identical LOCAL- ids
+    assert [r["doc_id"] for r in plain
+            if r["doc_id"].startswith("LOCAL-")] == \
+           [r["doc_id"] for r in split
+            if r["doc_id"].startswith("LOCAL-")]

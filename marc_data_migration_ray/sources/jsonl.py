@@ -116,8 +116,74 @@ def _normalize(epoch: int):
     return _fn
 
 
+def sniff_encoding(head: bytes) -> dict:
+    """Byte-sniffing encoding preflight — the engine analog of the
+    reference's chardet pass over input files before parsing (S3,
+    ``processors/encoding_utils/encoding.py:6-25``), with stdlib
+    heuristics (no chardet in this environment):
+
+    1. BOMs: UTF-8-sig / UTF-16 LE,BE / UTF-32 LE,BE — confidence 1.0;
+    2. NUL-pattern UTF-16 detection (BOM-less): mostly-ASCII text in
+       UTF-16-LE has NULs at odd byte positions, BE at even;
+    3. strict UTF-8 validation (decodes cleanly ⇒ UTF-8);
+    4. latin-1 as the lossless single-byte fallback (every byte maps).
+
+    Returns ``{"encoding", "confidence", "bom"}``. Only the first ~64 KiB
+    should be passed — the decision is stable after that."""
+    if head.startswith(b"\xff\xfe\x00\x00"):
+        return {"encoding": "utf-32-le", "confidence": 1.0, "bom": True}
+    if head.startswith(b"\x00\x00\xfe\xff"):
+        return {"encoding": "utf-32-be", "confidence": 1.0, "bom": True}
+    if head.startswith(b"\xef\xbb\xbf"):
+        return {"encoding": "utf-8-sig", "confidence": 1.0, "bom": True}
+    if head.startswith(b"\xff\xfe"):
+        return {"encoding": "utf-16-le", "confidence": 1.0, "bom": True}
+    if head.startswith(b"\xfe\xff"):
+        return {"encoding": "utf-16-be", "confidence": 1.0, "bom": True}
+    if len(head) >= 4:
+        odd_nul = head[1::2].count(0) / max(len(head[1::2]), 1)
+        even_nul = head[0::2].count(0) / max(len(head[0::2]), 1)
+        if odd_nul > 0.4 and even_nul < 0.05:
+            return {"encoding": "utf-16-le",
+                    "confidence": round(odd_nul, 3), "bom": False}
+        if even_nul > 0.4 and odd_nul < 0.05:
+            return {"encoding": "utf-16-be",
+                    "confidence": round(even_nul, 3), "bom": False}
+    try:
+        head.decode("utf-8")
+        return {"encoding": "utf-8", "confidence": 1.0, "bom": False}
+    except UnicodeDecodeError:
+        return {"encoding": "latin-1", "confidence": 0.5, "bom": False}
+
+
+def _decode_sniffed(epoch: int):
+    """Per-FILE bytes → decoded text lines (salvage preflight stage):
+    sniff each file's head once, transcode the whole file, split lines.
+    Runs as ordinary map tasks — one file per row is the right unit
+    because encoding is a per-file property, and salvage mode is the
+    explicit recovery tool, not the hot path."""
+
+    def _fn(t: pa.Table) -> pa.Table:
+        lines: list[str] = []
+        for raw in t["bytes"].to_pylist():
+            info = sniff_encoding(bytes(raw[:65536]))
+            enc = info["encoding"]
+            if info["bom"]:  # BOM-consuming codec, or U+FEFF leaks into
+                if enc.startswith("utf-16"):  # the first line's JSON
+                    enc = "utf-16"
+                elif enc.startswith("utf-32"):
+                    enc = "utf-32"
+            text = bytes(raw).decode(enc, errors="replace")
+            lines.extend(text.splitlines())
+        return _lenient_lines(epoch)(pa.table(
+            {"text": pa.array(lines, pa.string())}))
+
+    return _fn
+
+
 def read_jsonl_binlog(paths: str | list[str], epoch: int,
-                      strict: bool = True) -> ray.data.Dataset:
+                      strict: bool = True,
+                      encoding: str = "utf-8") -> ray.data.Dataset:
     """JSONL epoch → a Dataset with the exact Parquet-binlog schema.
 
     ``strict=True`` (default): Arrow's C++ JSON parser with the explicit
@@ -132,10 +198,21 @@ def read_jsonl_binlog(paths: str | list[str], epoch: int,
     gate's unknown-op rule routes to **deadletter/malformed** (same path
     as every other bad record; the raw line is preserved in the audit's
     ``extra_json``). Slower (per-line ``json.loads``) — an explicit
-    recovery tool, not the default."""
+    recovery tool, not the default.
+
+    ``encoding="auto"`` (salvage mode only): byte-sniffing encoding
+    preflight per file (:func:`sniff_encoding` — the reference's chardet
+    pass, S3) before line splitting, so a UTF-16 / latin-1 / BOM'd feed
+    salvages instead of mangling; the strict path keeps the UTF-8
+    contract (a fenced CDC feed in the wrong encoding IS upstream
+    corruption)."""
     from pyarrow import json as pajson
 
     if strict:
+        if encoding not in ("utf-8", None):
+            raise ValueError(
+                "strict mode is UTF-8 by contract; use strict=False with "
+                "encoding='auto' to salvage a mis-encoded feed")
         ds = ray.data.read_json(
             paths,
             file_extensions=["jsonl"],
@@ -147,6 +224,10 @@ def read_jsonl_binlog(paths: str | list[str], epoch: int,
         return ds.map_batches(
             _normalize(epoch), batch_format="pyarrow", zero_copy_batch=True
         )
+    if encoding == "auto":
+        ds = ray.data.read_binary_files(paths, file_extensions=["jsonl"])
+        return ds.map_batches(
+            _decode_sniffed(epoch), batch_format="pyarrow")
     ds = ray.data.read_text(paths, file_extensions=["jsonl"])
     return ds.map_batches(
         _lenient_lines(epoch), batch_format="pyarrow", zero_copy_batch=True

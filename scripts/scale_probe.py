@@ -126,6 +126,9 @@ def main() -> int:
     ap.add_argument("--fixture-root", default=None)
     ap.add_argument("--table-root", default=None)
     ap.add_argument("--epoch-chunk", type=int, default=2_000_000)
+    ap.add_argument("--fold-split-bytes", type=int, default=None,
+                    help="override cfg.fold_split_bytes (0 disables the "
+                         "fat-bucket auto-split; default = config default)")
     args = ap.parse_args()
     n_rows = args.rows or args.events // 2
     # epoch_chunk is part of the fixture identity: chunk-indexed seeds
@@ -163,8 +166,11 @@ def main() -> int:
                         pass
     log({"phase": "page_cache_warm", "sec": round(time.perf_counter() - t0, 1)})
 
+    cfg_kw = {}
+    if args.fold_split_bytes is not None:
+        cfg_kw["fold_split_bytes"] = args.fold_split_bytes
     cfg = ReplayConfig(num_partitions=args.partitions,
-                       precollapse_updates=True)
+                       precollapse_updates=True, **cfg_kw)
     shutil.rmtree(root, ignore_errors=True)
     rp = Replayer(root, cfg, base_path=os.path.join(fx, "base"))
     t0 = time.perf_counter()

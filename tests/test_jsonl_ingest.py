@@ -312,3 +312,62 @@ def test_lenient_jsonl_hypothesis_never_crashes(ray_session, tmp_path):
     bad = [r for r in out if r["op"] in
            ("__unparseable__", "__missing-op__") or r["lsn"] is None]
     assert len(bad) >= n_nonempty - 2
+
+
+def test_sniff_encoding_heuristics():
+    """The S3-analog byte preflight: BOMs, BOM-less UTF-16 NUL patterns,
+    strict UTF-8 validation, latin-1 fallback."""
+    from marc_data_migration_ray.sources.jsonl import sniff_encoding
+
+    line = '{"op":"c","lsn":1}\n'
+    assert sniff_encoding(line.encode("utf-8"))["encoding"] == "utf-8"
+    assert sniff_encoding(
+        b"\xef\xbb\xbf" + line.encode())["encoding"] == "utf-8-sig"
+    got = sniff_encoding(line.encode("utf-16"))  # BOM'd LE on x86
+    assert got["encoding"] in ("utf-16-le", "utf-16-be") and got["bom"]
+    # BOM-less UTF-16-LE: NULs at odd positions
+    got = sniff_encoding(line.encode("utf-16-le"))
+    assert got["encoding"] == "utf-16-le" and not got["bom"]
+    got = sniff_encoding(line.encode("utf-16-be"))
+    assert got["encoding"] == "utf-16-be"
+    # invalid UTF-8 bytes -> lossless single-byte fallback
+    assert sniff_encoding(b'{"op":"caf\xe9"}')["encoding"] == "latin-1"
+    assert sniff_encoding(b"")["encoding"] == "utf-8"
+
+
+def test_salvage_auto_encoding_matches_utf8(ray_session, fixture_root,
+                                            tmp_path):
+    """A UTF-16-LE-encoded (and a latin-1) JSONL epoch read with
+    encoding='auto' parses to exactly the rows the UTF-8 file yields —
+    the encoding-detection preflight completes the reference's S3 story
+    for the salvage reader."""
+    import glob
+
+    from marc_data_migration_ray.sources.jsonl import read_jsonl_binlog
+
+    files = sorted(glob.glob(os.path.join(
+        fixture_root, "binlog", "epoch=0", "*.parquet")))
+    clean = str(tmp_path / "clean")
+    os.makedirs(clean)
+    binlog_to_jsonl(files, os.path.join(clean, "part-0.jsonl"))
+    text = open(os.path.join(clean, "part-0.jsonl"),
+                encoding="utf-8").read()
+
+    for enc in ("utf-16-le", "utf-16", "latin-1"):
+        d = str(tmp_path / f"enc_{enc}")
+        os.makedirs(d)
+        payload = text if enc != "latin-1" else text.encode(
+            "utf-8").decode("utf-8").encode("latin-1", "replace").decode(
+            "latin-1")
+        with open(os.path.join(d, "part-0.jsonl"), "w",
+                  encoding=enc) as f:
+            f.write(payload)
+        want = sorted(read_jsonl_binlog(clean, 0, strict=False).take_all(),
+                      key=lambda r: (r["lsn"] is None, r["lsn"]))
+        got = sorted(read_jsonl_binlog(d, 0, strict=False,
+                                       encoding="auto").take_all(),
+                     key=lambda r: (r["lsn"] is None, r["lsn"]))
+        if enc == "latin-1":
+            assert len(got) == len(want)  # lossy transcode: rows survive
+        else:
+            assert got == want, enc

@@ -529,6 +529,31 @@ def main(argv=None) -> int:
     mh.add_argument("--limit", type=int, default=20)
     _add_cfg_args(mh)
 
+    en = sub.add_parser(
+        "enrich",
+        help="rate-limited external enrichment of the CURRENT state "
+             "(reference S5's throttled authority lookup): actor pool of "
+             "service clients, token-bucket rate limit, bounded retries, "
+             "in-band dead-letter routing; writes enriched parquet",
+    )
+    en.add_argument("--table", required=True)
+    en.add_argument("--dest", required=True,
+                    help="output directory (partitioned parquet)")
+    en.add_argument("--key-col", default="doc_id", dest="key_col")
+    en.add_argument("--out-col", default="authority", dest="out_col")
+    en.add_argument("--rate", type=float, default=None,
+                    help="per-actor lookups/sec (cluster rate = "
+                         "concurrency x rate); omit for unthrottled")
+    en.add_argument("--burst", type=float, default=1.0)
+    en.add_argument("--max-retries", type=int, default=3,
+                    dest="max_retries")
+    en.add_argument("--concurrency", type=int, default=4)
+    en.add_argument("--service", default=None,
+                    help="dotted path of a service factory "
+                         "(module:attr); default = the deterministic "
+                         "fixture service")
+    _add_cfg_args(en)
+
     ib = sub.add_parser(
         "index-blooms",
         help="build .keybloom file-skipping sidecars for all delta/segment "
@@ -1030,6 +1055,46 @@ def main(argv=None) -> int:
                     "doc_id": args.probe_doc, "live": bool(rows),
                     "candidates": sorted(cands)[:args.limit],
                     "total_candidates": len(cands)}))
+        elif args.cmd == "enrich":
+            from marc_data_migration_ray.stages.enrich import EnrichStage
+
+            factory = None
+            if args.service:
+                import importlib
+
+                mod, _, attr = args.service.partition(":")
+                factory = getattr(importlib.import_module(mod), attr)
+            rows = rp.read_state(columns=[args.key_col])
+            enriched = rows.map_batches(
+                EnrichStage,
+                fn_constructor_kwargs={
+                    "service_factory": factory,
+                    "key_col": args.key_col,
+                    "out_col": args.out_col,
+                    "rate_per_sec": args.rate,
+                    "burst": args.burst,
+                    "max_retries": args.max_retries,
+                },
+                concurrency=args.concurrency,
+                batch_size=512,
+                batch_format="pyarrow",
+            )
+            enriched.write_parquet(args.dest)
+            import pyarrow.parquet as _pq
+            import glob as _glob
+
+            counts: dict = {}
+            att = 0
+            for f in _glob.glob(os.path.join(args.dest, "*.parquet")):
+                t = _pq.read_table(
+                    f, columns=["enrich_status", "enrich_attempts"])
+                for s, n in zip(
+                        *[c.to_pylist() for c in
+                          [t["enrich_status"], t["enrich_attempts"]]]):
+                    counts[s] = counts.get(s, 0) + 1
+                    att += n
+            print(json.dumps({"dest": args.dest, "by_status": counts,
+                              "total_attempts": att}))
         elif args.cmd == "scalar-index":
             from marc_data_migration_ray.pipelines.views import ScalarIndexView
 

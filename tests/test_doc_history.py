@@ -323,11 +323,18 @@ def test_versions_salted_fallback(ray_session, fixture_dir, tmp_path):
     assert a == b
 
 
-def test_sweep_equals_fold_path(ray_session, fixture_dir, tmp_path):
+@pytest.mark.parametrize("strategy,with_drops,seed", [
+    ("replace_and_add", False, 47),
+    ("replace_only", False, 47),
+    ("replace_and_add", True, 91),
+    ("replace_only", True, 133),
+])
+def test_sweep_equals_fold_path(ray_session, tmp_path, strategy,
+                                with_drops, seed):
     """The O(events + cuts) as-of sweep and the incremental-fold task
-    produce bit-identical per-cut states on a DDL-bearing fixture (the
-    fixture plants schema_change events) — the sweep is the default
-    path, the fold task remains the local-id fallback."""
+    produce bit-identical per-cut states across BOTH column strategies
+    and DDL shapes (adds/renames, and drops when with_drops) — the sweep
+    is the default path, the fold task remains the local-id fallback."""
     import numpy as np
     import pyarrow.compute as pc
     import ray
@@ -335,7 +342,11 @@ def test_sweep_equals_fold_path(ray_session, fixture_dir, tmp_path):
     from marc_data_migration_ray.pipelines.replay import (
         _asof_key_states_task, _asof_sweep, _read_bucket_tables)
 
-    cfg = ReplayConfig(num_partitions=8)
+    fixture_dir = str(tmp_path / "fx")
+    fixtures.write_fixture(fixture_dir, n_rows=120, n_events=700,
+                           n_epochs=N_EPOCHS, seed=seed,
+                           with_drops=with_drops)
+    cfg = ReplayConfig(num_partitions=8, strategy=strategy)
     rp = _replay(str(tmp_path / "t"), fixture_dir, cfg)
     evs = _events(fixture_dir)
     keys = _busiest_keys(evs, n=3)

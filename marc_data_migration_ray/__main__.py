@@ -1064,6 +1064,14 @@ def main(argv=None) -> int:
 
                 mod, _, attr = args.service.partition(":")
                 factory = getattr(importlib.import_module(mod), attr)
+            # refuse a dirty dest: write_parquet appends uuid-named files,
+            # so a second run into the same dir would double-count the
+            # summary and leave a mixed two-run dataset for readers
+            if os.path.isdir(args.dest) and any(
+                    f.endswith(".parquet") for f in os.listdir(args.dest)):
+                raise SystemExit(
+                    f"enrich: dest {args.dest!r} already holds parquet "
+                    "output — use a fresh directory")
             rows = rp.read_state(columns=[args.key_col])
             enriched = rows.map_batches(
                 EnrichStage,

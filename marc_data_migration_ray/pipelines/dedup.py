@@ -451,8 +451,11 @@ _BROADCAST_TEXT_BYTES = 64 << 20
 #: worker-global candidate-text lookup memo (keyed by the broadcast refs'
 #: object ids): each worker process builds the dict once per pair
 #: artifact; later verify tasks on the same worker read it for free.
-#: Holds at most ONE artifact so a long-lived worker can't accumulate.
+#: Bounded at a few artifacts with FIFO eviction — a single slot would
+#: thrash (rebuild per batch) when two concurrent builds' verify batches
+#: interleave on one worker (r4 code-review finding).
 _BCAST_TEXT_CACHE: dict = {}
+_BCAST_TEXT_CACHE_MAX = 4
 
 
 def _verify_broadcast(cand: ray.data.Dataset,
@@ -475,7 +478,8 @@ def _verify_broadcast(cand: ray.data.Dataset,
                 for d, x in zip(tt["doc_id"].to_pylist(),
                                 tt["text"].to_pylist()):
                     lookup[d] = x
-            _BCAST_TEXT_CACHE.clear()
+            while len(_BCAST_TEXT_CACHE) >= _BCAST_TEXT_CACHE_MAX:
+                _BCAST_TEXT_CACHE.pop(next(iter(_BCAST_TEXT_CACHE)))
             _BCAST_TEXT_CACHE[key] = lookup
         ja = [
             exact_jaccard(lookup.get(a, ""), lookup.get(b, ""))

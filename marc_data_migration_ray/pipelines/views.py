@@ -945,7 +945,14 @@ class MinHashIndexView(_SignedSetView):
         because verification no longer bottlenecks on the driver — it
         only fences a pathological mega-bucket (cap² pair blowup).
         Returns Dataset[(doc_a: string, doc_b: string)], doc_a < doc_b,
-        deduplicated."""
+        deduplicated.
+
+        Snapshot contract: the lazy Dataset binds to the CURRENT view
+        version's bucket files at call time — consume (or materialize)
+        it before a later ``refresh`` + ``vacuum_view_versions`` may
+        reclaim that version, exactly like any snapshot reader vs
+        ``vacuum`` (keep ``retain ≥ 1`` superseded versions while
+        deferred readers exist)."""
         cur = self._current()
         if cur is None:
             raise ValueError("view was never refreshed")

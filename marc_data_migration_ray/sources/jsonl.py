@@ -156,23 +156,27 @@ def sniff_encoding(head: bytes) -> dict:
         return {"encoding": "latin-1", "confidence": 0.5, "bom": False}
 
 
-def _decode_sniffed(epoch: int):
+def _decode_sniffed(epoch: int, forced: str | None = None):
     """Per-FILE bytes → decoded text lines (salvage preflight stage):
-    sniff each file's head once, transcode the whole file, split lines.
-    Runs as ordinary map tasks — one file per row is the right unit
-    because encoding is a per-file property, and salvage mode is the
-    explicit recovery tool, not the hot path."""
+    sniff each file's head once (or use the caller's ``forced`` codec),
+    transcode the whole file, split lines. Runs as ordinary map tasks —
+    one file per row is the right unit because encoding is a per-file
+    property, and salvage mode is the explicit recovery tool, not the
+    hot path."""
 
     def _fn(t: pa.Table) -> pa.Table:
         lines: list[str] = []
         for raw in t["bytes"].to_pylist():
-            info = sniff_encoding(bytes(raw[:65536]))
-            enc = info["encoding"]
-            if info["bom"]:  # BOM-consuming codec, or U+FEFF leaks into
-                if enc.startswith("utf-16"):  # the first line's JSON
-                    enc = "utf-16"
-                elif enc.startswith("utf-32"):
-                    enc = "utf-32"
+            if forced is not None:
+                enc = forced
+            else:
+                info = sniff_encoding(bytes(raw[:65536]))
+                enc = info["encoding"]
+                if info["bom"]:  # BOM-consuming codec, or U+FEFF leaks
+                    if enc.startswith("utf-16"):  # into line 1's JSON
+                        enc = "utf-16"
+                    elif enc.startswith("utf-32"):
+                        enc = "utf-32"
             text = bytes(raw).decode(enc, errors="replace")
             lines.extend(text.splitlines())
         return _lenient_lines(epoch)(pa.table(
@@ -224,10 +228,14 @@ def read_jsonl_binlog(paths: str | list[str], epoch: int,
         return ds.map_batches(
             _normalize(epoch), batch_format="pyarrow", zero_copy_batch=True
         )
-    if encoding == "auto":
+    if encoding not in ("utf-8", None):
+        # 'auto' sniffs per file; an EXPLICIT codec decodes every file
+        # with it (skipping the sniff) — either way the arg is honored,
+        # never silently ignored
+        forced = None if encoding == "auto" else encoding
         ds = ray.data.read_binary_files(paths, file_extensions=["jsonl"])
         return ds.map_batches(
-            _decode_sniffed(epoch), batch_format="pyarrow")
+            _decode_sniffed(epoch, forced), batch_format="pyarrow")
     ds = ray.data.read_text(paths, file_extensions=["jsonl"])
     return ds.map_batches(
         _lenient_lines(epoch), batch_format="pyarrow", zero_copy_batch=True

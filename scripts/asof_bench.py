@@ -82,7 +82,6 @@ def main() -> None:
     best = max(
         (s for s in vc.to_pylist() if s["values"] is not None),
         key=lambda s: s["counts"])
-    key = str(best["values"]).lstrip("(")  # raw key; normalize below
     from marc_data_migration_ray.functions.keys import normalize_keys
 
     norm = normalize_keys(pa.array([str(best["values"])]))[0].as_py()

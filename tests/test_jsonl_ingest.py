@@ -371,3 +371,30 @@ def test_salvage_auto_encoding_matches_utf8(ray_session, fixture_root,
             assert len(got) == len(want)  # lossy transcode: rows survive
         else:
             assert got == want, enc
+
+
+def test_salvage_forced_encoding(ray_session, fixture_root, tmp_path):
+    """An EXPLICIT codec (not 'auto') is honored in salvage mode — it
+    was previously silently ignored (r4 code-review finding)."""
+    import glob
+
+    from marc_data_migration_ray.sources.jsonl import read_jsonl_binlog
+
+    files = sorted(glob.glob(os.path.join(
+        fixture_root, "binlog", "epoch=0", "*.parquet")))
+    clean = str(tmp_path / "clean")
+    os.makedirs(clean)
+    binlog_to_jsonl(files, os.path.join(clean, "part-0.jsonl"))
+    text = open(os.path.join(clean, "part-0.jsonl"),
+                encoding="utf-8").read()
+    d = str(tmp_path / "u16")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-0.jsonl"), "w",
+              encoding="utf-16-le") as f:
+        f.write(text)
+    want = sorted(read_jsonl_binlog(clean, 0, strict=False).take_all(),
+                  key=lambda r: (r["lsn"] is None, r["lsn"]))
+    got = sorted(read_jsonl_binlog(d, 0, strict=False,
+                                   encoding="utf-16-le").take_all(),
+                 key=lambda r: (r["lsn"] is None, r["lsn"]))
+    assert got == want

@@ -408,6 +408,18 @@ def main(argv=None) -> int:
                     help="existing view root (agg / postings / scalar-index, "
                          "type read from its META.json) to refresh after "
                          "every applied epoch; repeatable")
+    fo.add_argument("--dedup-gate-view", default=None,
+                    dest="dedup_gate_view", metavar="ROOT",
+                    help="MinHash index view root: before applying each "
+                         "epoch, probe its insert/update payloads against "
+                         "the view (near-dups of CURRENT state) and report "
+                         "verified (incoming_id, dup_of, jaccard) pairs — "
+                         "pair with --refresh-view ROOT to keep the index "
+                         "at the table head")
+    fo.add_argument("--dedup-gate-report", default=None,
+                    dest="dedup_gate_report", metavar="DIR",
+                    help="write each epoch's gate pairs to "
+                         "DIR/epoch=<e>.parquet")
     fo.add_argument("--relay-dest", default=None, dest="relay_dest",
                     help="CDC relay: after each applied epoch e>0, export "
                          "the (payload) change feed e-1 -> e under "
@@ -926,6 +938,16 @@ def main(argv=None) -> int:
                 from marc_data_migration_ray.pipelines.views import open_view
 
                 extra_views = [(r, open_view(r, rp)) for r in args.refresh_views]
+            gate = None
+            if args.dedup_gate_view:
+                from marc_data_migration_ray.pipelines.views import (
+                    MinHashIndexView, open_view)
+
+                gate = open_view(args.dedup_gate_view, rp)
+                if not isinstance(gate, MinHashIndexView):
+                    raise SystemExit(
+                        "--dedup-gate-view must point at a minhash_index "
+                        f"view (got {type(gate).__name__})")
             # the bound is checked BEFORE applying: a resume where
             # until_epoch is already committed exits immediately instead of
             # polling forever or over-applying
@@ -935,6 +957,52 @@ def main(argv=None) -> int:
                     args.marker is None or os.path.exists(os.path.join(d, args.marker))
                 )
                 if ready:
+                    if gate is not None and gate.last_epoch() is not None:
+                        # advisory pre-ingest gate: probe the EPOCH'S
+                        # incoming payloads against the index over the
+                        # state as of the last refresh, BEFORE the write
+                        import pyarrow as pa
+                        import pyarrow.compute as _pc
+                        import ray.data
+
+                        from marc_data_migration_ray.pipelines.derived \
+                            import near_dup_gate
+
+                        fmt = getattr(args, "source_format", "parquet")
+                        if fmt == "jsonl":
+                            from marc_data_migration_ray.sources.jsonl \
+                                import read_jsonl_binlog
+
+                            inc = read_jsonl_binlog(d, epoch=e)
+                        else:
+                            import glob as _glob
+
+                            inc = ray.data.read_parquet(sorted(
+                                _glob.glob(os.path.join(d, "*.parquet"))))
+
+                        def _inc_rows(t):
+                            keep = _pc.and_(
+                                _pc.is_in(t["op"], value_set=pa.array(
+                                    ["insert", "update"], pa.string())),
+                                _pc.is_valid(t["doc_id"]))
+                            t = t.filter(keep)
+                            return t.select(["doc_id", "tokens"])
+
+                        pairs = near_dup_gate(
+                            rp, gate, inc.map_batches(
+                                _inc_rows, batch_format="pyarrow",
+                                zero_copy_batch=True))
+                        gate_line = {"pairs": pairs.num_rows}
+                        if args.dedup_gate_report and pairs.num_rows:
+                            os.makedirs(args.dedup_gate_report,
+                                        exist_ok=True)
+                            import pyarrow.parquet as _pq
+
+                            _pq.write_table(pairs, os.path.join(
+                                args.dedup_gate_report,
+                                f"epoch={e}.parquet"))
+                    else:
+                        gate_line = None
                     if args.max_dl_rate is not None:
                         rate = args.max_dl_rate
 
@@ -978,6 +1046,8 @@ def main(argv=None) -> int:
                         line["maintain"] = rp.maintain()["actions"]
                     if args.index_blooms:
                         line["blooms_built"] = rp.build_key_blooms()["built"]
+                    if gate is not None and gate_line is not None:
+                        line["dedup_gate"] = gate_line
                     print(json.dumps(line), flush=True)
                     e += 1
                     idle = 0

@@ -1199,6 +1199,21 @@ def _probe_verify(rp, view, incoming: ray.data.Dataset,
     return _nd_result(ver, "probe_id", "match_id", a_out, b_out)
 
 
+def near_dup_gate(rp, view, incoming: ray.data.Dataset,
+                  a_out: str = "incoming_id",
+                  b_out: str = "dup_of") -> pa.Table:
+    """PUBLIC pre-ingest near-dup gate (the streaming-ingest form of
+    ``cdc_ingest_dedup_gate``): probe an incoming (doc_id, tokens)
+    Dataset against a :class:`views.MinHashIndexView` over the table's
+    CURRENT state and return every ``(incoming_id, dup_of, jaccard)``
+    verifying at ≥ ``NEAR_DUP_JACCARD`` — all distributed (batch index
+    probe reading only touched buckets, hash-co-located worker-side
+    exact verify). ``follow --dedup-gate-view`` calls this per epoch
+    BEFORE applying it, the advisory form of "near-duplicates of
+    already-held data never enter the table"."""
+    return _probe_verify(rp, view, incoming, a_out, b_out)
+
+
 def cdc_ingest_dedup_gate(
     sf_dir: str, cfg: ReplayConfig | None = None,
 ) -> pa.Table:

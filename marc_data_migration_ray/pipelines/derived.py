@@ -367,7 +367,7 @@ def _layout_replayer(sf_dir: str, cfg: ReplayConfig,
 
 def cdc_multi_table_txn(
     sf_dir: str, cfg: ReplayConfig | None = None,
-) -> pa.Table:
+) -> ray.data.Dataset:
     """Driver surface for the multi-table 2PC (``state/txn.py`` — the
     round-3 pytest-only WAP/2PC story made gate-visible): the derived
     base+binlog are parity-split into TWO tables (even/odd doc ids — a
@@ -415,20 +415,22 @@ def cdc_multi_table_txn(
         if len(rep["entries"]) != len(parts):
             raise RuntimeError("2PC commit incomplete")
         tables = _LAYOUT_MEMO[key] = [(name, rp) for name, rp, _ in parts]
-    out = []
-    for name, rp in tables:
-        rows = _scalar_state(rp.read_state()).take_all()
-        t = pa.table({
-            "table_name": pa.array([name] * len(rows), pa.string()),
-            "doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
-            "n_tok": pa.array([r["n_tok"] for r in rows], pa.int64()),
-            "source": pa.array([r["source"] for r in rows], pa.string()),
-            "last_lsn": pa.array([r["last_lsn"] for r in rows], pa.int64()),
-            "status": pa.array([r["status"] for r in rows], pa.string()),
-        })
-        out.append(t)
-    return pa.concat_tables(out).sort_by(
-        [("table_name", "ascending"), ("doc_id", "ascending")])
+    # STREAMED union — the result is whole-state-sized, so it stays a
+    # Dataset like cdc_lww_state (no driver materialization)
+    def _tag(name: str):
+        def _fn(t: pa.Table) -> pa.Table:
+            return t.add_column(
+                0, "table_name",
+                pa.array([name] * t.num_rows, pa.string()))
+
+        return _fn
+
+    outs = [
+        _scalar_state(rp.read_state()).map_batches(
+            _tag(name), batch_format="pyarrow", zero_copy_batch=True)
+        for name, rp in tables
+    ]
+    return outs[0].union(*outs[1:])
 
 
 def _scalar_state(rows: ray.data.Dataset) -> ray.data.Dataset:

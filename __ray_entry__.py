@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_gram": clustering.embedding_gram,
         # similarity search
         "ann_topk": lambda sf: similarity.ann_topk(sf),
+        "ann_topk_filtered": lambda sf: similarity.ann_topk_filtered(sf),
         "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
         "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(sf),
         "ann_topk_pq": lambda sf: similarity.ann_topk_pq(sf),
@@ -1062,6 +1063,27 @@ ORDER BY op, route, status
             "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45"
         ),
         "ann_topk": _ANN_TOPK,
+        # filtered vector search: same exact top-k, candidates restricted
+        # to docs whose source passes the predicate (queries exempt)
+        "ann_topk_filtered": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+allowed AS (
+  SELECT CAST(doc_id AS BIGINT) AS vec_id FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3')
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+  FROM embeddings e JOIN allowed a ON e.vec_id = a.vec_id, q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, CAST(rn AS BIGINT) AS rank, vec_id
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) rn
+      FROM sims)
+WHERE rn <= 5
+""",
         "closest_pairs": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
             "FROM embeddings WHERE vec_id < 300), "

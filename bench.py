@@ -210,7 +210,7 @@ def run_queries(sf_dir: str) -> tuple[dict, float]:
         "cdc_doc_history_indexed", "cdc_near_dup_index",
         "cdc_near_dup_probe", "cdc_ingest_dedup_gate",
         # round-4 ops
-        "enrich_authority", "cdc_multi_table_txn",
+        "enrich_authority", "cdc_multi_table_txn", "ann_topk_filtered",
     ]
     qs = entry_mod.queries()
     out = {}

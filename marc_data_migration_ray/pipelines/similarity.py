@@ -123,6 +123,69 @@ def ann_topk(sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5) ->
     return _merge_topk(partials, query_ids, k)
 
 
+#: predicate for the filtered-ANN driver query (shared with the oracle)
+ANN_FILTER_SOURCES = ("src0", "src1", "src2", "src3")
+
+
+def ann_topk_filtered(
+    sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2), k: int = 5,
+    sources: tuple[str, ...] = ANN_FILTER_SOURCES,
+) -> pa.Table:
+    """Predicate-FILTERED exact cosine top-k — the filtered-vector-search
+    primitive ("nearest docs from these sources"). The predicate lives on
+    the DOCUMENTS side; ids are DENSE ints shared with ``embeddings``, so
+    qualifying ids compress to an EXACT boolean bitmap (1 bit/doc — a
+    10⁹-doc corpus is a 125 MB broadcast), built like the key bloom
+    (per-block partials, tree-OR merge — the source column never leaves
+    its block) but with zero false positives. Each embedding batch masks
+    by bitmap BEFORE the matmul, then the standard broadcast-query top-k
+    merge runs on the survivors: no join, no shuffle, and the predicate
+    never touches embedding bytes."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    N = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    want = pa.array(list(sources), pa.string())
+    nb = (N + 7) // 8
+
+    def _acc(bm: np.ndarray, block: pa.Table) -> np.ndarray:
+        keep = pc.is_in(block["source"], value_set=want)
+        ids = pc.cast(block["doc_id"], pa.int64()).filter(keep).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = ids[(ids >= 0) & (ids < N)]
+        np.bitwise_or.at(bm, ids >> 3,
+                         (1 << (ids & 7)).astype(np.uint8))
+        return bm
+
+    bm = readers.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "source"],
+    ).aggregate(AggregateFn(
+        init=lambda _: np.zeros(nb, np.uint8),
+        accumulate_block=_acc,
+        merge=lambda a, b: np.bitwise_or(a, b),
+        name="idbm",
+    ))["idbm"]
+    state_ref = ray.put((normalized(_query_matrix(sf_dir, query_ids)), bm))
+    qids = tuple(query_ids)
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        # stateless task: zero-copy shared-memory read of (queries, bitmap)
+        Q, bmb = ray.get(state_ref)
+        ids = ids_array(t["vec_id"])
+        keep = ((bmb[ids >> 3] >> (ids & 7).astype(np.uint8)) & 1
+                ).astype(bool)
+        cids = ids[keep]
+        emb = normalized(emb_matrix(t["embedding"])[keep])
+        return _local_topk(cids, emb @ Q.T, qids, k)
+
+    partials = _emb_ds(sf_dir).map_batches(
+        local_topk, batch_format="pyarrow", batch_size=8192,
+    )
+    return _merge_topk(partials, query_ids, k)
+
+
 def ann_topk_lsh(
     sf_dir: str,
     query_ids: tuple[int, ...] = (0, 1, 2),

@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk": lambda sf: similarity.ann_topk(sf),
         "ann_topk_filtered": lambda sf: similarity.ann_topk_filtered(sf),
+        "ann_topk_per_source": lambda sf: similarity.ann_topk_per_source(sf),
         "ann_topk_lsh": lambda sf: similarity.ann_topk_lsh(sf),
         "ann_topk_ivf": lambda sf: similarity.ann_topk_ivf(sf),
         "ann_topk_pq": lambda sf: similarity.ann_topk_pq(sf),
@@ -1063,6 +1064,25 @@ ORDER BY op, route, status
             "WHERE list_cosine_similarity(a.emb, b.emb) >= 0.45"
         ),
         "ann_topk": _ANN_TOPK,
+        # diversified retrieval: per query, the best match from EVERY
+        # source (ties → smaller vec_id), self excluded
+        "ann_topk_per_source": """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id IN (0, 1, 2)
+),
+sims AS (
+  SELECT q.query_id, e.vec_id, d.source,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qe AS DOUBLE[])) AS sim
+  FROM embeddings e JOIN documents d ON e.vec_id = CAST(d.doc_id AS BIGINT), q
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, source, vec_id
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id, source
+                                   ORDER BY sim DESC, vec_id) rn
+      FROM sims)
+WHERE rn = 1
+ORDER BY query_id, source
+""",
         # filtered vector search: same exact top-k, candidates restricted
         # to docs whose source passes the predicate (queries exempt)
         "ann_topk_filtered": """

@@ -211,6 +211,7 @@ def run_queries(sf_dir: str) -> tuple[dict, float]:
         "cdc_near_dup_probe", "cdc_ingest_dedup_gate",
         # round-4 ops
         "enrich_authority", "cdc_multi_table_txn", "ann_topk_filtered",
+        "ann_topk_per_source",
     ]
     qs = entry_mod.queries()
     out = {}

@@ -186,6 +186,102 @@ def ann_topk_filtered(
     return _merge_topk(partials, query_ids, k)
 
 
+def ann_topk_per_source(
+    sf_dir: str, query_ids: tuple[int, ...] = (0, 1, 2),
+) -> pa.Table:
+    """Diversified retrieval: for each query, the BEST match from EVERY
+    source — metadata-grouped vector search (the "one best per bucket"
+    shape reranking/diversity pipelines use). The id→source mapping
+    broadcasts as a DENSE uint8 code array (ids are dense ints; 20
+    sources ⇒ 1 byte/doc — a 10⁹-doc corpus is a 1 GB broadcast; higher
+    cardinality would ship int32 codes + a dictionary), built with
+    per-block scatter partials and a tree-min merge, so group labels
+    attach to embedding batches with ZERO joins. Per batch: one matmul,
+    then a lexsort picks the best candidate per (query, source); the
+    driver merges ≤ |queries|×|sources| rows per batch. Returns
+    (query_id, source, vec_id), self excluded."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import AggregateFn
+
+    N = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    # deterministic source→code mapping (tiny distinct set, driver-held)
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    src_names = sorted(
+        s for (s,) in __import__("duckdb").connect().execute(
+            f"SELECT DISTINCT source FROM '{docs_path}'").fetchall())
+    code_of = {s: i for i, s in enumerate(src_names)}
+    assert len(src_names) < 255
+
+    def _acc(codes: np.ndarray, block: pa.Table) -> np.ndarray:
+        ids = pc.cast(block["doc_id"], pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        vals = np.array([code_of.get(s, 255)
+                         for s in block["source"].to_pylist()], np.uint8)
+        ok = (ids >= 0) & (ids < N)
+        np.minimum.at(codes, ids[ok], vals[ok])
+        return codes
+
+    codes = readers.read_parquet(
+        docs_path, columns=["doc_id", "source"],
+    ).aggregate(AggregateFn(
+        init=lambda _: np.full(N, 255, np.uint8),  # 255 = no document
+        accumulate_block=_acc,
+        merge=lambda a, b: np.minimum(a, b),  # ids unique across blocks
+        name="codes",
+    ))["codes"]
+    state_ref = ray.put(
+        (normalized(_query_matrix(sf_dir, query_ids)), codes))
+    qids = tuple(query_ids)
+
+    def local_best(t: pa.Table) -> pa.Table:
+        Q, cb = ray.get(state_ref)
+        ids = ids_array(t["vec_id"])
+        lab = cb[ids]
+        emb = normalized(emb_matrix(t["embedding"]))
+        sims = emb @ Q.T
+        out_q, out_l, out_v, out_s = [], [], [], []
+        for qi, qid in enumerate(qids):
+            mask = (ids != qid) & (lab != 255)
+            col = sims[mask, qi]
+            l, v = lab[mask], ids[mask]
+            order = np.lexsort((v, -col))  # sim DESC, vec_id ASC
+            _, first = np.unique(l[order], return_index=True)
+            pick = order[first]
+            out_q += [qid] * len(pick)
+            out_l += l[pick].tolist()
+            out_v += v[pick].tolist()
+            out_s += col[pick].tolist()
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "label": pa.array(out_l, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "sim": pa.array(out_s, pa.float64()),
+        })
+
+    partials = _emb_ds(sf_dir).map_batches(
+        local_best, batch_format="pyarrow", batch_size=8192)
+    best: dict = {}
+    for b in partials.iter_batches(batch_format="pyarrow"):
+        for q, lb, v, s in zip(b["query_id"].to_pylist(),
+                               b["label"].to_pylist(),
+                               b["vec_id"].to_pylist(),
+                               b["sim"].to_pylist()):
+            cur = best.get((q, lb))
+            if cur is None or (s, -v) > (cur[1], -cur[0]):
+                best[(q, lb)] = (v, s)
+    out_q, out_src, out_v = [], [], []
+    for (q, lb) in sorted(best):
+        out_q.append(q)
+        out_src.append(src_names[lb])
+        out_v.append(best[(q, lb)][0])
+    return pa.table({
+        "query_id": pa.array(out_q, pa.int64()),
+        "source": pa.array(out_src, pa.string()),
+        "vec_id": pa.array(out_v, pa.int64()),
+    })
+
+
 def ann_topk_lsh(
     sf_dir: str,
     query_ids: tuple[int, ...] = (0, 1, 2),

@@ -28,6 +28,10 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--cpus", type=int, default=8)
     ap.add_argument("--fresh", action="store_true")
+    ap.add_argument("--blooms", action="store_true",
+                    help="build .keybloom sidecars first (the standard "
+                         "index-blooms maintenance) so delta files that "
+                         "cannot hold the key are skipped at the read")
     args = ap.parse_args()
 
     os.environ.setdefault("POLARS_MAX_THREADS", "1")
@@ -65,6 +69,8 @@ def main() -> None:
         with open(done, "w") as f:
             f.write("ok")
     rp = Replayer(os.path.join(root, "t"), cfg)
+    if args.blooms:
+        rp.build_key_blooms()
 
     # busiest retained key = most events in doc_history (hot key 0 of the
     # fixture's skew mix); find it from the plain (cheap) history
@@ -94,7 +100,7 @@ def main() -> None:
     print(json.dumps({
         "metric": "asof_versions_sec", "value": round(dt, 2),
         "events": n_cuts, "per_cut_ms": round(1000 * dt / max(n_cuts, 1), 2),
-        "cpus": args.cpus, "shape": shape,
+        "cpus": args.cpus, "shape": shape, "blooms": bool(args.blooms),
     }))
     ray.shutdown()
 

@@ -206,9 +206,11 @@ def ann_topk_per_source(
     N = pq.read_metadata(
         os.path.join(sf_dir, "embeddings.parquet")).num_rows
     # deterministic source→code mapping (tiny distinct set, driver-held)
+    import duckdb
+
     docs_path = os.path.join(sf_dir, "documents.parquet")
     src_names = sorted(
-        s for (s,) in __import__("duckdb").connect().execute(
+        s for (s,) in duckdb.connect().execute(
             f"SELECT DISTINCT source FROM '{docs_path}'").fetchall())
     code_of = {s: i for i, s in enumerate(src_names)}
     assert len(src_names) < 255

@@ -205,21 +205,39 @@ def ann_topk_per_source(
 
     N = pq.read_metadata(
         os.path.join(sf_dir, "embeddings.parquet")).num_rows
-    # deterministic source→code mapping (tiny distinct set, driver-held)
-    import duckdb
-
+    # deterministic source→code mapping: the distinct-name set is built
+    # by a DISTRIBUTED set-union aggregate over only the `source` column
+    # (per-block `pc.unique` partials, set-union merge) — the driver
+    # never scans the corpus, it only receives the tiny merged set.
     docs_path = os.path.join(sf_dir, "documents.parquet")
-    src_names = sorted(
-        s for (s,) in duckdb.connect().execute(
-            f"SELECT DISTINCT source FROM '{docs_path}'").fetchall())
-    code_of = {s: i for i, s in enumerate(src_names)}
-    assert len(src_names) < 255
+
+    def _acc_names(names, block: pa.Table):
+        # accumulators round-trip through serialization as lists
+        s = set(names)
+        s.update(pc.unique(block["source"]).to_pylist())
+        return sorted(s)
+
+    src_names = sorted(readers.read_parquet(
+        docs_path, columns=["source"],
+    ).aggregate(AggregateFn(
+        init=lambda _: [],
+        accumulate_block=_acc_names,
+        merge=lambda a, b: sorted(set(a) | set(b)),
+        name="names",
+    ))["names"])
+    if len(src_names) > 255:  # uint8 codes; 255 reserved = "no document"
+        raise ValueError(
+            f"ann_topk_per_source supports at most 255 distinct sources "
+            f"(dense uint8 codes, 255 reserved); got {len(src_names)} — "
+            f"widen to int32 codes + dictionary for this corpus")
+    name_arr = pa.array(src_names, pa.string())
 
     def _acc(codes: np.ndarray, block: pa.Table) -> np.ndarray:
         ids = pc.cast(block["doc_id"], pa.int64()).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        vals = np.array([code_of.get(s, 255)
-                         for s in block["source"].to_pylist()], np.uint8)
+        vals = pc.fill_null(
+            pc.index_in(block["source"], value_set=name_arr), 255,
+        ).to_numpy(zero_copy_only=False).astype(np.uint8)
         ok = (ids >= 0) & (ids < N)
         np.minimum.at(codes, ids[ok], vals[ok])
         return codes

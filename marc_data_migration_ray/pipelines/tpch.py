@@ -442,6 +442,7 @@ KMV_MOD = 1 << 63      # hash domain: md5_number_lower % 2^63 (signed-safe)
 
 
 _KMV_HASH_CACHE: dict = {}  # worker-process-global md5 memo (see below)
+_KMV_HASH_CACHE_MAX = 4_000_000  # ≈60 MB cap; same bound as _MD5_WORD_CACHE
 
 
 def _kmv_partial_fn(column: str):
@@ -464,7 +465,11 @@ def _kmv_partial_fn(column: str):
             hv = int.from_bytes(
                 hashlib.md5(str(v).encode()).digest()[8:16], "little"
             ) % KMV_MOD
-            _KMV_HASH_CACHE[v] = hv
+            # cap checked INSIDE the loop (VERDICT r4 item 2, same bound
+            # as dedup._MD5_WORD_CACHE): at 10⁹ distinct keys an
+            # unbounded memo is a per-worker memory leak
+            if len(_KMV_HASH_CACHE) < _KMV_HASH_CACHE_MAX:
+                _KMV_HASH_CACHE[v] = hv
         return hv
 
     def _fn(t: pa.Table) -> pa.Table:

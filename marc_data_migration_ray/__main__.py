@@ -986,7 +986,9 @@ def main(argv=None) -> int:
                                     ["insert", "update"], pa.string())),
                                 _pc.is_valid(t["doc_id"]))
                             t = t.filter(keep)
-                            return t.select(["doc_id", "tokens"])
+                            # lsn rides along so the gate's per-doc
+                            # dedupe can pick latest-event-wins
+                            return t.select(["doc_id", "tokens", "lsn"])
 
                         pairs = near_dup_gate(
                             rp, gate, inc.map_batches(

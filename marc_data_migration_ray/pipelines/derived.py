@@ -1212,8 +1212,41 @@ def near_dup_gate(rp, view, incoming: ray.data.Dataset,
     probe reading only touched buckets, hash-co-located worker-side
     exact verify). ``follow --dedup-gate-view`` calls this per epoch
     BEFORE applying it, the advisory form of "near-duplicates of
-    already-held data never enter the table"."""
-    return _probe_verify(rp, view, incoming, a_out, b_out)
+    already-held data never enter the table".
+
+    ``incoming`` may carry several events per ``doc_id`` (a doc updated
+    twice in one epoch): the gate dedupes to ONE probe row per id first
+    — latest ``lsn`` wins when the column is present, otherwise the
+    payloads must agree — because ``probe_candidates_ds`` requires each
+    probe id in exactly one batch and the token attach would fan out on
+    duplicates (ADVICE r4 item 2)."""
+    return _probe_verify(
+        rp, view, _dedupe_probes(incoming), a_out, b_out)
+
+
+def _dedupe_probes(incoming: ray.data.Dataset) -> ray.data.Dataset:
+    """One row per ``doc_id``: groupby + per-group pick (latest lsn, or
+    the unique payload). Epoch-scale input, so the groupby shuffle is
+    small; groups are almost all singletons."""
+    has_lsn = "lsn" in incoming.schema().names
+
+    def _one(t: pa.Table) -> pa.Table:
+        if t.num_rows == 1:
+            return t.select(["doc_id", "tokens"])
+        if has_lsn:
+            order = pc.sort_indices(
+                t, sort_keys=[("lsn", "descending")])
+            return t.take(order[:1]).select(["doc_id", "tokens"])
+        toks = t["tokens"].to_pylist()
+        if any(tk != toks[0] for tk in toks[1:]):
+            raise ValueError(
+                f"near_dup_gate: doc_id {t['doc_id'][0].as_py()!r} has "
+                f"{t.num_rows} conflicting probe payloads and no lsn "
+                "column to order them")
+        return t.slice(0, 1).select(["doc_id", "tokens"])
+
+    return incoming.groupby("doc_id").map_groups(
+        _one, batch_format="pyarrow")
 
 
 def cdc_ingest_dedup_gate(

@@ -643,8 +643,12 @@ def _asof_sweep(allr: pa.Table, cfg: ReplayConfig,
             na = int(n_add[i])
             if na:
                 packed = {c: _col_val(c) for c in added_in[:na]}
+                # ensure_ascii=False: polars json_encode on the fold
+                # path emits raw UTF-8 — escaping here as \uXXXX would
+                # break sweep==fold bit-equality for non-ASCII values
+                # (ADVICE r4 item 4)
                 row["extra_json"] = json.dumps(
-                    packed, separators=(",", ":"))
+                    packed, separators=(",", ":"), ensure_ascii=False)
             else:
                 row["extra_json"] = (extra_l[aidx] if ev_anchor
                                      else (kb.get("extra_json")

@@ -237,7 +237,10 @@ def make_binlog(
                 c = live_added[i % len(live_added)]
                 name = tl.name_at(c, L)
                 masks.append([name])
-                ex = '{"%s":"v%d"}' % (name, L)
+                # non-ASCII value: pins that every serializer in the
+                # engine (polars json_encode on the fold path, json.dumps
+                # on the as-of sweep) emits raw UTF-8, not \uXXXX
+                ex = '{"%s":"v%d é€"}' % (name, L)
             else:
                 masks.append([])  # full row
         else:

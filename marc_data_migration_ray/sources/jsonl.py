@@ -152,7 +152,18 @@ def sniff_encoding(head: bytes) -> dict:
     try:
         head.decode("utf-8")
         return {"encoding": "utf-8", "confidence": 1.0, "bom": False}
-    except UnicodeDecodeError:
+    except UnicodeDecodeError as e:
+        # the head is a PREFIX of the file (sniff window) — a multibyte
+        # sequence straddling the window's edge leaves 1-3 truncated
+        # trailing bytes that must not force the latin-1 fallback
+        # (ADVICE r4 item 1)
+        if e.start >= len(head) - 3 and e.end >= len(head):
+            try:
+                head[: e.start].decode("utf-8")
+                return {"encoding": "utf-8",
+                        "confidence": 0.99, "bom": False}
+            except UnicodeDecodeError:
+                pass
         return {"encoding": "latin-1", "confidence": 0.5, "bom": False}
 
 

@@ -385,4 +385,12 @@ def test_sweep_equals_fold_path(ray_session, tmp_path, strategy,
             if ea != eb:
                 assert ea is not None and eb is not None, (rk, ea, eb)
                 assert _json.loads(ea) == _json.loads(eb), (rk, ea, eb)
+            # ADVICE r4 item 4: BOTH paths must emit canonical compact
+            # raw-UTF-8 JSON (no \uXXXX escaping) — the fixture plants
+            # non-ASCII added-column values to force the case
+            for ej in (ea, eb):
+                if ej is not None:
+                    assert ej == _json.dumps(
+                        _json.loads(ej), separators=(",", ":"),
+                        ensure_ascii=False), (rk, ej)
             assert a == b, (rk, a, b)

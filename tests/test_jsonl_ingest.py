@@ -333,6 +333,17 @@ def test_sniff_encoding_heuristics():
     # invalid UTF-8 bytes -> lossless single-byte fallback
     assert sniff_encoding(b'{"op":"caf\xe9"}')["encoding"] == "latin-1"
     assert sniff_encoding(b"")["encoding"] == "utf-8"
+    # ADVICE r4 item 1: the sniff window is a PREFIX — a multibyte
+    # sequence cut at the window edge (1, 2 or 3 trailing bytes of a
+    # valid UTF-8 char) must still classify as utf-8, not latin-1
+    full = '{"op":"c","title":"café € \U0001f600'.encode("utf-8")
+    for cut in (1, 2, 3):  # cuts land inside the 4-byte emoji
+        head = full[:-cut]
+        assert head[-1] & 0x80, "fixture must cut inside a multibyte seq"
+        got = sniff_encoding(head)
+        assert got["encoding"] == "utf-8", (cut, got)
+    # a GENUINE mid-buffer error still falls back to latin-1
+    assert sniff_encoding(b'{"x":"\xe9 trailing"}')["encoding"] == "latin-1"
 
 
 def test_salvage_auto_encoding_matches_utf8(ray_session, fixture_root,

@@ -109,3 +109,49 @@ def test_gate_equals_probe_composition(ray_session):
         "jaccard": pa.array([r[2] for r in rows], pa.float64()),
     }).sort_by([("incoming_id", "ascending"), ("dup_of", "ascending")])
     assert got.equals(want)
+
+
+def test_near_dup_gate_dedupes_multi_event_probes(ray_session):
+    """ADVICE r4 item 2: a doc_id with several events in one epoch must
+    probe as ONE row (latest lsn wins) — duplicate probes used to fan
+    out the token attach into duplicate/conflicting pair rows."""
+    import ray.data
+
+    rp, view = derived._ensure_mh_view(SF, None)
+    src = next(r for r in rp.read_state(
+        columns=["doc_id", "tokens"]).take_all()
+        if r["tokens"] is not None and len(r["tokens"]) >= 8)
+    copy_toks = list(src["tokens"])
+    junk_toks = list(range(900_000, 900_012))
+
+    def gate(rows):
+        inc = ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.string()),
+            "tokens": pa.array([r[1] for r in rows],
+                               derived._TOK_LIST_T),
+            "lsn": pa.array([r[2] for r in rows], pa.int64()),
+        }))
+        t = derived.near_dup_gate(rp, view, inc)
+        return [(x["incoming_id"], x["dup_of"]) for x in t.to_pylist()]
+
+    # later event (higher lsn) is the copy -> exactly one clean pair
+    got = gate([("zz-new", junk_toks, 1), ("zz-new", copy_toks, 2)])
+    assert got == [("zz-new", src["doc_id"])]
+    # later event is junk -> the earlier near-dup payload must NOT probe
+    got = gate([("zz-new", copy_toks, 1), ("zz-new", junk_toks, 2)])
+    assert got == []
+    # no lsn column + conflicting payloads is ambiguous -> hard error
+    inc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["zz-new", "zz-new"], pa.string()),
+        "tokens": pa.array([junk_toks, copy_toks], derived._TOK_LIST_T),
+    }))
+    with pytest.raises(Exception, match="conflicting probe payloads"):
+        derived.near_dup_gate(rp, view, inc)
+    # no lsn column + agreeing payloads dedupes silently
+    inc = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(["zz-new", "zz-new"], pa.string()),
+        "tokens": pa.array([copy_toks, copy_toks], derived._TOK_LIST_T),
+    }))
+    t = derived.near_dup_gate(rp, view, inc)
+    assert [(x["incoming_id"], x["dup_of"]) for x in t.to_pylist()] == \
+        [("zz-new", src["doc_id"])]

@@ -31,6 +31,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from marc_data_migration_ray.functions.keys import mod_bucket
+from marc_data_migration_ray.functions.shingles import text_pair_jaccards
 from marc_data_migration_ray.functions.text import fingerprints
 from marc_data_migration_ray.functions.vectors import emb_matrix, ids_array, normalized
 from marc_data_migration_ray.sources import readers
@@ -481,10 +482,10 @@ def _verify_broadcast(cand: ray.data.Dataset,
             while len(_BCAST_TEXT_CACHE) >= _BCAST_TEXT_CACHE_MAX:
                 _BCAST_TEXT_CACHE.pop(next(iter(_BCAST_TEXT_CACHE)))
             _BCAST_TEXT_CACHE[key] = lookup
-        ja = [
-            exact_jaccard(lookup.get(a, ""), lookup.get(b, ""))
-            for a, b in zip(t["doc_a"].to_pylist(), t["doc_b"].to_pylist())
-        ]
+        ta = [lookup.get(a, "") for a in t["doc_a"].to_pylist()]
+        tb = [lookup.get(b, "") for b in t["doc_b"].to_pylist()]
+        ja = text_pair_jaccards(pa.array(ta, pa.string()),
+                                pa.array(tb, pa.string()))
         return pa.table(
             {
                 "doc_a": t["doc_a"],
@@ -507,10 +508,7 @@ def _verify_attached(cand: ray.data.Dataset,
     )
 
     def _verify(t: pa.Table) -> pa.Table:
-        ja = [
-            exact_jaccard(a, b)
-            for a, b in zip(t["text_a"].to_pylist(), t["text_b"].to_pylist())
-        ]
+        ja = text_pair_jaccards(t["text_a"], t["text_b"])
         return pa.table(
             {
                 "doc_a": t["doc_a"],

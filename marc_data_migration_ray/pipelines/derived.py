@@ -1070,15 +1070,16 @@ def _attach_tokens(pairs: ray.data.Dataset, toks: ray.data.Dataset,
 def _verify_shingle_jaccard(a_col: str, b_col: str):
     """map_batches verify kernel: exact token-shingle Jaccard per
     candidate pair — candidate-sized batches on workers (the r3
-    driver-side loop, distributed)."""
+    driver-side loop, distributed). Vectorized (VERDICT r4 item 3):
+    offset arithmetic over the flat token buffers via the shared
+    ``functions.shingles`` kernel, no per-pair Python set ops; results
+    are bit-identical to the scalar ``_token_shingles`` algebra (pinned
+    by the kernel's equivalence test)."""
+    from marc_data_migration_ray.functions.shingles import (
+        token_pair_jaccards)
 
     def _fn(t: pa.Table) -> pa.Table:
-        ja = np.empty(t.num_rows, np.float64)
-        for i, (ta, tb) in enumerate(zip(t[a_col].to_pylist(),
-                                         t[b_col].to_pylist())):
-            sa, sb = _token_shingles(ta), _token_shingles(tb)
-            union = sa | sb
-            ja[i] = len(sa & sb) / len(union) if union else 0.0
+        ja = token_pair_jaccards(t[a_col], t[b_col])
         return t.drop_columns([a_col, b_col]).append_column(
             "jaccard", pa.array(ja, pa.float64()))
 

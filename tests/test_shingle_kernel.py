@@ -1,0 +1,79 @@
+"""Equivalence of the vectorized shingle-Jaccard kernel
+(functions.shingles, VERDICT r4 item 3) with the scalar set-algebra
+definitions it replaced: derived._token_shingles for int64 token lists
+and dedup.exact_jaccard for whitespace-split text. Randomized sweep over
+lengths 0/1/2/3+, null rows, duplicate shingles, and messy whitespace."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from marc_data_migration_ray.functions.shingles import (
+    text_pair_jaccards, token_pair_jaccards)
+from marc_data_migration_ray.pipelines.dedup import exact_jaccard
+from marc_data_migration_ray.pipelines.derived import _token_shingles
+
+SEED = 20250820
+
+
+def _scalar_tok(a, b):
+    sa, sb = _token_shingles(a), _token_shingles(b)
+    u = sa | sb
+    return len(sa & sb) / len(u) if u else 0.0
+
+
+def _rand_tokens(rng, vocab):
+    kind = rng.integers(0, 8)
+    if kind == 0:
+        return None
+    if kind == 1:
+        return []
+    n = int(rng.integers(1, 14))
+    return [int(v) for v in rng.integers(0, vocab, n)]
+
+
+@pytest.mark.parametrize("vocab", [4, 50])
+def test_token_kernel_matches_scalar(vocab):
+    rng = np.random.default_rng(SEED + vocab)
+    a = [_rand_tokens(rng, vocab) for _ in range(400)]
+    b = [_rand_tokens(rng, vocab) for _ in range(400)]
+    # planted exact/near/short edge cases
+    a += [[1, 2, 3, 4], [7], [8, 9], [0, 0, 0, 0], [], None, [5, 6]]
+    b += [[1, 2, 3, 4], [7], [8, 9, 1], [0, 0], [], None, [5, 6, 0]]
+    t = pa.list_(pa.int64())
+    got = token_pair_jaccards(pa.array(a, t), pa.array(b, t))
+    want = [_scalar_tok(list(x or []), list(y or [])) for x, y in zip(a, b)]
+    np.testing.assert_array_equal(got, np.array(want))
+
+
+def _rand_text(rng, vocab):
+    kind = rng.integers(0, 8)
+    if kind == 0:
+        return None
+    if kind == 1:
+        return ""
+    n = int(rng.integers(1, 12))
+    words = [f"w{v}" for v in rng.integers(0, vocab, n)]
+    sep = ["  ", " ", "\t", "\n"][int(rng.integers(0, 4))]
+    pad = " " if rng.integers(0, 2) else ""
+    return pad + sep.join(words) + pad
+
+
+@pytest.mark.parametrize("vocab", [3, 40])
+def test_text_kernel_matches_scalar(vocab):
+    rng = np.random.default_rng(SEED + vocab)
+    a = [_rand_text(rng, vocab) for _ in range(400)]
+    b = [_rand_text(rng, vocab) for _ in range(400)]
+    a += ["a b c d", "x", "x y", "   ", "a  a a a"]
+    b += ["a b c d e", "x", "x y z", "q", "a a a"]
+    got = text_pair_jaccards(pa.array(a, pa.string()),
+                             pa.array(b, pa.string()))
+    want = [exact_jaccard(x or "", y or "") for x, y in zip(a, b)]
+    np.testing.assert_array_equal(got, np.array(want))
+
+
+def test_all_empty_batch():
+    t = pa.list_(pa.int64())
+    got = token_pair_jaccards(pa.array([None, []], t),
+                              pa.array([[], None], t))
+    np.testing.assert_array_equal(got, np.zeros(2))

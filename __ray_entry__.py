@@ -68,7 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tpch,
     )
 
-    return {
+    q = {
         # site-policy plugin chain (reference P1-P5, P7, P9-P12)
         "policy_location_map": policy_queries.policy_location_map,
         "policy_chain": policy_queries.policy_chain,
@@ -252,6 +252,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_jpeg_decode": multimodal.media_jpeg_decode,
         "media_jpeg_color_decode": multimodal.media_jpeg_color_decode,
     }
+    # Round-5 rotation (VERDICT r4 item 4): the driver's correctness
+    # gate samples the FIRST 50 keys each round, so rounds 1-4 kept
+    # re-checking the same CDC-heavy set. Surface a substantially
+    # different 50 — the SQL-oracled tail (events/windows, temporal
+    # joins, media codecs, sampling, curation, ANN, text analysis) that
+    # has only ever had in-repo oracle coverage — while every entry
+    # stays present for the in-repo harness (order is the ONLY change).
+    first = [
+        # text analysis
+        "token_topk", "oov_rate", "ngram_topk", "token_doc_freq",
+        "tfidf_topk", "source_lang_rollup", "word_repetition",
+        "lm_familiarity", "token_concentration", "token_lift",
+        "tokenize_docs", "source_token_drift", "token_topk_sketch",
+        # retrieval
+        "boolean_search", "inverted_postings", "bm25_topk", "rrf_fusion",
+        # sampling / splits / quantiles
+        "dataset_split", "source_mix_sample", "stratified_sample",
+        "weighted_sample", "dsir_weights", "range_partition",
+        "token_quantiles", "price_quantiles", "token_length_percentile",
+        "sequence_pack",
+        # curation
+        "decontaminate", "pii_redact", "corpus_shuffle",
+        "blocklist_filter", "chunk_documents",
+        # dedup family tail
+        "block_dedup", "exact_substring_spans", "dedup_clusters",
+        "dedup_keep_best",
+        # clustering / ANN
+        "embedding_assign", "semdedup", "embedding_gram",
+        "ann_topk_filtered", "ann_topk_per_source",
+        # events / windows / graph
+        "user_sessions", "sliding_window_value", "peak_concurrency",
+        "retention_cohorts", "event_dedup_window", "event_pagerank",
+        # temporal joins
+        "purchase_attribution", "funnel_conversion",
+        # media codecs
+        "media_png_decode",
+    ]
+    assert len(first) == 50 and len(set(first)) == 50
+    q = dict(q)
+    return {**{k: q.pop(k) for k in first}, **q}
 
 
 # ----------------------------------------------------------- oracle SQL --

@@ -326,6 +326,28 @@ def replay_datasets(
 #: table instead of each paying the base+binlog write + apply
 _LAYOUT_MEMO: dict = {}
 
+#: sf-derived base/binlog parquet inputs, materialized once per sf_dir
+_DERIVED_INPUT_MEMO: dict = {}
+
+
+def _derived_input_dirs(sf_dir: str) -> tuple[str, str]:
+    """Materialize the sf-derived base+binlog inputs ONCE per process
+    (VERDICT r4 item 6): every layout consumer — the shared one-epoch
+    layout, the two-epoch split, the multi-table 2PC parity split —
+    re-READS these parquet dirs instead of re-running the derivation
+    pipelines over the sf tables."""
+    import tempfile
+
+    got = _DERIVED_INPUT_MEMO.get(sf_dir)
+    if got is None:
+        root = tempfile.mkdtemp(prefix="cdc_inputs_")
+        base_dir = os.path.join(root, "base_in")
+        binlog_dir = os.path.join(root, "binlog_in")
+        build_base_ds(sf_dir).write_parquet(base_dir)
+        build_binlog_ds(sf_dir).write_parquet(binlog_dir)
+        got = _DERIVED_INPUT_MEMO[sf_dir] = (base_dir, binlog_dir)
+    return got
+
 
 def _clone_private(rp: "Replayer", cfg: ReplayConfig) -> "Replayer":
     """Zero-copy hardlink clone of a memoized pristine layout — handed to
@@ -355,10 +377,7 @@ def _layout_replayer(sf_dir: str, cfg: ReplayConfig,
     rp = _LAYOUT_MEMO.get(key)
     if rp is None:
         root = tempfile.mkdtemp(prefix="cdc_lww_layout_")
-        base_dir = os.path.join(root, "base_in")
-        binlog_dir = os.path.join(root, "binlog_in")
-        build_base_ds(sf_dir).write_parquet(base_dir)
-        build_binlog_ds(sf_dir).write_parquet(binlog_dir)
+        base_dir, binlog_dir = _derived_input_dirs(sf_dir)
         rp = Replayer(os.path.join(root, "table"), cfg, base_path=base_dir)
         rp.apply_epoch(0, binlog_dir)
         _LAYOUT_MEMO[key] = rp
@@ -401,8 +420,13 @@ def cdc_multi_table_txn(
                 batch_format="pyarrow", zero_copy_batch=True,
             ).write_parquet(dest, partition_cols=["par"])
 
-        _split(build_base_ds(sf_dir), os.path.join(root, "base"))
-        _split(build_binlog_ds(sf_dir), os.path.join(root, "binlog"))
+        # split from the SHARED materialized inputs (VERDICT r4 item 6):
+        # a parquet re-read + parity-partitioned write, not a second
+        # execution of the derivation pipelines
+        in_base, in_binlog = _derived_input_dirs(sf_dir)
+        _split(readers.read_parquet(in_base), os.path.join(root, "base"))
+        _split(readers.read_parquet(in_binlog),
+               os.path.join(root, "binlog"))
         parts = []
         for name, parity in (("even", 0), ("odd", 1)):
             bdir = os.path.join(root, "base", f"par={parity}")
@@ -822,13 +846,12 @@ def _layout_replayer_2ep(sf_dir: str, cfg: ReplayConfig) -> "Replayer":
     if rp is not None:
         return rp
     root = tempfile.mkdtemp(prefix="cdc_2ep_")
-    base_dir = os.path.join(root, "base_in")
-    build_base_ds(sf_dir).write_parquet(base_dir)
-    # materialize ONCE: max + the epoch split would otherwise each
-    # re-execute the whole binlog build (3× the parse cost — this build
-    # was the bulk of cdc_changes' 4.8 s bench tail, VERDICT r3 item 4);
+    base_dir, binlog_dir = _derived_input_dirs(sf_dir)
+    # the shared materialized binlog input feeds max + the epoch split
+    # (re-deriving here used to re-execute the whole binlog build 3×,
+    # the bulk of cdc_changes' 4.8 s bench tail — VERDICT r3 item 4);
     # the split itself is ONE partitioned write, not two filtered passes
-    binlog = build_binlog_ds(sf_dir).materialize()
+    binlog = readers.read_parquet(binlog_dir)
     cut = binlog.max("lsn") // 2
     binlog.map_batches(
         lambda t: t.append_column("ep", pc.cast(pc.greater(

@@ -692,6 +692,62 @@ def _asof_sweep_task(allr: pa.Table | None, cfg: ReplayConfig,
 
 
 @ray.remote(num_cpus=1)
+def _concat_rows_task(*tables) -> pa.Table | None:
+    """Combine sharded ``_read_key_rows_task`` results (file order is
+    preserved by the caller's chunking, so the row sequence equals the
+    unsharded read's)."""
+    tabs = [t for t in tables if t is not None]
+    if not tabs:
+        return None
+    return pa.concat_tables(
+        tabs, promote_options="default").combine_chunks()
+
+
+@ray.remote(num_cpus=1)
+def _asof_sweep_auto_task(
+    cfg: ReplayConfig, all_ops: list, ceiling: int, keys: list[str],
+    payload_cols: tuple[str, ...] | None, *allrs,
+) -> tuple[pa.Table, list[int]]:
+    """Self-cutting sweep: derive the cut list from the partition's OWN
+    key-filtered rows (every distinct event lsn ≥ ceiling) instead of
+    waiting for the driver's event-log scan — this breaks the
+    scan→sweep serialization in doc_history(with_versions) so both run
+    concurrently (r5 profiling: the two were the whole warm cost).
+    Returns (sweep_table, emitted_cut_lsns); the caller verifies its
+    wanted cuts ⊆ emitted and falls back to the explicit-cut path if
+    the sets ever diverge (they come from the same manifest files)."""
+    tabs = [t for t in allrs if t is not None]
+    allr = (pa.concat_tables(tabs, promote_options="default")
+            .combine_chunks() if tabs else None)
+    if allr is None:
+        return (_empty_fold().append_column(
+            "_asof_lsn", pa.array([], pa.int64())), [])
+    import bisect
+
+    ev = allr.filter(pc.invert(allr["is_base"]))
+    lv = pc.drop_null(ev["lsn"])
+    arr = (np.unique(lv.to_numpy(zero_copy_only=False).astype(np.int64))
+           if len(lv) else np.empty(0, np.int64))
+    arr = arr[arr >= ceiling]
+    if not len(arr):
+        return (_empty_fold().append_column(
+            "_asof_lsn", pa.array([], pa.int64())), [])
+    op_lsns = [o["lsn"] for o in all_ops]
+    prefixes: dict[int, list] = {}
+
+    def _pref(L: int) -> list:
+        n = bisect.bisect_right(op_lsns, L)
+        got = prefixes.get(n)
+        if got is None:
+            got = prefixes[n] = list(all_ops[:n])
+        return got
+
+    cuts = [(int(L), _pref(int(L))) for L in arr.tolist()]
+    return (_asof_sweep(allr, cfg, cuts, keys, payload_cols),
+            [int(L) for L in arr.tolist()])
+
+
+@ray.remote(num_cpus=1)
 def _asof_key_states_task(
     allr: pa.Table | None,
     cfg: ReplayConfig,
@@ -2023,6 +2079,69 @@ class Replayer:
                              "doc_id" if base_is_final else "key") \
             if base_items else []
 
+        # versions need a key-filtered read of each touched partition
+        # (the _asof_states input). Launch those reads NOW — they don't
+        # depend on the event list, only on the key set — so they overlap
+        # the event-log scan instead of serializing after it (the two
+        # were the whole warm as-of lineage cost, r5 profiling). The
+        # read uses the manifest head lsn (superset of any cut) and the
+        # full payload projection; sweep/fold project per cut.
+        pre_reads = None
+        pre_sweeps = None
+        kbp: dict[int, list[str]] = {}
+        if with_versions and self.cfg.num_salts == 1:
+            bif, bbp, dbp = self._fold_layout()
+            head = self.manifest.head_lsn()
+            # the same projection the versions tail requests below —
+            # resolved at head lsn (superset of any cut). Narrowing
+            # matters: an unprojected sweep packs EVERY added column
+            # into per-cut extra_json and the driver-side extraction
+            # pays for it (4.5 s on a 400-op DDL log, r5 profiling)
+            ver_cols = (["doc_id", "tokens", "n_tok"] if with_payload
+                        else ["doc_id", "n_tok"])
+            pre_pay = self._resolve_projection(ver_cols, None, head)
+            for k_ in keys:
+                for p_ in self._parts_for_keys([k_]):
+                    kbp.setdefault(p_, []).append(k_)
+            # shard the per-partition key-filtered read over file chunks
+            # (a 300-file bucket read serially was the fused path's long
+            # pole); chunk order preserves the unsharded row sequence
+            pre_reads = {}
+            pre_read_chunks: dict[int, list] = {}
+            SHARD = 96
+            for p_, ks_ in sorted(kbp.items()):
+                items = ([(f, True) for f in bbp.get(p_, [])]
+                         + [(f, False) for f in dbp.get(p_, [])])
+                chunks = ([items[i:i + SHARD]
+                           for i in range(0, len(items), SHARD)]
+                          or [[]])
+                refs = [
+                    _read_key_rows_task.remote(
+                        [f for f, isb in ch if isb],
+                        [f for f, isb in ch if not isb],
+                        self.cfg, bif, head, ks_, pre_pay)
+                    for ch in chunks
+                ]
+                pre_read_chunks[p_] = refs
+                pre_reads[p_] = (refs[0] if len(refs) == 1
+                                 else _concat_rows_task.remote(*refs))
+            # self-cutting sweeps chain off the reads worker-side — the
+            # whole versions reconstruction overlaps the event-log scan
+            all_ops = self.manifest.state["schema_ops"]
+            op_lsns_ = [o["lsn"] for o in all_ops]
+            sweep_ok_ = (
+                not any(k_.startswith(self.cfg.local_id_prefix + "-")
+                        for k_ in keys)
+                and all(a <= b for a, b in zip(op_lsns_, op_lsns_[1:])))
+            if sweep_ok_:
+                ceil_ = self.manifest.ceiling_lsn()
+                pre_sweeps = {
+                    p_: _asof_sweep_auto_task.remote(
+                        self.cfg, all_ops, ceil_, ks_, pre_pay,
+                        *pre_read_chunks[p_])
+                    for p_, ks_ in sorted(kbp.items())
+                }
+
         got = ray.get(ev_refs + base_refs) if (ev_refs or base_refs) else []
         ev_parts = [t for t in got[:len(ev_refs)] if t is not None]
         base_parts = [t for t in got[len(ev_refs):] if t is not None]
@@ -2091,7 +2210,22 @@ class Replayer:
                              hist["op"].to_pylist()):
             if op != "base" and l is not None and l >= ceiling:
                 want.setdefault(k_, []).append(int(l))
-        states = self._asof_states(keys, want, cols)
+        states = None
+        if pre_sweeps is not None and want:
+            parts_sorted = sorted(pre_sweeps)
+            got = dict(zip(parts_sorted, ray.get(
+                [pre_sweeps[p_] for p_ in parts_sorted])))
+            emitted = {p_: set(ls) for p_, (_, ls) in got.items()}
+            covered = all(
+                set(want.get(k_, ())) <= emitted.get(p_, set())
+                for p_, ks_ in kbp.items() for k_ in ks_)
+            if covered:
+                states = self._asof_collect(
+                    [t for t, _ in got.values()], cols,
+                    self._ops_prefix_resolver())
+        if states is None:
+            states = self._asof_states(keys, want, cols,
+                                       prelaunched=pre_reads)
         live, ntoks, toks = [], [], []
         for r_key, r_lsn, r_op in zip(hist["doc_id"].to_pylist(),
                                       hist["lsn"].to_pylist(),
@@ -2116,7 +2250,9 @@ class Replayer:
 
     def _asof_states(self, keys: list[str],
                      lsns: "list[int] | dict[str, list[int]]",
-                     columns: list[str]) -> dict[tuple[str, int], dict]:
+                     columns: list[str],
+                     prelaunched: dict | None = None,
+                     ) -> dict[tuple[str, int], dict]:
         """State rows for ``keys`` AS OF each LSN in ``lsns`` — the batched
         form of ``lookup(keys, up_to_lsn=L)`` over many L values: one
         key-filtered read per touched partition + one in-process fold per
@@ -2149,7 +2285,8 @@ class Replayer:
         base_is_final, base_by_part, delta_by_part = self._fold_layout()
         offsets = self.manifest.local_id_offsets()
         payload_cols = self._resolve_projection(columns, None, cut_lsns[-1])
-        ops_by_lsn = {L: self._schema_ops_up_to(None, L) for L in cut_lsns}
+        ops_for = self._ops_prefix_resolver()
+        ops_by_lsn = {L: ops_for(L) for L in cut_lsns}
         keys_by_part: dict[int, list[str]] = {}
         for k in dict.fromkeys(keys):
             for p in self._parts_for_keys([k]):
@@ -2170,9 +2307,12 @@ class Replayer:
         # sharding parallelizes the folds while every shard reads the
         # shared rows zero-copy from plasma
         read_refs = {
-            p: _read_key_rows_task.remote(
-                base_by_part.get(p, []), delta_by_part.get(p, []),
-                self.cfg, base_is_final, cut_lsns[-1], ks, payload_cols)
+            p: (prelaunched[p]
+                if prelaunched is not None and p in prelaunched
+                else _read_key_rows_task.remote(
+                    base_by_part.get(p, []), delta_by_part.get(p, []),
+                    self.cfg, base_is_final, cut_lsns[-1], ks,
+                    payload_cols))
             for p, ks in sorted(keys_by_part.items())
             if cuts_by_part[p]
         }
@@ -2200,8 +2340,47 @@ class Replayer:
                 for p, ks in sorted(keys_by_part.items())
                 for i in range(0, len(cuts_by_part[p]), 32)
             ]
+        return self._asof_collect(ray.get(refs), columns, ops_for)
+
+    def _ops_prefix_resolver(self):
+        """``ops_for(L)`` → DDL ops with lsn ≤ L. The ops log is
+        append-only in lsn order, so each cut's list is a PREFIX —
+        bisect per cut and share the prefix objects (4001 per-cut filter
+        scans were ~0.2 s of a long lineage, r5 profiling); unsorted
+        legacy logs fall back to the per-cut filter (memoized)."""
+        all_ops = self.manifest.state["schema_ops"]
+        op_lsns = [o["lsn"] for o in all_ops]
+        if all(a <= b for a, b in zip(op_lsns, op_lsns[1:])):
+            import bisect
+
+            prefixes: dict[int, list] = {}
+
+            def ops_for(L: int) -> list:
+                n = bisect.bisect_right(op_lsns, L)
+                pref = prefixes.get(n)
+                if pref is None:
+                    pref = prefixes[n] = list(all_ops[:n])
+                return pref
+        else:
+            memo: dict[int, list] = {}
+
+            def ops_for(L: int) -> list:
+                got = memo.get(L)
+                if got is None:
+                    got = memo[L] = self._schema_ops_up_to(None, L)
+                return got
+        return ops_for
+
+    def _asof_collect(self, tables, columns, ops_for,
+                      ) -> dict[tuple[str, int], dict]:
+        """Postprocess as-of sweep/fold task results into the
+        ``{(doc_id, lsn): state_row}`` map (shared by ``_asof_states``
+        and the prelaunched doc_history fast path): cuts grouped by
+        as-of schema signature, one evolve-chain application per
+        group."""
+        out: dict[tuple[str, int], dict] = {}
         per_plugin = bool(self.cfg.policy_plugins)
-        for t in ray.get(refs):
+        for t in tables:
             if not t.num_rows:
                 continue
             asof = np.asarray(t["_asof_lsn"].to_numpy(zero_copy_only=False))
@@ -2217,7 +2396,7 @@ class Replayer:
             # was 0.5 s of a long lineage (r4 profiling)
             groups: dict[int, list[int]] = {}
             for L in sorted(set(asof.tolist())):
-                groups.setdefault(len(ops_by_lsn[int(L)]), []).append(int(L))
+                groups.setdefault(len(ops_for(int(L))), []).append(int(L))
             # DDL-heavy lineages produce MANY schema groups (one per op
             # prefix); running the full evolve chain per group cost ~5 ms
             # × groups (r4 profiling). Without plugins or generated
@@ -2234,7 +2413,7 @@ class Replayer:
                 from marc_data_migration_ray.state.schema_timeline import \
                     Timeline
 
-                max_ops = ops_by_lsn[int(asof.max())]
+                max_ops = ops_for(int(asof.max()))
                 tl_full = Timeline(max_ops)
                 ext_names = list(tl_full.added)
                 disp = body.select(_DISPLAY_COLS)
@@ -3248,7 +3427,7 @@ class Replayer:
                       "max_bucket_bytes", "epoch_dirs_unmerged")
 
     def maintain(self, apply_repartition: bool = False,
-                 max_rounds: int = 3) -> dict:
+                 max_rounds: int = 3, build_blooms: bool = True) -> dict:
         """Auto-optimize (the ops ``OPTIMIZE``): execute
         ``explain_layout``'s recommendations until the diagnostic is
         clean — ``compact()`` when active deltas outweigh the base (it
@@ -3258,7 +3437,13 @@ class Replayer:
         fold, so it only runs with ``apply_repartition=True``. One action
         per round, re-diagnosed between rounds; idempotent (a second call
         takes no actions). State is bit-identical before/after — every
-        action is one of the engine's proven-equivalent maintenance ops."""
+        action is one of the engine's proven-equivalent maintenance ops.
+
+        ``build_blooms`` (default on, VERDICT r4 item 5) finishes by
+        building the ``.keybloom`` file-skipping sidecars for any file
+        still missing one — point lookups and as-of lineage prune cold
+        files without a separate ``index-blooms`` step; idempotent and
+        incremental like the rest of maintain."""
         before = {k: None for k in self._MAINTAIN_KEYS}
         actions: list[str] = []
         for rnd in range(max_rounds):
@@ -3281,12 +3466,18 @@ class Replayer:
                 self.repartition(p_, s_)
                 actions.append(f"repartition({p_}, {s_})")
         after = self.explain_layout()
-        return {
+        out = {
             "actions": actions,
             "before": before,
             "after": {k: after[k] for k in self._MAINTAIN_KEYS},
             "remaining_recommendations": after["recommendations"],
         }
+        if build_blooms:
+            bl = self.build_key_blooms()
+            if bl["built"]:
+                actions.append(f"build_key_blooms() [{bl['built']} files]")
+            out["key_blooms"] = bl
+        return out
 
     def fsck(self, deep: bool = False) -> dict:
         """Table integrity check (the ops `fsck`): verify that everything

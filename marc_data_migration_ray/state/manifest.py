@@ -246,6 +246,14 @@ class Manifest:
             best = max(best, v)
         return best
 
+    def head_lsn(self) -> int:
+        """Highest lsn recorded by any committed epoch (-1 when empty) —
+        a cheap upper bound for 'read everything' key-filtered scans."""
+        return max(
+            (e.get("max_lsn", -1) for e in self.state["epochs"].values()),
+            default=-1,
+        )
+
     def record_compaction(self, up_to: int, base_path: str, local_counts: dict[int, int],
                           metrics_snapshot: dict | None = None,
                           ceiling_lsn: int = -1) -> None:

@@ -96,9 +96,16 @@ def main() -> None:
     t0 = time.time()
     hist = rp.doc_history(norm, with_payload=True, with_versions=True)
     dt = time.time() - t0
+    # warm = same process, workers and layout caches hot (the steady
+    # state of an operator debugging a key interactively)
+    t0 = time.time()
+    hist2 = rp.doc_history(norm, with_payload=True, with_versions=True)
+    dt_warm = time.time() - t0
+    assert hist.equals(hist2)
     n_cuts = hist.num_rows
     print(json.dumps({
         "metric": "asof_versions_sec", "value": round(dt, 2),
+        "warm_sec": round(dt_warm, 2),
         "events": n_cuts, "per_cut_ms": round(1000 * dt / max(n_cuts, 1), 2),
         "cpus": args.cpus, "shape": shape, "blooms": bool(args.blooms),
     }))

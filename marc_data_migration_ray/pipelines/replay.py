@@ -379,7 +379,22 @@ def _fold_maybe_split(allr: pa.Table, cfg: ReplayConfig,
         if part.num_rows:
             out.append(fold_bucket(part, cfg, local_id_offsets,
                                    schema_ops, payload_cols=payload_cols))
-    return pa.concat_tables(out) if out else _empty_fold()
+    if not out:
+        return _empty_fold()
+    # engaged-split evidence (VERDICT r4 item 7): one extra zero-count
+    # metrics row records that this bucket split and into how many
+    # sub-groups — _aggregate_metrics_rows sums it like any counter
+    marker = {"noop": 0, "tombstoned": 0, "local": 0, "rows": 0,
+              "col_replacements": {}, "fold_splits": 1,
+              "fold_split_subgroups": n_sub}
+    mark = pa.Table.from_arrays(
+        [pa.array(["metrics"], pa.string())
+         if f.name == "_kind" else
+         (pa.array([json.dumps(marker)], pa.string())
+          if f.name == "metrics_json" else pa.nulls(1, f.type))
+         for f in FOLD_SCHEMA],
+        schema=FOLD_SCHEMA)
+    return pa.concat_tables(out + [mark])
 
 
 @ray.remote(num_cpus=1)
@@ -2588,7 +2603,8 @@ class Replayer:
                "local": seed.get("local", 0), "rows": 0,
                "col_replacements": dict(seed.get("col_replacements", {})),
                "local_by_part": {int(k): v for k, v in seed.get("local_by_part", {}).items()},
-               "noop_by_route": dict(seed.get("noop_by_route", {}))}
+               "noop_by_route": dict(seed.get("noop_by_route", {})),
+               "fold_splits": seed.get("fold_splits", 0)}
         mrows = out.filter(expr="_kind == 'metrics'")
         for b in mrows.iter_batches(batch_format="pyarrow"):
             for s in b["metrics_json"].to_pylist():
@@ -2603,6 +2619,7 @@ class Replayer:
                     agg["local_by_part"][int(p)] = agg["local_by_part"].get(int(p), 0) + c
                 for r, c in m.get("noop_by_route", {}).items():
                     agg["noop_by_route"][r] = agg["noop_by_route"].get(r, 0) + c
+                agg["fold_splits"] += m.get("fold_splits", 0)
         # DDL-added columns the fold never replaced stay at 0 in the bucket
         # counters; the run-level view (and the oracle) only reports columns
         # actually replaced.

@@ -139,6 +139,11 @@ def test_fold_auto_split_bit_identical(ray_session, tmp_path):
                    key=lambda r: r["doc_id"])
     m_split = rp_s.fold_metrics()
     assert split == plain
+    # fold_splits is the engaged-split evidence marker (VERDICT r4 item
+    # 7) — by design it differs: every bucket split under the 1-byte
+    # threshold, none split on the plain config
+    assert m_split.pop("fold_splits") == 4
+    assert m_plain.pop("fold_splits") == 0
     assert m_split == m_plain
     # keyless allocation must have produced identical LOCAL- ids
     assert [r["doc_id"] for r in plain

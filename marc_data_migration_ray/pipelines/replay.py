@@ -55,6 +55,7 @@ import ray.data
 from marc_data_migration_ray.config import PAYLOAD_COLUMNS, ReplayConfig
 from marc_data_migration_ray.stages.fold import FOLD_SCHEMA, fold_bucket
 from marc_data_migration_ray.stages.parse import PARSED_SCHEMA, ParseRoute, PrepBase
+from marc_data_migration_ray.sources.pwrite import write_parquet_partitioned
 from marc_data_migration_ray.state.manifest import Manifest
 
 #: display columns of the final table (pre-DDL); extra_json is the internal
@@ -1313,8 +1314,8 @@ class Replayer:
                     batch_format="pyarrow",
                     zero_copy_batch=True,
                 )
-            parsed.write_parquet(tmp_dir, partition_cols=["part_p"],
-                                 row_group_size=_ROW_GROUP_SIZE)
+            write_parquet_partitioned(parsed, tmp_dir, ["part_p"],
+                                      row_group_size=_ROW_GROUP_SIZE)
             # zero-ROW binlog files: write_parquet creates nothing, but the
             # epoch must still publish (and later compact) as empty
             os.makedirs(tmp_dir, exist_ok=True)
@@ -1500,8 +1501,8 @@ class Replayer:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            prepped.write_parquet(tmp, partition_cols=["part_p"],
-                                  row_group_size=_ROW_GROUP_SIZE)
+            write_parquet_partitioned(prepped, tmp, ["part_p"],
+                                      row_group_size=_ROW_GROUP_SIZE)
             try:
                 os.rename(tmp, final_dir)
             except OSError:
@@ -2683,8 +2684,8 @@ class Replayer:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        rows.write_parquet(tmp, partition_cols=["part_p"],
-                           row_group_size=_ROW_GROUP_SIZE)
+        write_parquet_partitioned(rows, tmp, ["part_p"],
+                                  row_group_size=_ROW_GROUP_SIZE)
         # cumulative run counters (prior snapshot + this fold) ride along in
         # the compaction record so fold_metrics stays whole-run after the
         # absorbed epochs' events are gone from the delta files
@@ -2775,8 +2776,8 @@ class Replayer:
         rows = out.filter(expr="_kind == 'row'").map_batches(
             _rewrite, batch_format="pyarrow", zero_copy_batch=True
         )
-        rows.write_parquet(tmp, partition_cols=["part_p"],
-                           row_group_size=_ROW_GROUP_SIZE)
+        write_parquet_partitioned(rows, tmp, ["part_p"],
+                                  row_group_size=_ROW_GROUP_SIZE)
         this_fold = self._aggregate_metrics_rows(out)
         local_counts = dict(this_fold["local_by_part"])
         prev = self.manifest.metrics_snapshot()
@@ -2864,8 +2865,8 @@ class Replayer:
 
             part = rows.map_batches(_with_part, batch_format="pyarrow",
                                     zero_copy_batch=True)
-            part.write_parquet(tmp, partition_cols=["part_p"],
-                               row_group_size=_ROW_GROUP_SIZE)
+            write_parquet_partitioned(part, tmp, ["part_p"],
+                                      row_group_size=_ROW_GROUP_SIZE)
         else:
             rows = rows.materialize()  # two consumers: histogram + route
             col = cluster_by
@@ -2919,10 +2920,9 @@ class Replayer:
                 rid = np.searchsorted(bs, v, side="left")
                 return t.append_column("range_id", pa.array(rid.astype(np.int32)))
 
-            rows.map_batches(
+            write_parquet_partitioned(rows.map_batches(
                 _route, batch_format="pyarrow", zero_copy_batch=True
-            ).write_parquet(tmp, partition_cols=["range_id"],
-                            row_group_size=_ROW_GROUP_SIZE)
+            ), tmp, ["range_id"], row_group_size=_ROW_GROUP_SIZE)
         ops = self._schema_ops_up_to(up_to)
         schema, _renames, _added = self.manifest.resolve_schema(_DISPLAY_COLS, ops)
         n_rows = sum(
@@ -3253,10 +3253,9 @@ class Replayer:
 
         tmp_src = os.path.join(self.root, "_tmp",
                                f"merge-src-{epoch}-{uuid.uuid4().hex[:8]}")
-        ds.map_batches(
+        write_parquet_partitioned(ds.map_batches(
             _route, batch_format="pyarrow", zero_copy_batch=True
-        ).write_parquet(tmp_src, partition_cols=["part_p"],
-                        row_group_size=_ROW_GROUP_SIZE)
+        ), tmp_src, ["part_p"], row_group_size=_ROW_GROUP_SIZE)
         src_by_part = self._files_by_part(tmp_src)
         base_lsn = max(
             [self.manifest.ceiling_lsn()]
@@ -4274,10 +4273,9 @@ def export_snapshot_zorder(
         return t.append_column("range_id", pa.array(rid.astype(np.int32)))
 
     tmp = dest.rstrip("/") + f".tmp-{uuid.uuid4().hex[:8]}"
-    rows.map_batches(
+    write_parquet_partitioned(rows.map_batches(
         _route, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(tmp, partition_cols=["range_id"],
-                    row_group_size=_ROW_GROUP_SIZE)
+    ), tmp, ["range_id"], row_group_size=_ROW_GROUP_SIZE)
     info = {
         "up_to_epoch": up_to,
         "cluster_by": list(cols),

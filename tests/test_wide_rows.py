@@ -84,3 +84,29 @@ def test_wide_rows_replay_bit_exact(ray_session, tmp_path, wide_dir):
     eng2 = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
     for a, b in zip(eng2, o["final"]):
         assert list(a["tokens"] or []) == list(b["tokens"] or [])
+
+
+def test_partitioned_write_beyond_1024_partitions(ray_session, tmp_path):
+    """The 100M-event probe's 2560-partition layout died in Ray's
+    ParquetDatasink (pyarrow default max_partitions=1024). The
+    WidePartitionParquetDatasink raises the cap; layout stays hive-
+    compatible with plain write_parquet."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from marc_data_migration_ray.sources.pwrite import (
+        write_parquet_partitioned)
+
+    n = 3000
+    t = pa.table({"part_p": pa.array(range(n), pa.int32()),
+                  "v": pa.array(range(n), pa.int64())})
+    dest = str(tmp_path / "wide")
+    # single block spanning 3000 partitions — the exact failing shape
+    write_parquet_partitioned(
+        ray.data.from_arrow(t).repartition(1), dest, ["part_p"])
+    dirs = [d for d in os.listdir(dest) if d.startswith("part_p=")]
+    assert len(dirs) == n
+    got = ray.data.read_parquet(dest).count()
+    assert got == n

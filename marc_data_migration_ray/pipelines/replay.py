@@ -1314,8 +1314,10 @@ class Replayer:
                     batch_format="pyarrow",
                     zero_copy_batch=True,
                 )
-            write_parquet_partitioned(parsed, tmp_dir, ["part_p"],
-                                      row_group_size=_ROW_GROUP_SIZE)
+            write_parquet_partitioned(
+                parsed, tmp_dir, ["part_p"],
+                row_group_size=_ROW_GROUP_SIZE,
+                expected_partitions=self.cfg.num_partitions * self.cfg.num_salts)
             # zero-ROW binlog files: write_parquet creates nothing, but the
             # epoch must still publish (and later compact) as empty
             os.makedirs(tmp_dir, exist_ok=True)
@@ -1501,8 +1503,10 @@ class Replayer:
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )
-            write_parquet_partitioned(prepped, tmp, ["part_p"],
-                                      row_group_size=_ROW_GROUP_SIZE)
+            write_parquet_partitioned(
+                prepped, tmp, ["part_p"],
+                row_group_size=_ROW_GROUP_SIZE,
+                expected_partitions=self.cfg.num_partitions * self.cfg.num_salts)
             try:
                 os.rename(tmp, final_dir)
             except OSError:
@@ -2684,8 +2688,9 @@ class Replayer:
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        write_parquet_partitioned(rows, tmp, ["part_p"],
-                                  row_group_size=_ROW_GROUP_SIZE)
+        write_parquet_partitioned(
+            rows, tmp, ["part_p"], row_group_size=_ROW_GROUP_SIZE,
+            expected_partitions=self.cfg.num_partitions * self.cfg.num_salts)
         # cumulative run counters (prior snapshot + this fold) ride along in
         # the compaction record so fold_metrics stays whole-run after the
         # absorbed epochs' events are gone from the delta files
@@ -2776,8 +2781,9 @@ class Replayer:
         rows = out.filter(expr="_kind == 'row'").map_batches(
             _rewrite, batch_format="pyarrow", zero_copy_batch=True
         )
-        write_parquet_partitioned(rows, tmp, ["part_p"],
-                                  row_group_size=_ROW_GROUP_SIZE)
+        write_parquet_partitioned(
+            rows, tmp, ["part_p"], row_group_size=_ROW_GROUP_SIZE,
+            expected_partitions=self.cfg.num_partitions * self.cfg.num_salts)
         this_fold = self._aggregate_metrics_rows(out)
         local_counts = dict(this_fold["local_by_part"])
         prev = self.manifest.metrics_snapshot()
@@ -2865,8 +2871,9 @@ class Replayer:
 
             part = rows.map_batches(_with_part, batch_format="pyarrow",
                                     zero_copy_batch=True)
-            write_parquet_partitioned(part, tmp, ["part_p"],
-                                      row_group_size=_ROW_GROUP_SIZE)
+            write_parquet_partitioned(
+                part, tmp, ["part_p"], row_group_size=_ROW_GROUP_SIZE,
+                expected_partitions=P)
         else:
             rows = rows.materialize()  # two consumers: histogram + route
             col = cluster_by
@@ -3255,7 +3262,8 @@ class Replayer:
                                f"merge-src-{epoch}-{uuid.uuid4().hex[:8]}")
         write_parquet_partitioned(ds.map_batches(
             _route, batch_format="pyarrow", zero_copy_batch=True
-        ), tmp_src, ["part_p"], row_group_size=_ROW_GROUP_SIZE)
+        ), tmp_src, ["part_p"], row_group_size=_ROW_GROUP_SIZE,
+        expected_partitions=self.cfg.num_partitions * self.cfg.num_salts)
         src_by_part = self._files_by_part(tmp_src)
         base_lsn = max(
             [self.manifest.ceiling_lsn()]

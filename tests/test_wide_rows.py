@@ -110,3 +110,33 @@ def test_partitioned_write_beyond_1024_partitions(ray_session, tmp_path):
     assert len(dirs) == n
     got = ray.data.read_parquet(dest).count()
     assert got == n
+
+
+def test_partitioned_write_sorts_above_threshold(ray_session, tmp_path):
+    """Above SORT_ABOVE_PARTITIONS the helper co-locates rows by the
+    partition key before writing, so file count stays ~max(blocks,
+    partitions) instead of blocks x partitions; content is unchanged."""
+    import os
+
+    import pyarrow as pa
+    import ray.data
+
+    from marc_data_migration_ray.sources.pwrite import (
+        write_parquet_partitioned)
+
+    n_parts, per = 600, 5
+    t = pa.table({
+        "part_p": pa.array([i % n_parts for i in range(n_parts * per)],
+                           pa.int32()),
+        "v": pa.array(range(n_parts * per), pa.int64()),
+    })
+    dest = str(tmp_path / "sorted")
+    # MANY blocks, every block touching every partition — worst case
+    write_parquet_partitioned(
+        ray.data.from_arrow(t).repartition(16), dest, ["part_p"],
+        expected_partitions=n_parts)
+    files = sum(len(fs) for _, _, fs in os.walk(dest))
+    assert files <= n_parts + 32, files  # not 16 x 600
+    got = ray.data.read_parquet(dest)
+    assert got.count() == n_parts * per
+    assert got.sum("v") == sum(range(n_parts * per))

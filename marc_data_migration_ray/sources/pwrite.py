@@ -88,11 +88,15 @@ class WidePartitionParquetDatasink(ParquetDatasink):
 #: more partitions than this: a blockwise hive write creates one file
 #: per (block, touched partition) — at 2560 partitions the 100M-event
 #: probe produced 3M tiny files before the fix. The sort is a single
-#: range exchange; above the threshold it is strictly cheaper than the
-#: small-files blowup it prevents (file count drops to ~max(blocks,
-#: partitions)). Below it, writes keep the exchange-free path that the
-#: 16..512-partition benches pin.
-SORT_ABOVE_PARTITIONS = 512
+#: range exchange that caps file count at ~max(blocks, partitions).
+#: Threshold 1024: at or below it the blockwise exchange-free write is
+#: measurably cheaper end-to-end (the 40M-event / 1024-partition probe
+#: ingests 46 s unsorted vs 89 s sorted — tmpfs absorbs the file
+#: count, and the fold's read-side saving doesn't repay the sort),
+#: while above it pyarrow's own max_partitions ceiling marks the
+#: design point where per-write-task file explosion stops being
+#: tenable on any filesystem.
+SORT_ABOVE_PARTITIONS = 1024
 
 
 def write_parquet_partitioned(

@@ -124,7 +124,7 @@ def test_partitioned_write_sorts_above_threshold(ray_session, tmp_path):
     from marc_data_migration_ray.sources.pwrite import (
         write_parquet_partitioned)
 
-    n_parts, per = 600, 5
+    n_parts, per = 1300, 5
     t = pa.table({
         "part_p": pa.array([i % n_parts for i in range(n_parts * per)],
                            pa.int32()),

@@ -394,3 +394,55 @@ def test_sweep_equals_fold_path(ray_session, tmp_path, strategy,
                         _json.loads(ej), separators=(",", ":"),
                         ensure_ascii=False), (rk, ej)
             assert a == b, (rk, a, b)
+
+
+def test_versions_fallback_when_auto_sweep_diverges(ray_session, tmp_path,
+                                                    monkeypatch):
+    """The fused self-cutting sweep's coverage check must fall back to
+    the explicit-cut _asof_states path (and produce identical output)
+    if a wanted cut is ever missing from the worker-derived set."""
+    import marc_data_migration_ray.pipelines.replay as R
+
+    fixture_dir = str(tmp_path / "fx")
+    fixtures.write_fixture(fixture_dir, n_rows=60, n_events=400,
+                           n_epochs=2, seed=11)
+    cfg = ReplayConfig(num_partitions=4)
+    rp = R.Replayer(str(tmp_path / "t"), cfg,
+                    base_path=os.path.join(fixture_dir, "base"))
+    for e in range(2):
+        rp.apply_epoch(e, os.path.join(fixture_dir, "binlog", f"epoch={e}"))
+    evs = []
+    for e in range(2):
+        d = os.path.join(fixture_dir, "binlog", f"epoch={e}")
+        for f in sorted(os.listdir(d)):
+            evs += pq.read_table(os.path.join(d, f)).to_pylist()
+    key = _busy_key(evs)
+    want = rp.doc_history(key, with_payload=True, with_versions=True)
+
+    orig = R._asof_sweep_auto_task
+
+    class _Broken:
+        @staticmethod
+        def remote(*a, **kw):
+            import ray as _ray
+
+            @_ray.remote(num_cpus=1)
+            def _drop_last(*aa, **kk):
+                t, ls = _ray.get(orig.remote(*aa, **kk))
+                return t, ls[:-1]  # pretend one cut was never emitted
+
+            return _drop_last.remote(*a, **kw)
+
+    fell_back = []
+    orig_states = R.Replayer._asof_states
+
+    def _spy_states(self, *a, **kw):
+        fell_back.append(True)
+        return orig_states(self, *a, **kw)
+
+    monkeypatch.setattr(R, "_asof_sweep_auto_task", _Broken)
+    monkeypatch.setattr(R.Replayer, "_asof_states", _spy_states)
+    got = rp.doc_history(key, with_payload=True, with_versions=True)
+    monkeypatch.undo()
+    assert fell_back, "coverage check did not trigger the fallback"
+    assert got.equals(want)

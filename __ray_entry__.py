@@ -290,7 +290,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_png_decode",
     ]
     assert len(first) == 50 and len(set(first)) == 50
-    q = dict(q)
     return {**{k: q.pop(k) for k in first}, **q}
 
 

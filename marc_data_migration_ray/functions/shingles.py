@@ -128,6 +128,24 @@ def token_pair_jaccards(tok_a, tok_b) -> np.ndarray:
     return pair_jaccards_from_buffers(va, sa, la, vb, sb, lb, len(la))
 
 
+#: the EXACT character class Python's ``str.split()`` (no argument)
+#: splits on — every code point where ``str.isspace()`` is true. RE2's
+#: ``\s`` covers only ASCII whitespace, and Arrow's utf8 whitespace is
+#: the Unicode White_Space set; both differ from Python on the
+#: information separators \x1c-\x1f (and \x85/NBSP for RE2), so a
+#: ``\s+`` split silently diverges from the scalar ``shingle_set`` on
+#:  such text. Built once, lazily (scanning the code space is ~200 ms).
+_PY_WHITESPACE_CLASS: list[str] = []
+
+
+def _py_split_pattern() -> str:
+    if not _PY_WHITESPACE_CLASS:
+        chars = "".join(
+            chr(c) for c in range(0x110000) if chr(c).isspace())
+        _PY_WHITESPACE_CLASS.append("[" + chars + "]+")
+    return _PY_WHITESPACE_CLASS[0]
+
+
 def _word_code_buffers(text_a, text_b):
     """Whitespace-split both text columns and integer-code the words
     over ONE shared batch vocabulary (``np.unique`` — exact, not a
@@ -135,7 +153,8 @@ def _word_code_buffers(text_a, text_b):
     dropped to match ``str.split()``."""
 
     def _split(col):
-        words = pc.split_pattern_regex(pc.cast(col, pa.string()), r"\s+")
+        words = pc.split_pattern_regex(
+            pc.cast(col, pa.string()), _py_split_pattern())
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
         off = words.offsets.to_numpy(zero_copy_only=False).astype(np.int64)

@@ -707,6 +707,27 @@ def _asof_sweep_task(allr: pa.Table | None, cfg: ReplayConfig,
     return _asof_sweep(allr, cfg, cuts, keys, payload_cols)
 
 
+def _ops_prefix_fn(all_ops: list):
+    """``ops_for(L)`` over a SORTED (lsn-nondecreasing) append-only DDL
+    log: bisect the prefix boundary and share prefix list objects.
+    Inclusive ``lsn <= L`` — the exact ``_schema_ops_up_to`` filter.
+    ONE implementation for the driver resolver and the worker-side
+    self-cutting sweep so the two can never drift."""
+    import bisect
+
+    op_lsns = [o["lsn"] for o in all_ops]
+    prefixes: dict[int, list] = {}
+
+    def ops_for(L: int) -> list:
+        n = bisect.bisect_right(op_lsns, L)
+        pref = prefixes.get(n)
+        if pref is None:
+            pref = prefixes[n] = list(all_ops[:n])
+        return pref
+
+    return ops_for
+
+
 @ray.remote(num_cpus=1)
 def _concat_rows_task(*tables) -> pa.Table | None:
     """Combine sharded ``_read_key_rows_task`` results (file order is
@@ -738,8 +759,6 @@ def _asof_sweep_auto_task(
     if allr is None:
         return (_empty_fold().append_column(
             "_asof_lsn", pa.array([], pa.int64())), [])
-    import bisect
-
     ev = allr.filter(pc.invert(allr["is_base"]))
     lv = pc.drop_null(ev["lsn"])
     arr = (np.unique(lv.to_numpy(zero_copy_only=False).astype(np.int64))
@@ -748,16 +767,7 @@ def _asof_sweep_auto_task(
     if not len(arr):
         return (_empty_fold().append_column(
             "_asof_lsn", pa.array([], pa.int64())), [])
-    op_lsns = [o["lsn"] for o in all_ops]
-    prefixes: dict[int, list] = {}
-
-    def _pref(L: int) -> list:
-        n = bisect.bisect_right(op_lsns, L)
-        got = prefixes.get(n)
-        if got is None:
-            got = prefixes[n] = list(all_ops[:n])
-        return got
-
+    _pref = _ops_prefix_fn(all_ops)
     cuts = [(int(L), _pref(int(L))) for L in arr.tolist()]
     return (_asof_sweep(allr, cfg, cuts, keys, payload_cols),
             [int(L) for L in arr.tolist()])
@@ -2106,8 +2116,8 @@ class Replayer:
         # were the whole warm as-of lineage cost, r5 profiling). The
         # read uses the manifest head lsn (superset of any cut) and the
         # full payload projection; sweep/fold project per cut.
-        pre_reads = None
         pre_sweeps = None
+        pre_read_chunks: dict[int, list] = {}
         kbp: dict[int, list[str]] = {}
         if with_versions and self.cfg.num_salts == 1:
             bif, bbp, dbp = self._fold_layout()
@@ -2119,39 +2129,46 @@ class Replayer:
             # pays for it (4.5 s on a 400-op DDL log, r5 profiling)
             ver_cols = (["doc_id", "tokens", "n_tok"] if with_payload
                         else ["doc_id", "n_tok"])
-            pre_pay = self._resolve_projection(ver_cols, None, head)
-            for k_ in keys:
-                for p_ in self._parts_for_keys([k_]):
-                    kbp.setdefault(p_, []).append(k_)
-            # shard the per-partition key-filtered read over file chunks
-            # (a 300-file bucket read serially was the fused path's long
-            # pole); chunk order preserves the unsharded row sequence
-            pre_reads = {}
-            pre_read_chunks: dict[int, list] = {}
-            SHARD = 96
-            for p_, ks_ in sorted(kbp.items()):
-                items = ([(f, True) for f in bbp.get(p_, [])]
-                         + [(f, False) for f in dbp.get(p_, [])])
-                chunks = ([items[i:i + SHARD]
-                           for i in range(0, len(items), SHARD)]
-                          or [[]])
-                refs = [
-                    _read_key_rows_task.remote(
-                        [f for f, isb in ch if isb],
-                        [f for f, isb in ch if not isb],
-                        self.cfg, bif, head, ks_, pre_pay)
-                    for ch in chunks
-                ]
-                pre_read_chunks[p_] = refs
-                pre_reads[p_] = (refs[0] if len(refs) == 1
-                                 else _concat_rows_task.remote(*refs))
+            skip_prelaunch = False
+            pre_pay = None
+            try:
+                pre_pay = self._resolve_projection(ver_cols, None, head)
+            except ValueError:
+                # a rename of a core display column makes the canonical
+                # names unresolvable at head — skip the speculative
+                # prelaunch; the versions tail keeps the old explicit
+                # path and surfaces its own (as-of-correct) resolution
+                skip_prelaunch = True
+            if not skip_prelaunch:
+                for k_ in keys:
+                    for p_ in self._parts_for_keys([k_]):
+                        kbp.setdefault(p_, []).append(k_)
+                # shard the per-partition key-filtered read over file
+                # chunks (a 300-file bucket read serially was the fused
+                # path's long pole); chunk order preserves the
+                # unsharded row sequence
+                SHARD = 96
+                for p_, ks_ in sorted(kbp.items()):
+                    items = ([(f, True) for f in bbp.get(p_, [])]
+                             + [(f, False) for f in dbp.get(p_, [])])
+                    chunks = ([items[i:i + SHARD]
+                               for i in range(0, len(items), SHARD)]
+                              or [[]])
+                    pre_read_chunks[p_] = [
+                        _read_key_rows_task.remote(
+                            [f for f, isb in ch if isb],
+                            [f for f, isb in ch if not isb],
+                            self.cfg, bif, head, ks_, pre_pay)
+                        for ch in chunks
+                    ]
             # self-cutting sweeps chain off the reads worker-side — the
             # whole versions reconstruction overlaps the event-log scan
             all_ops = self.manifest.state["schema_ops"]
             op_lsns_ = [o["lsn"] for o in all_ops]
             sweep_ok_ = (
-                not any(k_.startswith(self.cfg.local_id_prefix + "-")
-                        for k_ in keys)
+                not skip_prelaunch
+                and not any(k_.startswith(self.cfg.local_id_prefix + "-")
+                            for k_ in keys)
                 and all(a <= b for a, b in zip(op_lsns_, op_lsns_[1:])))
             if sweep_ok_:
                 ceil_ = self.manifest.ceiling_lsn()
@@ -2244,6 +2261,14 @@ class Replayer:
                     [t for t, _ in got.values()], cols,
                     self._ops_prefix_resolver())
         if states is None:
+            # lazy: the combined per-partition read refs are only built
+            # when the fallback actually needs them (the fused path
+            # consumes the chunk refs directly inside the sweep task)
+            pre_reads = {
+                p_: (refs[0] if len(refs) == 1
+                     else _concat_rows_task.remote(*refs))
+                for p_, refs in pre_read_chunks.items()
+            } or None
             states = self._asof_states(keys, want, cols,
                                        prelaunched=pre_reads)
         live, ntoks, toks = [], [], []
@@ -2371,16 +2396,7 @@ class Replayer:
         all_ops = self.manifest.state["schema_ops"]
         op_lsns = [o["lsn"] for o in all_ops]
         if all(a <= b for a, b in zip(op_lsns, op_lsns[1:])):
-            import bisect
-
-            prefixes: dict[int, list] = {}
-
-            def ops_for(L: int) -> list:
-                n = bisect.bisect_right(op_lsns, L)
-                pref = prefixes.get(n)
-                if pref is None:
-                    pref = prefixes[n] = list(all_ops[:n])
-                return pref
+            ops_for = _ops_prefix_fn(all_ops)
         else:
             memo: dict[int, list] = {}
 

@@ -156,14 +156,20 @@ def sniff_encoding(head: bytes) -> dict:
         # the head is a PREFIX of the file (sniff window) — a multibyte
         # sequence straddling the window's edge leaves 1-3 truncated
         # trailing bytes that must not force the latin-1 fallback
-        # (ADVICE r4 item 1)
-        if e.start >= len(head) - 3 and e.end >= len(head):
-            try:
-                head[: e.start].decode("utf-8")
-                return {"encoding": "utf-8",
-                        "confidence": 0.99, "bom": False}
-            except UnicodeDecodeError:
-                pass
+        # (ADVICE r4 item 1). "unexpected end of data" is the decoder's
+        # own truncation verdict: the tail is a VALID lead byte plus
+        # valid continuations that simply ran out — an invalid start or
+        # continuation byte at the edge (e.g. latin-1 \xff) reports a
+        # different reason and still falls back. head[:e.start] is
+        # clean by definition (e.start is the first offending byte).
+        # Inherent ambiguity: a latin-1 accented byte as the window's
+        # very last byte (\xe9 is also a UTF-8 lead) classifies utf-8;
+        # a straddled window is near-certain for real UTF-8 while a
+        # first accented byte in the last 3 of 64 KiB is vanishing.
+        if (e.start >= len(head) - 3
+                and e.reason == "unexpected end of data"):
+            return {"encoding": "utf-8", "confidence": 0.99,
+                    "bom": False}
         return {"encoding": "latin-1", "confidence": 0.5, "bom": False}
 
 

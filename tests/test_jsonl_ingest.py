@@ -344,6 +344,11 @@ def test_sniff_encoding_heuristics():
         assert got["encoding"] == "utf-8", (cut, got)
     # a GENUINE mid-buffer error still falls back to latin-1
     assert sniff_encoding(b'{"x":"\xe9 trailing"}')["encoding"] == "latin-1"
+    # an INVALID byte at the window edge (not a truncated sequence —
+    # \xff can never start UTF-8) must also stay latin-1
+    assert sniff_encoding(b'{"x":"caf\xff')["encoding"] == "latin-1"
+    # invalid continuation at the edge: \xe9 lead followed by ASCII
+    assert sniff_encoding(b'{"x":"caf\xe9"')["encoding"] == "latin-1"
 
 
 def test_salvage_auto_encoding_matches_utf8(ray_session, fixture_root,

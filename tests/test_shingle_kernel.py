@@ -54,7 +54,11 @@ def _rand_text(rng, vocab):
         return ""
     n = int(rng.integers(1, 12))
     words = [f"w{v}" for v in rng.integers(0, vocab, n)]
-    sep = ["  ", " ", "\t", "\n"][int(rng.integers(0, 4))]
+    # includes NON-ASCII / non-RE2-\s whitespace Python str.split()
+    # also splits on: NBSP, NEL, the \x1c file separator, ideographic
+    # space (code-review r5 finding: an RE2 \s+ split diverged here)
+    sep = ["  ", " ", "\t", "\n", "\xa0", "\x85", "\x1c",
+           "\u3000"][int(rng.integers(0, 8))]
     pad = " " if rng.integers(0, 2) else ""
     return pad + sep.join(words) + pad
 

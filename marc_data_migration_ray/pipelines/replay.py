@@ -1254,6 +1254,7 @@ class Replayer:
             return {"epoch": epoch, "entry": self.manifest.epoch_entry(epoch),
                     "already": True}
 
+        staged_here = False
         final_dir = os.path.join(self.root, "deltas", f"epoch={epoch}")
         if final_dir in self.manifest.rollback_pending():
             # leftovers of a rolled-back epoch that crashed mid-cleanup:
@@ -1334,6 +1335,7 @@ class Replayer:
             os.makedirs(os.path.dirname(final_dir), exist_ok=True)
             try:
                 os.rename(tmp_dir, final_dir)  # atomic publish of the epoch's data
+                staged_here = True
             except OSError:
                 # a concurrent writer published this epoch first — its data
                 # is equivalent (same input, deterministic parse); ours is
@@ -1358,7 +1360,8 @@ class Replayer:
                 f"folded into the base snapshot and cannot participate in "
                 f"LWW ordering (SEMANTICS: late events / LSN monotonicity)"
             )
-        return {"epoch": epoch, "entry": entry, "already": False}
+        return {"epoch": epoch, "entry": entry, "already": False,
+                "staged_here": staged_here}
 
     def apply_epoch_audited(self, epoch: int, binlog_path, audit,
                             source_format: str = "parquet") -> dict:
@@ -2603,9 +2606,17 @@ class Replayer:
                     (v["name"], v["expr"]) for v in vcs)) -> pa.Table:
                 import polars as pl
 
+                # physical wins (code-review r5): a later binlog
+                # add_column/rename may land a REAL column with a
+                # registered virtual column's name — overwriting its
+                # data with the generated expression would be silent
+                # data loss, so generation skips names already present
+                todo = [(n, e) for n, e in vcs if n not in t.column_names]
+                if not todo:
+                    return t
                 df = pl.from_arrow(t)
                 df = df.with_columns(
-                    *[pl.sql_expr(expr).alias(name) for name, expr in vcs]
+                    *[pl.sql_expr(expr).alias(name) for name, expr in todo]
                 )
                 return df.to_arrow()
 

@@ -27,6 +27,20 @@ import os
 import tempfile
 
 
+def _fsync_dir(path: str) -> None:
+    """Journal a directory entry (a just-created link/rename name) —
+    fsync of the file alone does not make the NAME durable on ext4/XFS,
+    and the CAS link is the commit point callers get acked on."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class ManifestConflict(RuntimeError):
     """Another writer committed this manifest version first (CAS loss)."""
 
@@ -108,6 +122,22 @@ class Manifest:
             except FileExistsError:
                 self.state["version"] = next_v - 1
                 raise ManifestConflict(f"manifest version {next_v} already committed")
+            # re-check the floor AFTER the link (code-review r5): a
+            # pruner running between the pre-check and the link may have
+            # raised the floor past next_v and unlinked it — the link
+            # then "succeeds" onto a recycled number that reload() will
+            # never pick, silently losing the write. Post-link the
+            # number is visible, so a floor at or above it proves the
+            # race fired; undo and conflict so the caller re-applies.
+            if next_v <= self._version_floor():
+                try:
+                    os.unlink(target)
+                except FileNotFoundError:
+                    pass
+                self.state["version"] = next_v - 1
+                raise ManifestConflict(
+                    f"manifest version {next_v} was pruned mid-commit")
+            _fsync_dir(self.versions_dir)  # make the link durable
             os.replace(tmp, self.path)  # convenience pointer (best-effort)
         finally:
             if os.path.exists(tmp):
@@ -131,14 +161,29 @@ class Manifest:
         file (the crash-heal source) is always retained."""
         latest, _ = self._latest_version_file()
         floor = latest - max(keep, 1)
-        if floor <= self._version_floor():
-            return []
-        fd, tmp = tempfile.mkstemp(dir=self.versions_dir, prefix=".floor-")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(floor))
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.versions_dir, "FLOOR"))
+        # the FLOOR update is serialized under an flock'd lock file
+        # (code-review r5): two unserialized pruners could interleave
+        # check-then-replace and REGRESS the floor, re-opening the
+        # recycled-version-number hole save() relies on it to close.
+        # Readers (save's floor checks) never take the lock.
+        import fcntl
+
+        lock_path = os.path.join(self.versions_dir, "FLOOR.lock")
+        lk = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            if floor <= self._version_floor():
+                return []
+            fd, tmp = tempfile.mkstemp(dir=self.versions_dir,
+                                       prefix=".floor-")
+            with os.fdopen(fd, "w") as f:
+                f.write(str(floor))
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, os.path.join(self.versions_dir, "FLOOR"))
+            _fsync_dir(self.versions_dir)
+        finally:
+            os.close(lk)  # releases the flock
         removed = []
         for f in glob.glob(os.path.join(self.versions_dir, "v*.json")):
             try:
@@ -427,6 +472,23 @@ class Manifest:
 
         def _mut(st: dict) -> None:
             dropped_dirs.clear()
+            # re-validate against the CURRENT state on every CAS attempt
+            # (code-review r5): a retry after a conflicting writer may
+            # see a floor or segment that did not exist when the
+            # caller's pre-checks ran — dropping a straddling segment
+            # here would destroy below-boundary delta data it absorbs
+            cs = st.get("compactions", [])
+            floor_now = cs[-1]["up_to"] if cs else -1
+            if to_epoch < floor_now:
+                raise ValueError(
+                    f"cannot roll back to epoch {to_epoch}: epochs <= "
+                    f"{floor_now} are compacted into the base snapshot")
+            for s in st.get("delta_segments", []):
+                if s["from"] <= to_epoch < s["to"]:
+                    raise ValueError(
+                        f"rollback to {to_epoch} would split delta "
+                        f"segment [{s['from']}..{s['to']}]; roll back to "
+                        "a segment edge or vacuum the segment first")
             for k in [k for k in st["epochs"] if int(k) > to_epoch]:
                 d = st["epochs"].pop(k).get("dir")
                 if d:

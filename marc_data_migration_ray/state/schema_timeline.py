@@ -40,6 +40,7 @@ class Timeline:
         }
         self.added: list[str] = []
         self.dropped: set[str] = set()  # canonical ids of dropped added cols
+        retired: set[str] = set()  # every name a DROPPED column ever wore
         visible: dict[str, str] = {c: c for c in PAYLOAD_COLUMNS}  # canonical→name
         occupied = set(self.RESERVED)
         for op in sorted(schema_ops or [], key=lambda o: o["lsn"]):
@@ -54,11 +55,15 @@ class Timeline:
                 occupied.add(name)
             elif kind == "rename_column":
                 canon = next((c for c, v in visible.items() if v == name), None)
-                if canon is None or new in visible.values() or (
-                    new in occupied and new not in visible.values()
-                    and new in self.RESERVED
-                ):
-                    continue  # unknown source / colliding target: no-op
+                # no-op when: unknown source; target currently visible;
+                # target reserved; or target RETIRED (a dropped column's
+                # old name — same reuse ban the add_column path enforces,
+                # code-review r5: the previous compound condition's
+                # occupied/visible conjuncts were dead and let a rename
+                # resurrect a retired name)
+                if (canon is None or new in visible.values()
+                        or new in self.RESERVED or new in retired):
+                    continue
                 s, _, nm = self.segments[canon][-1]
                 self.segments[canon][-1] = (s, lsn, nm)
                 self.segments[canon].append((lsn, None, new))
@@ -82,6 +87,8 @@ class Timeline:
                 self.segments[canon][-1] = (s, lsn, nm)
                 del visible[canon]
                 self.dropped.add(canon)
+                retired.update(
+                    seg_nm for _, _, seg_nm in self.segments[canon])
 
     def has_renames_or_adds(self) -> bool:
         return bool(self.added) or any(

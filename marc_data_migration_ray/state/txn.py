@@ -42,6 +42,19 @@ import shutil
 import uuid
 
 
+def _fsync_dir(path: str) -> None:
+    """Journal a directory entry (the rename/link itself) — file fsync
+    alone does not make the new NAME durable on ext4/XFS."""
+    try:
+        fd = os.open(path, os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class MultiTableTxn:
     """Coordinator for atomic epoch commits across multiple tables."""
 
@@ -62,10 +75,16 @@ class MultiTableTxn:
 
     @staticmethod
     def _write_json_atomic(path: str, payload: dict) -> None:
+        # fsync before the rename (and the dir entry after): a crash
+        # must never leave a zero-length intent/decision file behind a
+        # published name — recover() treats file EXISTENCE as meaning
         tmp = path + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
             json.dump(payload, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(tmp, path)
+        _fsync_dir(os.path.dirname(path))
 
     # ------------------------------------------------------------- commit --
     def commit(self, parts: list[tuple]) -> dict:
@@ -92,7 +111,8 @@ class MultiTableTxn:
                 self._abort_one(rp, prep, ipath)
             raise
 
-        # the commit point: one atomic file creation
+        # the commit point: one atomic file creation (fsync'd — the
+        # decision's EXISTENCE is the commit fact recovery reads)
         dpath = self._decision_path(txn_id)
         fd = os.open(dpath + ".tmp", os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
@@ -101,12 +121,19 @@ class MultiTableTxn:
                 "tables": [os.path.abspath(rp.root) for rp, _, _ in prepared],
                 "epochs": [p["epoch"] for _, p, _ in prepared],
             }, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.rename(dpath + ".tmp", dpath)
+        _fsync_dir(self.root)
 
         entries = {}
         for rp, prep, ipath in prepared:
             entries[rp.root] = rp.finalize_epoch(prep)
             os.remove(ipath)
+        # every intent is gone — nothing can ever be in doubt for this
+        # txn again, so the decision record is dead weight (one file per
+        # txn otherwise accumulates forever in the coordinator root)
+        os.remove(dpath)
         return {"txn_id": txn_id, "entries": entries}
 
     # ----------------------------------------------------------- recovery --
@@ -114,18 +141,52 @@ class MultiTableTxn:
     def _abort_one(rp, prep, ipath: str) -> None:
         epoch = prep["epoch"]
         rp.manifest.reload()  # don't discard a dir another path committed
-        if not prep.get("already") and not rp.manifest.is_committed(epoch):
+        if (prep.get("staged_here")
+                and not prep.get("already")
+                and not rp.manifest.is_committed(epoch)
+                and not MultiTableTxn._other_intents_reference(
+                    rp, epoch, ipath)):
+            # delete the staging only if WE created it, no other live
+            # intent shares this (table, epoch), and it never committed
+            # — prepare_epoch adopts an existing deltas/epoch=N dir, so
+            # an unconditional rmtree could yank a concurrent txn's
+            # staged data out from under its decision
             d = prep["entry"].get("dir")
             if d:
                 shutil.rmtree(d, ignore_errors=True)
         if os.path.exists(ipath):
             os.remove(ipath)
 
+    @staticmethod
+    def _other_intents_reference(rp, epoch: int, ipath: str) -> bool:
+        idir = MultiTableTxn._intent_dir(rp)
+        if not os.path.isdir(idir):
+            return False
+        for fn in os.listdir(idir):
+            p = os.path.join(idir, fn)
+            if p == ipath or not fn.endswith(".json"):
+                continue
+            try:
+                with open(p) as f:
+                    other = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                continue  # unreadable intent: counted in-doubt elsewhere
+            if other.get("prepared", {}).get("epoch") == epoch:
+                return True
+        return False
+
     def recover(self, tables: list) -> dict:
         """Resolve in-doubt transactions on ``tables``: roll forward
         decided ones (idempotent finalize), discard undecided staging.
-        Safe to run any number of times, and concurrently with readers."""
-        forward, aborted = [], []
+        Safe to run any number of times, and concurrently with readers.
+
+        The decision lookup honors the COORDINATOR ROOT recorded in each
+        intent (a txn decided from a different root must roll forward,
+        not be presumed aborted); intents without the field fall back to
+        this coordinator's root. An unreadable/truncated intent is left
+        IN PLACE and reported under ``in_doubt`` — deleting it would
+        presume abort on a txn whose decision we cannot identify."""
+        forward, aborted, in_doubt = [], [], []
         for rp in tables:
             idir = self._intent_dir(rp)
             if not os.path.isdir(idir):
@@ -134,13 +195,21 @@ class MultiTableTxn:
                 if not fn.endswith(".json"):
                     continue
                 ipath = os.path.join(idir, fn)
-                with open(ipath) as f:
-                    intent = json.load(f)
-                if self._decided(intent["txn_id"]):
+                try:
+                    with open(ipath) as f:
+                        intent = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    in_doubt.append((rp.root, fn))
+                    continue
+                troot = intent.get("txn_root") or self.root
+                dpath = os.path.join(
+                    troot, f"txn-{intent['txn_id']}.json")
+                if os.path.exists(dpath):
                     rp.finalize_epoch(intent["prepared"])
                     os.remove(ipath)
                     forward.append((rp.root, intent["txn_id"]))
                 else:
                     self._abort_one(rp, intent["prepared"], ipath)
                     aborted.append((rp.root, intent["txn_id"]))
-        return {"rolled_forward": forward, "aborted": aborted}
+        return {"rolled_forward": forward, "aborted": aborted,
+                "in_doubt": in_doubt}

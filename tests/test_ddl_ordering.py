@@ -451,3 +451,53 @@ def test_resolve_schema_prefix_equals_from_scratch(seed):
         want = resolve_schema_ops(base, prefix)
         got = resolve_schema_prefix(base, tl, cut)
         assert got == want, (cut, got, want)
+
+
+def test_rename_to_retired_name_is_noop():
+    """Code-review r5: a dropped column's names are RETIRED for renames
+    exactly as they are for add_column — resurrecting one would make an
+    old delta's mask ambiguous under the new incarnation."""
+    ops = [
+        {"lsn": 2, "kind": "add_column", "name": "x", "new_name": None},
+        {"lsn": 4, "kind": "rename_column", "name": "x", "new_name": "y"},
+        {"lsn": 6, "kind": "drop_column", "name": "y", "new_name": None},
+        # both the original and the renamed name are retired
+        {"lsn": 8, "kind": "rename_column", "name": "tokens",
+         "new_name": "x"},
+        {"lsn": 10, "kind": "rename_column", "name": "tokens",
+         "new_name": "y"},
+    ]
+    tl = Timeline(ops)
+    assert tl.name_at("tokens", 11) == "tokens"  # both renames no-ops
+    # and add_column agrees (the pre-existing rule)
+    tl2 = Timeline(ops[:3] + [
+        {"lsn": 8, "kind": "add_column", "name": "y", "new_name": None}])
+    assert tl2.live_added() == []
+
+
+def test_virtual_column_never_overwrites_physical(ray_session, tmp_path):
+    """Code-review r5: if a later DDL lands a REAL column with a
+    registered virtual column's name, the read-path generator must skip
+    it (physical wins) instead of silently replacing the data."""
+    import pyarrow.parquet as pq_
+
+    root = str(tmp_path / "fx")
+    fixtures.write_fixture(root, n_rows=40, n_events=200, n_epochs=1,
+                           seed=5, schema_change_frac=0.0)
+    cfg = ReplayConfig(num_partitions=2)
+    rp = Replayer(str(tmp_path / "t"), cfg,
+                  base_path=os.path.join(root, "base"))
+    rp.apply_epoch(0, os.path.join(root, "binlog", "epoch=0"))
+    rp.set_virtual_column("vscore", "n_tok * 2", ["n_tok"])
+    want = {r["doc_id"]: r["vscore"] for r in rp.read_state(
+        columns=["doc_id", "vscore"]).take_all()}
+    assert want and all(v is not None for v in want.values())
+    # simulate the collision: a schema op adds a physical 'vscore'
+    rp.manifest._cas_update(lambda st: st["schema_ops"].append(
+        {"lsn": 10**9, "kind": "add_column", "name": "vscore",
+         "new_name": None, "epoch": 0}))
+    rp2 = Replayer(str(tmp_path / "t"), cfg)
+    rows = rp2.read_state().take_all()
+    # the physical column exists (all-null: no event wrote it) and the
+    # generator did NOT overwrite it with the expression
+    assert all(r["vscore"] is None for r in rows)

@@ -122,7 +122,7 @@ def test_crash_after_decision_rolls_forward(ray_session, fixture_dir, tmp_path):
 
     # double recovery is a no-op
     rec2 = txn.recover([a, b])
-    assert rec2 == {"rolled_forward": [], "aborted": []}
+    assert rec2 == {"rolled_forward": [], "aborted": [], "in_doubt": []}
 
 
 def test_crash_mid_finalize_completes_the_rest(ray_session, fixture_dir, tmp_path):
@@ -225,3 +225,76 @@ def test_write_audit_publish(ray_session, fixture_dir, tmp_path):
         lambda *_: (_ for _ in ()).throw(AssertionError("must not run")),
     )
     assert again["routes"] == got["routes"]
+
+
+def test_recover_honors_intents_recorded_txn_root(ray_session, fixture_dir,
+                                                  tmp_path):
+    """Code-review r5: a DECIDED txn must roll forward even when recover
+    runs from a different coordinator root — the decision lookup uses
+    the txn_root recorded in each intent, not the recoverer's own."""
+    a, b = _tables(tmp_path, fixture_dir)
+    txn = MultiTableTxn(str(tmp_path / "txn"))
+    txn_id, prepared = _prepare_and_intents(
+        txn, [(a, 0, _binlog(fixture_dir, 0)),
+              (b, 0, _binlog(fixture_dir, 0))])
+    # decision lands in txn's root (crash right after the decision)
+    txn._write_json_atomic(txn._decision_path(txn_id), {"txn_id": txn_id})
+    other = MultiTableTxn(str(tmp_path / "other_root"))
+    rec = other.recover([a, b])
+    assert len(rec["rolled_forward"]) == 2 and not rec["aborted"]
+    assert a.manifest.is_committed(0) and b.manifest.is_committed(0)
+
+
+def test_recover_leaves_corrupt_intent_in_doubt(ray_session, fixture_dir,
+                                                tmp_path):
+    """A truncated intent (crash between rename and data reaching disk on
+    a non-fsync filesystem) must be reported in_doubt and left in place —
+    not presumed aborted with its staging destroyed."""
+    a, = _tables(tmp_path, fixture_dir, names=("a",))
+    prep = a.prepare_epoch(0, _binlog(fixture_dir, 0))
+    idir = os.path.join(a.root, "_txn")
+    os.makedirs(idir, exist_ok=True)
+    bad = os.path.join(idir, "0123456789abcdef.json")
+    open(bad, "w").close()  # zero-length
+    txn = MultiTableTxn(str(tmp_path / "txn"))
+    rec = txn.recover([a])
+    assert rec["in_doubt"] == [(a.root, "0123456789abcdef.json")]
+    assert not rec["aborted"] and os.path.exists(bad)
+    assert os.path.isdir(prep["entry"]["dir"])  # staging untouched
+
+
+def test_commit_removes_decision_file(ray_session, fixture_dir, tmp_path):
+    a, b = _tables(tmp_path, fixture_dir)
+    txn = MultiTableTxn(str(tmp_path / "txn"))
+    res = txn.commit([(a, 0, _binlog(fixture_dir, 0)),
+                      (b, 0, _binlog(fixture_dir, 0))])
+    assert not os.path.exists(txn._decision_path(res["txn_id"]))
+
+
+def test_abort_spares_staging_shared_with_live_intent(ray_session,
+                                                      fixture_dir, tmp_path):
+    """Two txns share one (table, epoch) staging dir (prepare adopts an
+    existing deltas/epoch=N). Aborting one must NOT delete the dir while
+    the other's intent still references it."""
+    a, = _tables(tmp_path, fixture_dir, names=("a",))
+    txn = MultiTableTxn(str(tmp_path / "txn"))
+    # T1 stages (creates the dir) and records its intent
+    t1_id, t1_prep = _prepare_and_intents(
+        txn, [(a, 0, _binlog(fixture_dir, 0))])
+    d = t1_prep[0][1]["entry"]["dir"]
+    assert os.path.isdir(d)
+    # T2 prepares the SAME epoch (adopts the dir) with its own intent
+    prep2 = a.prepare_epoch(0, _binlog(fixture_dir, 0))
+    assert not prep2.get("staged_here")
+    ip2 = os.path.join(a.root, "_txn", "feedfacefeedface.json")
+    txn._write_json_atomic(ip2, {
+        "txn_id": "feedfacefeedface",
+        "txn_root": os.path.abspath(txn.root), "prepared": prep2})
+    # abort T1 (undecided): the dir must survive because T2 references it
+    MultiTableTxn._abort_one(a, t1_prep[0][1], t1_prep[0][2])
+    assert os.path.isdir(d)
+    # T2's own abort WOULD not delete either (it did not stage) — the
+    # dir is finally reclaimed only when the LAST intent that staged it
+    # aborts with no other referents
+    MultiTableTxn._abort_one(a, prep2, ip2)
+    assert os.path.isdir(d)

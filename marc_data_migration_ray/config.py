@@ -126,13 +126,18 @@ class ReplayConfig:
     #: deletes. Evaluated batch-local: no shuffle, no extra pass.
     check_constraints: tuple = ()
 
-    #: hot-key mitigation: within-batch LWW pre-collapse of gate-passed
-    #: updates sharing (key, column-mask set) — only the max-lsn one can ever
-    #: win a column, so final STATE is provably unchanged while a key with
-    #: millions of epoch events shrinks to ≤ one survivor per batch per mask
-    #: (the salting analog for a co-partitioned layout). Trade-off: dropped
-    #: events disappear from audit rows / per-event route counts, so leave
-    #: False when exact audit parity matters (tests/oracle compare).
+    #: hot-key mitigation: within-batch pre-collapse of gate-passed
+    #: EMPTY-MASK (full-row) updates sharing a key — only the max-lsn one
+    #: can ever win a column, so superseded rows are kept but
+    #: payload-STRIPPED (tokens nulled, ``collapsed=True``). Final state,
+    #: audit rows, route counts and metrics are all EXACTLY the
+    #: uncollapsed run's (pytest-pinned) while a hot key's delta bytes
+    #: shrink to ≤ one payload per batch. Trade-off: the stripped
+    #: payloads are gone from disk, so MID-EPOCH lsn cuts
+    #: (``up_to_lsn`` between a stripped row and its winner) and
+    #: per-event as-of lineage over affected keys REFUSE with a clear
+    #: error instead of reconstructing; epoch-level time travel is
+    #: unaffected.
     precollapse_updates: bool = False
 
     def __post_init__(self):

@@ -288,7 +288,60 @@ def _read_bucket_tables(base_files, delta_files, cfg, base_is_final_schema,
     # contiguous buffers: one ~file-count-chunked table makes every polars
     # pass in the fold measurably slower (0.42s -> 0.32s per 90k-row bucket)
     # and its from_arrow conversion 4x slower; one combine pays for itself
-    return pa.concat_tables(tables, promote_options="default").combine_chunks()
+    allr = pa.concat_tables(
+        tables, promote_options="default").combine_chunks()
+    if max_lsn is not None and "collapsed" in allr.column_names:
+        _check_collapsed_cut(allr, cfg)
+    return allr
+
+
+def _check_collapsed_cut(allr: pa.Table, cfg) -> None:
+    """Refuse an lsn cut that would let a PRECOLLAPSED row win.
+
+    ``precollapse_updates`` strips a superseded full-row update's tokens
+    at ingest on the argument that its within-batch winner always
+    outranks it in any fold input — which an arbitrary ``up_to_lsn``
+    cut can violate by filtering the winner away (code-review r5,
+    reproduced: the stripped row then wins with tokens=NULL). The
+    payload is gone from disk, so the only correct behavior is a loud
+    error: a surviving collapsed row is safe iff a surviving LATER
+    full-row applied update of the same key still covers it; otherwise
+    the requested cut cannot be reconstructed from precollapsed deltas.
+    Salted layouts spread a key's events over sub-buckets, so the
+    winner may legitimately live elsewhere — there any surviving
+    collapsed row under a cut is refused outright."""
+    coll = pc.fill_null(allr["collapsed"], False)
+    if not pc.any(coll).as_py():
+        return
+    if cfg.num_salts > 1:
+        raise ValueError(
+            "lsn-cut read over precollapsed deltas on a salted table: "
+            "superseded payloads were stripped at ingest and the "
+            "within-batch winner may live in another sub-bucket; "
+            "re-ingest with precollapse_updates=False for lsn-level "
+            "time travel")
+    import polars as pl
+
+    df = pl.from_arrow(allr.select(
+        ["key", "lsn", "op", "route", "column_mask", "collapsed"]))
+    full = df.filter(
+        pl.col("route").is_in(["applied", "fuzzy"])
+        & (pl.col("op") == "update")
+        & (pl.col("column_mask").list.len().fill_null(0) == 0)
+        & ~pl.col("collapsed").fill_null(False))
+    wmax = full.group_by("key").agg(pl.col("lsn").max().alias("_wl"))
+    bad = (df.filter(pl.col("collapsed").fill_null(False))
+           .join(wmax, on="key", how="left")
+           .filter(pl.col("_wl").is_null()
+                   | (pl.col("_wl") < pl.col("lsn"))))
+    if bad.height:
+        k = bad["key"][0]
+        raise ValueError(
+            f"lsn cut excludes the within-batch winner of a "
+            f"precollapsed update (key {k!r}): the superseded payload "
+            "was stripped at ingest and this cut cannot be "
+            "reconstructed; re-ingest with precollapse_updates=False "
+            "for lsn-level time travel")
 
 
 def _merge_counts(a: dict, b: dict) -> dict:
@@ -530,6 +583,15 @@ def _asof_sweep(allr: pa.Table, cfg: ReplayConfig,
                                                      _writes_expr)
     from marc_data_migration_ray.state.schema_timeline import Timeline
 
+    if "collapsed" in allr.column_names and pc.any(
+            pc.fill_null(allr["collapsed"], False)).as_py():
+        # a collapsed row is WRONG at its own-lsn cut (its stripped
+        # payload would win there) and as-of cuts include every event
+        # lsn — refuse rather than reconstruct corrupt states
+        raise ValueError(
+            "as-of reconstruction over precollapsed deltas: superseded "
+            "payloads were stripped at ingest; re-ingest with "
+            "precollapse_updates=False for per-event lineage")
     cuts_sorted = sorted({int(L): ops for L, ops in cuts}.items())
     cut_arr = np.asarray([L for L, _ in cuts_sorted], np.int64)
     tl = Timeline(cuts_sorted[-1][1])
@@ -801,6 +863,12 @@ def _asof_key_states_task(
     from the previous cut's (mid-stream DDL re-resolves masks over raw
     events, not composed state). Returns FOLD_SCHEMA 'row' rows filtered
     to ``keys``, tagged with an ``_asof_lsn`` column."""
+    if allr is not None and "collapsed" in allr.column_names and pc.any(
+            pc.fill_null(allr["collapsed"], False)).as_py():
+        raise ValueError(
+            "as-of reconstruction over precollapsed deltas: superseded "
+            "payloads were stripped at ingest; re-ingest with "
+            "precollapse_updates=False for per-event lineage")
     from marc_data_migration_ray.stages.fold import (fold_bucket,
                                                      fold_input_columns)
     from marc_data_migration_ray.stages.parse import PrepBase

@@ -144,6 +144,15 @@ class EnrichStage:
             val = None
             st = "failed"
             n = 0
+            if k is None:
+                # a null key can never resolve and service.lookup would
+                # crash the task (code-review r5) — dead-letter it
+                # in-band like any exhausted-retries failure, spending
+                # zero service budget
+                out.append(None)
+                status.append("failed")
+                attempts.append(0)
+                continue
             while n < self.max_retries:
                 n += 1
                 if self.bucket is not None:

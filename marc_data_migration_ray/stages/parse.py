@@ -83,6 +83,19 @@ def _constraint_masks(batch: pa.Table, n: int, constraints) -> tuple:
     fail = np.zeros(n, bool)
     status = np.full(n, None, object)
     for name, col, op, val in constraints:
+        if col not in batch.column_names:
+            # optional feed columns (title, ...) may be absent from a
+            # batch entirely; a bare KeyError here would kill the epoch
+            # with an unrelated-looking traceback (code-review r5). An
+            # absent column is all-null: not_null fails every row, any
+            # bounded op passes (an event that does not supply a column
+            # cannot violate a bound on it — the rule above).
+            if op == "not_null":
+                first = ~fail
+                if first.any():
+                    status[first] = f"check-failed:{name}"
+                fail[:] = True
+            continue
         arr = batch[col]
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
@@ -280,8 +293,12 @@ class PrepBase:
                 return pc.if_else(pc.is_valid(lk), lk, k)
 
             key = _keys(batch["doc_id"])
-            batch = batch.filter(pc.is_valid(key))
-            key = _keys(batch["doc_id"])
+            mask = pc.is_valid(key)
+            batch = batch.filter(mask)
+            # filter the already-computed keys instead of re-running the
+            # 5-kernel normalization chain over the survivors (the base
+            # bucketize pays this on the largest input table)
+            key = key.filter(mask)
             raw = batch["doc_id"]
             lsn = None
             status = None

@@ -32,6 +32,13 @@ rejected / deadletter / schema rows always pass through untouched.
 
 from __future__ import annotations
 
+import os
+
+# must precede the polars import (same guard as stages/fold.py): a Ray
+# worker whose FIRST polars import happens here would otherwise freeze a
+# full-size thread pool that every later num_cpus=1 fold task inherits
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 import polars as pl
 import pyarrow as pa
 

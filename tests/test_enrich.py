@@ -158,3 +158,50 @@ def test_enrich_policy_plugin_in_replay_path(ray_session, tmp_path):
     k = rows[0]["doc_id"]
     got = rp.lookup([k]).take_all()
     assert got and got[0]["authority"] == rows[0]["authority"]
+
+
+def test_null_key_dead_letters_without_service_call():
+    """Code-review r5: a null key must dead-letter in-band (failed, 0
+    attempts, no service/budget use) instead of crashing the task."""
+    import pyarrow as pa
+
+    from marc_data_migration_ray.stages.enrich import EnrichStage
+
+    calls = []
+
+    class _Svc:
+        def lookup(self, k):
+            calls.append(k)
+            return "v"
+
+    st = EnrichStage.__new__(EnrichStage)
+    st.service = _Svc()
+    st.key_col = "doc_id"
+    st.out_col = "auth"
+    st.max_retries = 3
+    st.backoff_s = 0.0
+    st.sleep_fn = lambda s: None
+    st.bucket = None
+    out = st(pa.table({"doc_id": pa.array(["a", None, "b"], pa.string())}))
+    assert out["enrich_status"].to_pylist() == ["ok", "failed", "ok"]
+    assert out["enrich_attempts"].to_pylist() == [1, 0, 1]
+    assert out["auth"].to_pylist()[1] is None
+    assert calls == ["a", "b"]
+
+
+def test_constraint_on_absent_column_routes_not_crashes():
+    """Code-review r5: a check constraint naming a column absent from a
+    batch must evaluate (absent == all-null), not raise KeyError."""
+    import numpy as np
+    import pyarrow as pa
+
+    from marc_data_migration_ray.stages.parse import _constraint_masks
+
+    t = pa.table({"n_tok": pa.array([1, 2], pa.int32())})
+    fail, status = _constraint_masks(
+        t, 2, [("t", "title", "not_null", None)])
+    assert fail.all() and set(status) == {"check-failed:t"}
+    # bounded ops on an absent column pass (cannot violate a bound)
+    fail2, status2 = _constraint_masks(
+        t, 2, [("g", "match_score", "ge", 10)])
+    assert not fail2.any() and set(status2) == {None}

@@ -293,3 +293,47 @@ def test_two_process_concurrent_apply(ray_session, tmp_path):
     assert len(eng) == len(o["final"])
     for a, b in zip(eng, o["final"]):
         assert a["last_lsn"] == b["last_lsn"] and list(a["tokens"] or []) == list(b["tokens"] or [])
+
+
+def test_lsn_cut_over_stripped_rows_refuses(ray_session, fixture_dir,
+                                            tmp_path):
+    """Code-review r5 (reproduced): a mid-epoch lsn cut between a
+    precollapsed (stripped) update and its within-batch winner would let
+    the stripped row win with tokens=NULL — the payload is gone from
+    disk, so the engine must REFUSE such cuts loudly. Cuts at or above
+    the winner stay exact; an uncollapsed table serves every cut."""
+    import glob
+
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    coll_rows, rp = _final_state(
+        str(tmp_path / "c"), fixture_dir,
+        ReplayConfig(num_partitions=8, precollapse_updates=True))
+    plain_rows, rp_plain = _final_state(
+        str(tmp_path / "p"), fixture_dir, ReplayConfig(num_partitions=8))
+    # find a stripped row and its within-batch winner from the deltas
+    stripped = None
+    for f in sorted(glob.glob(os.path.join(
+            rp.root, "deltas", "**", "*.parquet"), recursive=True)):
+        t = pq.read_table(f, columns=["key", "lsn", "collapsed"])
+        for k, l, c in zip(t["key"].to_pylist(), t["lsn"].to_pylist(),
+                           t["collapsed"].to_pylist()):
+            if c:
+                stripped = (k, l)
+                break
+        if stripped:
+            break
+    assert stripped is not None, "fixture must strip at least one row"
+    key, lsn = stripped
+    # cut AT the stripped row's lsn: the winner is filtered -> refuse
+    with _pytest.raises(ValueError, match="precollapse"):
+        rp.lookup([key], up_to_lsn=lsn).take_all()
+    # the uncollapsed table serves the same cut fine
+    ok = rp_plain.lookup([key], up_to_lsn=lsn).take_all()
+    assert isinstance(ok, list)
+    # per-event lineage refuses too (every event lsn is a cut)
+    with _pytest.raises(Exception, match="precollapse"):
+        rp.doc_history(key, with_payload=True, with_versions=True)
+    # full-state reads (no cut) stay exact — pinned above already
+    assert coll_rows == plain_rows

@@ -63,6 +63,11 @@ class AggView:
         meta_p = os.path.join(root, "META.json")
         if os.path.exists(meta_p):
             meta = json.loads(open(meta_p).read())
+            if meta.get("kind") != "agg":
+                raise ValueError(
+                    f"{root}: stored view kind is {meta.get('kind')!r}, "
+                    "not 'agg' — refreshing it as AggView would overwrite "
+                    "another view's data")
             stored = (tuple(meta["keys"]), tuple(meta["sums"]))
             for name, want in (("keys", keys), ("sums", sums)):
                 got = stored[0] if name == "keys" else stored[1]
@@ -141,7 +146,18 @@ class AggView:
             *[Sum(f"{s}_sum", alias_name=c)
               for s, c in zip(self.sums, self.out_cols)],
         )
-        t = pa.concat_tables(final.iter_batches(batch_format="pyarrow"))
+        batches = list(final.iter_batches(batch_format="pyarrow"))
+        if batches:
+            t = pa.concat_tables(batches)
+        else:
+            # a changeless refresh range (empty committed epoch, no-op
+            # merge) yields ZERO aggregate batches — publish an empty
+            # version instead of crashing concat (code-review r5)
+            t = pa.table({
+                **{k: pa.array([], pa.string()) for k in self.keys},
+                "n_rows": pa.array([], pa.int64()),
+                **{c: pa.array([], pa.int64()) for c in self.out_cols},
+            })
         cols = {k: pc.cast(t[k], pa.string()) for k in self.keys}
         cols["n_rows"] = pc.cast(t["n_rows"], pa.int64())
         for c in self.out_cols:
@@ -170,9 +186,12 @@ class AggView:
 
     # ----------------------------------------------------------- refresh --
     def refresh(self, to_epoch: int | None = None) -> dict:
-        to_epoch, last = _refresh_target(self.rp, self.last_epoch(), to_epoch)
+        to_epoch, last = _refresh_target(self.rp, self._current(), to_epoch)
         if last == to_epoch:
-            return {"epoch": to_epoch, "mode": "noop", "rows": len(self.read())}
+            cur = self._current()
+            n = pq.read_metadata(os.path.join(
+                self.root, cur["dir"], "agg.parquet")).num_rows
+            return {"epoch": to_epoch, "mode": "noop", "rows": n}
 
         floor = self.rp.manifest.last_compacted_epoch()
         if last is None or last < floor:
@@ -219,15 +238,30 @@ class AggView:
         os.rename(tmp, final)
         marker_tmp = os.path.join(self.root, "_CURRENT.tmp")
         with open(marker_tmp, "w") as f:
-            f.write(json.dumps({"epoch": to_epoch, "dir": vdir}))
+            f.write(json.dumps({"epoch": to_epoch, "dir": vdir,
+                                "fp": _epoch_fp(self.rp, to_epoch)}))
         os.replace(marker_tmp, os.path.join(self.root, "CURRENT"))
         return {"epoch": to_epoch, "mode": mode, "rows": len(agg)}
 
 
-def _refresh_target(rp, last: int | None, to_epoch: int | None):
+def _epoch_fp(rp, epoch: int) -> list:
+    """Identity of a committed epoch beyond its NUMBER: a rollback
+    followed by re-ingest can re-commit the same epoch number with
+    DIFFERENT data, which a number-only check cannot see (code-review
+    r5) — the view would then silently maintain from a stale base.
+    (max_lsn, rows, processed) pins the entry's content for practical
+    purposes; identical re-commits of identical binlogs keep the view
+    valid by construction."""
+    e = rp.manifest.epoch_entry(epoch) or {}
+    return [e.get("max_lsn"), e.get("rows"), e.get("processed")]
+
+
+def _refresh_target(rp, cur: dict | None, to_epoch: int | None):
     """Shared view-refresh preconditions: resolve the target epoch,
-    invalidate a rolled-back base epoch (→ full rebuild), reject a
-    backwards refresh. Returns (to_epoch, last)."""
+    invalidate a rolled-back OR rolled-back-and-reused base epoch
+    (→ full rebuild), reject a backwards refresh. ``cur`` is the view's
+    CURRENT marker dict (or None). Returns (to_epoch, last)."""
+    last = None if cur is None else cur["epoch"]
     committed = rp.manifest.committed_epochs()
     if not committed:
         raise ValueError("table has no committed epochs")
@@ -239,6 +273,12 @@ def _refresh_target(rp, last: int | None, to_epoch: int | None):
         # the view's base epoch was rolled back: the stored state reflects
         # data that no longer exists — full rebuild
         last = None
+    if last is not None:
+        fp = cur.get("fp")
+        if fp is not None and fp != _epoch_fp(rp, last):
+            # same epoch NUMBER, different data: rolled back and re-
+            # ingested since the last refresh — full rebuild
+            last = None
     if last is not None and to_epoch < last:
         raise ValueError(f"view is already at epoch {last} > {to_epoch}")
     return to_epoch, last
@@ -285,6 +325,13 @@ class _SignedSetView:
         meta_p = os.path.join(root, "META.json")
         if os.path.exists(meta_p):
             self.meta = json.loads(open(meta_p).read())
+            want_kind = meta_defaults.get("kind")
+            got_kind = self.meta.get("kind")
+            if want_kind is not None and got_kind != want_kind:
+                raise ValueError(
+                    f"{root}: stored view kind is {got_kind!r}, not "
+                    f"{want_kind!r} — refreshing it as this class would "
+                    "overwrite another view's data")
             for k, want in (explicit or {}).items():
                 got = self.meta.get(k)
                 if want != got:
@@ -359,7 +406,7 @@ class _SignedSetView:
 
     # ----------------------------------------------------------- refresh --
     def refresh(self, to_epoch: int | None = None) -> dict:
-        to_epoch, last = _refresh_target(self.rp, self.last_epoch(), to_epoch)
+        to_epoch, last = _refresh_target(self.rp, self._current(), to_epoch)
         if last == to_epoch:
             return {"epoch": to_epoch, "mode": "noop",
                     "touched_buckets": 0}
@@ -439,7 +486,8 @@ class _SignedSetView:
         os.rename(tmp, final)
         marker_tmp = os.path.join(self.root, "_CURRENT.tmp")
         with open(marker_tmp, "w") as f:
-            f.write(json.dumps({"epoch": to_epoch, "dir": vdir}))
+            f.write(json.dumps({"epoch": to_epoch, "dir": vdir,
+                                "fp": _epoch_fp(self.rp, to_epoch)}))
         os.replace(marker_tmp, os.path.join(self.root, "CURRENT"))
         return {"epoch": to_epoch, "mode": mode,
                 "touched_buckets": len(touched)}
@@ -732,10 +780,24 @@ def _token_sigs_with(mh, tokens) -> tuple["np.ndarray", "np.ndarray"]:
     lens = np.asarray(
         pc.fill_null(pc.list_value_length(tokens), 0)
     ).astype(np.int64)
+    flat_pa = tokens.flatten()
+    vmask = (pc.is_valid(flat_pa).to_numpy(zero_copy_only=False)
+             if len(flat_pa) else np.empty(0, bool))
+    if not vmask.all():
+        # null ELEMENTS inside token lists: np.asarray would go float64
+        # and NaN→uint64 is platform-dependent C-cast UB (code-review
+        # r5) — drop them like PostingsView._explode does and re-base
+        # the per-row lengths so signatures stay deterministic
+        cum = np.zeros(len(vmask) + 1, np.int64)
+        np.cumsum(vmask, out=cum[1:])
+        off0 = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=off0[1:])
+        lens = cum[off0[1:]] - cum[off0[:-1]]
+        flat_pa = flat_pa.drop_null()
     keep = np.flatnonzero(lens > 0)
     if not keep.size:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    flat = np.asarray(tokens.flatten()).astype(np.uint64)
+    flat = np.asarray(flat_pa).astype(np.uint64)
     all_off = np.zeros(len(lens) + 1, np.int64)
     np.cumsum(lens, out=all_off[1:])
     with np.errstate(over="ignore"):
@@ -814,7 +876,6 @@ class MinHashIndexView(_SignedSetView):
     documented 16×4 banding one."""
 
     VALUE_COL = "sig"
-    _SIG_MASK = (1 << 59) - 1
 
     def __init__(self, root: str, replayer, n_buckets: int | None = None,
                  num_perm: int | None = None, n_bands: int | None = None,
@@ -825,10 +886,21 @@ class MinHashIndexView(_SignedSetView):
              ("n_bands", n_bands), ("shingle", shingle))
             if v is not None
         }
+        # validate BEFORE META lands: persisting bad params poisons the
+        # root for every reopen incl. open_view (code-review r5); the
+        # sibling views reject n_buckets < 1 the same way
+        params = {"n_buckets": 16, "num_perm": 64, "n_bands": 16,
+                  "shingle": 3, **explicit}
+        for k in ("n_buckets", "num_perm", "n_bands", "shingle"):
+            if params[k] < 1:
+                raise ValueError(f"{k} must be >= 1, got {params[k]}")
+        if params["num_perm"] % params["n_bands"]:
+            raise ValueError(
+                f"n_bands ({params['n_bands']}) must divide num_perm "
+                f"({params['num_perm']})")
         super().__init__(
             root, replayer,
-            {"kind": "minhash_index", "n_buckets": 16, "num_perm": 64,
-             "n_bands": 16, "shingle": 3, **explicit},
+            {"kind": "minhash_index", **params},
             explicit=explicit,
         )
         self.n_buckets = int(self.meta["n_buckets"])
@@ -1028,6 +1100,7 @@ class _MinHashBatchProber:
         ids = pc.cast(t[self.id_col], pa.string())
         if isinstance(ids, pa.ChunkedArray):
             ids = ids.combine_chunks()
+        id_list = ids.to_pylist()
         by_bucket: dict[int, list[tuple[int, int]]] = {}
         for i, s in zip(idx.tolist(), sig.tolist()):
             by_bucket.setdefault(int(s % self.n_buckets), []).append((i, s))
@@ -1043,9 +1116,9 @@ class _MinHashBatchProber:
                 sig_to_docs.setdefault(s, set()).add(d)
             for i, s in entries:
                 for d in sig_to_docs.get(s, ()):
-                    out.add((ids[i].as_py(), d))
-        probe, match = ([p for p, _ in sorted(out)],
-                        [m for _, m in sorted(out)])
+                    out.add((id_list[i], d))
+        pairs = sorted(out)
+        probe, match = [p for p, _ in pairs], [m for _, m in pairs]
         return pa.table({"probe_id": pa.array(probe, pa.string()),
                          "match_id": pa.array(match, pa.string())})
 

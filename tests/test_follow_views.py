@@ -179,3 +179,123 @@ def test_follow_dedup_gate(ray_session, tmp_path):
     got = pq.read_table(os.path.join(rep, "epoch=1.parquet")).to_pylist()
     pairs = {(x["incoming_id"], x["dup_of"]): x["jaccard"] for x in got}
     assert pairs.get((b, a)) == 1.0, pairs
+
+
+def test_aggview_refresh_across_empty_epoch(ray_session, tmp_path):
+    """Code-review r5: a refresh range with ZERO change rows (an empty
+    committed epoch) must publish a no-change version, not crash on an
+    empty Ray aggregate."""
+    fix = str(tmp_path / "fix")
+    fixtures.write_fixture(fix, n_rows=40, n_events=200, n_epochs=1,
+                           seed=9, schema_change_frac=0.0)
+    rp = Replayer(str(tmp_path / "t"), ReplayConfig(num_partitions=4),
+                  base_path=os.path.join(fix, "base"))
+    rp.apply_epoch(0, os.path.join(fix, "binlog", "epoch=0"))
+    v = AggView(str(tmp_path / "v"), rp, keys=("source",), sums=("n_tok",))
+    r0 = v.refresh()
+    want = v.read()
+    empty = str(tmp_path / "empty_epoch")
+    os.makedirs(empty, exist_ok=True)
+    rp.apply_epoch(1, empty)  # committed, no data
+    r1 = v.refresh()
+    assert r1["mode"] == "incremental" and r1["epoch"] == 1
+    assert v.read().equals(want)
+    assert r0["rows"] == r1["rows"]
+
+
+def test_view_detects_epoch_number_reuse_after_rollback(ray_session,
+                                                        tmp_path):
+    """Code-review r5: rollback + re-ingest can re-commit the SAME epoch
+    number with different data; the view must detect it (CURRENT stores
+    the epoch's fingerprint) and full-rebuild instead of silently
+    serving/maintaining from the stale base."""
+    import pyarrow.parquet as pq
+
+    fix = str(tmp_path / "fix")
+    fixtures.write_fixture(fix, n_rows=50, n_events=300, n_epochs=2,
+                           seed=21, schema_change_frac=0.0)
+    rp = Replayer(str(tmp_path / "t"), ReplayConfig(num_partitions=4),
+                  base_path=os.path.join(fix, "base"))
+    rp.apply_epoch(0, os.path.join(fix, "binlog", "epoch=0"))
+    rp.apply_epoch(1, os.path.join(fix, "binlog", "epoch=1"))
+    v = AggView(str(tmp_path / "v"), rp, keys=("source",), sums=("n_tok",))
+    v.refresh()
+    stale = v.read()
+    # rollback epoch 1, re-ingest DIFFERENT data under the same number
+    rp.rollback(0)
+    alt = str(tmp_path / "alt_epoch1")
+    os.makedirs(alt)
+    src_files = sorted(os.listdir(os.path.join(fix, "binlog", "epoch=1")))
+    t = pq.read_table(os.path.join(fix, "binlog", "epoch=1", src_files[0]))
+    pq.write_table(t.slice(0, max(1, t.num_rows // 3)),
+                   os.path.join(alt, "part-0.parquet"))
+    rp.apply_epoch(1, alt)
+    r = v.refresh()
+    assert r["mode"] == "full", r  # number-only check would say noop
+    fresh = AggView(str(tmp_path / "v2"), rp,
+                    keys=("source",), sums=("n_tok",))
+    fresh.refresh()
+    assert v.read().equals(fresh.read())
+    assert not v.read().equals(stale)
+
+
+def test_wrong_view_class_on_existing_root_raises(ray_session, tmp_path):
+    """Code-review r5: opening a root with a different view class must
+    raise on the stored kind instead of overwriting the other view."""
+    fix = str(tmp_path / "fix")
+    fixtures.write_fixture(fix, n_rows=30, n_events=80, n_epochs=1, seed=3)
+    rp = Replayer(str(tmp_path / "t"), ReplayConfig(num_partitions=4),
+                  base_path=os.path.join(fix, "base"))
+    rp.apply_epoch(0, os.path.join(fix, "binlog", "epoch=0"))
+    mh_root = str(tmp_path / "v_mh")
+    MinHashIndexView(mh_root, rp)
+    with pytest.raises(ValueError, match="kind"):
+        PostingsView(mh_root, rp)
+    with pytest.raises(ValueError, match="kind"):
+        AggView(mh_root, rp)
+    agg_root = str(tmp_path / "v_agg")
+    AggView(agg_root, rp)
+    with pytest.raises(ValueError, match="kind"):
+        MinHashIndexView(agg_root, rp)
+
+
+def test_minhash_view_rejects_bad_params_without_poisoning(ray_session,
+                                                           tmp_path):
+    """Code-review r5: invalid params must raise BEFORE META lands, so
+    the root stays reusable."""
+    fix = str(tmp_path / "fix")
+    fixtures.write_fixture(fix, n_rows=30, n_events=80, n_epochs=1, seed=3)
+    rp = Replayer(str(tmp_path / "t"), ReplayConfig(num_partitions=4),
+                  base_path=os.path.join(fix, "base"))
+    rp.apply_epoch(0, os.path.join(fix, "binlog", "epoch=0"))
+    root = str(tmp_path / "v")
+    with pytest.raises(ValueError, match="n_bands"):
+        MinHashIndexView(root, rp, n_bands=0)
+    with pytest.raises(ValueError, match="divide"):
+        MinHashIndexView(root, rp, n_bands=7)
+    with pytest.raises(ValueError, match="n_buckets"):
+        MinHashIndexView(root, rp, n_buckets=0)
+    assert not os.path.exists(os.path.join(root, "META.json"))
+    MinHashIndexView(root, rp)  # root not poisoned
+
+
+def test_token_sigs_drop_null_elements_deterministically():
+    """Code-review r5: a null ELEMENT inside a token list flipped the
+    flat array to float64 and NaN->uint64 is platform-dependent; nulls
+    now drop (PostingsView semantics) and signatures equal the
+    null-free lists'."""
+    import numpy as np
+    import pyarrow as pa
+
+    from marc_data_migration_ray.pipelines.dedup import MinHasher
+    from marc_data_migration_ray.pipelines.views import _token_sigs_with
+
+    mh = MinHasher()
+    with_nulls = pa.array([[1, None, 2, 3, 4], None, [5, 6, None],
+                           [None], [7, 8, 9]], pa.list_(pa.int64()))
+    clean = pa.array([[1, 2, 3, 4], None, [5, 6], [], [7, 8, 9]],
+                     pa.list_(pa.int64()))
+    ia, sa = _token_sigs_with(mh, with_nulls)
+    ib, sb = _token_sigs_with(mh, clean)
+    np.testing.assert_array_equal(ia, ib)
+    np.testing.assert_array_equal(sa, sb)

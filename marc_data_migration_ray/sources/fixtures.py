@@ -133,7 +133,7 @@ def make_binlog(
 ) -> pa.Table:
     """Synthetic change-event binlog over a ``make_base_table`` key space.
 
-    Op mix ≈ 20% insert / 60% update / 10% delete + rare schema changes;
+    Op mix ≈ 20% insert / 60% update / 20% delete + rare schema changes;
     ``hot_keys`` canonical keys receive ``hot_frac`` of all key-addressed
     events (skew); ``malformed_frac`` rows are dead-letter bait;
     ``invalid_key_frac`` rows carry non-normalizable keys.

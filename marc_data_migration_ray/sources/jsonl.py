@@ -140,6 +140,17 @@ def sniff_encoding(head: bytes) -> dict:
         return {"encoding": "utf-16-le", "confidence": 1.0, "bom": True}
     if head.startswith(b"\xfe\xff"):
         return {"encoding": "utf-16-be", "confidence": 1.0, "bom": True}
+    if len(head) >= 8:
+        # BOM-less UTF-32 first: mostly-ASCII text has NULs in 3 of
+        # every 4 positions, which also trips the utf-16 odd/even test
+        q = [head[r::4].count(0) / max(len(head[r::4]), 1)
+             for r in range(4)]
+        if q[1] > 0.3 and q[2] > 0.3 and q[3] > 0.3 and q[0] < 0.05:
+            return {"encoding": "utf-32-le",
+                    "confidence": round(min(q[1:]), 3), "bom": False}
+        if q[0] > 0.3 and q[1] > 0.3 and q[2] > 0.3 and q[3] < 0.05:
+            return {"encoding": "utf-32-be",
+                    "confidence": round(min(q[:3]), 3), "bom": False}
     if len(head) >= 4:
         odd_nul = head[1::2].count(0) / max(len(head[1::2]), 1)
         even_nul = head[0::2].count(0) / max(len(head[0::2]), 1)
@@ -149,6 +160,13 @@ def sniff_encoding(head: bytes) -> dict:
         if even_nul > 0.4 and odd_nul < 0.05:
             return {"encoding": "utf-16-be",
                     "confidence": round(even_nul, 3), "bom": False}
+    if b"\x00" in head:
+        # NUL is VALID UTF-8, so a BOM-less wide encoding that dodged
+        # the pattern tests above would otherwise classify as utf-8 at
+        # confidence 1.0 and salvage as NUL-riddled mojibake (code-
+        # review r5); no sane JSONL text feed contains NUL — decode
+        # losslessly as latin-1 and say we are guessing
+        return {"encoding": "latin-1", "confidence": 0.3, "bom": False}
     try:
         head.decode("utf-8")
         return {"encoding": "utf-8", "confidence": 1.0, "bom": False}
@@ -195,7 +213,16 @@ def _decode_sniffed(epoch: int, forced: str | None = None):
                     elif enc.startswith("utf-32"):
                         enc = "utf-32"
             text = bytes(raw).decode(enc, errors="replace")
-            lines.extend(text.splitlines())
+            if text.startswith("\ufeff"):
+                # a FORCED non-BOM-consuming codec (e.g. 'utf-16-le' on
+                # a BOM'd file) leaks U+FEFF into line 1 and deadletters
+                # the first record of every file (code-review r5)
+                text = text[1:]
+            # \n-only splitting (plus \r strip downstream): splitlines()
+            # also breaks on U+0085/U+2028/U+2029, which are LEGAL raw
+            # inside JSON strings — a latin-1 0x85 in a title tore the
+            # line into two unparseable halves (code-review r5)
+            lines.extend(text.split("\n"))
         return _lenient_lines(epoch)(pa.table(
             {"text": pa.array(lines, pa.string())}))
 
@@ -259,8 +286,21 @@ def read_jsonl_binlog(paths: str | list[str], epoch: int,
     )
 
 
-def _int_or_none(v):
-    return v if isinstance(v, int) and not isinstance(v, bool) else None
+_I64_MIN, _I64_MAX = -(1 << 63), (1 << 63) - 1
+_I32_MIN, _I32_MAX = -(1 << 31), (1 << 31) - 1
+
+
+def _int_or_none(v, lo: int = _I64_MIN, hi: int = _I64_MAX):
+    # range-checked: a Python int beyond the Arrow column's width would
+    # crash Table.from_pylist / the later safe int32 cast with
+    # OverflowError/ArrowInvalid mid-salvage (code-review r5) — treat it
+    # like any other wrong-typed value and null it out
+    return v if (isinstance(v, int) and not isinstance(v, bool)
+                 and lo <= v <= hi) else None
+
+
+def _int32_or_none(v):
+    return _int_or_none(v, _I32_MIN, _I32_MAX)
 
 
 def _str_or_none(v):
@@ -279,9 +319,10 @@ def _coerce_envelope(o: dict) -> dict:
     after = _struct(o.get("after"), [
         ("doc_id", _str_or_none),
         ("tokens", lambda v: v if isinstance(v, list)
-         and all(isinstance(x, int) and not isinstance(x, bool) for x in v)
+         and all(isinstance(x, int) and not isinstance(x, bool)
+                 and _I32_MIN <= x <= _I32_MAX for x in v)
          else None),
-        ("n_tok", _int_or_none),
+        ("n_tok", _int32_or_none),
         ("source", _str_or_none),
         ("title", _str_or_none),
         ("match_title", _str_or_none),
@@ -290,7 +331,7 @@ def _coerce_envelope(o: dict) -> dict:
     meta = _struct(o.get("meta"), [
         ("column_mask", lambda v: v if isinstance(v, list)
          and all(isinstance(x, str) for x in v) else None),
-        ("match_score", _int_or_none),
+        ("match_score", _int32_or_none),
     ])
     sc = _struct(o.get("schema_change"), [
         ("kind", _str_or_none),
@@ -426,7 +467,7 @@ def feed_to_envelopes(t: pa.Table) -> pa.Table:
         else pa.nulls(n, pa.list_(pa.int64()))
     )
 
-    def _img(suffix: str, tokens) -> pa.StructArray:
+    def _img(suffix: str, tokens, null_mask) -> pa.StructArray:
         cols = [
             pc.cast(t[f"last_lsn{suffix}"], pa.int64()),
             pc.cast(t[f"n_tok{suffix}"], pa.int64()),
@@ -436,16 +477,24 @@ def feed_to_envelopes(t: pa.Table) -> pa.Table:
         ]
         cols = [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
                 for c in cols]
+        if isinstance(null_mask, pa.ChunkedArray):
+            null_mask = null_mask.combine_chunks()
         return pa.StructArray.from_arrays(
-            cols, fields=list(_IMG_T)
+            cols, fields=list(_IMG_T), mask=null_mask
         )
 
+    # Debezium convention (code-review r5): an insert has NO before
+    # image and a delete NO after image — serialize them as null, not
+    # as a struct of all-null fields, so external consumers that
+    # classify by `before === null` read the feed correctly
+    ch = pc.cast(t["change"], pa.string())
     return pa.table(
         {
             "op": op,
             "key": pc.cast(t["doc_id"], pa.string()),
-            "before": _img("_before", pa.nulls(n, pa.list_(pa.int64()))),
-            "after": _img("_after", tok_after),
+            "before": _img("_before", pa.nulls(n, pa.list_(pa.int64())),
+                           pc.equal(ch, "insert")),
+            "after": _img("_after", tok_after, pc.equal(ch, "delete")),
         }
     )
 
@@ -496,6 +545,7 @@ def write_jsonl_feed(feed: ray.data.Dataset, out_dir: str) -> dict:
     (tmp + rename per file). Avoids ``Dataset.write_json``'s
     pandas serialization, which floatifies nullable ints (``364.0``)
     and breaks schema'd re-reads. Returns per-change counts."""
+    import hashlib
     import os
     import uuid
 
@@ -504,13 +554,22 @@ def write_jsonl_feed(feed: ray.data.Dataset, out_dir: str) -> dict:
 
     def _w(t: pa.Table) -> pa.Table:
         env = feed_to_envelopes(t)
-        path = os.path.join(out_dir, f"part-{uuid.uuid4().hex}.jsonl")
-        tmp = path + ".tmp"
         counts: dict[str, int] = {}
+        buf: list[str] = []
+        for row in env.to_pylist():
+            counts[row["op"]] = counts.get(row["op"], 0) + 1
+            buf.append(json.dumps(row))
+        payload = "\n".join(buf) + ("\n" if buf else "")
+        # CONTENT-addressed part name: a Ray task retry (worker death
+        # after the rename, lost-block recompute) re-produces the same
+        # bytes and overwrites the same file instead of duplicating
+        # every event under a fresh uuid (code-review r5); distinct
+        # feed batches are disjoint row sets, so names never collide
+        name = hashlib.md5(payload.encode()).hexdigest()
+        path = os.path.join(out_dir, f"part-{name}.jsonl")
+        tmp = path + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
-            for row in env.to_pylist():
-                counts[row["op"]] = counts.get(row["op"], 0) + 1
-                f.write(json.dumps(row) + "\n")
+            f.write(payload)
         os.rename(tmp, path)
         return pa.table(
             {"change": pa.array(sorted(counts), pa.string()),

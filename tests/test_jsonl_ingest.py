@@ -414,3 +414,122 @@ def test_salvage_forced_encoding(ray_session, fixture_root, tmp_path):
                                    encoding="utf-16-le").take_all(),
                  key=lambda r: (r["lsn"] is None, r["lsn"]))
     assert got == want
+
+
+def test_salvage_never_crashes_on_absurd_ints(ray_session, tmp_path):
+    """Code-review r5 (reproduced): out-of-range ints crashed the salvage
+    read (OverflowError at Table.from_pylist; ArrowInvalid at the int32
+    cast). They now coerce to null like any wrong-typed value."""
+    import json as _json
+
+    from marc_data_migration_ray.sources.jsonl import read_jsonl_binlog
+
+    lines = [
+        {"op": "u", "lsn": 99999999999999999999999,  # > int64
+         "after": {"doc_id": "1000001", "n_tok": 2, "tokens": [1, 2]}},
+        {"op": "u", "lsn": 5,
+         "after": {"doc_id": "1000002", "n_tok": 3000000000}},  # > int32
+        {"op": "u", "lsn": 6,
+         "after": {"doc_id": "1000003", "tokens": [1, 2 ** 40]}},
+        {"op": "u", "lsn": 7, "after": {"doc_id": "1000004", "n_tok": 1},
+         "meta": {"match_score": 2 ** 35}},
+        {"op": "u", "lsn": 8,
+         "after": {"doc_id": "1000005", "n_tok": 4, "tokens": [9, 9]},
+         "meta": {"match_score": 90}},  # sane control row
+    ]
+    p = str(tmp_path / "b.jsonl")
+    with open(p, "w") as f:
+        for o in lines:
+            f.write(_json.dumps(o) + "\n")
+    rows = read_jsonl_binlog(p, 0, strict=False).take_all()
+    assert len(rows) == 5
+    by = {r["doc_id"]: r for r in rows if r["doc_id"]}
+    assert by["1000001"]["lsn"] is None        # absurd lsn nulled
+    assert by["1000002"]["n_tok"] is None      # > int32 nulled
+    assert by["1000003"]["tokens"] is None     # oversized element
+    assert by["1000004"]["match_score"] is None
+    assert by["1000005"]["n_tok"] == 4 and by["1000005"]["match_score"] == 90
+
+
+def test_salvage_unicode_linebreaks_stay_inside_lines(ray_session,
+                                                      tmp_path):
+    """Code-review r5: U+0085/U+2028 are legal raw inside JSON strings;
+    splitlines() tore such lines into two unparseable halves. The
+    sniffed-decode path now splits on newline only."""
+    import json as _json
+
+    from marc_data_migration_ray.sources.jsonl import read_jsonl_binlog
+
+    line = {"op": "u", "lsn": 3,
+            "after": {"doc_id": "1000001", "n_tok": 1, "tokens": [1],
+                      "title": "part one\x85part two part three"}}
+    p = str(tmp_path / "b.jsonl")
+    with open(p, "w", encoding="utf-8") as f:
+        f.write(_json.dumps(line, ensure_ascii=False) + "\n")
+    rows = read_jsonl_binlog(p, 0, strict=False,
+                             encoding="auto").take_all()
+    assert len(rows) == 1
+    assert rows[0]["op"] == "update" and rows[0]["doc_id"] == "1000001"
+
+
+def test_forced_codec_strips_bom(ray_session, tmp_path):
+    """Code-review r5: encoding='utf-16-le' on a BOM'd file must not
+    leak U+FEFF into (and deadletter) the first line."""
+    import json as _json
+
+    from marc_data_migration_ray.sources.jsonl import read_jsonl_binlog
+
+    line = {"op": "u", "lsn": 1,
+            "after": {"doc_id": "1000001", "n_tok": 1, "tokens": [1]}}
+    p = str(tmp_path / "b.jsonl")
+    with open(p, "w", encoding="utf-16") as f:  # BOM-prefixed LE
+        f.write(_json.dumps(line) + "\n")
+    rows = read_jsonl_binlog(p, 0, strict=False,
+                             encoding="utf-16-le").take_all()
+    assert len(rows) == 1 and rows[0]["op"] == "update"
+
+
+def test_sniff_bomless_utf32_and_nul_guard():
+    """Code-review r5: BOM-less UTF-32 detection, and NUL-bearing heads
+    must never classify utf-8 at confidence 1.0."""
+    from marc_data_migration_ray.sources.jsonl import sniff_encoding
+
+    line = '{"op":"u","lsn":1}\n' * 40
+    got = sniff_encoding(line.encode("utf-32-le"))
+    assert got["encoding"] in ("utf-32-le",)
+    got = sniff_encoding(line.encode("utf-32-be"))
+    assert got["encoding"] == "utf-32-be"
+    # arbitrary NUL-bearing bytes: never utf-8/1.0
+    got = sniff_encoding(b'{"a":1}\x00\x00garbage\x00moregarbage\x00!!')
+    assert not (got["encoding"] == "utf-8" and got["confidence"] == 1.0)
+
+
+def test_feed_envelopes_null_images(ray_session, tmp_path):
+    """Code-review r5: Debezium convention — insert has before:null,
+    delete has after:null (not structs of all-null fields)."""
+    import glob
+    import json as _json
+
+    from marc_data_migration_ray.sources.jsonl import write_jsonl_feed
+
+    fix = str(tmp_path / "fx")
+    fixtures.write_fixture(fix, n_rows=60, n_events=300, n_epochs=2,
+                           seed=13, schema_change_frac=0.0)
+    cfg = ReplayConfig(num_partitions=4)
+    rp = Replayer(str(tmp_path / "t"), cfg,
+                  base_path=os.path.join(fix, "base"))
+    for e in range(2):
+        rp.apply_epoch(e, os.path.join(fix, "binlog", f"epoch={e}"))
+    feed = rp.changes_between(0, 1, with_payload=True)
+    out = str(tmp_path / "feed")
+    write_jsonl_feed(feed, out)
+    ops_seen = set()
+    for f in glob.glob(os.path.join(out, "*.jsonl")):
+        for ln in open(f):
+            o = _json.loads(ln)
+            ops_seen.add(o["op"])
+            if o["op"] == "c":
+                assert o["before"] is None, o
+            if o["op"] == "d":
+                assert o["after"] is None, o
+    assert "c" in ops_seen or "d" in ops_seen

@@ -82,8 +82,11 @@ def _part_stats_task(files: list[str]) -> tuple:
     schema_tables = []
     for f in files:
         t = pq.read_table(f, columns=["lsn", "route"])
+        file_schema_rows = 0
         for item in pc.value_counts(t["route"]).to_pylist():
             route_counts[item["values"]] = route_counts.get(item["values"], 0) + item["counts"]
+            if item["values"] == "schema":
+                file_schema_rows = item["counts"]
         if t.num_rows:
             m = pc.max(t["lsn"]).as_py()
             if m is not None:
@@ -91,7 +94,10 @@ def _part_stats_task(files: list[str]) -> tuple:
             mn = pc.min(t["lsn"]).as_py()
             if mn is not None:
                 min_lsn = mn if min_lsn is None else min(min_lsn, mn)
-        if route_counts.get("schema"):
+        # THIS file's schema count, not the cumulative total — one early
+        # schema event used to force the 5-column re-read on every later
+        # schema-free file in the partition (code-review r5)
+        if file_schema_rows:
             st = pq.read_table(
                 f, columns=["lsn", "route", "schema_kind", "schema_name", "schema_new_name"]
             )
@@ -2054,7 +2060,11 @@ class Replayer:
 
         ids = [k for k in dict.fromkeys(doc_ids) if k]
         parts = self._parts_for_keys(ids)
-        payload_cols = self._resolve_projection(columns, up_to_epoch)
+        # resolve the projection AS OF the requested cut (code-review
+        # r5): validating at head rejected a pre-rename display name a
+        # read_state(up_to_lsn=L) of the same cut accepts
+        payload_cols = self._resolve_projection(columns, up_to_epoch,
+                                                up_to_lsn)
         refs = self._fold_part_refs(up_to_epoch, only_parts=parts,
                                     up_to_lsn=up_to_lsn,
                                     key_filter=ids, payload_cols=payload_cols)
@@ -2757,6 +2767,29 @@ class Replayer:
     # ------------------------------------------------------------------ #
     # compaction (LSM merge)
     # ------------------------------------------------------------------ #
+    def _cumulative_metrics_snapshot(self, this_fold: dict) -> dict:
+        """prior snapshot + this fold's counters — carried in the
+        compaction/repartition record so fold_metrics stays whole-run
+        after the absorbed epochs' events leave the delta files. ONE
+        implementation for compact() and repartition() (code-review r5:
+        the duplicated blocks both dropped ``fold_splits``, silently
+        resetting the auto-split counter at every compaction)."""
+        prev = self.manifest.metrics_snapshot()
+        return {
+            "noop": prev["noop"] + this_fold["noop"],
+            "tombstoned": prev["tombstoned"] + this_fold["tombstoned"],
+            "local": prev["local"] + this_fold["local"],
+            "fold_splits": (prev.get("fold_splits", 0)
+                            + this_fold.get("fold_splits", 0)),
+            "col_replacements": _merge_counts(prev["col_replacements"],
+                                              this_fold["col_replacements"]),
+            "local_by_part": _merge_counts(
+                {int(k): v for k, v in prev["local_by_part"].items()},
+                dict(this_fold["local_by_part"])),
+            "noop_by_route": _merge_counts(prev["noop_by_route"],
+                                           this_fold["noop_by_route"]),
+        }
+
     def compact(self, up_to_epoch: int | None = None,
                 respect_tags: bool = False) -> str:
         """Fold base ∪ deltas into a new bucketized base snapshot; advance
@@ -2791,19 +2824,7 @@ class Replayer:
         # absorbed epochs' events are gone from the delta files
         this_fold = self._aggregate_metrics_rows(out)
         local_counts = dict(this_fold["local_by_part"])  # this fold only: offsets accumulate
-        prev = self.manifest.metrics_snapshot()
-        snap = {
-            "noop": prev["noop"] + this_fold["noop"],
-            "tombstoned": prev["tombstoned"] + this_fold["tombstoned"],
-            "local": prev["local"] + this_fold["local"],
-            "col_replacements": _merge_counts(prev["col_replacements"],
-                                              this_fold["col_replacements"]),
-            "local_by_part": _merge_counts(
-                {int(k): v for k, v in prev["local_by_part"].items()}, local_counts
-            ),
-            "noop_by_route": _merge_counts(prev["noop_by_route"],
-                                           this_fold["noop_by_route"]),
-        }
+        snap = self._cumulative_metrics_snapshot(this_fold)
         os.rename(tmp, new_base)
         # record_compaction (CAS-retried) also flips base_is_final_schema
         # and points base_bucketized_path at the new snapshot
@@ -2878,22 +2899,13 @@ class Replayer:
         )
         write_parquet_partitioned(
             rows, tmp, ["part_p"], row_group_size=_ROW_GROUP_SIZE,
-            expected_partitions=self.cfg.num_partitions * self.cfg.num_salts)
+            # the NEW layout's physical partition count — self.cfg still
+            # holds the old one here, which skipped the co-location sort
+            # exactly when growing past the threshold (code-review r5)
+            expected_partitions=new_P * new_S)
         this_fold = self._aggregate_metrics_rows(out)
         local_counts = dict(this_fold["local_by_part"])
-        prev = self.manifest.metrics_snapshot()
-        snap = {
-            "noop": prev["noop"] + this_fold["noop"],
-            "tombstoned": prev["tombstoned"] + this_fold["tombstoned"],
-            "local": prev["local"] + this_fold["local"],
-            "col_replacements": _merge_counts(prev["col_replacements"],
-                                              this_fold["col_replacements"]),
-            "local_by_part": _merge_counts(
-                {int(k): v for k, v in prev["local_by_part"].items()}, local_counts
-            ),
-            "noop_by_route": _merge_counts(prev["noop_by_route"],
-                                           this_fold["noop_by_route"]),
-        }
+        snap = self._cumulative_metrics_snapshot(this_fold)
         os.rename(tmp, new_base)
         ceiling = max(
             [self.manifest.ceiling_lsn()]
@@ -3469,11 +3481,29 @@ class Replayer:
         plan = []  # machine-readable twin of `recommendations` (maintain())
         epochs = self.manifest.active_epochs()
         if max_files > self._EXPLAIN_MAX_FILES_PER_BUCKET and n_epoch_dirs > 1:
-            recs.append(
-                f"compact_deltas({floor + 1}, {epochs[-1]}): up to "
-                f"{max_files} files open per bucket fold")
-            plan.append({"op": "compact_deltas",
-                         "args": [floor + 1, epochs[-1]]})
+            # the mergeable range starts AFTER any existing segment and
+            # clamps to the oldest contiguous unsegmented run — a plan
+            # anchored at floor+1 overlaps the previous maintain()'s
+            # segment and compact_deltas rightly refuses (code-review
+            # r5: the second maintain() call crashed the OPTIMIZE flow)
+            segged: set[int] = set()
+            for seg in self.manifest.delta_segments():
+                segged.update(range(seg["from"], seg["to"] + 1))
+            run: list[int] = []
+            for e in epochs:
+                if e in segged:
+                    if run:
+                        break  # only the oldest contiguous run
+                    continue
+                if run and e != run[-1] + 1:
+                    break
+                run.append(e)
+            if len(run) > 1:
+                recs.append(
+                    f"compact_deltas({run[0]}, {run[-1]}): up to "
+                    f"{max_files} files open per bucket fold")
+                plan.append({"op": "compact_deltas",
+                             "args": [run[0], run[-1]]})
         if tot_base and tot_delta > self._EXPLAIN_COMPACT_DELTA_RATIO * tot_base:
             recs.append(
                 f"compact(): active deltas ({tot_delta >> 20} MiB) exceed "
@@ -4031,7 +4061,8 @@ class Replayer:
             # orphans: snapshot dirs never recorded in the manifest (a CAS
             # loser's published-but-unreferenced output) are always dead
             known = {os.path.realpath(d) for d in ordered} | {cur}
-            orphans = [d for d in glob.glob(os.path.join(self.root, "base-compact-*"))
+            orphans = [d for pat in ("base-compact-*", "base-repart-*")
+                       for d in glob.glob(os.path.join(self.root, pat))
                        if ".tmp" not in os.path.basename(d)
                        and os.path.realpath(d) not in known]
             for d in ordered + orphans:
@@ -4170,8 +4201,14 @@ def scan_export(dest: str, lo: int | None = None, hi: int | None = None) -> dict
         raise ValueError(f"{dest} is not a range-clustered export")
     col = info["cluster_by"]
     keep, skipped_rows = [], 0
+    bounded = lo is not None or hi is not None
     for z in info["zones"]:
-        empty = z["min"] is None  # all-NULL or empty range: never matches
+        # an all-NULL/empty zone never matches a RANGE PREDICATE (SQL
+        # comparison semantics) — but an unbounded scan must return its
+        # rows (code-review r5: they silently vanished with no predicate
+        # to justify it; scan_export_zorder already keeps all zones when
+        # no predicate is given)
+        empty = bounded and z["min"] is None
         out = empty or (lo is not None and z["max"] < lo) \
             or (hi is not None and z["min"] > hi)
         if out:

@@ -239,3 +239,42 @@ def test_zorder_export_pruning_both_columns(ray_session, fixture_dir, tmp_path):
     # unknown predicate column refused
     with pytest.raises(ValueError, match="not a clustered column"):
         scan_export_zorder(dest, source=(0, 1))
+
+
+def test_unbounded_scan_keeps_all_null_range(ray_session, tmp_path):
+    """Code-review r5: scan_export with NO predicate must return rows
+    from an all-NULL cluster range instead of silently dropping them."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.config import ReplayConfig
+    from marc_data_migration_ray.pipelines.replay import (Replayer,
+                                                          scan_export)
+
+    base = pa.table({
+        "doc_id": pa.array([str(1_000_000 + i) for i in range(12)]),
+        "tokens": pa.array([[i] for i in range(12)], pa.list_(pa.int32())),
+        # a third of rows have NULL n_tok -> they cluster into range 0
+        "n_tok": pa.array([None if i % 3 == 0 else i for i in range(12)],
+                          pa.int32()),
+        "source": pa.array(["web"] * 12),
+    })
+    bdir = str(tmp_path / "base")
+    os.makedirs(bdir)
+    pq.write_table(base, os.path.join(bdir, "part-0.parquet"))
+    empty = str(tmp_path / "e0")
+    os.makedirs(empty)
+    rp = Replayer(str(tmp_path / "t"), ReplayConfig(num_partitions=2),
+                  base_path=bdir)
+    rp.apply_epoch(0, empty)
+    dest = str(tmp_path / "exp")
+    rp.export_snapshot(dest, cluster_by="n_tok", n_ranges=3)
+    full = scan_export(dest)  # unbounded
+    assert full["dataset"].count() == 12  # NULL rows present
+    assert full["rows_skipped"] == 0
+    # a bounded scan still skips the NULL zone (SQL comparison semantics)
+    bounded = scan_export(dest, lo=1)
+    got = bounded["dataset"].count()
+    assert got == 8  # the 4 NULL-n_tok rows never match a range predicate

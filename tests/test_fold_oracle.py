@@ -150,3 +150,47 @@ def test_fold_auto_split_bit_identical(ray_session, tmp_path):
             if r["doc_id"].startswith("LOCAL-")] == \
            [r["doc_id"] for r in split
             if r["doc_id"].startswith("LOCAL-")]
+
+
+def test_fold_splits_counter_survives_compaction(ray_session, tmp_path):
+    """Code-review r5: the cumulative metrics snapshot dropped
+    fold_splits at every compaction, resetting the whole-run counter."""
+    import os
+
+    from marc_data_migration_ray.pipelines.replay import Replayer
+
+    root = str(tmp_path / "fx")
+    fixtures.write_fixture(root, n_rows=100, n_events=600, n_epochs=2,
+                           seed=23)
+    rp = Replayer(str(tmp_path / "t2"),
+                  ReplayConfig(num_partitions=4, fold_split_bytes=1),
+                  base_path=os.path.join(root, "base"))
+    rp.apply_epoch(0, os.path.join(root, "binlog", "epoch=0"))
+    pre = rp.fold_metrics()["fold_splits"]
+    assert pre == 4  # every bucket split under the 1-byte threshold
+    rp.compact()
+    rp.apply_epoch(1, os.path.join(root, "binlog", "epoch=1"))
+    post = rp.fold_metrics()["fold_splits"]
+    assert post >= pre, (pre, post)  # cumulative, not reset
+
+
+def test_vacuum_reclaims_orphan_repart_snapshot(ray_session, tmp_path):
+    """Code-review r5: vacuum's orphan sweep only matched base-compact-*
+    — a crashed repartition's base-repart-* snapshot leaked forever."""
+    import os
+
+    from marc_data_migration_ray.pipelines.replay import Replayer
+
+    root = str(tmp_path / "fx")
+    fixtures.write_fixture(root, n_rows=60, n_events=200, n_epochs=1,
+                           seed=3)
+    rp = Replayer(str(tmp_path / "t"), ReplayConfig(num_partitions=2),
+                  base_path=os.path.join(root, "base"))
+    rp.apply_epoch(0, os.path.join(root, "binlog", "epoch=0"))
+    rp.compact()  # vacuum's snapshot sweep requires a compacted table
+    orphan = os.path.join(rp.root, "base-repart-deadbeef")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk"), "w") as f:
+        f.write("x")
+    rp.vacuum()
+    assert not os.path.exists(orphan)

@@ -70,3 +70,51 @@ def test_maintain_repartition_gate(ray_session, fixture_dir, tmp_path):
     some_doc = before_rows[0][0]
     got = rp.lookup([some_doc]).take_all()
     assert len(got) == 1 and got[0]["doc_id"] == some_doc
+
+
+def test_maintain_survives_existing_segment(ray_session, tmp_path):
+    """Code-review r5: explain_layout planned compact_deltas from
+    floor+1, overlapping the segment a PREVIOUS maintain() created —
+    the second maintain() crashed the OPTIMIZE flow. The plan now
+    starts after the last covering segment."""
+    import os
+
+    from marc_data_migration_ray.config import ReplayConfig
+    from marc_data_migration_ray.pipelines.replay import Replayer
+    from marc_data_migration_ray.sources import fixtures
+
+    fix = str(tmp_path / "fx")
+    fixtures.write_fixture(fix, n_rows=60, n_events=600, n_epochs=6,
+                           seed=17, schema_change_frac=0.0)
+    rp = Replayer(str(tmp_path / "t"), ReplayConfig(num_partitions=2),
+                  base_path=os.path.join(fix, "base"))
+    for e in range(4):
+        rp.apply_epoch(e, os.path.join(fix, "binlog", f"epoch={e}"))
+    before = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    # force a segment covering the current run
+    rp.compact_deltas(0, 3)
+    assert rp.manifest.delta_segments()
+    for e in range(4, 6):
+        rp.apply_epoch(e, os.path.join(fix, "binlog", f"epoch={e}"))
+    # force the file-count recommendation so the plan path engages
+    monkey_attr = type(rp)._EXPLAIN_MAX_FILES_PER_BUCKET
+    type(rp)._EXPLAIN_MAX_FILES_PER_BUCKET = 0
+    try:
+        diag = rp.explain_layout()
+        cds = [o for o in diag["plan"] if o["op"] == "compact_deltas"]
+        assert cds and cds[0]["args"][0] > 3, cds  # starts AFTER the segment
+        # maintain must not crash on the overlap; repeated calls idempotent
+        rep1 = rp.maintain()
+        rep2 = rp.maintain()
+    finally:
+        type(rp)._EXPLAIN_MAX_FILES_PER_BUCKET = monkey_attr
+    assert isinstance(rep1["actions"], list) and isinstance(
+        rep2["actions"], list)
+    after = sorted(rp.read_state().take_all(), key=lambda r: r["doc_id"])
+    ref = Replayer(str(tmp_path / "ref"), ReplayConfig(num_partitions=2),
+                   base_path=os.path.join(fix, "base"))
+    for e in range(6):
+        ref.apply_epoch(e, os.path.join(fix, "binlog", f"epoch={e}"))
+    want = sorted(ref.read_state().take_all(), key=lambda r: r["doc_id"])
+    assert after == want
+    assert len(before) <= len(after) or True  # state evolves; oracle pins

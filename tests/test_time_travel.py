@@ -181,3 +181,56 @@ def test_respect_tags_compaction_and_fsck(ray_session, fixture_dir, tmp_path):
         f.write("{}")
     probs = rp.fsck()["problems"]
     assert any("in-doubt txn intent" in p for p in probs)
+
+
+def test_lookup_projection_resolves_as_of_cut(ray_session, tmp_path):
+    """Code-review r5: lookup(up_to_lsn=L, columns=[...]) must validate
+    the projection against the AS-OF schema, not head — a pre-rename
+    display name is valid at a pre-rename cut."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from marc_data_migration_ray.config import ReplayConfig
+    from marc_data_migration_ray.pipelines.replay import Replayer
+
+    base = pa.table({
+        "doc_id": pa.array(["1000001", "1000002"]),
+        "tokens": pa.array([[1], [2]], pa.list_(pa.int32())),
+        "n_tok": pa.array([1, 1], pa.int32()),
+        "source": pa.array(["web", "books"]),
+    })
+    bdir = str(tmp_path / "base")
+    os.makedirs(bdir)
+    pq.write_table(base, os.path.join(bdir, "part-0.parquet"))
+    ev = pa.table({
+        "lsn": pa.array([5, 10], pa.int64()),
+        "epoch": pa.array([0, 0], pa.int32()),
+        "op": pa.array(["update", "schema_change"]),
+        "doc_id": pa.array(["1000001", None]),
+        "tokens": pa.array([[7, 7], None], pa.list_(pa.int32())),
+        "n_tok": pa.array([2, None], pa.int32()),
+        "source": pa.array(["web", None]),
+        "column_mask": pa.array([[], None], pa.list_(pa.string())),
+        "match_score": pa.array([100, None], pa.int32()),
+        "title": pa.array([None, None], pa.string()),
+        "match_title": pa.array([None, None], pa.string()),
+        "extra_json": pa.array([None, None], pa.string()),
+        "schema_kind": pa.array([None, "rename_column"]),
+        "schema_name": pa.array([None, "source"]),
+        "schema_new_name": pa.array([None, "origin"]),
+    })
+    edir = str(tmp_path / "binlog")
+    os.makedirs(edir)
+    pq.write_table(ev, os.path.join(edir, "part-0.parquet"))
+    rp = Replayer(str(tmp_path / "t"), ReplayConfig(num_partitions=2),
+                  base_path=bdir)
+    rp.apply_epoch(0, edir)
+    # head schema: 'source' is renamed to 'origin'
+    head = rp.lookup(["1000001"], columns=["doc_id", "origin"]).take_all()
+    assert head and head[0]["origin"] == "web"
+    # pre-rename cut: the OLD display name must resolve
+    got = rp.lookup(["1000001"], up_to_lsn=9,
+                    columns=["doc_id", "source"]).take_all()
+    assert got and got[0]["source"] == "web"
